@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * All testdata tables (TESTDATA.md) are parquet files under one scale-factor
+  * directory; every query entry point receives that directory so the same
+  * plan runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) — and, by
+  * design, on a real cluster path at 100 TB: nothing below ever collects a
+  * table to the driver or depends on partition count.
+  */
+object Graft {
+
+  /** Build a local session with scale-appropriate defaults. On a cluster the
+    * same settings apply except master/memory come from spark-submit.
+    */
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+      // type for; read as long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Lazy readers for the driver-generated star schema at one scale factor.
+  * Plain `spark.read.parquet` so Catalyst gets full pushdown/pruning.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as LongType nanos
+    * — normalize to a microsecond TimestampType column so downstream
+    * operators (windows, watermarks) see a real timestamp.
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw
+    }
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator coverage (SURVEY.md §2.3–§2.9) re-expressed over
+  * the driver's star schema: scans with pushdown, multi-way joins
+  * (broadcast + shuffle), semi/anti joins, exact aggregation, windows
+  * (running sums, lag, row_number dedup/argmax), explode-of-sequence
+  * generators, and unpivot.
+  *
+  * Oracle-parity conventions (the driver hash-compares against DuckDB):
+  *  - money math is done in DECIMAL(18,2) (exact in both engines) and cast
+  *    to DOUBLE only in the final projection;
+  *  - timestamps are emitted as epoch milliseconds (BIGINT) or formatted
+  *    strings, never raw timestamp columns (ns vs µs precision mismatch);
+  *  - every result has a total ORDER BY so row order is deterministic.
+  *
+  * Scale posture: all grouping/joining keys here are the natural shuffle
+  * keys; dimension tables (region/nation) get explicit broadcast hints, fact
+  * joins are left to Catalyst/AQE so they stay sort-merge at 100 TB.
+  */
+object Relational extends QueryPack {
+
+  /** Exact money arithmetic: cast to DECIMAL(18,2) before summing. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-series aggregation + F-series filter/scalar-map (SURVEY §2.3, §2.6):
+    // TPC-H Q1 shape — scan with pushed filter, hash aggregate.
+    "q01_pricing_summary" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // J-series multi-join + top-k (SURVEY §2.5, §2.8): TPC-H Q3 shape.
+    "q02_top_revenue_orders" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // 5-way join with broadcast dims (SURVEY §2.5 J3/J4 analog): Q5 shape.
+    "q03_region_nation_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      broadcast(t.region)
+        .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
+        .join(t.customer, col("n_nationkey") === col("c_nationkey"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Semi join / EXISTS (SURVEY §2.5): orders with any heavy lineitem.
+    "q04_priority_with_heavy_items" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.lineitem.filter(col("l_quantity") > 45).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Anti join / NOT EXISTS (SURVEY §2.5 J9 semantics): customers with no
+    // recent order (windowed so the result is non-empty at every SF).
+    "q05_customers_without_orders" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders
+            .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // W1/W4 running prefix sum (SURVEY §2.7) over a partitioned window.
+    "q06_running_customer_spend" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.orders.select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // W3/W9 lag/lead segment deltas (SURVEY §2.7) on the events table.
+    "q07_event_gaps" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("gap_ms").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_ms")).as("sum_gap_ms"),
+          max(col("gap_ms")).as("max_gap_ms"))
+        .orderBy(col("event_type"))
+    },
+
+    // A2 first-wins dedup via row_number (SURVEY §2.6).
+    "q08_first_event_per_user" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("user_id"))
+    },
+
+    // A6 argmax per group (SURVEY §2.6) — top customer per nation.
+    "q09_top_customer_per_nation" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t.customer
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("n_name"))
+    },
+
+    // W10/W11 generator expansion (SURVEY §2.7): sequence + explode.
+    "q10_order_installments" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .withColumn("n", (col("o_orderkey") % 3 + 1).cast("int"))
+        .withColumn("cents", (dec(col("o_totalprice")) * 100).cast("bigint"))
+        .select(col("o_orderkey"),
+          explode(sequence(lit(1), col("n"))).as("installment"),
+          expr("CAST(cents DIV n AS BIGINT)").as("amount_cents"))
+        .orderBy(col("o_orderkey"), col("installment"))
+    },
+
+    // U1 unpivot (SURVEY §2.9): wide measures → long rows, then aggregate.
+    "q11_unpivot_measures" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .select(col("l_orderkey"), expr(
+          "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice," +
+            " 'discount', l_discount, 'tax', l_tax) as (measure, value)"))
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total"))
+        .orderBy(col("measure"))
+    },
+
+    // Exact distinct aggregation (shuffle-heavy; exercises partial aggs).
+    "q12_distinct_parts_per_flag" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // F3/F4 conditional scalar maps (SURVEY §2.3) inside an aggregation.
+    "q13_nation_account_health" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("c_acctbal") < 0, 1).otherwise(0)).as("n_negative"),
+          max(col("c_acctbal")).as("max_bal"),
+          min(col("c_acctbal")).as("min_bal"))
+        .orderBy(col("n_name"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_revenue_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q03_region_nation_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_priority_with_heavy_items" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_running_customer_spend" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q07_event_gaps" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        | FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps, CAST(SUM(gap_ms) AS BIGINT) AS sum_gap_ms,
+        | MAX(gap_ms) AS max_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q08_first_event_per_user" ->
+      """SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q09_top_customer_per_nation" ->
+      """SELECT n_name, c_name, c_acctbal
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) c
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY n_name""".stripMargin,
+
+    "q10_order_installments" ->
+      """WITH base AS (
+        | SELECT o_orderkey, CAST(o_orderkey % 3 + 1 AS INT) AS n,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT o_orderkey, i.i AS installment,
+        | CAST(cents // n AS BIGINT) AS amount_cents
+        |FROM base JOIN (VALUES (1),(2),(3)) AS i(i) ON i.i <= n
+        |ORDER BY o_orderkey, installment""".stripMargin,
+
+    "q11_unpivot_measures" ->
+      """WITH long AS (
+        | SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        | UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM long GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q12_distinct_parts_per_flag" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_nation_account_health" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        | CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        | MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}
