@@ -10,7 +10,12 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    Relational
+    Relational,
+    GeoQ,
+    TextQ,
+    DedupQ,
+    VectorQ,
+    EventsQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the training-data pipeline extensions
+  * (BASELINE.json north star): normalization, tokenization, shingling,
+  * heuristic language-ID, quality scoring, fingerprinting, SimHash.
+  *
+  * All pure `Column` compositions (built-in string/array/higher-order
+  * functions) — distributed, codegen-friendly, no driver round-trips — and
+  * each has an exact DuckDB-SQL equivalent for the oracle gate.
+  */
+object text {
+
+  /** Lowercase, strip non-alphanumerics to spaces, squeeze runs, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Token count (0 for empty/blank text). */
+  def tokenCount(c: Column): Column =
+    when(normText(c) === "", lit(0)).otherwise(size(tokens(c)))
+
+  /** Word n-gram shingles joined with single spaces; empty array when the
+    * document has fewer than n tokens. (Guarded because Spark `sequence`
+    * runs DESCENDING when start > stop.)
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => try_element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens that appear in a fixed marker vocabulary. */
+  def markerHits(c: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(m, t)))
+  }
+
+  /** Heuristic n-gram language-ID: score each candidate class by marker-
+    * vocabulary hits, pick the argmax (first wins on ties, in `classes`
+    * order). Returns the class name, or "und" when no marker hits at all.
+    */
+  def langId(c: Column, classes: Seq[(String, Seq[String])]): Column = {
+    val scores = classes.map { case (name, markers) => name -> markerHits(c, markers) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((name, s), el) =>
+      when(s === best && best > 0, lit(name)).otherwise(el)
+    }
+  }
+
+  /** Exact-dup fingerprint: md5 hex of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** 16-bit token hash: first 4 hex digits of md5, as int (0..65535). */
+  def tokenHash16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+
+  /** 32-bit salted shingle hash for MinHash: first 8 hex digits of
+    * md5(salt || ":" || shingle) as bigint (0..2^32-1).
+    */
+  def saltedHash32(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 8), 16, 10).cast("bigint")
+}

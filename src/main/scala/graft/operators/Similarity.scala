@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and a sign-bit-bucketed (LSH/IVF-style) variant as the scale
+  * path — candidates are restricted to the query's bucket, turning a full
+  * scan into a partition-pruned scan when the data is written bucketed.
+  */
+object Similarity {
+
+  /** Cosine of every row against a one-row query frame (broadcast — the
+    * query side is a single row, so this is a map-side operation).
+    * `query` must have a single row with `vecCol` (any float/double array).
+    */
+  def withCosine(df: DataFrame, query: DataFrame, vecCol: String): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qvec")))
+    df.crossJoin(q)
+      .withColumn("cosine", vectors.cosine(
+        vectors.asDouble(col(vecCol)), vectors.asDouble(col("__qvec"))))
+      .drop("__qvec")
+  }
+
+  /** Exact brute-force top-k by cosine (rounded for cross-engine
+    * determinism, id tiebreak).
+    */
+  def bruteForceTopK(df: DataFrame, query: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame =
+    withCosine(df, query, vecCol)
+      .withColumn("cos4", round(col("cosine"), 4))
+      .orderBy(col("cos4").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic sign-bit bucket over selected components: bit i set iff
+    * vec[positions(i)] > 0. With data written partitioned/bucketed by this
+    * value, an ANN probe reads a single bucket.
+    */
+  def signBucket(vecCol: Column, positions: Seq[Int]): Column =
+    positions.zipWithIndex.map { case (p, i) =>
+      when(element_at(vecCol, p) > 0f, lit(1 << (positions.size - 1 - i)))
+        .otherwise(lit(0))
+    }.reduce[Column](_ + _)
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+import SqlMacros._
+
+/** Deduplication operators over the documents/embeddings tables: exact
+  * (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join), SimHash
+  * (bit-majority + byte-bucket pairs), and embedding-cosine near-dup with
+  * label blocking. Candidate generation is always a key-equality join on a
+  * derived signature — no all-pairs comparison — so each operator keeps its
+  * shuffle bounded at 100 TB.
+  */
+object DedupQ extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup_groups" -> { (s, dir) =>
+      Dedup.exactGroups(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("keeper"))
+    },
+
+    "d02_minhash_lsh_pairs" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir).documents, "doc_id", "text",
+          k = 8, bands = 2, shingleN = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
+    "d03_simhash" -> { (s, dir) =>
+      Dedup.simhash16(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    "d04_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Embedding-cosine near-dup with label blocking (blocked all-pairs
+    // inside each label bucket only).
+    "d05_embedding_top_pairs" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val l = e.select(col("vec_id").as("a"), col("label"),
+        col("embedding").as("ea"))
+      val r = e.select(col("vec_id").as("b"), col("label"),
+        col("embedding").as("eb"))
+      l.join(r, Seq("label"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("ea")), vectors.asDouble(col("eb"))), 4))
+        .select(col("label"), col("a"), col("b"), col("cos4"))
+        .orderBy(col("cos4").desc, col("a"), col("b"))
+        .limit(20)
+    }
+  )
+
+  /** Shared CTE prefix: normalized words + 3-shingles per doc. */
+  private val shingleCtes: String =
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+       |sh AS (SELECT doc_id, ${shingles3Sql()} AS sh FROM w WHERE len(w) >= 3)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "d01_exact_dedup_groups" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT md5(norm) AS fingerprint, min(doc_id) AS keeper,
+         | count(*) AS n_copies
+         |FROM n GROUP BY md5(norm) ORDER BY keeper""".stripMargin,
+
+    "d02_minhash_lsh_pairs" -> {
+      val sigCols = (1 to 8).map { j =>
+        s"list_min([${saltedHash32Sql("x", j)} FOR x IN sh]) AS m$j"
+      }.mkString(",\n  ")
+      s"""$shingleCtes,
+         |sig AS (SELECT doc_id, sh, $sigCols FROM sh),
+         |banded AS (SELECT doc_id, sh,
+         |  md5(concat_ws(',', m1, m2, m3, m4)) AS band0,
+         |  md5(concat_ws(',', m5, m6, m7, m8)) AS band1 FROM sig),
+         |cands AS (
+         | SELECT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+         | FROM banded l JOIN banded r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+         | UNION
+         | SELECT l.doc_id, r.doc_id, l.sh, r.sh
+         | FROM banded l JOIN banded r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         |j AS (
+         | SELECT a, b,
+         |  len(list_filter(list_distinct(sha), x -> list_contains(list_distinct(shb), x))) AS inter,
+         |  len(list_distinct(sha)) AS la, len(list_distinct(shb)) AS lb
+         | FROM cands)
+         |SELECT a, b,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |FROM j ORDER BY a, b""".stripMargin
+    },
+
+    "d03_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+
+    "d04_simhash_pairs" ->
+      s"""$simhashSql,
+         |by AS (SELECT doc_id, simhash, simhash // 256 AS hi,
+         |        simhash % 256 AS lo FROM sim),
+         |cands AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |  l.simhash AS simA, r.simhash AS simB
+         | FROM by l JOIN by r
+         |  ON (l.hi = r.hi OR l.lo = r.lo) AND l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(simA, simB)) AS INT) AS hamming
+         |FROM cands WHERE bit_count(xor(simA, simB)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "d05_embedding_top_pairs" ->
+      s"""SELECT l.label AS label, l.vec_id AS a, r.vec_id AS b,
+         | round(${cosineSql("l.embedding::DOUBLE[]", "r.embedding::DOUBLE[]")}, 4) AS cos4
+         |FROM embeddings l JOIN embeddings r
+         | ON l.label = r.label AND l.vec_id < r.vec_id
+         |ORDER BY cos4 DESC, a, b LIMIT 20""".stripMargin
+  )
+
+  /** CTEs computing the 16-bit simhash per doc (mirror of
+    * operators.Dedup.simhash16).
+    */
+  private def simhashSql: String = {
+    val bitSums = (0 until 16).map { b =>
+      s"SUM(CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n  ")
+    val combine = (0 until 16).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |t AS (SELECT doc_id, unnest(${wordsSql()}) AS tok FROM n),
+       |h AS (SELECT doc_id, ${tokenHash16Sql("tok")} AS h FROM t),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($combine AS INT) AS simhash FROM bits)""".stripMargin
+  }
+}

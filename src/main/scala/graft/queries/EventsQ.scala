@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sessionize
+
+/** Event-stream batch operators: sessionization (gap-based), tumbling-
+  * window rollups (the batch equivalent of the streaming job in
+  * graft.streaming), JSON prop extraction, and the order-sensitive
+  * min-spacing sweep (Tegallega W7 — typed fold, oracle-free by design:
+  * the keep/drop decision depends on the last KEPT row, which SQL window
+  * functions cannot express).
+  */
+object EventsQ extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_sessionize" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("ts_us", unix_micros(col("ts")))
+      Sessionize.sessionize(ev, "user_id", "ts_us", "event_id",
+          gapMs = 1800L * 1000000) // 30 min in µs
+        .groupBy(col("user_id"))
+        .agg(max(col("session_index")).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    "e02_hourly_rollup" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("hour_ms"), col("event_type"))
+    },
+
+    "e03_min_spacing_sweep" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+      Sessionize.minSpacingSweep(ev, "user_id", "ts_us", "event_id",
+          minGapMs = 60L * 1000000) // 60 s in µs
+        .orderBy(col("user_id"), col("ts_us"))
+    },
+
+    "e04_json_props_rollup" -> { (s, dir) =>
+      Tables(s, dir).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e01_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS nw
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(SUM(nw) AS BIGINT) AS n_sessions,
+        | COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e02_hourly_rollup" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+
+    // e03_min_spacing_sweep: intentionally no oracle (sequential fold).
+
+    "e04_json_props_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{geo, timecodec}
+
+/** Tegallega geo/time kernels (SURVEY.md §2.4 X1–X4/X13/X14, §2.5 J5/G2,
+  * §2.7 W1/W10) exercised over the driver's testdata by deriving synthetic
+  * lon/lat from integer keys — the same formulas appear verbatim in the
+  * DuckDB oracle, so the driver hash-checks the kernels themselves.
+  *
+  * Float-parity rules: transcendental results (haversine) are rounded
+  * before comparison/accumulation; running sums accumulate DECIMAL(18,6) of
+  * 6-dp-rounded segments (mirroring the reference's round(dist, 6) at
+  * generate_gtfs.py:178) so window order, not FP addition order, defines
+  * the result.
+  */
+object GeoQ extends QueryPack {
+
+  // -- synthetic coordinates, shared Spark + SQL ---------------------------
+  private def custLon = (col("c_custkey") % 3600).cast("double") / 10 - 180
+  private def custLat = ((col("c_custkey") * 7) % 1700).cast("double") / 10 - 85
+  private val custLonSql = "CAST(c_custkey % 3600 AS DOUBLE)/10 - 180"
+  private val custLatSql = "CAST((c_custkey * 7) % 1700 AS DOUBLE)/10 - 85"
+
+  private def liLon = (col("l_partkey") % 3600).cast("double") / 10 - 180
+  private def liLat = ((col("l_suppkey") * 13) % 1700).cast("double") / 10 - 85
+  private val liLonSql = "CAST(l_partkey % 3600 AS DOUBLE)/10 - 180"
+  private val liLatSql = "CAST((l_suppkey * 13) % 1700 AS DOUBLE)/10 - 85"
+
+  private def natLon = ((col("n_nationkey") * 37) % 360).cast("double") - 179.5
+  private def natLat = ((col("n_nationkey") * 23) % 160).cast("double") - 79.5
+  private val natLonSql = "CAST((n_nationkey * 37) % 360 AS DOUBLE) - 179.5"
+  private val natLatSql = "CAST((n_nationkey * 23) % 160 AS DOUBLE) - 79.5"
+
+  /** DuckDB haversine with the exact operation order of functions.geo. */
+  private def havKmSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
+    val dLat = s"radians(($lat2) - ($lat1))/2"
+    val dLon = s"radians(($lon2) - ($lon1))/2"
+    s"(CAST(12742 AS DOUBLE) * asin(sqrt(sin($dLat)*sin($dLat) + " +
+      s"cos(radians($lat1))*cos(radians($lat2))*sin($dLon)*sin($dLon))))"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 haversine as a per-row scalar kernel (codegen'd, no UDF).
+    "g01_haversine_to_hub" -> { (s, dir) =>
+      Tables(s, dir).customer.select(
+          col("c_custkey"),
+          round(geo.haversineKm(custLon, custLat, lit(107.6), lit(-6.9)), 4)
+            .as("dist_km"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // W1/W2: cumulative distance along an ordered per-group track — the
+    // GTFS shapes window, on lineitem "tracks" keyed by order.
+    "g02_cumulative_track_dist" -> { (s, dir) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — the
+      // ordering key must be total or the lag/cumsum is nondeterministic.
+      val ord = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
+      val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), liLon.as("lon"), liLat.as("lat"))
+        .withColumn("seg_km", coalesce(
+          round(geo.haversineKm(
+            lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w),
+            col("lon"), col("lat")), 6),
+          lit(0.0)).cast("decimal(18,6)"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          sum(col("seg_km")).over(cumW).cast("double").as("cum_km"))
+        .orderBy(col("l_orderkey") +: ord: _*)
+    },
+
+    // J5/G2: nearest-centroid argmin join (stop-to-shape assignment shape):
+    // every customer point against the broadcast 25-row centroid set.
+    "g03_nearest_centroid" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cents = broadcast(t.nation.select(col("n_nationkey"),
+        natLon.as("cl"), natLat.as("ct")))
+      val pts = t.customer.select(col("c_custkey"),
+        custLon.as("lon"), custLat.as("lat"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("d6"), col("n_nationkey"))
+      pts.crossJoin(cents)
+        .withColumn("d6", round(geo.haversineKm(col("lon"), col("lat"),
+          col("cl"), col("ct")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("n_nationkey").as("nearest_key"),
+          round(col("d6"), 4).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // X2–X4: GTFS >24h time codec round-trip (integer-exact both engines).
+    "g04_time_codec_roundtrip" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), (col("o_orderkey") % 100000).as("secs"))
+        .select(col("o_orderkey"), col("secs"),
+          timecodec.secToTime(col("secs")).as("hhmmss"))
+        .withColumn("secs_back", timecodec.timeToSec(col("hhmmss")))
+        .withColumn("junk_parsed", timecodec.timeToSec(lit("not a time")))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // W10/X14: virtual-point interpolation between consecutive per-group
+    // points (the angkot virtual-stop synthesis shape).
+    "g05_interpolated_points" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      Tables(s, dir).customer
+        .select(col("c_nationkey"), col("c_custkey"),
+          custLon.as("lon"), custLat.as("lat"))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .filter(col("plon").isNotNull)
+        .withColumn("d4",
+          round(geo.haversineKm(col("plon"), col("plat"), col("lon"), col("lat")), 4))
+        .withColumn("n", least(floor(col("d4") / 2000.0), lit(4.0)).cast("int"))
+        .filter(col("n") >= 1)
+        .select(col("c_nationkey"), col("c_custkey"), col("plon"), col("plat"),
+          col("lon"), col("lat"), col("n"),
+          explode(sequence(lit(1), col("n"))).as("i"))
+        .withColumn("t", col("i").cast("double") / (col("n") + 1))
+        .select(col("c_nationkey"), col("c_custkey"), col("i"),
+          round(geo.lerp(col("plon"), col("lon"), col("t")), 6).as("lon_i"),
+          round(geo.lerp(col("plat"), col("lat"), col("t")), 6).as("lat_i"))
+        .orderBy(col("c_nationkey"), col("c_custkey"), col("i"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "g01_haversine_to_hub" ->
+      s"""SELECT c_custkey,
+         | round(${havKmSql(custLonSql, custLatSql, "CAST(107.6 AS DOUBLE)", "CAST(-6.9 AS DOUBLE)")}, 4) AS dist_km
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "g02_cumulative_track_dist" ->
+      s"""WITH pts AS (
+         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  $liLonSql AS lon, $liLatSql AS lat
+         | FROM lineitem),
+         |seg AS (
+         | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(coalesce(round(${havKmSql(
+             "lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")}, 6), 0.0)
+         |    AS DECIMAL(18,6)) AS seg_km
+         | FROM pts
+         | WINDOW w AS (PARTITION BY l_orderkey
+         |              ORDER BY l_linenumber, l_partkey, l_suppkey))
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | CAST(SUM(seg_km) OVER (PARTITION BY l_orderkey
+         |   ORDER BY l_linenumber, l_partkey, l_suppkey
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_km
+         |FROM seg ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "g03_nearest_centroid" ->
+      s"""WITH pts AS (
+         | SELECT c_custkey, $custLonSql AS lon, $custLatSql AS lat FROM customer),
+         |cents AS (
+         | SELECT n_nationkey, $natLonSql AS cl, $natLatSql AS ct FROM nation),
+         |d AS (
+         | SELECT c_custkey, n_nationkey,
+         |  round(${havKmSql("lon", "lat", "cl", "ct")}, 6) AS d6
+         | FROM pts CROSS JOIN cents),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY c_custkey
+         |    ORDER BY d6, n_nationkey) AS rn FROM d)
+         |SELECT c_custkey, n_nationkey AS nearest_key, round(d6, 4) AS dist_km
+         |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+    "g04_time_codec_roundtrip" ->
+      """WITH b AS (SELECT o_orderkey, o_orderkey % 100000 AS secs FROM orders),
+        |f AS (SELECT o_orderkey, secs,
+        |  printf('%02d:%02d:%02d', secs // 3600, (secs % 3600) // 60, secs % 60) AS hhmmss
+        | FROM b)
+        |SELECT o_orderkey, secs, hhmmss,
+        | CASE WHEN regexp_matches(hhmmss, '^\d+:\d{2}(:\d{2})?$')
+        |  THEN CAST(string_split(hhmmss, ':')[1] AS INT) * 3600
+        |     + CAST(string_split(hhmmss, ':')[2] AS INT) * 60
+        |     + coalesce(CAST(string_split(hhmmss, ':')[3] AS INT), 0)
+        |  ELSE 0 END AS secs_back,
+        | 0 AS junk_parsed
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+
+    "g05_interpolated_points" ->
+      s"""WITH pts AS (
+         | SELECT c_nationkey, c_custkey,
+         |  $custLonSql AS lon, $custLatSql AS lat FROM customer),
+         |lagged AS (
+         | SELECT c_nationkey, c_custkey, lon, lat,
+         |  lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+         | FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+         |seg AS (
+         | SELECT *, round(${havKmSql("plon", "plat", "lon", "lat")}, 4) AS d4
+         | FROM lagged WHERE plon IS NOT NULL),
+         |n_seg AS (
+         | SELECT *, CAST(least(floor(d4 / 2000.0), 4.0) AS INT) AS n
+         | FROM seg WHERE d4 >= 2000.0)
+         |SELECT c_nationkey, c_custkey, CAST(r.range AS INT) AS i,
+         | round(plon + (lon - plon) * (CAST(r.range AS DOUBLE) / (n + 1)), 6) AS lon_i,
+         | round(plat + (lat - plat) * (CAST(r.range AS DOUBLE) / (n + 1)), 6) AS lat_i
+         |FROM n_seg JOIN range(1, 5) r ON r.range <= n
+         |ORDER BY c_nationkey, c_custkey, i""".stripMargin
+  )
+}

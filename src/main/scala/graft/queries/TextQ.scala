@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+import SqlMacros._
+
+/** Text-analysis operators over the documents table (training-data
+  * pipeline extensions): tokenization stats, heuristic language-ID,
+  * quality scoring, fingerprinting + shingling. All per-row `Column`
+  * kernels — embarrassingly parallel, no shuffle except final sort.
+  */
+object TextQ extends QueryPack {
+
+  /** Marker vocabularies for the heuristic language-ID demo (classes are
+    * content domains; the same scoring runs identically in the oracle).
+    */
+  val LangClasses: Seq[(String, Seq[String])] = Seq(
+    "eng"    -> Seq("the", "a", "of", "and", "to"),
+    "db"     -> Seq("table", "query", "join", "filter", "index"),
+    "perf"   -> Seq("slow", "fast", "big", "small"),
+    "stream" -> Seq("stream", "window", "batch", "event"))
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          text.tokenCount(col("text")).as("n_tokens"),
+          length(regexp_replace(text.normText(col("text")), " ", ""))
+            .as("n_alnum"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t02_lang_id" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+          col("doc_id"), col("lang"),
+          text.langId(col("text"), LangClasses).as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t03_quality_score" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          text.tokenCount(col("text")).as("n_tok"),
+          text.markerHits(col("text"), StopWords).as("stops"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+            .as("punct"))
+        .filter(col("n_tok") > 0)
+        .withColumn("quality", round(
+          lit(0.4) * least(col("n_tok").cast("double") / 100, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stops").cast("double") / col("n_tok")) +
+            lit(0.3) * (lit(1.0) - col("punct").cast("double") / col("n_chars")),
+          4))
+        .withColumn("bucket",
+          when(col("quality") >= 0.7, "high")
+            .when(col("quality") >= 0.4, "mid")
+            .otherwise("low"))
+        .select(col("doc_id"), col("quality"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t04_fingerprint_shingles" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("sh", text.shingles(col("text"), 3))
+        .select(col("doc_id"),
+          text.fingerprint(col("text")).as("fingerprint"),
+          size(col("sh")).as("n_shingles"),
+          when(size(col("sh")) >= 1,
+            array_min(transform(col("sh"), sh => text.saltedHash32(sh, 1))))
+            .otherwise(lit(null).cast("bigint")).as("min_h1"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def langCase: String = {
+    val scored = LangClasses.zipWithIndex.map { case ((name, ms), i) =>
+      s"${markerHitsSql("w", ms)} AS s$i"
+    }.mkString(",\n  ")
+    val names = LangClasses.map(_._1)
+    val best = s"greatest(${names.indices.map(i => s"s$i").mkString(", ")})"
+    val chain = names.indices.map { i =>
+      val conds = (i + 1 until names.size).map(j => s"s$i >= s$j")
+      val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      s"WHEN $cond THEN '${names(i)}'"
+    }.mkString(" ")
+    s"""WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents),
+       |w AS (SELECT doc_id, lang, ${wordsSql()} AS w FROM n),
+       |s AS (SELECT doc_id, lang, $scored FROM w)
+       |SELECT doc_id, lang,
+       | CASE WHEN $best = 0 THEN 'und' $chain END AS predicted
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT doc_id,
+         | CAST(CASE WHEN norm = '' THEN 0
+         |           ELSE len(${wordsSql()}) END AS INT) AS n_tokens,
+         | CAST(length(replace(norm, ' ', '')) AS INT) AS n_alnum
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "t02_lang_id" -> langCase,
+
+    "t03_quality_score" ->
+      s"""WITH n AS (
+         | SELECT doc_id, n_chars, $normSql AS norm,
+         |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct
+         | FROM documents),
+         |w AS (
+         | SELECT doc_id, n_chars, punct,
+         |  CASE WHEN norm = '' THEN 0 ELSE len(${wordsSql()}) END AS n_tok,
+         |  ${markerHitsSql(wordsSql(), StopWords)} AS stops
+         | FROM n),
+         |q AS (
+         | SELECT doc_id,
+         |  round(0.4 * least(CAST(n_tok AS DOUBLE) / 100, 1.0)
+         |      + 0.3 * (1.0 - CAST(stops AS DOUBLE) / n_tok)
+         |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 4) AS quality
+         | FROM w WHERE n_tok > 0)
+         |SELECT doc_id, quality,
+         | CASE WHEN quality >= 0.7 THEN 'high'
+         |      WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint_shingles" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, norm, ${wordsSql()} AS w FROM n)
+         |SELECT doc_id, md5(norm) AS fingerprint,
+         | CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT) AS n_shingles,
+         | CASE WHEN len(w) >= 3
+         |  THEN list_min([${saltedHash32Sql("x", 1)}
+         |        FOR x IN ${shingles3Sql()}])
+         |  ELSE NULL END AS min_h1
+         |FROM w ORDER BY doc_id""".stripMargin
+  )
+}

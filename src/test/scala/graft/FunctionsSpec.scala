@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{geo, timecodec, text, vectors}
+
+/** Kernel-level unit tests (SURVEY.md §5 unit plan): haversine against
+  * known pairs, time codec at >24h, shingle/tokenizer edges, cosine.
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("haversine matches known distance (Bandung→Jakarta ~116 km)") {
+    val d = Seq((107.6098, -6.9147, 106.8456, -6.2088))
+      .toDF("lon1", "lat1", "lon2", "lat2")
+      .select(geo.haversineKm(col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+      .as[Double].head()
+    assert(math.abs(d - 116.0) < 2.0, s"got $d")
+    val dm = Seq((107.6098, -6.9147, 106.8456, -6.2088))
+      .toDF("lon1", "lat1", "lon2", "lat2")
+      .select(geo.haversineM(col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+      .as[Double].head()
+    assert(math.abs(dm / 1000 - d) < 1e-9)
+  }
+
+  test("haversine of identical points is 0") {
+    val d = Seq((107.6, -6.9)).toDF("lon", "lat")
+      .select(geo.haversineKm(col("lon"), col("lat"), col("lon"), col("lat")))
+      .as[Double].head()
+    assert(d == 0.0)
+  }
+
+  test("time codec handles >24h (GTFS 25:10 stays 25h)") {
+    val rows = Seq("25:10", "04:00", "23:59:30", "not a time", "9:05")
+      .toDF("t")
+      .select(col("t"), timecodec.timeToSec(col("t")).as("s"))
+      .withColumn("rt", timecodec.secToTime(col("s")))
+      .collect()
+    val bySrc = rows.map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(bySrc("25:10") == ((25 * 3600 + 600, "25:10:00")))
+    assert(bySrc("04:00") == ((4 * 3600, "04:00:00")))
+    assert(bySrc("23:59:30") == ((23 * 3600 + 59 * 60 + 30, "23:59:30")))
+    assert(bySrc("not a time")._1 == 0)
+    assert(bySrc("9:05")._1 == 9 * 3600 + 300)
+  }
+
+  test("secToTime rounds to nearest second") {
+    val s = Seq(59.6).toDF("s").select(timecodec.secToTime(col("s")))
+      .as[String].head()
+    assert(s == "00:01:00")
+  }
+
+  test("tokenizer and shingles edges") {
+    val df = Seq(
+      ("a b c d", 4, 2),   // 2 tri-shingles
+      ("a b", 2, 0),       // too short for 3-shingles
+      ("  Hi, there!! ", 2, 0),
+      ("", 0, 0)
+    ).toDF("text", "wantTok", "wantSh")
+    val got = df.select(col("wantTok"), col("wantSh"),
+      text.tokenCount(col("text")).as("tok"),
+      size(text.shingles(col("text"), 3)).as("sh")).collect()
+    got.foreach { r =>
+      assert(r.getInt(2) == r.getInt(0), s"tokens: $r")
+      assert(r.getInt(3) == r.getInt(1), s"shingles: $r")
+    }
+  }
+
+  test("shingles are space-joined consecutive words") {
+    val sh = Seq("w1 w2 w3 w4").toDF("text")
+      .select(text.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("w1 w2 w3", "w2 w3 w4"))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f), 0.0)).toDF("a", "b", "want")
+    df.select(vectors.cosine(vectors.asDouble(col("a")),
+        vectors.asDouble(col("b"))).as("c"), col("want"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("lerp endpoints and midpoint") {
+    val r = Seq((0.0, 10.0)).toDF("a", "b")
+      .select(geo.lerp(col("a"), col("b"), lit(0.0)),
+        geo.lerp(col("a"), col("b"), lit(0.5)),
+        geo.lerp(col("a"), col("b"), lit(1.0))).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 10.0)
+  }
+}

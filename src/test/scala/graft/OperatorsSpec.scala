@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sessionize, Similarity}
+
+/** Operator-level tests: min-spacing sweep against an independent fold,
+  * dedup group/pair semantics on crafted inputs.
+  */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minSpacingSweep keeps first and enforces gap against last KEPT") {
+    // ts: 0, 50, 120, 130, 200 with gap 100:
+    // keep 0 (first); drop 50 (<100 after 0); keep 120; drop 130; keep 200? 200-120=80 <100 → drop.
+    val df = Seq((1L, 0L, 10L), (1L, 50L, 11L), (1L, 120L, 12L),
+      (1L, 130L, 13L), (1L, 200L, 14L)).toDF("k", "ts", "id")
+    val kept = Sessionize.minSpacingSweep(df, "k", "ts", "id", 100)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L, 12L))
+  }
+
+  test("minSpacingSweep matches independent fold on real events") {
+    val ev = Tables(spark, sfSmoke).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val got = Sessionize.minSpacingSweep(ev, "user_id", "ts_us", "event_id", 60000000L)
+      .select("event_id").as[Long].collect().toSet
+    val rows = ev.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).values.flatMap { g =>
+        var last = Long.MinValue
+        g.sortBy(r => (r._2, r._3)).flatMap { r =>
+          if (last == Long.MinValue || r._2 - last >= 60000000L) {
+            last = r._2; Some(r._3)
+          } else None
+        }
+      }.toSet
+    assert(got == rows)
+  }
+
+  test("exactGroups keeps smallest id per duplicate text (A2 first-wins)") {
+    val docs = Seq((5L, "Hello, World"), (2L, "hello  world!"), (9L, "other text"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keeper").collect()
+    assert(g.length == 2)
+    assert(g(0).getAs[Long]("keeper") == 2L && g(0).getAs[Long]("n_copies") == 2L)
+    assert(g(1).getAs[Long]("keeper") == 9L && g(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("minhashLshPairs finds identical docs with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence about spark engines here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("a") == 1L && pairs(0).getAs[Long]("b") == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash of identical docs equal; simhashPairs finds them") {
+    val docs = Seq((1L, "spark table query join"), (2L, "spark table query join"),
+      (3L, "zebra xylophone quartz jigsaw vortex")).toDF("doc_id", "text")
+    val sims = Dedup.simhash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sims(1L) == sims(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L))
+  }
+
+  test("bruteForceTopK ranks an identical vector first") {
+    val e = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)), (3L, Seq(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).select("vec_id").as[Long].collect()
+    assert(top.head == 2L)
+  }
+}
