@@ -26,10 +26,11 @@ object timecodec {
   }
 
   /** X3: seconds → "HH:MM:SS" with hours allowed past 24, rounded to the
-    * nearest second first (generate_gtfs.py:31-38).
+    * nearest second first (generate_gtfs.py:31-38). Python round() is
+    * banker's rounding, hence bround (half-even), not round (half-up).
     */
   def secToTime(c: Column): Column = {
-    val s = round(c).cast("bigint")
+    val s = bround(c).cast("bigint")
     format_string("%02d:%02d:%02d",
       (s / 3600).cast("bigint"), ((s % 3600) / 60).cast("bigint"), s % 60)
   }
