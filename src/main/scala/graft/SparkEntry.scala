@@ -15,7 +15,8 @@ object SparkEntry {
     TextQ,
     DedupQ,
     VectorQ,
-    EventsQ
+    EventsQ,
+    GraphQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

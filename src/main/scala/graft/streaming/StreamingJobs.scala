@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.11): the reference's
+  * "incremental batch" semantics (re-run on changed inputs, I1) plus the
+  * streaming extensions a training-data pipeline needs — watermarked
+  * tumbling-window rollups and stateful gap sessionization.
+  *
+  * Every transform here is expressed on a streaming DataFrame and works
+  * identically on a batch frame (same plans minus the state store), which
+  * is how the specs validate results deterministically.
+  */
+object StreamingJobs {
+
+  /** I1: file-source incremental run — process whatever parquet has
+    * appeared under `inputDir`, then stop (Trigger.AvailableNow), mirroring
+    * the reference's "re-run on changed paths" Actions trigger.
+    */
+  def availableNowRollup(spark: SparkSession, inputDir: String, schema: String,
+                         checkpoint: String, outDir: String): Unit =
+    hourlyRollup(
+      spark.readStream.schema(schema).parquet(inputDir))
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** Watermarked tumbling-window rollup: counts + value sums per
+    * (hour window, event_type); late data beyond 2 h is dropped.
+    * Works on streaming and batch frames alike.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts_ms: Long)
+  final case class SessionAgg(user_id: Long, session_start_ms: Long,
+                              session_end_ms: Long, n_events: Long)
+  final case class SessState(startMs: Long, lastMs: Long, cnt: Long)
+
+  /** Stateful gap sessionization over a stream
+    * (flatMapGroupsWithState + processing-time timeout): emits a session
+    * row whenever a gap > `gapMs` closes it; the open session stays in
+    * state. The batch Sessionize operator is the replay-equivalent.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Ev], gapMs: Long):
+      org.apache.spark.sql.Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = it.toSeq.sortBy(_.ts_ms)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = e.ts_ms, cnt = s.cnt + 1))
+              case Some(s) =>
+                closed += SessionAgg(user, s.startMs, s.lastMs, s.cnt)
+                cur = Some(SessState(e.ts_ms, e.ts_ms, 1))
+              case None =>
+                cur = Some(SessState(e.ts_ms, e.ts_ms, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** I2: content-hash change detection — stable hash of a DataFrame's full
+    * content (order-insensitive), the engine-side equivalent of the
+    * reference's `git diff --quiet` publish gate.
+    */
+  def contentHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    df.select(xxhash64(concat_ws("", cols: _*)).as("h"))
+      .agg(sum(col("h").cast("decimal(38,0)")).as("s"))
+      .collect()(0).get(0).toString
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Routing
+
+/** P4 routing tests (SURVEY §5): Dijkstra on a hand-computed fixture
+  * mirroring index.html:152-194 semantics, nearest-node ties, edge build.
+  */
+class RoutingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Fixture: A→B→C→D along route r1 (weights 1, 2, 3), shortcut A→C via r2
+  // (weight 2.5), dead-end C→E (1). Shortest A→D = A→C(r2)→D = 5.5.
+  private lazy val fixtureEdges = Seq(
+    ("A", "B", "r1", 1.0), ("B", "C", "r1", 2.0), ("C", "D", "r1", 3.0),
+    ("A", "C", "r2", 2.5), ("C", "E", "r3", 1.0)
+  ).toDF("src", "dst", "route_id", "weight_m")
+
+  test("sssp computes Dijkstra distances on the fixture") {
+    val d = Routing.sssp(fixtureEdges, "A")
+      .select("node", "dist_m").as[(String, Double)].collect().toMap
+    assert(d == Map("A" -> 0.0, "B" -> 1.0, "C" -> 2.5, "D" -> 5.5, "E" -> 3.5))
+  }
+
+  test("shortestPath unwinds the predecessor chain with route labels") {
+    val p = Routing.shortestPath(fixtureEdges, "A", "D")
+    assert(p.map(_._1) == Seq("A", "C", "D"))
+    assert(p.map(_._2) == Seq(None, Some("r2"), Some("r1")))
+    assert(p.last._3 == 5.5)
+  }
+
+  test("shortestPath to unreachable node is empty") {
+    assert(Routing.shortestPath(fixtureEdges, "D", "A").isEmpty)
+  }
+
+  test("bfsHops matches hop-count semantics") {
+    val h = Routing.bfsHops(fixtureEdges, "A", 10)
+      .as[(String, Int)].collect().toMap
+    assert(h == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2, "E" -> 2))
+  }
+
+  test("edges builds consecutive-stop pairs with haversine weights") {
+    val stops = Seq(
+      ("r1", 1, "s1", 107.60, -6.90), ("r1", 2, "s2", 107.61, -6.90),
+      ("r1", 3, "s3", 107.62, -6.90), ("r9", 1, "x1", 0.0, 0.0)
+    ).toDF("route_id", "position", "stop_id", "lon", "lat")
+    val e = Routing.edges(stops).orderBy("src").collect()
+    assert(e.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("s1", "s2"), ("s2", "s3")))
+    val w = e.head.getDouble(3)
+    assert(math.abs(w - 1105) < 10, s"~1.1 km per 0.01° lon at -6.9°, got $w")
+  }
+
+  test("nearestNode picks the closest stop, id tiebreak") {
+    val stops = Seq(("s1", 107.60, -6.90), ("s2", 107.65, -6.90),
+      ("s0", 107.65, -6.90)).toDF("stop_id", "lon", "lat")
+    val r = Routing.nearestNode(stops, 107.651, -6.9).collect()(0)
+    assert(r.getString(0) == "s0") // tie between s0/s2 → smallest id
+  }
+}

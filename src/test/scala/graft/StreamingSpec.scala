@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{Ev, SessionAgg}
+
+/** Structured Streaming specs: watermarked windowed rollup through a real
+  * MemoryStream micro-batch run, stateful sessionization across batches,
+  * and the content-hash change gate.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hourlyRollup aggregates a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.hourlyRollup(df)
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode(OutputMode.Complete).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+      (ts(11, 10), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("rollup")
+      .orderBy("window_start", "event_type")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("10:00", "click", 2L, 3.0), ("11:00", "view", 1L, 5.0)))
+  }
+
+  test("sessionizeStream closes sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingJobs.sessionizeStream(mem.toDS(), gapMs = 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(1, 0), Ev(1, 500), Ev(1, 900))   // one open session
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0)     // still open, nothing emitted
+    mem.addData(Ev(1, 5000), Ev(2, 0))               // gap closes user 1's session
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[SessionAgg].collect().toSeq
+    q.stop()
+    assert(closed == Seq(SessionAgg(1, 0, 900, 3)))
+  }
+
+  test("streaming rollup plan equals the batch plan's results") {
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:40:00"), "click", 2.0)
+    ).toDF("ts", "event_type", "value")
+    val rows = StreamingJobs.hourlyRollup(batch)
+      .select(col("event_type"), col("n"), col("sum_value"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("click", 2L, 3.0)))
+  }
+
+  test("contentHash is order-insensitive and change-sensitive") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq((2, "y"), (1, "x")).toDF("k", "v")
+    val c = Seq((1, "x"), (2, "z")).toDF("k", "v")
+    assert(StreamingJobs.contentHash(a) == StreamingJobs.contentHash(b))
+    assert(StreamingJobs.contentHash(a) != StreamingJobs.contentHash(c))
+  }
+}
