@@ -16,7 +16,8 @@ object SparkEntry {
     DedupQ,
     VectorQ,
     EventsQ,
-    GraphQ
+    GraphQ,
+    MediaQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

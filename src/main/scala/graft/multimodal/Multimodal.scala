@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators for training-data pipelines: image/audio/
+  * video ride as opaque `binary` columns plus typed metadata; decode /
+  * feature-extract / resize / frame-sample run per partition in bounded
+  * batches.
+  *
+  * The actual media decoding is STUBBED (this container ships no image or
+  * audio codecs): `StubCodec` derives deterministic pseudo-metadata and
+  * pseudo-pixels from the bytes. Everything around it — the schemas, the
+  * `mapPartitions` batch shape, null handling, partition preservation —
+  * is the real plumbing a production decoder (JNI / Python worker via
+  * `mapInPandas`-style batching) would plug into.
+  */
+object Multimodal {
+
+  /** Output schema of decodeMeta — the typed metadata struct a real
+    * decoder would produce.
+    */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", IntegerType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** STUB decoder: deterministic pseudo metadata from content bytes. A real
+    * implementation replaces ONLY this object.
+    */
+  object StubCodec {
+    private val Formats = Array("jpeg", "png", "webp")
+
+    def sniff(bytes: Array[Byte]): Row = {
+      if (bytes == null) return null
+      var h = 1125899906842597L
+      var i = 0
+      while (i < math.min(bytes.length, 64)) { h = 31 * h + bytes(i); i += 1 }
+      val pos = ((h % Formats.length) + Formats.length) % Formats.length
+      Row(bytes.length, Formats(pos.toInt),
+        (math.abs(h / 7) % 1920 + 1).toInt, (math.abs(h / 13) % 1080 + 1).toInt)
+    }
+
+    /** Pseudo "resize": deterministic byte fold to the target size. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes == null) return null
+      val out = new Array[Byte](math.min(w * h, 4096))
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+      out
+    }
+  }
+
+  /** Decode metadata for a binary column via per-partition batching: rows
+    * stream through in bounded groups (the shape a vectorized/Python
+    * decoder needs), no driver collection, partitioning preserved.
+    */
+  def decodeMeta(df: DataFrame, binCol: String, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("media_meta", MetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would submit `batch` to the codec worker here
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ StubCodec.sniff(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Pseudo-resize a binary column (same batched partition shape). */
+  def resizeBinary(df: DataFrame, binCol: String, w: Int, h: Int,
+                   outCol: String = "resized", batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { r =>
+        Row.fromSeq(r.toSeq :+ StubCodec.resize(r.getAs[Array[Byte]](binIdx), w, h))
+      })
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Frame-sample: every k-th element of an array<binary> column (video
+    * frames), columnar — no UDF needed.
+    */
+  def sampleFrames(framesCol: String, k: Int): org.apache.spark.sql.Column =
+    filter(col(framesCol), (_, i) => i % k === 0)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.gtfs.KmlExport
+
+/** Multimodal plumbing + KML sink specs. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def blobs = Seq(("a", "hello"), ("b", ""), ("c", "world picture bytes"))
+    .toDF("id", "s").select(col("id"), encode(col("s"), "utf-8").as("blob"))
+
+  test("decodeMeta appends a deterministic metadata struct, null-safe") {
+    val withNull = blobs.unionByName(
+      Seq("d").toDF("id").select(col("id"), lit(null).cast("binary").as("blob")))
+    val out = Multimodal.decodeMeta(withNull, "blob")
+    assert(out.schema.fieldNames.contains("media_meta"))
+    val rows = out.select("id", "media_meta.byte_len", "media_meta.format")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows("a")._1.contains(5))
+    assert(rows("d") == ((None, None)))
+    // deterministic: run twice, same formats
+    val again = Multimodal.decodeMeta(withNull, "blob")
+      .select("id", "media_meta.format").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (k, (_, f)) => assert(again(k) == f.orNull) }
+  }
+
+  test("decodeMeta preserves partitioning (no repartition/shuffle)") {
+    val df = blobs.repartition(3)
+    assert(Multimodal.decodeMeta(df, "blob").rdd.getNumPartitions == 3)
+  }
+
+  test("resizeBinary bounds output size") {
+    val out = Multimodal.resizeBinary(blobs.filter(col("id") =!= "b"), "blob", 8, 4)
+    out.select("resized").collect().foreach { r =>
+      assert(r.getAs[Array[Byte]](0).length == 32)
+    }
+  }
+
+  test("sampleFrames keeps every k-th frame columnar") {
+    val df = Seq(Seq("f0", "f1", "f2", "f3", "f4")).toDF("s")
+      .select(transform(col("s"), f => encode(f, "utf-8")).as("frames"))
+    val n = df.select(size(Multimodal.sampleFrames("frames", 2)).as("n"))
+      .as[Int].head()
+    assert(n == 3) // indexes 0, 2, 4
+  }
+
+  test("kmlColor reorders to aabbggrr with 3-digit expansion") {
+    val rows = Seq("#2D398B", "#abc", "oops").toDF("c")
+      .select(KmlExport.kmlColor(col("c"))).as[String].collect()
+    assert(rows(0) == "ff8B392D") // reference preserves the config's case
+    assert(rows(1) == "ffccbbaa")
+    assert(rows(2) == "ff000000")
+  }
+
+  test("kmlDocs renders one styled document per route") {
+    val routes = Seq(("r1", "01A: Abdul Muis → Cicaheum", "#2D398B"))
+      .toDF("relation_id", "route_name", "color")
+    val ways = Seq(("r1", 0, Seq(Seq(107.6, -6.9), Seq(107.61, -6.91))))
+      .toDF("relation_id", "feature_idx", "coords")
+    val stops = Seq(("r1", 0, "Stop A", 107.6, -6.9))
+      .toDF("relation_id", "feature_idx", "stop_name", "lon", "lat")
+    val doc = KmlExport.kmlDocs(routes, ways, stops).collect()(0)
+    assert(doc.getAs[String]("filename") == "01A_ Abdul Muis _ Cicaheum.kml")
+    val kml = doc.getAs[String]("kml")
+    assert(kml.contains("<color>ff8B392D</color>"))
+    assert(kml.contains("107.6,-6.9 107.61,-6.91"))
+    assert(kml.contains("<name>Stop A</name>"))
+    assert(kml.contains("route-name"))
+  }
+}
