@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object vectors {
 
-  /** Elementwise cast to double. */
-  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** Elementwise cast to double — the native array cast (codegen'd), not
+    * a `transform` HOF (interpreted, ~1 ms/row on wide vectors).
+    */
+  def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Dot product of two double arrays (sequential left fold). */
   def dot(a: Column, b: Column): Column =
@@ -25,6 +27,11 @@ object vectors {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity of two double arrays — a native codegen'd
+    * expression (graft.plans.CosineSim) with the same sequential-fold FP
+    * order as `dot`/`l2norm`; the HOF form runs interpreted and is ~20×
+    * slower on wide vectors.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSim.cosineSim(a, b)
 }

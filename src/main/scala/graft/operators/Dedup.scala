@@ -28,19 +28,46 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** One row per (doc, position, n-shingle) — fully codegen'd: posexplode
+    * the token array, then window `lead`s build each shingle. Higher-order
+    * functions (transform/zip_with) are CodegenFallback in Spark and cost
+    * ~1 ms/doc interpreted; this long form is the at-scale shape (the
+    * window shuffles by doc id, which downstream aggregations reuse).
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until shingleN).map(k => lead(col("tok"), k).over(w))
+    docs.select(col(idCol), posexplode(text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("s"),
+        parts.last.isNotNull.as("complete"))
+      .filter(col("complete") && col("s") =!= "")
+      .drop("complete")
+  }
+
+  /** Distinct n-word shingles per doc as an array column; docs with none
+    * are dropped.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(array_distinct(collect_list(col("s"))).as("sh"))
+
   /** MinHash signature columns m1..mK over n-word shingles: mJ = min over
-    * shingles of a salted 32-bit hash. Docs with fewer than `shingleN`
-    * tokens are dropped (no signature exists).
+    * shingles of a salted 32-bit hash. Long-form evaluation: one exploded
+    * row per (doc, shingle) hashed k ways, then a map-side-combinable min
+    * aggregation — each md5 is computed exactly once per (shingle, salt),
+    * and the shuffle carries only k longs per doc.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleN: Int): DataFrame = {
-    val withSh = docs
-      .withColumn("sh", text.shingles(col(textCol), shingleN))
-      .filter(size(col("sh")) >= 1)
-    val sigCols = (1 to k).map { j =>
-      array_min(transform(col("sh"), s => text.saltedHash32(s, j))).as(s"m$j")
-    }
-    withSh.select(col(idCol) +: col("sh") +: sigCols: _*)
+    val long = shingleRows(docs, idCol, textCol, shingleN)
+    val hashCols = (1 to k).map(j => text.saltedHash32(col("s"), j).as(s"h$j"))
+    val minCols = (1 to k).map(j => min(col(s"h$j")).as(s"m$j"))
+    long.select(col(idCol) +: hashCols: _*)
+      .groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs with exact n-gram-Jaccard verification:
@@ -48,29 +75,33 @@ object Dedup {
     * iff some band signature collides; candidates get exact Jaccard over
     * distinct shingles. Output: (a, b, jaccard), a < b.
     *
-    * The band join is an equi-join on the band hash — a plain shuffle join
-    * that scales; the quadratic blow-up is bounded per bucket.
+    * Scale shape: the band join carries ONLY ids + band hashes; the (much
+    * wider) shingle arrays are re-joined by id after candidate dedup, so
+    * shuffle volume is O(docs·bands + candidates·shingles) instead of
+    * O(docs·bands·shingles).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
-    val banded = (0 until bands).foldLeft(sigs) { (df, b) =>
-      val cols = (b * r + 1 to (b + 1) * r).map(j => col(s"m$j"))
-      df.withColumn(s"band$b", md5(concat_ws(",", cols: _*)))
-    }
-    val left = banded.select(Seq(col(idCol).as("a"), col("sh").as("sha")) ++
+    val banded = sigs.select(col(idCol) +:
+      (0 until bands).map { b =>
+        val cols = (b * r + 1 to (b + 1) * r).map(j => col(s"m$j"))
+        md5(concat_ws(",", cols: _*)).as(s"band$b")
+      }: _*)
+    val left = banded.select(col(idCol).as("a") +:
       (0 until bands).map(b => col(s"band$b")): _*)
-    val right = banded.select(Seq(col(idCol).as("b"), col("sh").as("shb")) ++
+    val right = banded.select(col(idCol).as("b") +:
       (0 until bands).map(b => col(s"band$b").as(s"rband$b")): _*)
     val cands = (0 until bands).map { b =>
       left.join(right, col(s"band$b") === col(s"rband$b") && col("a") < col("b"))
-        .select(col("a"), col("b"), col("sha"), col("shb"))
+        .select(col("a"), col("b"))
     }.reduce(_ unionByName _).dropDuplicates("a", "b")
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
     cands
-      .withColumn("da", array_distinct(col("sha")))
-      .withColumn("db", array_distinct(col("shb")))
+      .join(sets.select(col(idCol).as("a"), col("sh").as("da")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("sh").as("db")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("da"), col("db"))))
       .withColumn("uni", size(col("da")) + size(col("db")) - col("inter"))
       .select(col("a"), col("b"),

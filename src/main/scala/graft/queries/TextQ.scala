@@ -63,14 +63,17 @@ object TextQ extends QueryPack {
     },
 
     "t04_fingerprint_shingles" -> { (s, dir) =>
-      Tables(s, dir).documents
-        .withColumn("sh", text.shingles(col("text"), 3))
-        .select(col("doc_id"),
-          text.fingerprint(col("text")).as("fingerprint"),
-          size(col("sh")).as("n_shingles"),
-          when(size(col("sh")) >= 1,
-            array_min(transform(col("sh"), sh => text.saltedHash32(sh, 1))))
-            .otherwise(lit(null).cast("bigint")).as("min_h1"))
+      // long-form shingling (codegen'd; see operators.Dedup.shingleRows)
+      // instead of the interpreted HOF pipeline — same values.
+      val docs = Tables(s, dir).documents
+      val perDoc = graft.operators.Dedup
+        .shingleRows(docs, "doc_id", "text", 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_shingles"),
+          min(text.saltedHash32(col("s"), 1)).as("min_h1"))
+      docs.select(col("doc_id"), text.fingerprint(col("text")).as("fingerprint"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0)))
         .orderBy(col("doc_id"))
     }
   )
