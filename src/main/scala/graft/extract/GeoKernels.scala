@@ -100,6 +100,20 @@ object GeoKernels {
     }
   }
 
+  /** G5: slice the line between two fractional indices (the rendering
+    * path-segment extraction, index.html:241-247 / turf.lineSlice in
+    * spirit): interpolated endpoints plus the whole vertices between them.
+    */
+  def lineSlice(line: IndexedSeq[Coord], fromIdx: Double, toIdx: Double): IndexedSeq[Coord] = {
+    val (a, b) = if (fromIdx <= toIdx) (fromIdx, toIdx) else (toIdx, fromIdx)
+    val start = interpolateAt(line, a).orElse(line.headOption)
+    val end = interpolateAt(line, b).orElse(line.lastOption)
+    val mid = line.zipWithIndex
+      .filter { case (_, i) => i > a && i < b }
+      .map(_._1)
+    (start.toIndexedSeq ++ mid ++ end.toIndexedSeq).distinct
+  }
+
   /** W10 + J9 + W6 + W7: full angkot stop synthesis for one route
     * (update-routes.js:249-376):
     *  1. between each consecutive real-stop pair further apart than 250 m,
