@@ -15,6 +15,7 @@ import graft.extract.{Extract, GeoKernels}
 class ExtractSpec extends SparkTestBase {
 
   import GeoKernels._
+  import spark.implicits._
 
   test("stitchWays reverses a way whose end touches the running end") {
     val w1 = IndexedSeq((0.0, 0.0), (1.0, 0.0))
@@ -144,6 +145,20 @@ class ExtractSpec extends SparkTestBase {
     // J8: virtual names resolve to the way name at interpolated coords only
     // when the coordinate exactly matches a way vertex; fallback otherwise.
     assert(virt.forall(r => r.getAs[String]("stop_name") == "Jalan terdekat"))
+  }
+
+  test("geojsonDocs assembles valid FeatureCollections (K2)") {
+    val lines = Seq((7L, Seq((0.0, 0.0), (0.01, 0.0))))
+      .toDF("relation_id", "coords")
+    val stops = Seq((7L, 0, "9", "Start", "stop", 0.0, 0.0, true))
+      .toDF("relation_id", "stop_seq", "stop_id", "stop_name", "role",
+        "lon", "lat", "is_real")
+    val doc = Extract.geojsonDocs(lines, stops).collect()(0)
+    val ways = spark.read.json(Seq(doc.getAs[String]("ways_geojson")).toDS())
+    val sj = spark.read.json(Seq(doc.getAs[String]("stops_geojson")).toDS())
+    assert(ways.selectExpr("features[0].geometry.type").first.getString(0) == "LineString")
+    assert(sj.selectExpr("features[0].properties.id").first.getString(0) == "9")
+    assert(sj.selectExpr("features[0].properties.isReal").first.getBoolean(0))
   }
 
   test("golden replay: angkot route 3415464 virtual stops regenerate exactly") {
