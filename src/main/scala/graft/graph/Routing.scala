@@ -56,6 +56,14 @@ object Routing {
       col("weight_m").cast("double")).cache()
     var dist = Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
       .toDF("node", "dist_m", "prev", "prev_route")
+    // Convergence via a one-job fingerprint: distances only ever decrease,
+    // so an unchanged (count, Σdist) pair means no relaxation happened —
+    // no extra join-and-count round trip per iteration.
+    def fingerprint(df: DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), sum(col("dist_m"))).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    var fp = (1L, 0.0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -68,11 +76,9 @@ object Routing {
             .orderBy(col("dist_m"), col("prev"), col("prev_route"))))
         .filter(col("rn") === 1).drop("rn")
         .localCheckpoint()
-      // Converged when no node's distance improved this round.
-      val improved = best.alias("b").join(dist.alias("d"), Seq("node"), "left")
-        .filter(col("d.dist_m").isNull || col("b.dist_m") < col("d.dist_m"))
-        .limit(1).count()
-      converged = improved == 0
+      val nfp = fingerprint(best)
+      converged = nfp == fp
+      fp = nfp
       dist = best
       i += 1
     }
@@ -107,6 +113,7 @@ object Routing {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).cache()
     var dist = Seq((sourceId, 0)).toDF("node", "hops")
+    var fp = (1L, 0L)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -115,9 +122,11 @@ object Routing {
       val best = dist.unionByName(cand)
         .groupBy("node").agg(min("hops").as("hops"))
         .localCheckpoint()
-      converged = best.count() == dist.count() &&
-        best.alias("b").join(dist.alias("d"), Seq("node"))
-          .filter(col("b.hops") < col("d.hops")).limit(1).count() == 0
+      // hop counts only decrease → unchanged (count, Σhops) = converged
+      val r = best.agg(count(lit(1)), sum(col("hops"))).collect()(0)
+      val nfp = (r.getLong(0), r.getLong(1))
+      converged = nfp == fp
+      fp = nfp
       dist = best
       i += 1
     }

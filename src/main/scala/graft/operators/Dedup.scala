@@ -85,11 +85,16 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
+    // cache the two multiply-referenced frames: the band table feeds both
+    // sides of every band join and the shingle sets feed two id-joins —
+    // Spark's ReuseExchange can't dedupe them (attribute ids differ per
+    // branch), so without caching the tokenize+window pipeline runs 6×.
+    // (At extreme scale, materialize these to storage instead.)
     val banded = sigs.select(col(idCol) +:
       (0 until bands).map { b =>
         val cols = (b * r + 1 to (b + 1) * r).map(j => col(s"m$j"))
         md5(concat_ws(",", cols: _*)).as(s"band$b")
-      }: _*)
+      }: _*).cache()
     val left = banded.select(col(idCol).as("a") +:
       (0 until bands).map(b => col(s"band$b")): _*)
     val right = banded.select(col(idCol).as("b") +:
@@ -98,7 +103,7 @@ object Dedup {
       left.join(right, col(s"band$b") === col(s"rband$b") && col("a") < col("b"))
         .select(col("a"), col("b"))
     }.reduce(_ unionByName _).dropDuplicates("a", "b")
-    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val sets = shingleSets(docs, idCol, textCol, shingleN).cache()
     cands
       .join(sets.select(col(idCol).as("a"), col("sh").as("da")), Seq("a"))
       .join(sets.select(col(idCol).as("b"), col("sh").as("db")), Seq("b"))
