@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Methodology: each query is executed once untimed (JIT/codegen +
+  * parquet-footer warmup — steady-state numbers, JMH-style), Spark's
+  * cache is cleared so no query is measured against its own warmed
+  * cache, then each query is timed executing to a `noop` sink. The noop
+  * sink materializes every output column (unlike `count()`, under which
+  * Catalyst eliminates sorts and prunes expensive projections, so the
+  * measured work would not be the query's work).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,9 +26,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Untimed warmup pass, then drop any caches a query built for itself.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try run(name, fn) catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name, fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object text {
 
-  /** Lowercase, strip non-alphanumerics to spaces, squeeze runs, trim. */
-  def normText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  /** Lowercase, strip non-alphanumerics to spaces, squeeze runs, trim.
+    * Native single-pass codegen kernel (graft.plans.NormText), byte-equal
+    * to `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+    * " +", " "))` — the regex form is what the DuckDB oracles mirror.
+    */
+  def normText(c: Column): Column = graft.plans.NormText.normText(c)
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
@@ -43,11 +46,15 @@ object text {
     when(size(w) >= n, zipped).otherwise(array().cast("array<string>"))
   }
 
-  /** Count of tokens that appear in a fixed marker vocabulary. */
-  def markerHits(c: Column, markers: Seq[String]): Column = {
-    val m = array(markers.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(m, t)))
-  }
+  /** Count of tokens that appear in a fixed marker vocabulary.
+    * Native codegen kernel (graft.plans.CountInVocab), equivalent to
+    * `size(filter(tokens(c), t => array_contains(m, t)))` — occurrence
+    * count, no dedup. The `filter` HOF form is interpreted and blocks
+    * whole-stage codegen; the kernel keeps the langId score chain inside
+    * one codegen stage with a shared normalized-text subexpression.
+    */
+  def markerHits(c: Column, markers: Seq[String]): Column =
+    graft.plans.CountInVocab.countInVocab(normText(c), markers)
 
   /** Heuristic n-gram language-ID: score each candidate class by marker-
     * vocabulary hits, pick the argmax (first wins on ties, in `classes`

@@ -42,4 +42,23 @@ object Similarity {
       when(element_at(vecCol, p) > 0f, lit(1 << (positions.size - 1 - i)))
         .otherwise(lit(0))
     }.reduce[Column](_ + _)
+
+  /** IVF cell assignment: nearest codebook centroid by cosine (rounded to
+    * 4 dp for cross-engine determinism; smallest centroid id on ties).
+    *
+    * The codebook is a driver-held constant — bounded like any IVF
+    * codebook, independent of table size — so assignment is a per-row
+    * codegen'd expression chain over literal centroid arrays: no join, no
+    * shuffle, scales linearly with partitions. With data written
+    * partitioned by `cell`, a probe reads one cell instead of the table.
+    */
+  def ivfCell(vecCol: Column, codebook: Seq[(Int, Array[Double])]): Column = {
+    val scored = codebook.sortBy(_._1).map { case (cid, ctr) =>
+      cid -> round(vectors.cosine(vectors.asDouble(vecCol), lit(ctr)), 4)
+    }
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    scored.foldRight(lit(-1)) { case ((cid, s), el) =>
+      when(s === best, lit(cid)).otherwise(el)
+    }
+  }
 }

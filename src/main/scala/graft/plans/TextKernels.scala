@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Column
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text kernels replacing the regex/higher-order
+  * pipelines on the documents hot path.
+  *
+  * `NormText` is byte-for-byte equivalent to
+  * `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))`:
+  * every non-[a-z0-9] character maps to a space and space runs collapse,
+  * so replacing one multi-byte character with several byte-level spaces
+  * yields the same squeezed output — a single pass, no regex engine, no
+  * intermediate strings.
+  *
+  * `CountInVocab` is equivalent to
+  * `size(filter(split(norm, " "), t => array_contains(vocab, t)))` over an
+  * already-normalized string — counts every occurrence (no dedup), walks
+  * the bytes without materializing the token array. `filter` is a
+  * higher-order function, which Spark evaluates interpreted and which
+  * blocks whole-stage codegen for the enclosing projection; this kernel
+  * restores codegen (and with it codegen-level common-subexpression
+  * elimination across the language-ID score chain).
+  */
+case class NormText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"norm_text expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_text"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NormText.kernel(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.NormText.kernel($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
+object NormText {
+  def kernel(s: UTF8String): UTF8String = {
+    val in = s.toLowerCase.getBytes
+    val out = new Array[Byte](in.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = b; n += 1
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
+  def normText(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NormText(org.apache.spark.sql.GraftBridge.expression(c)))
+}
+
+case class CountInVocab(child: Expression, vocab: Seq[String])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"count_in_vocab expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_vocab"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    CountInVocab.kernel(s.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocab", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, s => s"graft.plans.CountInVocab.kernel($s, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInVocab =
+    copy(child = newChild)
+}
+
+object CountInVocab {
+  /** Space-splitting occurrence count; safe on any UTF-8 (0x20 never
+    * appears inside a multi-byte sequence). Empty segments don't count.
+    */
+  def kernel(s: UTF8String, vocab: java.util.HashSet[UTF8String]): Int = {
+    val bytes = s.getBytes
+    var count = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start &&
+            vocab.contains(UTF8String.fromBytes(bytes, start, i - start)))
+          count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  def countInVocab(c: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CountInVocab(org.apache.spark.sql.GraftBridge.expression(c), vocab))
+}

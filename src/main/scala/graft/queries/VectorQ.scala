@@ -50,8 +50,38 @@ object VectorQ extends QueryPack {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
+    },
+
+    // IVF probe: deterministic codebook = vectors 1..8; assign every
+    // vector to its nearest centroid (per-row codegen over the broadcast
+    // codebook — no join/shuffle), then scan only the query's cell.
+    "v04_ivf_probe" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val codebook: Seq[(Int, Array[Double])] =
+        e.filter(col("vec_id").between(1, CodebookSize))
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => r.getLong(0).toInt ->
+            r.getSeq[Float](1).map(_.toDouble).toArray)
+          .toSeq
+      val q = e.filter(col("vec_id") === 0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec"),
+        Similarity.ivfCell(col("embedding"), codebook).as("qcell")))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), codebook))
+        .crossJoin(qb)
+        .filter(col("cell") === col("qcell"))
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
     }
   )
+
+  /** Codebook size for v04 (centroids = vec_id 1..CodebookSize). */
+  val CodebookSize: Int = 8
 
   /** SQL mirror of Similarity.signBucket over BucketPositions. */
   private val bucketSql: String =
@@ -81,6 +111,25 @@ object VectorQ extends QueryPack {
 
     "v03_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n
-         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "v04_ivf_probe" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |qcell AS (SELECT cid AS qc FROM c, q
+         |          ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid LIMIT 1),
+         |scored AS (
+         | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM embeddings e CROSS JOIN c
+         | WHERE e.vec_id <> 0),
+         |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
+         |      FROM scored WHERE rn = 1)
+         |SELECT a.vec_id, a.cell, round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
+         |FROM a, q, qcell WHERE a.cell = qcell.qc
+         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin
   )
 }

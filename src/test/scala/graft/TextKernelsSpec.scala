@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{CountInVocab, NormText}
+
+/** Byte-equivalence of the native codegen text kernels against the
+  * regex/HOF `Column` forms they replaced — the DuckDB oracles mirror the
+  * regex forms, so any divergence here would silently break the oracle
+  * gate (t01–t04, d02–d04) while tests stay green.
+  */
+class TextKernelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def regexNorm(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val adversarial = Seq(
+    "",
+    " ",
+    "   ",
+    "plain ascii words",
+    "  Hi, there!! How's it going?  ",
+    "MiXeD CaSe 123 AND-code_sep",
+    "tabs\tand\nnewlines\r\nandverticals",
+    "unicode: café naïve Bär 東京 тест مرحبا",
+    "emoji 🎉🎊 between 🚀 words",
+    "digits007mixed8with9letters",
+    "!!!only---punct???",
+    "a",
+    "ü",
+    "ends with punct!",
+    "¡starts with punct",
+    "combining é vs precomposed é",
+    "ﬀ ligature and ÅUpper",
+    "zero​width‌joined",
+    "double  space   runs    inside"
+  )
+
+  test("NormText kernel is byte-equal to the regex pipeline") {
+    val df = adversarial.toDF("t")
+    val rows = df.select(
+      NormText.normText(col("t")).as("native"),
+      regexNorm(col("t")).as("regex")
+    ).collect()
+    rows.zip(adversarial).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"mismatch for ${in.take(40)}: native='${r.getString(0)}' regex='${r.getString(1)}'")
+    }
+  }
+
+  test("NormText equals regex pipeline on the sf0.001 documents table") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val n = docs.select(
+      NormText.normText(col("text")).as("native"),
+      regexNorm(col("text")).as("regex")
+    ).filter(col("native") =!= col("regex")).count()
+    assert(n == 0, s"$n rows diverge")
+  }
+
+  test("CountInVocab equals the filter/array_contains HOF form") {
+    val vocab = Seq("the", "a", "und", "der", "el", "la")
+    val m = array(vocab.map(lit): _*)
+    val df = (adversarial ++ Seq(
+      "the the the a la",
+      "der und der",
+      "no markers here at all",
+      "theater is not the"
+    )).toDF("t")
+    val rows = df.select(
+      CountInVocab.countInVocab(NormText.normText(col("t")), vocab).as("native"),
+      size(filter(split(regexNorm(col("t")), " "), t => array_contains(m, t))).as("hof")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"native=${r.getInt(0)} hof=${r.getInt(1)}")
+    }
+  }
+
+  test("CountInVocab counts occurrences without dedup on real documents") {
+    val vocab = Seq("the", "and", "of", "to", "in")
+    val m = array(vocab.map(lit): _*)
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val n = docs.select(
+      CountInVocab.countInVocab(NormText.normText(col("text")), vocab).as("native"),
+      size(filter(split(regexNorm(col("text")), " "), t => array_contains(m, t))).as("hof")
+    ).filter(col("native") =!= col("hof")).count()
+    assert(n == 0, s"$n rows diverge")
+  }
+}
