@@ -71,13 +71,17 @@ object text {
   /** Exact-dup fingerprint: md5 hex of the normalized text. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** 16-bit token hash: first 4 hex digits of md5, as int (0..65535). */
-  def tokenHash16(c: Column): Column =
-    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+  /** 16-bit token hash: first 4 hex digits of md5, as int (0..65535).
+    * Native digest-prefix kernel (graft.plans.Md5Prefix16), value-equal to
+    * `conv(substring(md5(c), 1, 4), 16, 10).cast("int")`.
+    */
+  def tokenHash16(c: Column): Column = graft.plans.HashKernels.tokenHash16(c)
 
   /** 32-bit salted shingle hash for MinHash: first 8 hex digits of
-    * md5(salt || ":" || shingle) as bigint (0..2^32-1).
+    * md5(salt || ":" || shingle) as bigint (0..2^32-1). Native digest-
+    * prefix kernel (graft.plans.Md5Prefix32), value-equal to
+    * `conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 8), 16, 10)`.
     */
   def saltedHash32(c: Column, salt: Int): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 8), 16, 10).cast("bigint")
+    graft.plans.HashKernels.saltedHash32(c, salt)
 }

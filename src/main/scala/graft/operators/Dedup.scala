@@ -84,29 +84,39 @@ object Dedup {
                       k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN)
-    // cache the two multiply-referenced frames: the band table feeds both
-    // sides of every band join and the shingle sets feed two id-joins —
-    // Spark's ReuseExchange can't dedupe them (attribute ids differ per
-    // branch), so without caching the tokenize+window pipeline runs 6×.
-    // (At extreme scale, materialize these to storage instead.)
-    val banded = sigs.select(col(idCol) +:
-      (0 until bands).map { b =>
-        val cols = (b * r + 1 to (b + 1) * r).map(j => col(s"m$j"))
-        md5(concat_ws(",", cols: _*)).as(s"band$b")
-      }: _*).cache()
-    val left = banded.select(col(idCol).as("a") +:
+    // One tokenize→window→aggregate pass produces BOTH the k signature
+    // mins and the distinct shingle set per doc (map-side combinable mins;
+    // the set rides the same shuffle). Splitting them (minhashSignatures +
+    // shingleSets) would run the tokenize pipeline and its doc-id shuffle
+    // twice for the same rows.
+    val long = shingleRows(docs, idCol, textCol, shingleN)
+    val hashCols = (1 to k).map(j => text.saltedHash32(col("s"), j).as(s"h$j"))
+    val aggCols = (1 to k).map(j => min(col(s"h$j")).as(s"m$j")) :+
+      array_distinct(collect_list(col("s"))).as("sh")
+    // cache: the frame feeds both sides of every band join plus two
+    // id-joins — Spark's ReuseExchange can't dedupe them (attribute ids
+    // differ per branch), so without caching the pipeline runs 6×.
+    // (At extreme scale, materialize to storage instead.)
+    val per = long.select(col(idCol) +: col("s") +: hashCols: _*)
+      .groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col(idCol) +: col("sh") +:
+        (0 until bands).map { b =>
+          val cols = (b * r + 1 to (b + 1) * r).map(j => col(s"m$j"))
+          md5(concat_ws(",", cols: _*)).as(s"band$b")
+        }: _*)
+      .cache()
+    val left = per.select(col(idCol).as("a") +:
       (0 until bands).map(b => col(s"band$b")): _*)
-    val right = banded.select(col(idCol).as("b") +:
+    val right = per.select(col(idCol).as("b") +:
       (0 until bands).map(b => col(s"band$b").as(s"rband$b")): _*)
     val cands = (0 until bands).map { b =>
       left.join(right, col(s"band$b") === col(s"rband$b") && col("a") < col("b"))
         .select(col("a"), col("b"))
     }.reduce(_ unionByName _).dropDuplicates("a", "b")
-    val sets = shingleSets(docs, idCol, textCol, shingleN).cache()
     cands
-      .join(sets.select(col(idCol).as("a"), col("sh").as("da")), Seq("a"))
-      .join(sets.select(col(idCol).as("b"), col("sh").as("db")), Seq("b"))
+      .join(per.select(col(idCol).as("a"), col("sh").as("da")), Seq("a"))
+      .join(per.select(col(idCol).as("b"), col("sh").as("db")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("da"), col("db"))))
       .withColumn("uni", size(col("da")) + size(col("db")) - col("inter"))
       .select(col("a"), col("b"),

@@ -75,6 +75,22 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("md5-prefix hash kernels equal the hex-string conv forms") {
+    val inputs = adversarial ++ Seq("token", "the", "a b c", "ÿ", "0")
+    val df = inputs.toDF("t")
+    val rows = df.select(
+      graft.plans.HashKernels.saltedHash32(col("t"), 7).as("n32"),
+      conv(substring(md5(concat(lit("7:"), col("t"))), 1, 8), 16, 10)
+        .cast("bigint").as("c32"),
+      graft.plans.HashKernels.tokenHash16(col("t")).as("n16"),
+      conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int").as("c16")
+    ).collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      assert(r.getLong(0) == r.getLong(1), s"salted32 mismatch for '$in'")
+      assert(r.getInt(2) == r.getInt(3), s"hash16 mismatch for '$in'")
+    }
+  }
+
   test("CountInVocab counts occurrences without dedup on real documents") {
     val vocab = Seq("the", "and", "of", "to", "in")
     val m = array(vocab.map(lit): _*)
