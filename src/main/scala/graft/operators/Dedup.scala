@@ -150,19 +150,29 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sim = simhash16(docs, idCol, textCol)
+    // Candidate generation = one equi-join per signature byte, unioned.
+    // An OR of the two byte-equalities in a single join predicate has no
+    // equi-join keys, so Spark would fall back to a nested-loop join —
+    // O(docs²) comparisons; the per-band equi-joins shuffle-hash on the
+    // byte value instead (same banding as minhashLshPairs).
     val withBytes = sim
       .withColumn("hi", shiftright(col("simhash"), 8))
       .withColumn("lo", col("simhash").bitwiseAND(lit(0xff)))
-    val l = withBytes.select(col(idCol).as("a"), col("simhash").as("simA"),
-      col("hi"), col("lo"))
-    val r = withBytes.select(col(idCol).as("b"), col("simhash").as("simB"),
-      col("hi").as("rhi"), col("lo").as("rlo"))
-    val cands = l.join(r, (col("hi") === col("rhi") || col("lo") === col("rlo"))
-        && col("a") < col("b"))
-      .dropDuplicates("a", "b")
-    cands
-      .withColumn("hamming", bit_count(col("simA").bitwiseXOR(col("simB"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .cache()
+    val cands = Seq("hi", "lo").map { byteCol =>
+      val l = withBytes.select(col(idCol).as("a"), col("simhash").as("simA"),
+        col(byteCol).as("k"))
+      val r = withBytes.select(col(idCol).as("b"), col("simhash").as("simB"),
+        col(byteCol).as("rk"))
+      // hamming filter BEFORE the union/dedup: hamming is deterministic
+      // per pair, so filtering early shrinks the dropDuplicates shuffle
+      // to the (rare) near-dup pairs instead of every bucket collision.
+      l.join(r, col("k") === col("rk") && col("a") < col("b"))
+        .withColumn("hamming",
+          bit_count(col("simA").bitwiseXOR(col("simB"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a"), col("b"), col("hamming"))
+    }.reduce(_ unionByName _).dropDuplicates("a", "b")
+    cands.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
   }
 }
