@@ -27,6 +27,17 @@ object Relational extends QueryPack {
   /** Exact money arithmetic: cast to DECIMAL(18,2) before summing. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Exact money arithmetic on the hot aggregation paths: integer cents.
+    * The 2-dp money columns scale to exact BIGINTs (round() never sees a
+    * .5 tie: a 2-dp value ×100 lands near an integer, never near a half),
+    * so sums stay in codegen'd long arithmetic — Spark's DECIMAL sum
+    * widens to precision 38, which leaves the unscaled-long fast path and
+    * allocates a BigDecimal per row (~2.4× slower measured). Headroom:
+    * cents·(100−disc) ~1e9/row ⇒ safe to ~9e9 rows per group sum.
+    * DuckDB mirror: CAST(round(x*100) AS BIGINT).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-series aggregation + F-series filter/scalar-map (SURVEY §2.3, §2.6):
     // TPC-H Q1 shape — scan with pushed filter, hash aggregate.
@@ -36,10 +47,11 @@ object Relational extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+          (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100)
+            .as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .cast("double") / 10000).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -53,8 +65,8 @@ object Relational extends QueryPack {
         .join(t.lineitem.filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .cast("double") / 10000).as("revenue"))
         .select(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("revenue"))
@@ -63,17 +75,26 @@ object Relational extends QueryPack {
     },
 
     // 5-way join with broadcast dims (SURVEY §2.5 J3/J4 analog): Q5 shape.
+    // The fact table (lineitem) is the stream/probe side of the final join
+    // — written fact-last, Catalyst's estimate can pick the pruned fact as
+    // the broadcast BUILD side (hashing 600k fact rows to probe 150k dim
+    // rows), which inverts at scale. The dim chain (region→nation→customer
+    // →orders) stays broadcast; the last join is left to AQE so it becomes
+    // sort-merge when enriched-orders outgrows the broadcast threshold.
     "q03_region_nation_revenue" -> { (s, dir) =>
       val t = Tables(s, dir)
-      broadcast(t.region)
+      val dims = broadcast(t.region)
         .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
-        .join(t.customer, col("n_nationkey") === col("c_nationkey"))
-        .join(t.orders, col("c_custkey") === col("o_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      val cust = t.customer.join(broadcast(dims),
+        col("n_nationkey") === col("c_nationkey"))
+      val ord = t.orders.join(broadcast(cust),
+        col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("r_name"), col("n_name"))
+      t.lineitem.join(ord, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"),
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .cast("double") / 10000).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
@@ -100,7 +121,7 @@ object Relational extends QueryPack {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+          (sum(cents(col("c_acctbal"))).cast("double") / 100).as("sum_acctbal"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -113,7 +134,8 @@ object Relational extends QueryPack {
       t.orders.select(
           col("o_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+          (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100)
+            .as("running_spend"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -178,7 +200,7 @@ object Relational extends QueryPack {
             " 'discount', l_discount, 'tax', l_tax) as (measure, value)"))
         .groupBy(col("measure"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("total"))
+          (sum(cents(col("value"))).cast("double") / 100).as("total"))
         .orderBy(col("measure"))
     },
 
@@ -210,9 +232,9 @@ object Relational extends QueryPack {
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -220,7 +242,7 @@ object Relational extends QueryPack {
 
     "q02_top_revenue_orders" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -231,7 +253,7 @@ object Relational extends QueryPack {
 
     "q03_region_nation_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
         | COUNT(*) AS n_items
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         | JOIN customer ON n_nationkey = c_nationkey
@@ -248,7 +270,7 @@ object Relational extends QueryPack {
 
     "q05_customers_without_orders" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        | CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100 AS sum_acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -256,9 +278,9 @@ object Relational extends QueryPack {
 
     "q06_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100
         |   AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
@@ -303,7 +325,7 @@ object Relational extends QueryPack {
         | UNION ALL SELECT 'discount', l_discount FROM lineitem
         | UNION ALL SELECT 'tax', l_tax FROM lineitem)
         |SELECT measure, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total
         |FROM long GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q12_distinct_parts_per_flag" ->
