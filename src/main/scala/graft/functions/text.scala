@@ -71,6 +71,22 @@ object text {
   /** Exact-dup fingerprint: md5 hex of the normalized text. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** BPE-ish regex tokenization count: letter runs, digit runs, symbol
+    * runs (whitespace separates, never counts). The class set is chosen so
+    * Java regex and RE2 (DuckDB) agree byte-for-byte.
+    */
+  val BpeTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]+"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0)))
+
+  /** Winnowing document fingerprints (rolling k-gram hash + sliding-window
+    * minimum, Schleimer et al. SIGMOD'03) over the normalized text; native
+    * kernel graft.plans.WinnowFingerprints. Returns array<bigint> of the
+    * distinct selected gram hashes.
+    */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    graft.plans.WinnowFingerprints.winnow(normText(c), k, w)
+
   /** 16-bit token hash: first 4 hex digits of md5, as int (0..65535).
     * Native digest-prefix kernel (graft.plans.Md5Prefix16), value-equal to
     * `conv(substring(md5(c), 1, 4), 16, 10).cast("int")`.

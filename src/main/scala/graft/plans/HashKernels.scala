@@ -92,6 +92,16 @@ object HashKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** md5Prefix32 over a byte-range (no salt): hash of bytes[off, off+len). */
+  def md5Prefix32Raw(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Unsigned big-endian int of the first 2 md5 bytes of s — equals
     * `conv(substring(md5(s), 1, 4), 16, 10)::int`.
     */

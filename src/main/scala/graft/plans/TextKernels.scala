@@ -73,6 +73,77 @@ object NormText {
       NormText(org.apache.spark.sql.GraftBridge.expression(c)))
 }
 
+/** Winnowing fingerprint selection (Schleimer, Schmoe & Aiken, SIGMOD'03):
+  * hash every k-char gram of the (already-normalized, ASCII) text, slide a
+  * window of `w` consecutive gram hashes, keep each window's minimum.
+  * Returns the distinct selected hashes (unsorted). Hash = first 4 md5
+  * bytes of the gram, matching `text.saltedHash32`'s oracle convention so
+  * DuckDB can mirror it with a list comprehension.
+  *
+  * The per-row cost is O(len·k) digesting + O(len) monotone-deque window
+  * minima; no shuffle — fingerprints distribute with the row.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"winnow expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowFingerprints.kernel(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.plans.WinnowFingerprints.kernel($s, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def kernel(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val nGrams = bytes.length - k + 1
+    if (nGrams < 1) return org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = HashKernels.md5Prefix32Raw(bytes, i, k)
+      i += 1
+    }
+    // Sliding-window minima via monotone deque; collect distinct picks.
+    val win = math.min(w, nGrams)
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0
+    val picked = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) picked.add(hashes(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def winnow(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      WinnowFingerprints(org.apache.spark.sql.GraftBridge.expression(c), k, w))
+}
+
 case class CountInVocab(child: Expression, vocab: Seq[String])
   extends UnaryExpression {
 

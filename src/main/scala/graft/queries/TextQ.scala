@@ -75,6 +75,23 @@ object TextQ extends QueryPack {
         .join(perDoc, Seq("doc_id"), "left")
         .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0)))
         .orderBy(col("doc_id"))
+    },
+
+    // BPE-ish regex token counting (letter/digit/symbol runs) next to the
+    // whitespace count — the two tokenizer flavors of a data pipeline.
+    "t05_bpe_tokens" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          text.bpeTokenCount(col("text")).as("n_bpe"),
+          text.tokenCount(col("text")).as("n_ws"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Winnowing fingerprints (k=8 char grams, window w=4), long form.
+    "t06_winnow_fingerprints" -> { (s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+          explode(text.winnowFingerprints(col("text"), 8, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
     }
   )
 
@@ -138,6 +155,27 @@ object TextQ extends QueryPack {
          |  THEN list_min([${saltedHash32Sql("x", 1)}
          |        FOR x IN ${shingles3Sql()}])
          |  ELSE NULL END AS min_h1
-         |FROM w ORDER BY doc_id""".stripMargin
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "t05_bpe_tokens" ->
+      s"""WITH n AS (SELECT doc_id, text, $normSql AS norm FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text,
+         |   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]+')) AS INT) AS n_bpe,
+         | CAST(CASE WHEN norm = '' THEN 0
+         |           ELSE len(${wordsSql()}) END AS INT) AS n_ws
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "t06_winnow_fingerprints" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |g AS (SELECT doc_id,
+         |  [('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT
+         |   FOR i IN generate_series(1, len(norm) - 7)] AS hs
+         | FROM n WHERE len(norm) >= 8),
+         |sel AS (SELECT doc_id,
+         |  list_distinct([list_min(hs[i:i+3])
+         |   FOR i IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
+         | FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin
   )
 }

@@ -91,6 +91,28 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("winnow fingerprint edges: short text, exact window, ties") {
+    import graft.functions.text
+    def fps(s: String): Seq[Long] = Seq(s).toDF("t")
+      .select(text.winnowFingerprints(col("t"), 3, 2).as("f"))
+      .as[Seq[Long]].head()
+    assert(fps("") == Seq.empty)          // no grams
+    assert(fps("ab") == Seq.empty)        // shorter than k
+    assert(fps("abc").length == 1)        // one gram, one (clamped) window
+    assert(fps("abcd").nonEmpty)          // 2 grams, 1 window -> 1 pick
+    // repeated content: identical window minima dedup to distinct picks
+    val rep = fps("abcabcabcabc")
+    assert(rep == rep.distinct)
+    // selection is a subset of all gram hashes (sanity vs. brute force;
+    // winnow hashes are unsalted md5 prefixes)
+    val allRaw = "abcabcabcabc".sliding(3).toSeq.map { g =>
+      Seq(g).toDF("g").select(
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("bigint").as("h"))
+        .as[Long].head()
+    }.toSet
+    assert(rep.toSet.subsetOf(allRaw))
+  }
+
   test("CountInVocab counts occurrences without dedup on real documents") {
     val vocab = Seq("the", "and", "of", "to", "in")
     val m = array(vocab.map(lit): _*)
