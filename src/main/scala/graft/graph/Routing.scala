@@ -54,32 +54,37 @@ object Routing {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("route_id"),
       col("weight_m").cast("double")).cache()
+    // Delta/frontier iteration: each round relaxes only edges out of nodes
+    // improved in the previous round, not the whole settled set — at scale
+    // the frontier is a vanishing fraction of V once the wave passes, and
+    // the per-round shuffle is O(frontier·out-degree), the Pregel shape.
+    // An empty frontier IS convergence (no separate fingerprint job).
     var dist = Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
-      .toDF("node", "dist_m", "prev", "prev_route")
-    // Convergence via a one-job fingerprint: distances only ever decrease,
-    // so an unchanged (count, Σdist) pair means no relaxation happened —
-    // no extra join-and-count round trip per iteration.
-    def fingerprint(df: DataFrame): (Long, Double) = {
-      val r = df.agg(count(lit(1)), sum(col("dist_m"))).collect()(0)
-      (r.getLong(0), r.getDouble(1))
-    }
-    var fp = (1L, 0.0)
-    var converged = false
+      .toDF("node", "dist_m", "prev", "prev_route").localCheckpoint()
+    var frontier = dist
     var i = 0
-    while (!converged && i < maxIter) {
-      val cand = dist.join(e, dist("node") === e("src"))
+    while (i < maxIter && !frontier.isEmpty) {
+      // best candidate per node this round (smallest dist; deterministic
+      // (prev, prev_route) tiebreak so results don't depend on plan order)
+      val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (col("dist_m") + col("weight_m")).as("dist_m"),
-          dist("node").as("prev"), e("route_id").as("prev_route"))
-      val best = dist.unionByName(cand)
+          frontier("node").as("prev"), e("route_id").as("prev_route"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("node"))
             .orderBy(col("dist_m"), col("prev"), col("prev_route"))))
         .filter(col("rn") === 1).drop("rn")
+      // keep only strict improvements over the settled distances
+      val imp = cand.join(
+          dist.select(col("node").as("snode"), col("dist_m").as("sdist")),
+          col("node") === col("snode"), "left")
+        .filter(col("sdist").isNull || col("dist_m") < col("sdist"))
+        .select("node", "dist_m", "prev", "prev_route")
         .localCheckpoint()
-      val nfp = fingerprint(best)
-      converged = nfp == fp
-      fp = nfp
-      dist = best
+      dist = dist.join(imp.select(col("node").as("inode")),
+          col("node") === col("inode"), "left_anti")
+        .unionByName(imp)
+        .localCheckpoint()
+      frontier = imp
       i += 1
     }
     dist
@@ -112,22 +117,22 @@ object Routing {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).cache()
-    var dist = Seq((sourceId, 0)).toDF("node", "hops")
-    var fp = (1L, 0L)
+    // Frontier BFS: in an unweighted graph a node's first discovery is its
+    // final hop count, so each round only expands last round's discoveries
+    // and drops anything already settled (left_anti). Empty frontier =
+    // convergence. Per-round shuffle is O(frontier·out-degree).
+    var dist = Seq((sourceId, 0)).toDF("node", "hops").localCheckpoint()
+    var frontier = dist
     var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
-      val cand = dist.join(e, dist("node") === e("src"))
+    while (i < maxIter && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (col("hops") + 1).as("hops"))
-      val best = dist.unionByName(cand)
         .groupBy("node").agg(min("hops").as("hops"))
+        .join(dist.select(col("node").as("snode")),
+          col("node") === col("snode"), "left_anti")
         .localCheckpoint()
-      // hop counts only decrease → unchanged (count, Σhops) = converged
-      val r = best.agg(count(lit(1)), sum(col("hops"))).collect()(0)
-      val nfp = (r.getLong(0), r.getLong(1))
-      converged = nfp == fp
-      fp = nfp
-      dist = best
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
       i += 1
     }
     dist
