@@ -80,8 +80,24 @@ object Dedup {
     * shuffle volume is O(docs·bands + candidates·shingles) instead of
     * O(docs·bands·shingles).
     */
+  /** Drop rows whose value in `keyCol` occurs more than `cap` times —
+    * the standard LSH hot-bucket guard: a degenerate band signature (e.g.
+    * boilerplate shared by millions of docs) otherwise yields a quadratic
+    * candidate-pair explosion on one reducer. Dropping is a coverage
+    * trade-off the caller opts into; pairs inside oversized buckets are
+    * NOT emitted (callers should record the cap in their run metadata).
+    */
+  private def capBuckets(df: DataFrame, keyCol: String, cap: Option[Int]): DataFrame =
+    cap.fold(df) { m =>
+      val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= m)
+        .select(col(keyCol))
+      df.join(sizes, Seq(keyCol), "left_semi")
+    }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+                      k: Int = 8, bands: Int = 2, shingleN: Int = 3,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // One tokenize→window→aggregate pass produces BOTH the k signature
@@ -106,12 +122,12 @@ object Dedup {
           md5(concat_ws(",", cols: _*)).as(s"band$b")
         }: _*)
       .cache()
-    val left = per.select(col(idCol).as("a") +:
-      (0 until bands).map(b => col(s"band$b")): _*)
-    val right = per.select(col(idCol).as("b") +:
-      (0 until bands).map(b => col(s"band$b").as(s"rband$b")): _*)
     val cands = (0 until bands).map { b =>
-      left.join(right, col(s"band$b") === col(s"rband$b") && col("a") < col("b"))
+      val keyed = capBuckets(
+        per.select(col(idCol), col(s"band$b").as("k")), "k", maxBucketSize)
+      val left = keyed.select(col(idCol).as("a"), col("k"))
+      val right = keyed.select(col(idCol).as("b"), col("k").as("rk"))
+      left.join(right, col("k") === col("rk") && col("a") < col("b"))
         .select(col("a"), col("b"))
     }.reduce(_ unionByName _).dropDuplicates("a", "b")
     cands
@@ -148,7 +164,8 @@ object Dedup {
     * filter. Output (a, b, hamming).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     val sim = simhash16(docs, idCol, textCol)
     // Candidate generation = one equi-join per signature byte, unioned.
     // An OR of the two byte-equalities in a single join predicate has no
@@ -160,10 +177,13 @@ object Dedup {
       .withColumn("lo", col("simhash").bitwiseAND(lit(0xff)))
       .cache()
     val cands = Seq("hi", "lo").map { byteCol =>
-      val l = withBytes.select(col(idCol).as("a"), col("simhash").as("simA"),
-        col(byteCol).as("k"))
-      val r = withBytes.select(col(idCol).as("b"), col("simhash").as("simB"),
-        col(byteCol).as("rk"))
+      val keyed = capBuckets(
+        withBytes.select(col(idCol), col("simhash"), col(byteCol).as("k")),
+        "k", maxBucketSize)
+      val l = keyed.select(col(idCol).as("a"), col("simhash").as("simA"),
+        col("k"))
+      val r = keyed.select(col(idCol).as("b"), col("simhash").as("simB"),
+        col("k").as("rk"))
       // hamming filter BEFORE the union/dedup: hamming is deterministic
       // per pair, so filtering early shrinks the dropDuplicates shuffle
       // to the (rare) near-dup pairs instead of every bucket collision.

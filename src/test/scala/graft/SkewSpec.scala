@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Skew}
+
+/** Skew helpers must be pure plan rewrites: identical results to the
+  * naive forms on real testdata, only the shuffle layout differs.
+  */
+class SkewSpec extends SparkTestBase {
+
+  private lazy val t = Tables(spark, sfSmoke)
+
+  test("saltedJoin equals the plain equi-join (inner and left)") {
+    val big = t.orders.select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val small = t.customer.select("c_custkey", "c_mktsegment")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("c_custkey"), jt)
+      val salted = Skew.saltedJoin(big, small, "c_custkey", salts = 7, jt)
+      assert(salted.count() == plain.count(), s"count differs for $jt")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"rows differ for $jt")
+    }
+  }
+
+  test("skewSafeDistinctCount equals countDistinct") {
+    val plain = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_distinct"))
+    val safe = Skew.skewSafeDistinctCount(t.lineitem, "l_returnflag", "l_partkey")
+    val p = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = safe.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == s)
+  }
+
+  test("saltColumn is deterministic and in range") {
+    val df = t.customer.select(
+      Skew.saltColumn(5, col("c_custkey")).as("s1"),
+      Skew.saltColumn(5, col("c_custkey")).as("s2"))
+    assert(df.filter(col("s1") =!= col("s2")).count() == 0)
+    assert(df.filter(col("s1") < 0 || col("s1") >= 5).count() == 0)
+  }
+
+  test("LSH bucket cap drops only oversized-bucket pairs") {
+    val docs = t.documents
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      maxBucketSize = Some(2))
+    // capped output is a subset of the uncapped pairs
+    assert(capped.exceptAll(all).isEmpty)
+    // an absurdly large cap changes nothing
+    val loose = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      maxBucketSize = Some(1000000))
+    assert(loose.exceptAll(all).isEmpty && all.exceptAll(loose).isEmpty)
+  }
+}
