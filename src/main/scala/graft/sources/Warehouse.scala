@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed/partitioned table layout for co-located joins and pruned scans
+  * (SURVEY §4 scale posture: "pre-partition what you join repeatedly").
+  *
+  * Writing both sides of a recurring equi-join bucketed by the join key
+  * with the same bucket count makes the join exchange-free: each task
+  * reads matching bucket files from both tables and sort-merges locally —
+  * at 100 TB this removes the dominant shuffle of every downstream run.
+  * `sortBy` on the same key additionally removes the per-task sort.
+  *
+  * Partitioning (`partitionByCols`) is the orthogonal axis: low-cardinality
+  * columns become directory levels so predicate pushdown prunes whole
+  * directories at planning time.
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed (and optionally partitioned) managed parquet
+    * table. Re-running overwrites.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
