@@ -11,27 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object timecodec {
 
-  private val TimePattern = "^\\d+:\\d{2}(:\\d{2})?$"
-
   /** X2/X4: "HH:MM[:SS]" → seconds since service midnight; hours may be
     * ≥ 24; anything non-time-shaped → 0 (reference parse_time tolerance).
+    * Native codegen kernel (graft.plans.TimeToSec), byte-equal to the
+    * rlike + split + cast chain it replaced (TextKernelsSpec).
     */
-  def timeToSec(c: Column): Column = {
-    val parts = split(c, ":")
-    when(c.rlike(TimePattern),
-      parts.getItem(0).cast("int") * 3600 +
-        parts.getItem(1).cast("int") * 60 +
-        coalesce(try_element_at(parts, lit(3)).cast("int"), lit(0)))
-      .otherwise(lit(0))
-  }
+  def timeToSec(c: Column): Column = graft.plans.TimeKernels.timeToSec(c)
 
   /** X3: seconds → "HH:MM:SS" with hours allowed past 24, rounded to the
     * nearest second first (generate_gtfs.py:31-38). Python round() is
-    * banker's rounding, hence bround (half-even), not round (half-up).
+    * banker's rounding, hence half-even, not half-up. Native codegen
+    * kernel (graft.plans.SecToTime), byte-equal to
+    * `format_string("%02d:%02d:%02d", bround(c)...)`.
     */
-  def secToTime(c: Column): Column = {
-    val s = bround(c).cast("bigint")
-    format_string("%02d:%02d:%02d",
-      (s / 3600).cast("bigint"), ((s % 3600) / 60).cast("bigint"), s % 60)
-  }
+  def secToTime(c: Column): Column =
+    graft.plans.TimeKernels.secToTime(c.cast("double"))
 }

@@ -113,6 +113,48 @@ class TextKernelsSpec extends SparkTestBase {
     assert(rep.toSet.subsetOf(allRaw))
   }
 
+  test("time codec kernels equal the format_string/rlike column forms") {
+    val secs = Seq(0.0, 59.4, 59.5, 59.6, 60.5, 61.5, 3599.999, 3600.0,
+      86399.0, 90600.0, 90600.4999, 1e9, 0.49999999999)
+    val sdf = secs.toDF("s")
+    val srows = sdf.select(
+      graft.plans.TimeKernels.secToTime(col("s")).as("native"),
+      format_string("%02d:%02d:%02d",
+        (bround(col("s")).cast("bigint") / 3600).cast("bigint"),
+        ((bround(col("s")).cast("bigint") % 3600) / 60).cast("bigint"),
+        bround(col("s")).cast("bigint") % 60).as("column")
+    ).collect()
+    srows.zip(secs).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"secToTime($in): native=${r.getString(0)} column=${r.getString(1)}")
+    }
+
+    val times = Seq("25:10", "04:00", "23:59:30", "not a time", "9:05",
+      "00:00:00", "123:45:01", ":30", "12:", "12:3", "12:345", "1:23:4",
+      "1:23:456", "", "12:34:56:78", "12:a4", "٣:٤٥", "0:00")
+    val m = times.toDF("t")
+    val parts = split(col("t"), ":")
+    val columnForm = when(col("t").rlike("^\\d+:\\d{2}(:\\d{2})?$"),
+      parts.getItem(0).cast("int") * 3600 +
+        parts.getItem(1).cast("int") * 60 +
+        coalesce(try_element_at(parts, lit(3)).cast("int"), lit(0)))
+      .otherwise(lit(0))
+    val trows = m.select(
+      graft.plans.TimeKernels.timeToSec(col("t")).as("native"),
+      columnForm.as("column")).collect()
+    trows.zip(times).foreach { case (r, in) =>
+      val nv = if (r.isNullAt(0)) null else r.getInt(0)
+      val cv = if (r.isNullAt(1)) null else r.getInt(1)
+      assert(nv == cv, s"timeToSec('$in'): native=$nv column=$cv")
+    }
+
+    // absurd hour fields: the kernel is tolerant where the ANSI column
+    // form would throw — beyond-INT hours parse to null, not an error
+    val big = Seq("99999999999:00").toDF("t")
+      .select(graft.plans.TimeKernels.timeToSec(col("t")).as("v")).collect()
+    assert(big.head.isNullAt(0))
+  }
+
   test("CountInVocab counts occurrences without dedup on real documents") {
     val vocab = Seq("the", "and", "of", "to", "in")
     val m = array(vocab.map(lit): _*)
