@@ -31,7 +31,8 @@ object EventsQ extends QueryPack {
         .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          (sum(round(col("value") * 100).cast("bigint")).cast("double") / 100)
+            .as("sum_value"))
         .orderBy(col("hour_ms"), col("event_type"))
     },
 
@@ -70,7 +71,7 @@ object EventsQ extends QueryPack {
     "e02_hourly_rollup" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
 
     // e03_min_spacing_sweep: intentionally no oracle (sequential fold).

@@ -61,17 +61,21 @@ object GeoQ extends QueryPack {
       val ord = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
       val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // 6-dp segments as exact micro-km BIGINTs: a DECIMAL(18,6) window
+      // sum widens past the unscaled-long fast path (BigDecimal per row);
+      // integer micro-km keep the cumsum in codegen'd long arithmetic
+      // with the same "window order, not FP order, defines the result".
       Tables(s, dir).lineitem
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), liLon.as("lon"), liLat.as("lat"))
-        .withColumn("seg_km", coalesce(
+        .withColumn("seg_ukm", coalesce(
           round(geo.haversineKm(
             lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w),
-            col("lon"), col("lat")), 6),
-          lit(0.0)).cast("decimal(18,6)"))
+            col("lon"), col("lat")) * 1e6),
+          lit(0.0)).cast("bigint"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
-          sum(col("seg_km")).over(cumW).cast("double").as("cum_km"))
+          (sum(col("seg_ukm")).over(cumW).cast("double") / 1e6).as("cum_km"))
         .orderBy(col("l_orderkey") +: ord: _*)
     },
 
@@ -145,15 +149,16 @@ object GeoQ extends QueryPack {
          |seg AS (
          | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  CAST(coalesce(round(${havKmSql(
-             "lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")}, 6), 0.0)
-         |    AS DECIMAL(18,6)) AS seg_km
+             "lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")} * 1000000), 0.0)
+         |    AS BIGINT) AS seg_ukm
          | FROM pts
          | WINDOW w AS (PARTITION BY l_orderkey
          |              ORDER BY l_linenumber, l_partkey, l_suppkey))
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         | CAST(SUM(seg_km) OVER (PARTITION BY l_orderkey
+         | CAST(SUM(seg_ukm) OVER (PARTITION BY l_orderkey
          |   ORDER BY l_linenumber, l_partkey, l_suppkey
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_km
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/1000000
+         |   AS cum_km
          |FROM seg ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "g03_nearest_centroid" ->
