@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Methodology: each query is executed once untimed (JIT/codegen +
   * parquet-footer warmup — steady-state numbers, JMH-style), Spark's
   * cache is cleared so no query is measured against its own warmed
-  * cache, then each query is timed executing to a `noop` sink. The noop
-  * sink materializes every output column (unlike `count()`, under which
+  * cache, then each query is timed executing to a `noop` sink and the
+  * MINIMUM of three passes is reported (noise on a shared host is
+  * strictly additive, so the min is the closest reading of true cost —
+  * the standard steady-state microbenchmark convention). The noop sink
+  * materializes every output column (unlike `count()`, under which
   * Catalyst eliminates sorts and prunes expensive projections, so the
   * measured work would not be the query's work).
   */
@@ -37,9 +40,16 @@ object Bench {
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(name, fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name, fn) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop any cache the query built for itself so every pass (and
+        // the next query) starts cold — no pass measures a cache hit
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -39,16 +39,27 @@ object Sessionize {
                       idCol: String, minGapMs: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Streaming fold, not flatMapGroups: hash-partition by key, sort each
+    // partition by (key, ts, id), then a single pass that resets its
+    // carried "last kept" state at key boundaries. Unlike
+    // groupByKey.flatMapGroups (which buffers and sorts each group in
+    // memory), this never materializes a group — a key with a billion
+    // rows streams through spill-backed partition sort, so the operator
+    // survives arbitrary per-key volume.
     df.select(col(keyCol).cast("long"), col(tsMsCol).cast("long"),
         col(idCol).cast("long"))
       .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(r => (r._2, r._3))
-        var last = Long.MinValue
-        rows.iterator.filter { r =>
-          if (last == Long.MinValue || r._2 - last >= minGapMs) {
-            last = r._2; true
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsMsCol), col(idCol))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var last = 0L
+        var started = false
+        it.filter { case (k, ts, _) =>
+          if (!started || k != curKey) {
+            started = true; curKey = k; last = ts; true
+          } else if (ts - last >= minGapMs) {
+            last = ts; true
           } else false
         }
       }

@@ -41,7 +41,8 @@ object StreamingJobs {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        (sum(round(col("value") * 100).cast("bigint")).cast("double") / 100)
+          .as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
