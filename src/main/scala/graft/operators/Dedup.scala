@@ -140,23 +140,16 @@ object Dedup {
   }
 
   /** 16-bit SimHash per document: bit b is the majority vote of bit b over
-    * the 16-bit md5-derived hashes of all (non-distinct) tokens.
-    * Two aggregation levels, both map-side combinable.
+    * the 16-bit md5-derived hashes of all (non-distinct) tokens. A single
+    * per-row codegen kernel (graft.plans.SimHash16) — no explode, no
+    * shuffle: the signature distributes with the row, which is the shape
+    * that matters at 100 TB (the exploded form multiplies rows by token
+    * count and shuffles them back by doc id just to re-aggregate).
     */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol), explode(text.tokens(col(textCol))).as("tok"))
-      .withColumn("h", text.tokenHash16(col("tok")))
-    val bitSums = (0 until 16).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
-        .as(s"s$b")
-    }
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 16)
-      .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
-      .reduce[Column](_ + _)
-    sums.select(col(idCol), sim.cast("int").as("simhash"))
-  }
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.SimHash16.simhash16(text.normText(col(textCol)))
+        .as("simhash"))
 
   /** Near-dup pairs by SimHash: bucket by each signature byte (a pair with
     * hamming distance ≤ maxHamming on 16 bits shares at least one byte when

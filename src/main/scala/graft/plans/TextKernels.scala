@@ -144,6 +144,72 @@ object WinnowFingerprints {
       WinnowFingerprints(org.apache.spark.sql.GraftBridge.expression(c), k, w))
 }
 
+/** 16-bit SimHash of an already-normalized document in one pass: hash
+  * every space-separated token (first 2 md5 bytes, = text.tokenHash16),
+  * vote each bit +1/−1, set result bits where the vote is positive.
+  *
+  * Semantics mirror the explode→tokenHash16→16×SUM(CASE)→recombine
+  * pipeline in operators.Dedup (and the d03 DuckDB oracle), including the
+  * empty-document edge: `split("", " ")` yields one empty token, so an
+  * empty norm votes with md5("")'s bits. As a per-row expression the
+  * signature computation needs NO shuffle — the exploded form multiplies
+  * rows by token count and shuffles them back by doc id.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(s: Any): Any =
+    SimHash16.kernel(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.SimHash16.kernel($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  def kernel(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](16)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        // empty segments only occur for the fully-empty input, which
+        // split("", " ") maps to one empty token — vote it like the
+        // exploded pipeline does
+        if (i > start || bytes.length == 0) {
+          val h = HashKernels.md5Prefix32Raw(bytes, start, i - start).toInt >>> 16
+          var b = 0
+          while (b < 16) {
+            if (((h >> b) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) sim |= 1 << b; b += 1 }
+    sim
+  }
+
+  def simhash16(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHash16(org.apache.spark.sql.GraftBridge.expression(c)))
+}
+
 case class CountInVocab(child: Expression, vocab: Seq[String])
   extends UnaryExpression {
 

@@ -155,6 +155,31 @@ class TextKernelsSpec extends SparkTestBase {
     assert(big.head.isNullAt(0))
   }
 
+  test("SimHash16 kernel equals the exploded vote pipeline on documents") {
+    import graft.functions.text
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "   !!   "), (90003L, "one"))
+        .toDF("doc_id", "text"))
+    val toks = docs
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
+      .withColumn("h", text.tokenHash16(col("tok")))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simCol = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    val exploded = sums.select(col("doc_id"), simCol.cast("int").as("expl"))
+    val native = docs.select(col("doc_id"),
+      graft.plans.SimHash16.simhash16(text.normText(col("text"))).as("nat"))
+    val n = native.join(exploded, Seq("doc_id"))
+      .filter(col("nat") =!= col("expl")).count()
+    assert(n == 0, s"$n docs diverge")
+  }
+
   test("CountInVocab counts occurrences without dedup on real documents") {
     val vocab = Seq("the", "and", "of", "to", "in")
     val m = array(vocab.map(lit): _*)
