@@ -55,19 +55,19 @@ object Dedup {
       .agg(array_distinct(collect_list(col("s"))).as("sh"))
 
   /** MinHash signature columns m1..mK over n-word shingles: mJ = min over
-    * shingles of a salted 32-bit hash. Long-form evaluation: one exploded
-    * row per (doc, shingle) hashed k ways, then a map-side-combinable min
-    * aggregation — each md5 is computed exactly once per (shingle, salt),
-    * and the shuffle carries only k longs per doc.
+    * shingles of a salted 32-bit hash. A per-row codegen kernel
+    * (graft.plans.MinHashShingles) — the signature distributes with the
+    * row; no token explosion, no shuffle. Values equal aggregating
+    * text.saltedHash32 over exploded shingle rows (TextKernelsSpec).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleN: Int): DataFrame = {
-    val long = shingleRows(docs, idCol, textCol, shingleN)
-    val hashCols = (1 to k).map(j => text.saltedHash32(col("s"), j).as(s"h$j"))
-    val minCols = (1 to k).map(j => min(col(s"h$j")).as(s"m$j"))
-    long.select(col(idCol) +: hashCols: _*)
-      .groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
+    val ms = graft.plans.MinHashShingles
+      .minhashShingles(text.normText(col(textCol)), k, shingleN)
+    docs.select(col(idCol), ms.as("__ms"))
+      .filter(col("__ms").isNotNull)
+      .select(col(idCol) +:
+        (1 to k).map(j => col("__ms.mins").getItem(j - 1).as(s"m$j")): _*)
   }
 
   /** MinHash-LSH candidate pairs with exact n-gram-Jaccard verification:
@@ -100,25 +100,21 @@ object Dedup {
                       maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // One tokenize→window→aggregate pass produces BOTH the k signature
-    // mins and the distinct shingle set per doc (map-side combinable mins;
-    // the set rides the same shuffle). Splitting them (minhashSignatures +
-    // shingleSets) would run the tokenize pipeline and its doc-id shuffle
-    // twice for the same rows.
-    val long = shingleRows(docs, idCol, textCol, shingleN)
-    val hashCols = (1 to k).map(j => text.saltedHash32(col("s"), j).as(s"h$j"))
-    val aggCols = (1 to k).map(j => min(col(s"h$j")).as(s"m$j")) :+
-      array_distinct(collect_list(col("s"))).as("sh")
+    // One per-row kernel pass (graft.plans.MinHashShingles) produces BOTH
+    // the k signature mins and the distinct shingle set — no explode, no
+    // window, no aggregation shuffle anywhere before the band joins.
     // cache: the frame feeds both sides of every band join plus two
     // id-joins — Spark's ReuseExchange can't dedupe them (attribute ids
-    // differ per branch), so without caching the pipeline runs 6×.
+    // differ per branch), so without caching the kernel runs 6×.
     // (At extreme scale, materialize to storage instead.)
-    val per = long.select(col(idCol) +: col("s") +: hashCols: _*)
-      .groupBy(col(idCol))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col(idCol) +: col("sh") +:
+    val ms = graft.plans.MinHashShingles
+      .minhashShingles(text.normText(col(textCol)), k, shingleN)
+    val per = docs.select(col(idCol), ms.as("__ms"))
+      .filter(col("__ms").isNotNull)
+      .select(col(idCol) +: col("__ms.sh").as("sh") +:
         (0 until bands).map { b =>
-          val cols = (b * r + 1 to (b + 1) * r).map(j => col(s"m$j"))
+          val cols = (b * r + 1 to (b + 1) * r)
+            .map(j => col("__ms.mins").getItem(j - 1))
           md5(concat_ws(",", cols: _*)).as(s"band$b")
         }: _*)
       .cache()

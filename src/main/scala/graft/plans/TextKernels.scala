@@ -210,6 +210,126 @@ object SimHash16 {
       SimHash16(org.apache.spark.sql.GraftBridge.expression(c)))
 }
 
+/** Per-row MinHash + shingle-set kernel over an already-normalized
+  * (single-space-joined, ASCII) document: word n-gram shingles are plain
+  * byte ranges of the input, so the kernel hashes `k` salted variants of
+  * each range directly — no token explosion, no window, no groupBy; the
+  * whole signature computation distributes with the row.
+  *
+  * Returns null when the document has fewer than `n` tokens (no
+  * shingles), else a struct of:
+  *   mins: array<bigint> — per-salt minimum of md5-prefix32("j:"+shingle)
+  *         over ALL shingle occurrences (same values as aggregating
+  *         text.saltedHash32 over exploded shingle rows),
+  *   sh:   array<string> — distinct shingles, first-occurrence order
+  *         (same set as array_distinct(collect_list(...))),
+  *   n:    int — total (non-distinct) shingle count = tokens − n + 1.
+  */
+case class MinHashShingles(child: Expression, k: Int, n: Int)
+  extends UnaryExpression {
+  require(k >= 1 && n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_shingles expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mins", ArrayType(LongType, containsNull = false)),
+    StructField("sh", ArrayType(StringType, containsNull = false)),
+    StructField("n", IntegerType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_shingles"
+
+  override protected def nullSafeEval(s: Any): Any =
+    MinHashShingles.kernel(s.asInstanceOf[UTF8String], k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val row = ctx.freshName("mhRow")
+      s"""
+       org.apache.spark.sql.catalyst.InternalRow $row =
+         graft.plans.MinHashShingles.kernel($c, $k, $n);
+       if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
+object MinHashShingles {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def saltsFor(k: Int): Array[Array[Byte]] =
+    saltCache.computeIfAbsent(k,
+      kk => (1 to kk).map(j => s"$j:".getBytes("UTF-8")).toArray)
+
+  def kernel(s: UTF8String, k: Int, n: Int): InternalRow = {
+    val bytes = s.getBytes
+    // token start offsets (norm is single-space separated, no empties
+    // except the fully-empty string)
+    if (bytes.length == 0) return null
+    var tokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') tokens += 1; i += 1 }
+    val nShingles = tokens - n + 1
+    if (nShingles < 1) return null
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = bytes.length + 1
+    val salts = saltsFor(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val md = digests.get()
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      val from = starts(sIdx)
+      val until = starts(sIdx + n) - 1 // drop the trailing separator
+      val len = until - from
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(salts(j))
+        md.update(bytes, from, len)
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(bytes, from, len))
+      sIdx += 1
+    }
+    val sh = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { sh(o) = it.next(); o += 1 }
+    new GenericInternalRow(Array[Any](
+      ArrayData.toArrayData(mins), new GenericArrayData(sh), nShingles))
+  }
+
+  def minhashShingles(c: Column, k: Int, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      MinHashShingles(org.apache.spark.sql.GraftBridge.expression(c), k, n))
+}
+
 case class CountInVocab(child: Expression, vocab: Seq[String])
   extends UnaryExpression {
 

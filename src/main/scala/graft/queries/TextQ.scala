@@ -63,17 +63,16 @@ object TextQ extends QueryPack {
     },
 
     "t04_fingerprint_shingles" -> { (s, dir) =>
-      // long-form shingling (codegen'd; see operators.Dedup.shingleRows)
-      // instead of the interpreted HOF pipeline — same values.
-      val docs = Tables(s, dir).documents
-      val perDoc = graft.operators.Dedup
-        .shingleRows(docs, "doc_id", "text", 3)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_shingles"),
-          min(text.saltedHash32(col("s"), 1)).as("min_h1"))
-      docs.select(col("doc_id"), text.fingerprint(col("text")).as("fingerprint"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0)))
+      // per-row MinHash kernel: shingle count + min salted hash come from
+      // one codegen pass, no explode/aggregate/join — same values.
+      val ms = graft.plans.MinHashShingles
+        .minhashShingles(text.normText(col("text")), 1, 3)
+      Tables(s, dir).documents
+        .select(col("doc_id"), text.fingerprint(col("text")).as("fingerprint"),
+          ms.as("__ms"))
+        .select(col("doc_id"), col("fingerprint"),
+          coalesce(col("__ms.n"), lit(0)).as("n_shingles"),
+          col("__ms.mins").getItem(0).as("min_h1"))
         .orderBy(col("doc_id"))
     },
 

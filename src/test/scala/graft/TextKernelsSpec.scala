@@ -180,6 +180,39 @@ class TextKernelsSpec extends SparkTestBase {
     assert(n == 0, s"$n docs diverge")
   }
 
+  test("MinHashShingles kernel equals the exploded shingle pipeline") {
+    import graft.functions.text
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "one two"), (90003L, "a b c"),
+        (90004L, "x x x x")).toDF("doc_id", "text"))
+    val k = 4
+    // exploded reference: mins + distinct set + count from shingle rows
+    val long = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val hashCols = (1 to k).map(j => text.saltedHash32(col("s"), j).as(s"h$j"))
+    val aggs = (1 to k).map(j => min(col(s"h$j")).as(s"em$j")) ++ Seq(
+      array_distinct(collect_list(col("s"))).as("esh"),
+      count(lit(1)).cast("int").as("en"))
+    val ref = long.select(col("doc_id") +: col("s") +: hashCols: _*)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val ms = graft.plans.MinHashShingles
+      .minhashShingles(text.normText(col("text")), k, 3)
+    val native = docs.select(col("doc_id"), ms.as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id") +:
+        (1 to k).map(j => col("m.mins").getItem(j - 1).as(s"nm$j")) :+
+        col("m.sh").as("nsh") :+ col("m.n").as("nn"): _*)
+    assert(native.count() == ref.count(), "doc coverage differs")
+    val joined = native.join(ref, Seq("doc_id"))
+    val bad = joined.filter(
+      (1 to k).map(j => col(s"nm$j") =!= col(s"em$j")).reduce(_ || _) ||
+        col("nn") =!= col("en") ||
+        size(array_except(col("nsh"), col("esh"))) =!= 0 ||
+        size(array_except(col("esh"), col("nsh"))) =!= 0).count()
+    assert(bad == 0, s"$bad docs diverge")
+  }
+
   test("CountInVocab counts occurrences without dedup on real documents") {
     val vocab = Seq("the", "and", "of", "to", "in")
     val m = array(vocab.map(lit): _*)
