@@ -204,6 +204,21 @@ object Relational extends QueryPack {
         .orderBy(col("measure"))
     },
 
+    // ROLLUP hierarchy totals (subtotal + grand-total rows); sentinel
+    // coalesce makes the null subtotal markers sortable/comparable.
+    "q14_rollup_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100)
+            .as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_price"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
     // Exact distinct aggregation (shuffle-heavy; exercises partial aggs).
     "q12_distinct_parts_per_flag" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -327,6 +342,16 @@ object Relational extends QueryPack {
         |SELECT measure, COUNT(*) AS n,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total
         |FROM long GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q14_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+        |   AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q12_distinct_parts_per_flag" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
