@@ -219,6 +219,23 @@ object Relational extends QueryPack {
         .orderBy(col("returnflag"), col("linestatus"))
     },
 
+    // Sketch-based approximations — the 100 TB substitutes for exact
+    // distinct counts and exact quantiles (HLL++ / KLL-style, mergeable
+    // map-side, bounded memory). No SQL oracle: sketch implementations
+    // differ across engines, so the driver records a rows-only check;
+    // the exact counterparts (q12) cover correctness.
+    "q15_approx_stats" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact distinct aggregation (shuffle-heavy; exercises partial aggs).
     "q12_distinct_parts_per_flag" -> { (s, dir) =>
       val t = Tables(s, dir)

@@ -83,6 +83,33 @@ object StreamingJobs {
       }
   }
 
+  final case class Doc(doc_id: Long, fingerprint: String)
+
+  /** Streaming exact dedup: emit each fingerprint's FIRST document across
+    * micro-batches, suppress every later duplicate (the streaming face of
+    * Dedup.exactGroups). State per fingerprint is the keeper id; at scale
+    * state lives in the state store keyed by fingerprint — the same
+    * content-derived partitioning as the batch groupBy.
+    */
+  def dedupStream(docs: org.apache.spark.sql.Dataset[Doc]):
+      org.apache.spark.sql.Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Long, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[Doc], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // first batch containing this fingerprint: keep smallest id
+            // (deterministic within the batch, first-arrival across them)
+            val keeper = it.minBy(_.doc_id)
+            state.update(keeper.doc_id)
+            Iterator.single(keeper)
+          }
+      }
+  }
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

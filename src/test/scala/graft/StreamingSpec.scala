@@ -49,6 +49,24 @@ class StreamingSpec extends SparkTestBase {
     assert(closed == Seq(SessionAgg(1, 0, 900, 3)))
   }
 
+  test("dedupStream keeps each fingerprint's first doc across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingJobs.Doc]
+    val q = StreamingJobs.dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(StreamingJobs.Doc(5, "fpA"), StreamingJobs.Doc(3, "fpA"),
+      StreamingJobs.Doc(7, "fpB"))
+    q.processAllAvailable()
+    mem.addData(StreamingJobs.Doc(1, "fpA"), // late duplicate: suppressed
+      StreamingJobs.Doc(9, "fpC"))
+    q.processAllAvailable()
+    val kept = spark.table("deduped").as[StreamingJobs.Doc]
+      .collect().map(d => d.fingerprint -> d.doc_id).toMap
+    q.stop()
+    assert(kept == Map("fpA" -> 3L, "fpB" -> 7L, "fpC" -> 9L))
+  }
+
   test("streaming rollup plan equals the batch plan's results") {
     val batch = Seq(
       (java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
