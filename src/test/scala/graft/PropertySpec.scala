@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{geo, text, timecodec}
+import graft.operators.{Sessionize, Skew}
+
+/** Property-based invariants (SURVEY §5): ScalaCheck generates the data,
+  * one Spark pass per property checks every sample column-wise — a
+  * violation count of zero, not per-sample jobs.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.from(0).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .flatten.take(n).toSeq
+
+  private val anyString: Gen[String] = Gen.frequency(
+    6 -> Gen.asciiPrintableStr,
+    3 -> Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.oneOf('é', '東', '!', '\t', '\n'))).map(_.mkString),
+    1 -> Gen.const(""))
+
+  test("normText is idempotent and emits only [a-z0-9] with single spaces") {
+    val df = samples(anyString, 500).toDF("t")
+      .select(text.normText(col("t")).as("n"))
+      .withColumn("n2", text.normText(col("n")))
+    val bad = df.filter(col("n") =!= col("n2") ||
+      col("n").rlike("[^a-z0-9 ]") || col("n").rlike("  ") ||
+      col("n").rlike("^ | $")).count()
+    assert(bad == 0)
+  }
+
+  test("time codec round-trips every non-negative second count") {
+    val df = samples(Gen.chooseNum(0, 200 * 3600), 2000).toDF("s")
+      .select(col("s"), timecodec.timeToSec(timecodec.secToTime(col("s"))).as("rt"))
+    assert(df.filter(col("s") =!= col("rt")).count() == 0)
+  }
+
+  test("haversine is symmetric, non-negative, zero at identity") {
+    val coord = for {
+      lon1 <- Gen.chooseNum(-180.0, 180.0); lat1 <- Gen.chooseNum(-85.0, 85.0)
+      lon2 <- Gen.chooseNum(-180.0, 180.0); lat2 <- Gen.chooseNum(-85.0, 85.0)
+    } yield (lon1, lat1, lon2, lat2)
+    val df = samples(coord, 500).toDF("lon1", "lat1", "lon2", "lat2")
+      .select(
+        geo.haversineKm(col("lon1"), col("lat1"), col("lon2"), col("lat2")).as("d"),
+        geo.haversineKm(col("lon2"), col("lat2"), col("lon1"), col("lat1")).as("dr"),
+        geo.haversineKm(col("lon1"), col("lat1"), col("lon1"), col("lat1")).as("dz"))
+    val bad = df.filter(col("d") < 0 || col("dz") =!= 0.0 ||
+      abs(col("d") - col("dr")) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("cumulative track distance is non-decreasing within every group") {
+    val pt = for {
+      g <- Gen.chooseNum(1, 40); lon <- Gen.chooseNum(-180.0, 180.0)
+      lat <- Gen.chooseNum(-85.0, 85.0)
+    } yield (g, lon, lat)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("rid"))
+    val df = samples(pt, 2000).zipWithIndex
+      .map { case ((g, lon, lat), i) => (g, i.toLong, lon, lat) }
+      .toDF("g", "rid", "lon", "lat")
+      .withColumn("seg", coalesce(round(geo.haversineKm(
+        lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w),
+        col("lon"), col("lat")) * 1e6), lit(0.0)).cast("bigint"))
+      .withColumn("cum", sum(col("seg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("prev_cum", lag(col("cum"), 1).over(w))
+    val bad = df.filter(col("prev_cum").isNotNull &&
+      col("cum") < col("prev_cum")).count()
+    assert(bad == 0)
+  }
+
+  test("min-spacing sweep keeps first per key and enforces the gap") {
+    val ev = for {
+      k <- Gen.chooseNum(1, 20); ts <- Gen.chooseNum(0L, 10000L)
+    } yield (k.toLong, ts)
+    val df = samples(ev, 2000).zipWithIndex
+      .map { case ((k, ts), i) => (k, ts, i.toLong) }
+      .toDF("k", "ts", "id")
+    val kept = Sessionize.minSpacingSweep(df, "k", "ts", "id", minGapMs = 100)
+    // every consecutive kept pair within a key is >= gap apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("id"))
+    val gapBad = kept.withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull && col("ts") - col("prev") < 100).count()
+    assert(gapBad == 0)
+    // the first event of every key survives
+    val firsts = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("k"), col("ts"), col("id"))
+    assert(firsts.join(kept, Seq("k", "ts", "id"), "left_anti").count() == 0)
+  }
+
+  test("winnow fingerprints are a subset of all gram hashes") {
+    val df = samples(anyString, 300).toDF("t")
+      .select(text.normText(col("t")).as("n"))
+      .filter(length(col("n")) >= 8)
+      .select(col("n"),
+        graft.plans.WinnowFingerprints.winnow(col("n"), 8, 4).as("sel"))
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(n) - 7), i -> substring(n, i, 8))"))
+      .withColumn("all_h", expr(
+        "transform(grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"))
+      .withColumn("stray", size(array_except(col("sel"), col("all_h"))))
+    assert(df.filter(col("stray") =!= 0).count() == 0)
+  }
+
+  test("salt column stays in range for any salt count") {
+    for (salts <- Seq(1, 2, 7, 32)) {
+      val df = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 500).toDF("v")
+        .select(Skew.saltColumn(salts, col("v")).as("s"))
+      assert(df.filter(col("s") < 0 || col("s") >= salts).count() == 0)
+    }
+  }
+}
