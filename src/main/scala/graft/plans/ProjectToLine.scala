@@ -96,15 +96,5 @@ object ProjectToLine {
         org.apache.spark.sql.GraftBridge.expression(line)))
 }
 
-/** SparkSessionExtensions hook: registers `project_to_line` as a SQL
-  * function — `spark.sql.extensions=graft.plans.GraftExtensions`.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("project_to_line"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[ProjectToLine].getName, "project_to_line"),
-        (children: Seq[Expression]) => ProjectToLine(children(0), children(1))))
-  }
-}
+// SQL registration for this and every other native kernel lives in
+// graft.plans.GraftExtensions (its own file).

@@ -213,6 +213,25 @@ class TextKernelsSpec extends SparkTestBase {
     assert(bad == 0, s"$bad docs diverge")
   }
 
+  test("kernels are callable from SQL via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT norm_text('  Hi, There!! ') AS n,
+        |  simhash16(norm_text('hello world')) AS sh,
+        |  time_to_sec(sec_to_time(90600)) AS rt,
+        |  md5_prefix32('token', 7) AS h32,
+        |  count_in_vocab('the cat the', 'the', 'a') AS civ,
+        |  size(winnow('abcdefghijklmno', 8, 4)) AS nw,
+        |  minhash_shingles('a b c d', 2, 3).n AS nsh
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("n") == "hi there")
+    assert(r.getAs[Int]("rt") == 90600)
+    assert(r.getAs[Int]("civ") == 2)
+    assert(r.getAs[Int]("nsh") == 2)
+    assert(r.getAs[Int]("nw") >= 1)
+    assert(!r.isNullAt(r.fieldIndex("sh")) && !r.isNullAt(r.fieldIndex("h32")))
+  }
+
   test("CountInVocab counts occurrences without dedup on real documents") {
     val vocab = Seq("the", "and", "of", "to", "in")
     val m = array(vocab.map(lit): _*)
