@@ -40,16 +40,18 @@ object Bench {
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try run(name, fn) catch { case _: Throwable => () }
+        try run(name, fn) catch { case _: Throwable => failed = true }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop any cache the query built for itself so every pass (and
         // the next query) starts cold — no pass measures a cache hit
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      // a throwing query must read as broken (-1), not as a fast success
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -105,8 +105,11 @@ object Dedup {
     // window, no aggregation shuffle anywhere before the band joins.
     // cache: the frame feeds both sides of every band join plus two
     // id-joins — Spark's ReuseExchange can't dedupe them (attribute ids
-    // differ per branch), so without caching the kernel runs 6×.
-    // (At extreme scale, materialize to storage instead.)
+    // differ per branch), so without caching the kernel runs 6×. The
+    // cache is NOT unpersisted here (the returned frame is lazy and still
+    // references it); long-lived sessions should spark.catalog.clearCache
+    // or unpersist after materializing. (At extreme scale, materialize to
+    // storage instead.)
     val ms = graft.plans.MinHashShingles
       .minhashShingles(text.normText(col(textCol)), k, shingleN)
     val per = docs.select(col(idCol), ms.as("__ms"))
@@ -143,9 +146,13 @@ object Dedup {
     * count and shuffles them back by doc id just to re-aggregate).
     */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      graft.plans.SimHash16.simhash16(text.normText(col(textCol)))
-        .as("simhash"))
+    // null-text docs are dropped, as the exploded pipeline did implicitly
+    // (explode of a null token array emits no rows) and as the d03 oracle
+    // does (unnest over a null split)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.plans.SimHash16.simhash16(text.normText(col(textCol)))
+          .as("simhash"))
 
   /** Near-dup pairs by SimHash: bucket by each signature byte (a pair with
     * hamming distance ≤ maxHamming on 16 bits shares at least one byte when

@@ -24,6 +24,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1)
+    // right/full outer are NOT salt-replicable: an unmatched small-side
+    // key would surface once per salt replica (salts× duplicate rows).
+    val ok = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
     val replicated = small

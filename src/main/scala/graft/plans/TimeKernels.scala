@@ -60,18 +60,30 @@ case class TimeToSec(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "time_to_sec"
 
-  override protected def nullSafeEval(v: Any): Any =
-    TimeKernels.timeToSec(v.asInstanceOf[UTF8String])
+  // NULL input parses to 0, like the `when(rlike...).otherwise(0)` form it
+  // replaced (a null predicate falls through to the otherwise branch) —
+  // the reference's parse_time treats anything non-time-shaped as 0.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Int.box(0)
+    else TimeKernels.timeToSec(v.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val boxed = ctx.freshName("boxed")
-      s"""
-       Integer $boxed = graft.plans.TimeKernels.timeToSec($c);
-       if ($boxed == null) { ${ev.isNull} = true; }
-       else { ${ev.value} = $boxed.intValue(); }
-       """
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    ev.copy(code = c.code +
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(Seq(
+        s"""
+         boolean ${ev.isNull} = false;
+         int ${ev.value} = 0;
+         if (!${c.isNull}) {
+           Integer $boxed = graft.plans.TimeKernels.timeToSec(${c.value});
+           if ($boxed == null) { ${ev.isNull} = true; }
+           else { ${ev.value} = $boxed.intValue(); }
+         }
+         """), Seq.empty))
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TimeToSec =
     copy(child = newChild)

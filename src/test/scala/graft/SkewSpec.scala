@@ -23,6 +23,23 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched rows") {
+    val big = t.orders.select(col("o_custkey").as("c_custkey"))
+    val small = t.customer.select("c_custkey", "c_mktsegment")
+    for (jt <- Seq("right", "full", "full_outer"))
+      assertThrows[IllegalArgumentException](
+        Skew.saltedJoin(big, small, "c_custkey", 7, jt))
+  }
+
+  test("simhash16 drops null-text docs like the exploded pipeline did") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhash16(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(!out.head.isNullAt(1))
+  }
+
   test("skewSafeDistinctCount equals countDistinct") {
     val plain = t.lineitem.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n_distinct"))

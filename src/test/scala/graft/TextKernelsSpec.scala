@@ -153,6 +153,12 @@ class TextKernelsSpec extends SparkTestBase {
     val big = Seq("99999999999:00").toDF("t")
       .select(graft.plans.TimeKernels.timeToSec(col("t")).as("v")).collect()
     assert(big.head.isNullAt(0))
+
+    // NULL input parses to 0 like when(rlike).otherwise(0) did (null
+    // predicate -> otherwise branch) — the reference parse_time tolerance
+    val nul = Seq(Tuple1[String](null)).toDF("t")
+      .select(graft.plans.TimeKernels.timeToSec(col("t")).as("v")).collect()
+    assert(!nul.head.isNullAt(0) && nul.head.getInt(0) == 0)
   }
 
   test("SimHash16 kernel equals the exploded vote pipeline on documents") {
