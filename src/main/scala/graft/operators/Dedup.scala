@@ -138,6 +138,41 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup candidate pairs: every member is
+    * labeled with the smallest doc id reachable through the pair graph
+    * (the canonical "keeper" of its duplicate cluster). Frontier-based
+    * min-label propagation — the same delta-iteration shape as
+    * graph.Routing: per round, only nodes whose label improved push to
+    * their neighbors; an empty frontier is convergence. Rounds are
+    * bounded by the cluster diameter, which is small for near-dup graphs.
+    * Input: (a, b) pairs. Output: (member, cluster).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var frontier = labels
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), col("label"))
+        .groupBy("node").agg(min("label").as("label"))
+      val imp = cand.join(
+          labels.select(col("node").as("lnode"), col("label").as("cur")),
+          col("node") === col("lnode"), "left")
+        .filter(col("label") < col("cur"))
+        .select("node", "label").localCheckpoint()
+      labels = labels.join(imp.select(col("node").as("inode")),
+          col("node") === col("inode"), "left_anti")
+        .unionByName(imp).localCheckpoint()
+      frontier = imp
+      i += 1
+    }
+    labels.select(col("node").as("member"), col("label").as("cluster"))
+  }
+
   /** 16-bit SimHash per document: bit b is the majority vote of bit b over
     * the 16-bit md5-derived hashes of all (non-distinct) tokens. A single
     * per-row codegen kernel (graft.plans.SimHash16) — no explode, no

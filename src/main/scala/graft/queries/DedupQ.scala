@@ -38,6 +38,16 @@ object DedupQ extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // Duplicate clusters: connected components over the LSH candidate
+    // pairs, labeled by the smallest member id (the keeper).
+    "d06_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(Tables(s, dir).documents,
+          "doc_id", "text", k = 8, bands = 2, shingleN = 3)
+        .select(col("a"), col("b"))
+      Dedup.dupClusters(pairs)
+        .orderBy(col("cluster"), col("member"))
+    },
+
     // Embedding-cosine near-dup with label blocking (blocked all-pairs
     // inside each label bucket only).
     "d05_embedding_top_pairs" -> { (s, dir) =>
@@ -63,6 +73,31 @@ object DedupQ extends QueryPack {
        |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
        |sh AS (SELECT doc_id, ${shingles3Sql()} AS sh FROM w WHERE len(w) >= 3)""".stripMargin
 
+  /** Full MinHash-LSH candidate chain up to `j` (pairs + set sizes) —
+    * shared by d02 (jaccard output) and d06 (cluster output).
+    */
+  private val lshCtes: String = {
+    val sigCols = (1 to 8).map { j =>
+      s"list_min([${saltedHash32Sql("x", j)} FOR x IN sh]) AS m$j"
+    }.mkString(",\n  ")
+    s"""$shingleCtes,
+       |sig AS (SELECT doc_id, sh, $sigCols FROM sh),
+       |banded AS (SELECT doc_id, sh,
+       |  md5(concat_ws(',', m1, m2, m3, m4)) AS band0,
+       |  md5(concat_ws(',', m5, m6, m7, m8)) AS band1 FROM sig),
+       |cands AS (
+       | SELECT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+       | FROM banded l JOIN banded r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+       | UNION
+       | SELECT l.doc_id, r.doc_id, l.sh, r.sh
+       | FROM banded l JOIN banded r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+       |j AS (
+       | SELECT a, b,
+       |  len(list_filter(list_distinct(sha), x -> list_contains(list_distinct(shb), x))) AS inter,
+       |  len(list_distinct(sha)) AS la, len(list_distinct(shb)) AS lb
+       | FROM cands)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "d01_exact_dedup_groups" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
@@ -70,30 +105,25 @@ object DedupQ extends QueryPack {
          | count(*) AS n_copies
          |FROM n GROUP BY md5(norm) ORDER BY keeper""".stripMargin,
 
-    "d02_minhash_lsh_pairs" -> {
-      val sigCols = (1 to 8).map { j =>
-        s"list_min([${saltedHash32Sql("x", j)} FOR x IN sh]) AS m$j"
-      }.mkString(",\n  ")
-      s"""$shingleCtes,
-         |sig AS (SELECT doc_id, sh, $sigCols FROM sh),
-         |banded AS (SELECT doc_id, sh,
-         |  md5(concat_ws(',', m1, m2, m3, m4)) AS band0,
-         |  md5(concat_ws(',', m5, m6, m7, m8)) AS band1 FROM sig),
-         |cands AS (
-         | SELECT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
-         | FROM banded l JOIN banded r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
-         | UNION
-         | SELECT l.doc_id, r.doc_id, l.sh, r.sh
-         | FROM banded l JOIN banded r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
-         |j AS (
-         | SELECT a, b,
-         |  len(list_filter(list_distinct(sha), x -> list_contains(list_distinct(shb), x))) AS inter,
-         |  len(list_distinct(sha)) AS la, len(list_distinct(shb)) AS lb
-         | FROM cands)
+    "d02_minhash_lsh_pairs" ->
+      s"""$lshCtes
          |SELECT a, b,
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
-         |FROM j ORDER BY a, b""".stripMargin
-    },
+         |FROM j ORDER BY a, b""".stripMargin,
+
+    // connected components over the candidate pairs via a recursive CTE:
+    // each node reaches out along (undirected) pair edges; its cluster is
+    // the minimum reachable id.
+    "d06_dup_clusters" ->
+      s"""${lshCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pe AS (SELECT a AS src, b AS dst FROM j
+         |       UNION SELECT b, a FROM j),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node)
+         |SELECT node AS member, MIN(r) AS cluster
+         |FROM reach GROUP BY node ORDER BY cluster, member""".stripMargin,
 
     "d03_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
 

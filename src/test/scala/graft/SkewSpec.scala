@@ -57,6 +57,17 @@ class SkewSpec extends SparkTestBase {
     assert(df.filter(col("s1") < 0 || col("s1") >= 5).count() == 0)
   }
 
+  test("dupClusters labels transitive chains with the smallest member") {
+    import spark.implicits._
+    // chain 5-3-9, pair (2,8), singleton edge (7,7)? no: (1,4) separate
+    val pairs = Seq((5L, 3L), (9L, 5L), (2L, 8L), (1L, 4L))
+      .toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      2L -> 2L, 8L -> 2L, 1L -> 1L, 4L -> 1L))
+  }
+
   test("LSH bucket cap drops only oversized-bucket pairs") {
     val docs = t.documents
     val all = Dedup.minhashLshPairs(docs, "doc_id", "text")
