@@ -164,9 +164,13 @@ object Dedup {
           col("node") === col("lnode"), "left")
         .filter(col("label") < col("cur"))
         .select("node", "label").localCheckpoint()
+      // labels stays lazy over checkpointed leaves (initial set + each
+      // round's imp): rounds are bounded by cluster diameter, so the
+      // anti-join chain stays shallow and we skip a per-round
+      // materialization job
       labels = labels.join(imp.select(col("node").as("inode")),
           col("node") === col("inode"), "left_anti")
-        .unionByName(imp).localCheckpoint()
+        .unionByName(imp)
       frontier = imp
       i += 1
     }
