@@ -80,6 +80,9 @@ object Routing {
         .filter(col("sdist").isNull || col("dist_m") < col("sdist"))
         .select("node", "dist_m", "prev", "prev_route")
         .localCheckpoint()
+      // dist is materialized per round: the next round's improvement
+      // filter joins against it, so a lazy chain would re-execute every
+      // prior round's anti-join each iteration (measured slower here)
       dist = dist.join(imp.select(col("node").as("inode")),
           col("node") === col("inode"), "left_anti")
         .unionByName(imp)
