@@ -8,9 +8,9 @@ import graft.operators.Sessionize
 /** Event-stream batch operators: sessionization (gap-based), tumbling-
   * window rollups (the batch equivalent of the streaming job in
   * graft.streaming), JSON prop extraction, and the order-sensitive
-  * min-spacing sweep (Tegallega W7 — typed fold, oracle-free by design:
-  * the keep/drop decision depends on the last KEPT row, which SQL window
-  * functions cannot express).
+  * min-spacing sweep (Tegallega W7 — typed fold; no window function can
+  * express it, but a row-at-a-time recursive CTE carrying the last-kept
+  * timestamp per user oracles it exactly).
   */
 object EventsQ extends QueryPack {
 
@@ -74,7 +74,26 @@ object EventsQ extends QueryPack {
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
 
-    // e03_min_spacing_sweep: intentionally no oracle (sequential fold).
+    // The sequential keep/drop fold, mirrored as a recursive CTE that
+    // steps one row per user per iteration (rn = rn+1), carrying the
+    // last-kept timestamp — recursion depth = max rows per user (≤86 at
+    // sf0.01), total state = one row per event.
+    "e03_min_spacing_sweep" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |walk(user_id, rn, ts_us, event_id, last_kept, kept) AS (
+        |  SELECT user_id, rn, ts_us, event_id, ts_us, true FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.ts_us, o.event_id,
+        |    CASE WHEN o.ts_us - w.last_kept >= 60000000
+        |         THEN o.ts_us ELSE w.last_kept END,
+        |    o.ts_us - w.last_kept >= 60000000
+        |  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+        |SELECT user_id, ts_us, event_id FROM walk WHERE kept
+        |ORDER BY user_id, ts_us""".stripMargin,
 
     "e04_json_props_rollup" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -33,8 +33,9 @@ object GraphQ extends QueryPack {
     },
 
     "r02_sssp_distances" -> { (s, dir) =>
-      // Weighted SSSP — rows-only check (no tractable SQL oracle); the
-      // Dijkstra fixture spec proves the semantics.
+      // Weighted SSSP — oracled against a hop-bounded recursive-CTE walk
+      // with min-dist aggregation (shortest paths are simple, so ≤24 hops
+      // covers every optimum on the 25-node graph).
       Routing.sssp(syntheticEdges(s, dir), "0", maxIter = 25)
         .select(col("node"), round(col("dist_m"), 6).as("dist"))
         .orderBy(col("node"))
@@ -55,6 +56,26 @@ object GraphQ extends QueryPack {
         |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.hops < 25)
         |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // Weighted SSSP: enumerate every ≤25-hop walk from the source (UNION
+    // dedups on (node, dist, hops) so the state stays tiny on 25 nodes),
+    // then min-dist per node = Dijkstra's answer.
+    "r02_sssp_distances" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS src,
+        |         CAST((n_nationkey*7+3)%25 AS VARCHAR) AS dst,
+        |         CAST((n_nationkey%5)+1 AS DOUBLE) AS w FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS VARCHAR),
+        |         CAST((n_nationkey*11+5)%25 AS VARCHAR),
+        |         CAST((n_nationkey%3)+1 AS DOUBLE) FROM nation),
+        |walk(node, d, hops) AS (
+        |  SELECT '0', CAST(0 AS DOUBLE), 0
+        |  UNION
+        |  SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hops < 25)
+        |SELECT node, round(MIN(d), 6) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -9,7 +9,8 @@ import graft.multimodal.Multimodal
   * bytes stand in for opaque media blobs (the container ships no codecs —
   * see graft.multimodal). m01 is oracle-checked (byte length + digest over
   * the binary column); m02 exercises the batched partition-decode plumbing
-  * with the deterministic stub codec (rows-only check by design).
+  * with the deterministic stub codec, oracled by replaying the codec's
+  * 64-bit hash fold in SQL (HUGEINT arithmetic mod 2^64).
   */
 object MediaQ extends QueryPack {
 
@@ -42,6 +43,44 @@ object MediaQ extends QueryPack {
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         | md5(lower(hex(encode(text)))) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact SQL replay of StubCodec.sniff: fold h = 31*h + signed_byte
+    // over the first 64 bytes with Java-long wraparound (HUGEINT mod
+    // 2^64, re-signed at the end), then the same format/width/height
+    // arithmetic (Java % and / truncate toward zero; operands are
+    // abs()'d first so DuckDB's // agrees).
+    "m02_stub_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS blob FROM documents),
+        |hx AS (
+        |  SELECT doc_id, CAST(octet_length(blob) AS INT) AS n,
+        |         lower(hex(blob)) AS h FROM b),
+        |bytes AS (
+        |  SELECT doc_id, n,
+        |    [ (16*(strpos('0123456789abcdef', h[2*i-1:2*i-1]) - 1)
+        |       + (strpos('0123456789abcdef', h[2*i:2*i]) - 1)) % 256
+        |      FOR i IN range(1, least(n, 64)+1) ] AS bs
+        |  FROM hx),
+        |hashed AS (
+        |  SELECT doc_id, n,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        [CAST(CASE WHEN x >= 128 THEN x - 256 ELSE x END AS HUGEINT)
+        |         FOR x IN bs]),
+        |      (acc, x) -> ((31*acc + x) % 18446744073709551616
+        |                   + 18446744073709551616) % 18446744073709551616
+        |    ) AS hu
+        |  FROM bytes),
+        |signedh AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN hu >= 9223372036854775808
+        |         THEN hu - 18446744073709551616 ELSE hu END AS hs
+        |  FROM hashed)
+        |SELECT doc_id, n AS byte_len,
+        |  (['jpeg','png','webp'])[CAST(((hs % 3) + 3) % 3 AS INT) + 1] AS format,
+        |  CAST((abs(hs) // 7) % 1920 + 1 AS INT) AS width,
+        |  CAST((abs(hs) // 13) % 1080 + 1 AS INT) AS height
+        |FROM signedh ORDER BY doc_id""".stripMargin
   )
 }
