@@ -19,6 +19,18 @@ import graft.functions.geo
   */
 object Routing {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Warn when an iterative loop hit its round bound with work left —
+    * partial distances are otherwise indistinguishable from converged
+    * output (the frontier is localCheckpoint'd, so the check is cheap).
+    */
+  private def warnIfTruncated(what: String, frontier: DataFrame,
+                              rounds: Int, maxIter: Int): Unit =
+    if (rounds >= maxIter && !frontier.isEmpty)
+      log.warn(s"$what stopped at maxIter=$maxIter with a non-empty frontier; " +
+        "results are partial — raise maxIter")
+
   /** G1/W9: consecutive-stop edges per route with haversine-m weights
     * (index.html:127-140). Input: (route_id, position, stop_id, lon, lat).
     * Output: directed edges (src, dst, route_id, weight_m).
@@ -52,8 +64,10 @@ object Routing {
   def sssp(edges: DataFrame, sourceId: String, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // localCheckpoint, not cache: reused every round, freed with the result
+    // by the ContextCleaner instead of pinning a CacheManager entry
     val e = edges.select(col("src"), col("dst"), col("route_id"),
-      col("weight_m").cast("double")).cache()
+      col("weight_m").cast("double")).localCheckpoint()
     // Delta/frontier iteration: each round relaxes only edges out of nodes
     // improved in the previous round, not the whole settled set — at scale
     // the frontier is a vanishing fraction of V once the wave passes, and
@@ -90,23 +104,52 @@ object Routing {
       frontier = imp
       i += 1
     }
+    warnIfTruncated("sssp", frontier, i, maxIter)
     dist
   }
 
-  /** G4: unwind the predecessor chain into the (tiny) path — driver-side,
-    * like the reference's result rendering (index.html:180-193).
+  /** G4 path rows, fully distributed: backtrack the predecessor chain from
+    * the target with an iterative broadcast join against the settled
+    * distance set — one round per hop, each round joining a single-row
+    * frontier (broadcast) against `dist`, so the driver never holds more
+    * than the path itself. Returns only the path's rows
+    * (node, dist_m, prev, prev_route); empty if the target is unreachable.
+    */
+  def shortestPathFrame(edges: DataFrame, sourceId: String, targetId: String,
+                        maxIter: Int = 50): DataFrame = {
+    val dist = sssp(edges, sourceId, maxIter) // already localCheckpoint'd
+    var path = dist.filter(col("node") === targetId).localCheckpoint()
+    var frontier = path
+    // ≤ path-length rounds: each step hops to the frontier row's `prev`.
+    // The frontier is one row, so Spark broadcasts it and each round is a
+    // single pass over the materialized dist set — no O(V) driver collect.
+    var hops = 0
+    while (hops <= maxIter && !frontier.filter(col("prev").isNotNull).isEmpty) {
+      val next = broadcast(frontier.filter(col("prev").isNotNull)
+        .select(col("prev").as("pnode")).distinct())
+      frontier = dist.join(next, dist("node") === col("pnode"))
+        .drop("pnode").localCheckpoint()
+      path = path.unionByName(frontier)
+      hops += 1
+    }
+    path
+  }
+
+  /** G4: the ordered path, like the reference's result rendering
+    * (index.html:180-193). Collects ONLY the O(path-length) rows of
+    * [[shortestPathFrame]] and unwinds them driver-side.
     */
   def shortestPath(edges: DataFrame, sourceId: String, targetId: String,
                    maxIter: Int = 50): Seq[(String, Option[String], Double)] = {
-    val dist = sssp(edges, sourceId, maxIter)
+    val byNode = shortestPathFrame(edges, sourceId, targetId, maxIter)
       .select("node", "dist_m", "prev", "prev_route").collect()
       .map(r => r.getString(0) ->
         (Option(r.getString(2)), Option(r.getString(3)), r.getDouble(1))).toMap
-    if (!dist.contains(targetId)) return Seq.empty
+    if (!byNode.contains(targetId)) return Seq.empty
     val path = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String], Double)]
     var cur: Option[String] = Some(targetId)
     while (cur.isDefined) {
-      val (prev, route, d) = dist(cur.get)
+      val (prev, route, d) = byNode(cur.get)
       path.prepend((cur.get, route, d))
       cur = prev
     }
@@ -119,7 +162,7 @@ object Routing {
   def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst")).cache()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     // Frontier BFS: in an unweighted graph a node's first discovery is its
     // final hop count, so each round only expands last round's discoveries
     // and drops anything already settled (left_anti). Empty frontier =
@@ -138,6 +181,7 @@ object Routing {
       frontier = next
       i += 1
     }
+    warnIfTruncated("bfsHops", frontier, i, maxIter)
     dist
   }
 }

@@ -86,8 +86,10 @@ object Dedup {
     * candidate-pair explosion on one reducer. Dropping is a coverage
     * trade-off the caller opts into; pairs inside oversized buckets are
     * NOT emitted (callers should record the cap in their run metadata).
+    * Public: the same guard protects any blocked self-join (e.g. the
+    * label-blocked embedding near-dup in queries.DedupQ).
     */
-  private def capBuckets(df: DataFrame, keyCol: String, cap: Option[Int]): DataFrame =
+  def capBuckets(df: DataFrame, keyCol: String, cap: Option[Int]): DataFrame =
     cap.fold(df) { m =>
       val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= m)
@@ -103,13 +105,14 @@ object Dedup {
     // One per-row kernel pass (graft.plans.MinHashShingles) produces BOTH
     // the k signature mins and the distinct shingle set — no explode, no
     // window, no aggregation shuffle anywhere before the band joins.
-    // cache: the frame feeds both sides of every band join plus two
-    // id-joins — Spark's ReuseExchange can't dedupe them (attribute ids
-    // differ per branch), so without caching the kernel runs 6×. The
-    // cache is NOT unpersisted here (the returned frame is lazy and still
-    // references it); long-lived sessions should spark.catalog.clearCache
-    // or unpersist after materializing. (At extreme scale, materialize to
-    // storage instead.)
+    // localCheckpoint (not cache): the frame feeds both sides of every
+    // band join plus two id-joins — Spark's ReuseExchange can't dedupe
+    // them (attribute ids differ per branch), so without materializing the
+    // kernel runs 6×. Checkpoint blocks are owned by the RDD and freed by
+    // the ContextCleaner once the result is no longer referenced; a
+    // CacheManager entry would outlive the call until an explicit
+    // unpersist, accreting in long-lived sessions. (At extreme scale,
+    // materialize to storage instead.)
     val ms = graft.plans.MinHashShingles
       .minhashShingles(text.normText(col(textCol)), k, shingleN)
     val per = docs.select(col(idCol), ms.as("__ms"))
@@ -120,7 +123,7 @@ object Dedup {
             .map(j => col("__ms.mins").getItem(j - 1))
           md5(concat_ws(",", cols: _*)).as(s"band$b")
         }: _*)
-      .cache()
+      .localCheckpoint()
     val cands = (0 until bands).map { b =>
       val keyed = capBuckets(
         per.select(col(idCol), col(s"band$b").as("k")), "k", maxBucketSize)
@@ -148,9 +151,11 @@ object Dedup {
     * Input: (a, b) pairs. Output: (member, cluster).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // localCheckpoint, not cache: reused every round, freed by GC with the
+    // result instead of living in the CacheManager until unpersist
     val e = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint()
     var frontier = labels
@@ -174,6 +179,10 @@ object Dedup {
       frontier = imp
       i += 1
     }
+    if (i >= maxIter && !frontier.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters stopped at maxIter=$maxIter with a non-empty frontier; " +
+          "labels are partial — raise maxIter")
     labels.select(col("node").as("member"), col("label").as("cluster"))
   }
 
@@ -193,25 +202,37 @@ object Dedup {
         graft.plans.SimHash16.simhash16(text.normText(col(textCol)))
           .as("simhash"))
 
-  /** Near-dup pairs by SimHash: bucket by each signature byte (a pair with
-    * hamming distance ≤ maxHamming on 16 bits shares at least one byte when
-    * maxHamming < 8·…; standard banding argument), then exact hamming
-    * filter. Output (a, b, hamming).
+  /** Near-dup pairs by SimHash: band the 16-bit signature into 4 nibbles —
+    * a pair with hamming distance ≤ 3 differs in at most 3 nibbles, so by
+    * pigeonhole it collides on at least one of the 4 nibble buckets
+    * (recall is guaranteed for maxHamming < number of bands; larger
+    * maxHamming values trade recall for fewer joins). Exact hamming filter
+    * after the bucket joins. Output (a, b, hamming).
+    *
+    * Scale note: 4-bit bands mean only 16 bucket values per band, so
+    * bucket sizes grow linearly with the corpus — a 16-bit signature is a
+    * demonstration size. At production scale use a wider signature (64-bit
+    * with 16-bit bands keeps the same guarantee at hamming ≤ 3) and/or
+    * `maxBucketSize` to cap the per-bucket join.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucketSize: Option[Int] = None): DataFrame = {
     val sim = simhash16(docs, idCol, textCol)
-    // Candidate generation = one equi-join per signature byte, unioned.
-    // An OR of the two byte-equalities in a single join predicate has no
+    // Candidate generation = one equi-join per nibble band, unioned.
+    // An OR of the band-equalities in a single join predicate has no
     // equi-join keys, so Spark would fall back to a nested-loop join —
     // O(docs²) comparisons; the per-band equi-joins shuffle-hash on the
-    // byte value instead (same banding as minhashLshPairs).
+    // nibble value instead (same banding as minhashLshPairs).
+    // localCheckpoint, not cache: feeds both sides of all 4 joins; freed
+    // by GC with the result (see minhashLshPairs).
     val withBytes = sim
-      .withColumn("hi", shiftright(col("simhash"), 8))
-      .withColumn("lo", col("simhash").bitwiseAND(lit(0xff)))
-      .cache()
-    val cands = Seq("hi", "lo").map { byteCol =>
+      .withColumn("n0", shiftright(col("simhash"), 12).bitwiseAND(lit(0xf)))
+      .withColumn("n1", shiftright(col("simhash"), 8).bitwiseAND(lit(0xf)))
+      .withColumn("n2", shiftright(col("simhash"), 4).bitwiseAND(lit(0xf)))
+      .withColumn("n3", col("simhash").bitwiseAND(lit(0xf)))
+      .localCheckpoint()
+    val cands = Seq("n0", "n1", "n2", "n3").map { byteCol =>
       val keyed = capBuckets(
         withBytes.select(col(idCol), col("simhash"), col(byteCol).as("k")),
         "k", maxBucketSize)

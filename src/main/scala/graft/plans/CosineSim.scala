@@ -34,12 +34,24 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // mismatched-length inputs yield null even when both children are
+  // non-null (matching the HOF pipeline, where zip_with's null padding
+  // poisons the fold)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else CosineSim.kernel(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.CosineSim.kernel($a, $b);")
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.CosineSim.kernel($a, $b);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -48,9 +60,12 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
 
-  /** Sequential left-fold dot/norms — same FP order as the HOF pipeline. */
+  /** Sequential left-fold dot/norms — same FP order as the HOF pipeline.
+    * Callers guarantee equal lengths (the expression returns null for
+    * mismatches before reaching the kernel).
+    */
   def kernel(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

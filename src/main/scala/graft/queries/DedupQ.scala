@@ -49,10 +49,15 @@ object DedupQ extends QueryPack {
     },
 
     // Embedding-cosine near-dup with label blocking (blocked all-pairs
-    // inside each label bucket only).
+    // inside each label bucket only). Blocks larger than 1000 vectors are
+    // dropped via Dedup.capBuckets — the same hot-bucket guard as LSH:
+    // one runaway label would otherwise put a quadratic pair explosion on
+    // a single reducer. (All testdata blocks are ≤ ~220 rows, so the cap
+    // is semantics-neutral here; the oracle mirrors it.)
     "d05_embedding_top_pairs" -> { (s, dir) =>
       import graft.functions.vectors
-      val e = Tables(s, dir).embeddings
+      val e = Dedup.capBuckets(Tables(s, dir).embeddings, "label",
+        cap = Some(1000))
       val l = e.select(col("vec_id").as("a"), col("label"),
         col("embedding").as("ea"))
       val r = e.select(col("vec_id").as("b"), col("label"),
@@ -127,23 +132,30 @@ object DedupQ extends QueryPack {
 
     "d03_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
 
+    // Mirrors the 4-nibble banding (guaranteed recall at hamming ≤ 3).
     "d04_simhash_pairs" ->
       s"""$simhashSql,
-         |by AS (SELECT doc_id, simhash, simhash // 256 AS hi,
-         |        simhash % 256 AS lo FROM sim),
+         |by AS (SELECT doc_id, simhash,
+         |        simhash // 4096 % 16 AS q0, simhash // 256 % 16 AS q1,
+         |        simhash // 16 % 16 AS q2, simhash % 16 AS q3 FROM sim),
          |cands AS (
          | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
          |  l.simhash AS simA, r.simhash AS simB
          | FROM by l JOIN by r
-         |  ON (l.hi = r.hi OR l.lo = r.lo) AND l.doc_id < r.doc_id)
+         |  ON (l.q0 = r.q0 OR l.q1 = r.q1 OR l.q2 = r.q2 OR l.q3 = r.q3)
+         |     AND l.doc_id < r.doc_id)
          |SELECT a, b, CAST(bit_count(xor(simA, simB)) AS INT) AS hamming
          |FROM cands WHERE bit_count(xor(simA, simB)) <= 3
          |ORDER BY a, b""".stripMargin,
 
+    // Mirrors the 1000-row block cap (labels above it are dropped).
     "d05_embedding_top_pairs" ->
-      s"""SELECT l.label AS label, l.vec_id AS a, r.vec_id AS b,
+      s"""WITH ok AS (SELECT label FROM embeddings
+         |            GROUP BY label HAVING count(*) <= 1000),
+         |e AS (SELECT * FROM embeddings WHERE label IN (SELECT label FROM ok))
+         |SELECT l.label AS label, l.vec_id AS a, r.vec_id AS b,
          | round(${cosineSql("l.embedding::DOUBLE[]", "r.embedding::DOUBLE[]")}, 4) AS cos4
-         |FROM embeddings l JOIN embeddings r
+         |FROM e l JOIN e r
          | ON l.label = r.label AND l.vec_id < r.vec_id
          |ORDER BY cos4 DESC, a, b LIMIT 20""".stripMargin
   )

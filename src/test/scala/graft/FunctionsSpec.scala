@@ -79,6 +79,14 @@ class FunctionsSpec extends SparkTestBase {
       .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("cosine of mismatched-length vectors is null (HOF parity)") {
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(vectors.cosine(col("a"), col("b")).as("c"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("lerp endpoints and midpoint") {
     val r = Seq((0.0, 10.0)).toDF("a", "b")
       .select(geo.lerp(col("a"), col("b"), lit(0.0)),

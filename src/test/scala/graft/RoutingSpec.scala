@@ -33,6 +33,13 @@ class RoutingSpec extends SparkTestBase {
     assert(Routing.shortestPath(fixtureEdges, "D", "A").isEmpty)
   }
 
+  test("shortestPathFrame carries only the path's rows, not all of V") {
+    val f = Routing.shortestPathFrame(fixtureEdges, "A", "D")
+    // 5 nodes are reachable from A, but only A→C→D is on the path: the
+    // frame (the only thing shortestPath collects) must be O(path length)
+    assert(f.select("node").as[String].collect().toSet == Set("A", "C", "D"))
+  }
+
   test("bfsHops matches hop-count semantics") {
     val h = Routing.bfsHops(fixtureEdges, "A", 10)
       .as[(String, Int)].collect().toMap

@@ -85,4 +85,21 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingJobs.contentHash(a) == StreamingJobs.contentHash(b))
     assert(StreamingJobs.contentHash(a) != StreamingJobs.contentHash(c))
   }
+
+  test("contentHash separates column boundaries and null from empty") {
+    // values shifting across column boundaries must change the hash
+    val ab = Seq(("ab", "")).toDF("x", "y")
+    val a_b = Seq(("a", "b")).toDF("x", "y")
+    assert(StreamingJobs.contentHash(ab) != StreamingJobs.contentHash(a_b))
+    // null is not the same content as empty string
+    val withNull = Seq((null.asInstanceOf[String], "z")).toDF("x", "y")
+    val withEmpty = Seq(("", "z")).toDF("x", "y")
+    assert(StreamingJobs.contentHash(withNull) !=
+      StreamingJobs.contentHash(withEmpty))
+    // a null moving between columns is a content change too
+    val nullLeft = Seq((null.asInstanceOf[String], "q")).toDF("x", "y")
+    val nullRight = Seq(("q", null.asInstanceOf[String])).toDF("x", "y")
+    assert(StreamingJobs.contentHash(nullLeft) !=
+      StreamingJobs.contentHash(nullRight))
+  }
 }
