@@ -124,6 +124,45 @@ object Extract {
         "lon", "lat", "is_real")
   }
 
+  /** K2 (train/bus flavor): stops.geojson for non-angkot modes with the
+    * node's OSM tags spread into the feature properties
+    * (update-routes.js:441-459): `{id, name, role, ...tags}` where a tag
+    * key overrides the base key (JS spread-last semantics — `name` always
+    * collides with `tags.name` when present, harmlessly, since the base
+    * value IS that tag). Properties render as a JSON object of strings
+    * (OSM tags are strings); features keep member order.
+    */
+  def taggedStopsGeojson(relations: DataFrame, nodes: DataFrame): DataFrame = {
+    val tagsMap = coalesce(col("tags"), expr("map()").cast("map<string,string>"))
+    val baseMap = map(
+      lit("id"), col("node_id").cast("string"),
+      lit("name"), coalesce(element_at(col("tags"), "name"), lit("Unknown")),
+      lit("role"), col("role"))
+    // spread-last merge without map_concat's duplicate-key exception:
+    // keep a base entry only when no tag shadows it
+    val props = map_concat(
+      map_filter(baseMap, (k, _) => !array_contains(map_keys(tagsMap), k)),
+      tagsMap)
+    orderedStops(relations, nodes)
+      .select(col("relation_id"), col("member_idx"),
+        struct(
+          lit("Feature").as("type"),
+          struct(lit("Point").as("type"),
+            array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
+          props.as("properties")).as("f"))
+      .groupBy(col("relation_id"))
+      .agg(collect_list(struct(col("member_idx").as("i"), col("f").as("f")))
+        .as("fs"))
+      .select(col("relation_id"),
+        to_json(struct(
+          lit("FeatureCollection").as("type"),
+          transform(
+            // comparator sort: structs holding maps aren't orderable, so
+            // sort_array can't be used — compare the ordinal field instead
+            array_sort(col("fs"), (a, b) => a.getField("i") - b.getField("i")),
+            x => x.getField("f")).as("features"))).as("stops_geojson"))
+  }
+
   /** K2: assemble per-relation GeoJSON FeatureCollections (ways + stops) as
     * JSON strings — one row per relation, writable with a text sink
     * (update-routes.js:398-417, 463-466).

@@ -38,6 +38,9 @@ object GtfsApp {
 
     if (hashes != previous) {
       GtfsWriter.writeAll(g, outDir)
+      // hand-maintained tables (fares, transfers) ride along with the
+      // generated ones, matching the reference's whole-dir zip
+      GtfsWriter.passThroughTables(s"$rootDir/gtfs", outDir)
       GtfsWriter.zipFeed(outDir, s"$outDir/gtfs.zip")
       java.nio.file.Files.createDirectories(hashFile.getParent)
       java.nio.file.Files.writeString(hashFile,

@@ -74,17 +74,26 @@ object GtfsWriter {
 
   /** Write one GTFS table to `dir/name` (header + rows, \r\n — the Python
     * csv module default line terminator).
+    *
+    * Each rendered line gets a trailing \r BEFORE the text sink appends
+    * its \n, so the \r\n terminator is written at render time and the part
+    * file's bytes are final: no post-hoc newline splitting, which would
+    * corrupt cells that legitimately contain quoted embedded newlines
+    * (quoted() supports them, csv.DictWriter writes them verbatim).
     */
   def writeTable(df: DataFrame, fields: Seq[String], dir: String, name: String): Unit = {
     val tmp = s"$dir/.tmp_$name"
-    render(df, fields).coalesce(1).write.mode("overwrite").text(tmp)
+    render(df, fields).select(concat(col("line"), lit("\r")).as("line"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
     val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
       .findFirst().orElseThrow()
     val out = Paths.get(dir, name)
-    val header = fields.mkString(",") + "\r\n"
-    val body = new String(Files.readAllBytes(part), "UTF-8")
-      .split("\n", -1).filter(_.nonEmpty).mkString("\r\n")
-    Files.write(out, (header + body + (if (body.isEmpty) "" else "\r\n")).getBytes("UTF-8"))
+    val header = (fields.mkString(",") + "\r\n").getBytes("UTF-8")
+    val body = Files.readAllBytes(part)
+    val bytes = new Array[Byte](header.length + body.length)
+    System.arraycopy(header, 0, bytes, 0, header.length)
+    System.arraycopy(body, 0, bytes, header.length, body.length)
+    Files.write(out, bytes)
     Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
   }
@@ -121,13 +130,37 @@ object GtfsWriter {
     }
   }
 
-  /** K5: zip the written feed (driver-side, feed is one-file-per-table). */
+  /** Copy the hand-maintained (non-generated) GTFS tables from the input
+    * feed dir into `outDir` — the reference zips its whole `gtfs/` dir
+    * (generate-gtfs.yml:40-43), so fare_attributes.txt / fare_rules.txt /
+    * transfers.txt ship with every feed even though no script writes them.
+    * Generically: every `.txt` not in FieldOrder passes through.
+    */
+  def passThroughTables(srcGtfsDir: String, outDir: String): Seq[String] = {
+    val src = Paths.get(srcGtfsDir)
+    if (!Files.isDirectory(src)) return Seq.empty
+    val copied = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.list(src).sorted().forEach { p =>
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && n.endsWith(".txt") && !FieldOrder.contains(n)) {
+        Files.copy(p, Paths.get(outDir, n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        copied += n
+      }
+    }
+    copied.toSeq
+  }
+
+  /** K5: zip the written feed (driver-side, feed is one-file-per-table).
+    * Only `.txt` tables are zipped — the feed dir may also hold the
+    * previous gtfs.zip and the .content_hashes gate file on re-runs.
+    */
   def zipFeed(gtfsDir: String, zipPath: String): Unit = {
     val zos = new java.util.zip.ZipOutputStream(
       new java.io.FileOutputStream(zipPath))
     try {
       Files.list(Paths.get(gtfsDir)).sorted().forEach { p =>
-        if (Files.isRegularFile(p)) {
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".txt")) {
           zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
           zos.write(Files.readAllBytes(p))
           zos.closeEntry()

@@ -161,6 +161,40 @@ class ExtractSpec extends SparkTestBase {
     assert(sj.selectExpr("features[0].properties.isReal").first.getBoolean(0))
   }
 
+  test("taggedStopsGeojson spreads OSM tags and round-trips into stopFeatures") {
+    val rels = spark.createDataFrame(
+      java.util.List.of(
+        Row(42L, java.util.List.of(
+          Row("node", 9L, "stop"), Row("node", 10L, "stop")))),
+      relSchema)
+    val nodes = spark.createDataFrame(
+      java.util.List.of(
+        Row(9L, 107.6, -6.9,
+          java.util.Map.of("name", "Stasiun A", "wheelchair", "yes",
+            "railway", "station")),
+        Row(10L, 107.7, -6.91, java.util.Map.of("name", "Stasiun B"))),
+      nodeSchema)
+    val docs = Extract.taggedStopsGeojson(rels, nodes).collect()
+    assert(docs.length == 1)
+    // write like the reference's per-route layout and re-read through the
+    // production scan: tags must survive into the pipeline's stop columns
+    val dir = java.nio.file.Files.createTempDirectory("tagged")
+    java.nio.file.Files.createDirectories(dir.resolve("42"))
+    java.nio.file.Files.writeString(dir.resolve("42/stops.geojson"),
+      docs(0).getAs[String]("stops_geojson"))
+    val back = graft.sources.GtfsSources.stopFeatures(spark, dir.toString)
+      .orderBy("feature_idx").collect()
+    assert(back.map(_.getAs[String]("stop_id")).toSeq == Seq("9", "10"))
+    assert(back.head.getAs[String]("stop_name") == "Stasiun A")
+    assert(back.head.getAs[String]("wheelchair") == "yes")
+    assert(back(1).getAs[String]("wheelchair") == null)
+    // tag spread is dynamic: un-modeled tags ride along in the JSON
+    val raw = spark.read.option("multiLine", "true")
+      .json(dir.resolve("42/stops.geojson").toString)
+    assert(raw.selectExpr("features[0].properties.railway")
+      .first.getString(0) == "station")
+  }
+
   test("golden replay: angkot route 3415464 virtual stops regenerate exactly") {
     val dir = "/root/reference/route-data/geojson/3415464"
     val (line, realStops, wantIdRole) = ujsonFree(dir)
