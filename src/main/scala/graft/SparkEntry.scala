@@ -17,7 +17,8 @@ object SparkEntry {
     VectorQ,
     EventsQ,
     GraphQ,
-    MediaQ
+    MediaQ,
+    ScaleQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -26,10 +26,56 @@ object GraphQ extends QueryPack {
         ((col("k") % 3) + 1).cast("double").as("weight_m")))
   }
 
+  /** A big graph derived from the fact tables (scale evidence for the
+    * frontier loops — ~600k directed edges at sf0.1): the bipartite
+    * customer–supplier graph, one undirected edge per distinct
+    * (o_custkey, l_suppkey) trading pair. Node ids are prefixed
+    * ("c123"/"s45") so the two key spaces can't collide.
+    */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Deterministic BFS source for [[tradeEdges]]: the smallest customer
+    * key that actually placed an order (1-value driver lookup).
+    */
+  private def tradeSource(s: SparkSession, dir: String): String =
+    "c" + Tables(s, dir).orders.agg(min(col("o_custkey"))).collect()(0).get(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bfs_hops" -> { (s, dir) =>
       Routing.bfsHops(syntheticEdges(s, dir), "0", maxIter = 25)
         .orderBy(col("node"))
+    },
+
+    // Frontier BFS at fact-table scale (the measured evidence that the
+    // iterative loop shape holds beyond the 25-node synthetic graph).
+    "r03_bfs_trade_graph" -> { (s, dir) =>
+      Routing.bfsHops(tradeEdges(s, dir), tradeSource(s, dir), maxIter = 10)
+        .orderBy(col("node"))
+    },
+
+    // Connected components on the same graph via the dupClusters
+    // frontier loop, rolled up to (cluster, n_members). Rows-only by
+    // necessity: a SQL oracle needs all-pairs reachability (the d06
+    // recursive-CTE pattern), which is quadratic in component size —
+    // intractable on a graph whose main component holds ~16k nodes.
+    // The loop's semantics are oracled at small scale by d06.
+    "r04_cc_trade_graph" -> { (s, dir) =>
+      val pairs = tradeEdges(s, dir)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+      graft.operators.Dedup.dupClusters(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
     },
 
     "r02_sssp_distances" -> { (s, dir) =>
@@ -76,6 +122,19 @@ object GraphQ extends QueryPack {
         |  SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.hops < 25)
         |SELECT node, round(MIN(d), 6) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "r03_bfs_trade_graph" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ee AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |walk(node, hops) AS (
+        |  SELECT 'c' || (SELECT min(o_custkey) FROM orders), 0
+        |  UNION
+        |  SELECT ee.dst, w.hops + 1 FROM walk w JOIN ee ON ee.src = w.node
+        |  WHERE w.hops < 10)
+        |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
         |GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Skew
+import graft.sources.Warehouse
+
+/** Scale-mitigation operators as driver-checkable queries: the salted
+  * equi-join and the bucketed-warehouse co-located join. Both are pure
+  * plan rewrites — the results must be IDENTICAL to the naive join, and
+  * that identity is exactly what the DuckDB oracle (which runs the naive
+  * SQL) verifies. Plan shape (salt fan-out, exchange-free SMJ) is pinned
+  * separately by SkewSpec / WarehouseSpec.
+  */
+object ScaleQ extends QueryPack {
+
+  /** Exact money cents — same convention as Relational.cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skew.saltedJoin over lineitem ⋈ supplier (supplier is small but the
+    // point is the rewrite, not the size): per-supplier-nation revenue.
+    // The oracle runs the unsalted join — hash equality proves the salt
+    // fan-out/replication changes nothing.
+    "s01_salted_supplier_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val big = t.lineitem.select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val small = t.supplier.select(col("s_suppkey").as("suppkey"),
+        col("s_nationkey"))
+      Skew.saltedJoin(big, small, "suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice")) *
+            (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
+            .as("revenue"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // Warehouse round-trip: bucket-write orders + customer by custkey,
+    // then join the bucketed tables (exchange-free SMJ per WarehouseSpec)
+    // and roll up per market segment. Writing inside the query makes the
+    // sink part of what the driver checks: a corrupted bucketed write
+    // would hash-mismatch.
+    "s02_bucketed_segment_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Warehouse.writeBucketed(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_wh_orders", "o_custkey", buckets = 8)
+      Warehouse.writeBucketed(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        "graft_wh_customer", "c_custkey", buckets = 8)
+      Warehouse.read(s, "graft_wh_orders")
+        .join(Warehouse.read(s, "graft_wh_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100)
+            .as("sum_total"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s01_salted_supplier_revenue" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000
+        |   AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "s02_bucketed_segment_rollup" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+        |   AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -18,10 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Warehouse {
 
   /** Write `df` as a bucketed (and optionally partitioned) managed parquet
-    * table. Re-running overwrites.
+    * table. Re-running overwrites — including across JVMs: the in-memory
+    * catalog forgets tables between sessions while the managed location
+    * survives on disk, and `saveAsTable` refuses an unregistered-but-
+    * existing location, so any stale directory is dropped first.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, partitionByCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
