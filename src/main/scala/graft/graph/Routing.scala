@@ -73,39 +73,45 @@ object Routing {
     // the frontier is a vanishing fraction of V once the wave passes, and
     // the per-round shuffle is O(frontier·out-degree), the Pregel shape.
     // An empty frontier IS convergence (no separate fingerprint job).
+    //
+    // ONE materialization per round: a single full-outer merge of the
+    // settled set with this round's best candidates replaces the previous
+    // left-join-filter + anti-join + union (which cost an extra shuffle
+    // AND an extra checkpoint job per round — a 25-35% wall-clock tax on
+    // overhead-bound loops, measured on r02/r03/r04). The next frontier
+    // is a filter over the checkpoint (free).
     var dist = Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
-      .toDF("node", "dist_m", "prev", "prev_route").localCheckpoint()
-    var frontier = dist
+      .toDF("node", "dist_m", "prev", "prev_route")
+      .withColumn("__new", lit(true)).localCheckpoint()
+    var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
       // best candidate per node this round (smallest dist; deterministic
       // (prev, prev_route) tiebreak so results don't depend on plan order)
       val cand = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), (col("dist_m") + col("weight_m")).as("dist_m"),
-          frontier("node").as("prev"), e("route_id").as("prev_route"))
+        .select(e("dst").as("node"), (col("dist_m") + col("weight_m")).as("cand_m"),
+          frontier("node").as("cand_prev"), e("route_id").as("cand_route"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("node"))
-            .orderBy(col("dist_m"), col("prev"), col("prev_route"))))
+            .orderBy(col("cand_m"), col("cand_prev"), col("cand_route"))))
         .filter(col("rn") === 1).drop("rn")
-      // keep only strict improvements over the settled distances
-      val imp = cand.join(
-          dist.select(col("node").as("snode"), col("dist_m").as("sdist")),
-          col("node") === col("snode"), "left")
-        .filter(col("sdist").isNull || col("dist_m") < col("sdist"))
-        .select("node", "dist_m", "prev", "prev_route")
+      // full-outer merge: keep the settled row unless the candidate
+      // strictly improves it; unmatched candidates are new discoveries
+      val improved = col("cand_m").isNotNull &&
+        (col("dist_m").isNull || col("cand_m") < col("dist_m"))
+      dist = dist.drop("__new")
+        .join(cand, Seq("node"), "full")
+        .select(col("node"),
+          when(improved, col("cand_m")).otherwise(col("dist_m")).as("dist_m"),
+          when(improved, col("cand_prev")).otherwise(col("prev")).as("prev"),
+          when(improved, col("cand_route")).otherwise(col("prev_route")).as("prev_route"),
+          improved.as("__new"))
         .localCheckpoint()
-      // dist is materialized per round: the next round's improvement
-      // filter joins against it, so a lazy chain would re-execute every
-      // prior round's anti-join each iteration (measured slower here)
-      dist = dist.join(imp.select(col("node").as("inode")),
-          col("node") === col("inode"), "left_anti")
-        .unionByName(imp)
-        .localCheckpoint()
-      frontier = imp
+      frontier = dist.filter(col("__new"))
       i += 1
     }
     warnIfTruncated("sssp", frontier, i, maxIter)
-    dist
+    dist.drop("__new")
   }
 
   /** G4 path rows, fully distributed: backtrack the predecessor chain from
@@ -164,24 +170,31 @@ object Routing {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     // Frontier BFS: in an unweighted graph a node's first discovery is its
-    // final hop count, so each round only expands last round's discoveries
-    // and drops anything already settled (left_anti). Empty frontier =
-    // convergence. Per-round shuffle is O(frontier·out-degree).
-    var dist = Seq((sourceId, 0)).toDF("node", "hops").localCheckpoint()
-    var frontier = dist
+    // final hop count, so each round only expands last round's discoveries.
+    // Empty frontier = convergence. Per-round shuffle is
+    // O(frontier·out-degree). The settled set absorbs candidates through a
+    // single full-outer merge (coalesce prefers the settled hop count, so
+    // no anti-join is needed) and is checkpointed once per round — the
+    // frontier is a filter over that checkpoint, not a second
+    // materialization (see sssp).
+    var dist = Seq((sourceId, 0)).toDF("node", "hops")
+      .withColumn("__new", lit(true)).localCheckpoint()
+    var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
       val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), (col("hops") + 1).as("hops"))
-        .groupBy("node").agg(min("hops").as("hops"))
-        .join(dist.select(col("node").as("snode")),
-          col("node") === col("snode"), "left_anti")
+        .select(e("dst").as("node"), (col("hops") + 1).as("cand_hops"))
+        .groupBy("node").agg(min("cand_hops").as("cand_hops"))
+      dist = dist.drop("__new")
+        .join(next, Seq("node"), "full")
+        .select(col("node"),
+          coalesce(col("hops"), col("cand_hops")).as("hops"),
+          col("hops").isNull.as("__new"))
         .localCheckpoint()
-      dist = dist.unionByName(next).localCheckpoint()
-      frontier = next
+      frontier = dist.filter(col("__new"))
       i += 1
     }
     warnIfTruncated("bfsHops", frontier, i, maxIter)
-    dist
+    dist.drop("__new")
   }
 }

@@ -156,27 +156,31 @@ object Dedup {
     val e = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
+    // One checkpoint per round: the label set absorbs this round's
+    // improvements through a single full-outer merge (same shape as
+    // Routing.sssp — the previous lazy anti-join chain re-executed every
+    // prior round's merge on deep iterations, and the separate frontier
+    // checkpoint cost an extra job per round).
     var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
-    var frontier = labels
+      .select(col("node"), col("node").as("label"))
+      .withColumn("__new", lit(true)).localCheckpoint()
+    var frontier = labels.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
       val cand = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), col("label"))
-        .groupBy("node").agg(min("label").as("label"))
-      val imp = cand.join(
-          labels.select(col("node").as("lnode"), col("label").as("cur")),
-          col("node") === col("lnode"), "left")
-        .filter(col("label") < col("cur"))
-        .select("node", "label").localCheckpoint()
-      // labels stays lazy over checkpointed leaves (initial set + each
-      // round's imp): rounds are bounded by cluster diameter, so the
-      // anti-join chain stays shallow and we skip a per-round
-      // materialization job
-      labels = labels.join(imp.select(col("node").as("inode")),
-          col("node") === col("inode"), "left_anti")
-        .unionByName(imp)
-      frontier = imp
+        .select(e("dst").as("node"), col("label").as("cand_label"))
+        .groupBy("node").agg(min("cand_label").as("cand_label"))
+      // every candidate node already carries a label (edges are
+      // symmetric, so each dst seeded itself in round 0)
+      val improved = col("cand_label").isNotNull &&
+        col("cand_label") < col("label")
+      labels = labels.drop("__new")
+        .join(cand, Seq("node"), "full")
+        .select(col("node"),
+          when(improved, col("cand_label")).otherwise(col("label")).as("label"),
+          improved.as("__new"))
+        .localCheckpoint()
+      frontier = labels.filter(col("__new"))
       i += 1
     }
     if (i >= maxIter && !frontier.isEmpty)
