@@ -11,11 +11,14 @@ import graft.functions.{geo, timecodec}
   * lon/lat from integer keys — the same formulas appear verbatim in the
   * DuckDB oracle, so the driver hash-checks the kernels themselves.
   *
-  * Float-parity rules: transcendental results (haversine) are rounded
-  * before comparison/accumulation; running sums accumulate DECIMAL(18,6) of
-  * 6-dp-rounded segments (mirroring the reference's round(dist, 6) at
-  * generate_gtfs.py:178) so window order, not FP addition order, defines
-  * the result.
+  * Float-parity rules: transcendental results (haversine) are rounded ONCE
+  * from the raw value, at a quantum far above the engines' libm
+  * disagreement (~ulp); running sums accumulate integer milli-km segments
+  * (mirroring the reference's round(dist, 6) idea at generate_gtfs.py:178)
+  * so window order, not FP addition order, defines the result. Never
+  * re-round an already-rounded value: that parks ~1% of rows on exact
+  * decimal halves, where Spark (HALF_UP on the shortest decimal repr) and
+  * DuckDB (round of the binary double) disagree.
   */
 object GeoQ extends QueryPack {
 
@@ -61,21 +64,23 @@ object GeoQ extends QueryPack {
       val ord = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
       val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // 6-dp segments as exact micro-km BIGINTs: a DECIMAL(18,6) window
-      // sum widens past the unscaled-long fast path (BigDecimal per row);
-      // integer micro-km keep the cumsum in codegen'd long arithmetic
-      // with the same "window order, not FP order, defines the result".
+      // Segments as exact milli-km BIGINTs: integer quantization keeps the
+      // cumsum in codegen'd long arithmetic ("window order, not FP order,
+      // defines the result") — and the metre-scale quantum keeps the
+      // round() boundary ~9 orders of magnitude away from the engines'
+      // libm disagreement (~ulp). At micro-km quantum, ~1 segment per
+      // 200k landed on a boundary and shifted its whole track's cumsum.
       Tables(s, dir).lineitem
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), liLon.as("lon"), liLat.as("lat"))
-        .withColumn("seg_ukm", coalesce(
+        .withColumn("seg_mkm", coalesce(
           round(geo.haversineKm(
             lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w),
-            col("lon"), col("lat")) * 1e6),
+            col("lon"), col("lat")) * 1e3),
           lit(0.0)).cast("bigint"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
-          (sum(col("seg_ukm")).over(cumW).cast("double") / 1e6).as("cum_km"))
+          (sum(col("seg_mkm")).over(cumW).cast("double") / 1e3).as("cum_km"))
         .orderBy(col("l_orderkey") +: ord: _*)
     },
 
@@ -90,12 +95,17 @@ object GeoQ extends QueryPack {
       val w = Window.partitionBy(col("c_custkey"))
         .orderBy(col("d6"), col("n_nationkey"))
       pts.crossJoin(cents)
-        .withColumn("d6", round(geo.haversineKm(col("lon"), col("lat"),
-          col("cl"), col("ct")), 6))
+        .withColumn("dkm", geo.haversineKm(col("lon"), col("lat"),
+          col("cl"), col("ct")))
+        .withColumn("d6", round(col("dkm"), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        // emit the distance at 0.1 km resolution, rounded once from the
+        // raw value: re-rounding the 6-dp intermediate puts ~1% of rows
+        // on an exact decimal half, where Spark (HALF_UP on the shortest
+        // decimal repr) and DuckDB (round of the binary double) disagree
         .select(col("c_custkey"), col("n_nationkey").as("nearest_key"),
-          round(col("d6"), 4).as("dist_km"))
+          round(col("dkm"), 1).as("dist_km"))
         .orderBy(col("c_custkey"))
     },
 
@@ -149,15 +159,15 @@ object GeoQ extends QueryPack {
          |seg AS (
          | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  CAST(coalesce(round(${havKmSql(
-             "lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")} * 1000000), 0.0)
-         |    AS BIGINT) AS seg_ukm
+             "lag(lon) OVER w", "lag(lat) OVER w", "lon", "lat")} * 1000), 0.0)
+         |    AS BIGINT) AS seg_mkm
          | FROM pts
          | WINDOW w AS (PARTITION BY l_orderkey
          |              ORDER BY l_linenumber, l_partkey, l_suppkey))
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         | CAST(SUM(seg_ukm) OVER (PARTITION BY l_orderkey
+         | CAST(SUM(seg_mkm) OVER (PARTITION BY l_orderkey
          |   ORDER BY l_linenumber, l_partkey, l_suppkey
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/1000000
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/1000
          |   AS cum_km
          |FROM seg ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
@@ -168,12 +178,13 @@ object GeoQ extends QueryPack {
          | SELECT n_nationkey, $natLonSql AS cl, $natLatSql AS ct FROM nation),
          |d AS (
          | SELECT c_custkey, n_nationkey,
+         |  ${havKmSql("lon", "lat", "cl", "ct")} AS dkm,
          |  round(${havKmSql("lon", "lat", "cl", "ct")}, 6) AS d6
          | FROM pts CROSS JOIN cents),
          |r AS (
          | SELECT *, row_number() OVER (PARTITION BY c_custkey
          |    ORDER BY d6, n_nationkey) AS rn FROM d)
-         |SELECT c_custkey, n_nationkey AS nearest_key, round(d6, 4) AS dist_km
+         |SELECT c_custkey, n_nationkey AS nearest_key, round(dkm, 1) AS dist_km
          |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
 
     "g04_time_codec_roundtrip" ->

@@ -49,14 +49,23 @@ object TextQ extends QueryPack {
           size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
             .as("punct"))
         .filter(col("n_tok") > 0)
-        .withColumn("quality", round(
-          lit(0.4) * least(col("n_tok").cast("double") / 100, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - col("stops").cast("double") / col("n_tok")) +
-            lit(0.3) * (lit(1.0) - col("punct").cast("double") / col("n_chars")),
-          4))
+        // Exact integer basis points on the common denominator
+        // n_tok·n_chars, half-up via (2·num + den) div (2·den): the
+        // float form (0.4·min(tok/100,1) + …, round 4dp) lands on exact
+        // decimal halves for ~0.06% of docs, where Spark's round
+        // (HALF_UP on the shortest decimal repr) and DuckDB's (binary
+        // double) disagree. All-integer arithmetic is bit-deterministic
+        // in both engines; quality = bp/10⁴ is one exact IEEE division.
+        .withColumn("num",
+          lit(40) * least(col("n_tok"), lit(100)) * col("n_tok") * col("n_chars") +
+            lit(3000) * (col("n_tok") - col("stops")) * col("n_chars") +
+            lit(3000) * (col("n_chars") - col("punct")) * col("n_tok"))
+        .withColumn("den", col("n_tok") * col("n_chars"))
+        .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
+        .withColumn("quality", col("bp").cast("double") / 10000)
         .withColumn("bucket",
-          when(col("quality") >= 0.7, "high")
-            .when(col("quality") >= 0.4, "mid")
+          when(col("bp") >= 7000, "high")
+            .when(col("bp") >= 4000, "mid")
             .otherwise("low"))
         .select(col("doc_id"), col("quality"), col("bucket"))
         .orderBy(col("doc_id"))
@@ -136,13 +145,14 @@ object TextQ extends QueryPack {
          | FROM n),
          |q AS (
          | SELECT doc_id,
-         |  round(0.4 * least(CAST(n_tok AS DOUBLE) / 100, 1.0)
-         |      + 0.3 * (1.0 - CAST(stops AS DOUBLE) / n_tok)
-         |      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 4) AS quality
+         |  (2 * (40 * least(n_tok, 100) * n_tok * n_chars
+         |        + 3000 * (n_tok - stops) * n_chars
+         |        + 3000 * (n_chars - punct) * n_tok)
+         |   + n_tok * n_chars) // (2 * n_tok * n_chars) AS bp
          | FROM w WHERE n_tok > 0)
-         |SELECT doc_id, quality,
-         | CASE WHEN quality >= 0.7 THEN 'high'
-         |      WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS bucket
+         |SELECT doc_id, CAST(bp AS DOUBLE)/10000 AS quality,
+         | CASE WHEN bp >= 7000 THEN 'high'
+         |      WHEN bp >= 4000 THEN 'mid' ELSE 'low' END AS bucket
          |FROM q ORDER BY doc_id""".stripMargin,
 
     "t04_fingerprint_shingles" ->

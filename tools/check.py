@@ -9,7 +9,7 @@ parquet tables, sorts columns by name, and hash-compares values. Reports
 both row-order-sensitive and order-insensitive equality so ORDER BY bugs
 are visible.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -42,6 +42,7 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = 0
+    duck_times = {}
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, '*.parquet'))
         got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)])
@@ -52,7 +53,9 @@ def main():
             if len(got) > 0: n_ok += 1
             continue
         try:
+            t0 = time.monotonic()
             want = canon(con.sql(oracle[name]).df())
+            duck_times[name] = round(time.monotonic() - t0, 4)
         except Exception as e:
             print(f"{name:38s} ORACLE_SQL_ERROR: {e}")
             continue
@@ -77,7 +80,15 @@ def main():
                     print(f"  col {c} dtypes {got[c].dtype}/{want[c].dtype} first diffs:")
                     for i in idx:
                         print(f"    row {i}: got={got[c][i]!r} want={want[c][i]!r}")
-    print(f"\n{n_ok}/{len(names)} ok")
+    # Per-query DuckDB timings (single run, same process): written next to
+    # the verify output so bench reviews can compare each Spark query
+    # against its oracle's cost instead of arguing about totals.
+    times_path = os.path.join(out_dir, 'duckdb_times.json')
+    with open(times_path, 'w') as f:
+        json.dump({'total_sec': round(sum(duck_times.values()), 4),
+                   'queries': duck_times}, f, indent=1, sort_keys=True)
+    print(f"\n{n_ok}/{len(names)} ok   (oracle timings -> {times_path}, "
+          f"duckdb total {sum(duck_times.values()):.2f}s)")
 
 if __name__ == '__main__':
     main()
