@@ -206,6 +206,51 @@ object Dedup {
         graft.plans.SimHash16.simhash16(text.normText(col(textCol)))
           .as("simhash"))
 
+  /** 64-bit SimHash per document — the production-size signature (see
+    * plans.SimHash64: 16-bit banding buckets are too coarse beyond demo
+    * corpora). Same per-row no-shuffle shape as [[simhash16]].
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.plans.SimHash64.simhash64(text.normText(col(textCol)))
+          .as("simhash64"))
+
+  /** Near-dup pairs by 64-bit SimHash: 4 bands of 16 bits — guaranteed
+    * recall for hamming ≤ 3 (a pair differing in ≤3 bits leaves ≥1 of the
+    * 4 bands untouched), with 65536 bucket values per band so buckets
+    * stay small at corpus scale (the structural fix for the 16-bit
+    * signature's coarse buckets). Exact hamming filter after the band
+    * joins; `maxBucketSize` guards degenerate signatures (e.g. the
+    * all-zeros hash of boilerplate-heavy corpora). Output (a, b, hamming).
+    */
+  def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val sim = simhash64(docs, idCol, textCol)
+    val withBands = sim
+      .withColumn("b0", shiftright(col("simhash64"), 48).bitwiseAND(lit(0xffffL)))
+      .withColumn("b1", shiftright(col("simhash64"), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("b2", shiftright(col("simhash64"), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("b3", col("simhash64").bitwiseAND(lit(0xffffL)))
+      .localCheckpoint()
+    val cands = Seq("b0", "b1", "b2", "b3").map { bandCol =>
+      val keyed = capBuckets(
+        withBands.select(col(idCol), col("simhash64"), col(bandCol).as("k")),
+        "k", maxBucketSize)
+      val l = keyed.select(col(idCol).as("a"), col("simhash64").as("simA"),
+        col("k"))
+      val r = keyed.select(col(idCol).as("b"), col("simhash64").as("simB"),
+        col("k").as("rk"))
+      l.join(r, col("k") === col("rk") && col("a") < col("b"))
+        .withColumn("hamming",
+          bit_count(col("simA").bitwiseXOR(col("simB"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a"), col("b"), col("hamming"))
+    }.reduce(_ unionByName _).dropDuplicates("a", "b")
+    cands.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** Near-dup pairs by SimHash: band the 16-bit signature into 4 nibbles —
     * a pair with hamming distance ≤ 3 differs in at most 3 nibbles, so by
     * pigeonhole it collides on at least one of the 4 nibble buckets

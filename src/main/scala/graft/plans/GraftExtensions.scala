@@ -43,6 +43,7 @@ object GraftExtensions {
           s"count_in_vocab vocab must be string literals, got $other")
       })),
     fn("simhash16", classOf[SimHash16], c => SimHash16(c(0))),
+    fn("simhash64", classOf[SimHash64], c => SimHash64(c(0))),
     fn("minhash_shingles", classOf[MinHashShingles], c =>
       MinHashShingles(c(0), intLit(c(1), "k"), intLit(c(2), "n"))),
     fn("winnow", classOf[WinnowFingerprints], c =>

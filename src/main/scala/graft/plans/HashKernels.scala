@@ -47,6 +47,27 @@ case class Md5Prefix32(child: Expression, saltPrefix: String)
     copy(child = newChild)
 }
 
+case class Md5Prefix64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix64 expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.md5Prefix64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.HashKernels.md5Prefix64($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+}
+
 case class Md5Prefix16(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -110,6 +131,29 @@ object HashKernels {
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
 
+  /** Big-endian long of the first 8 md5 bytes of s (all 64 bits used —
+    * the DuckDB mirror parses the first 16 hex digits as UBIGINT and
+    * re-signs). */
+  def md5Prefix64(s: UTF8String): Long = {
+    val d = digest(Array.emptyByteArray, s)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** md5Prefix64 over a byte-range (no intermediate string). */
+  def md5Prefix64Raw(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   def saltedHash32(c: Column, salt: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       Md5Prefix32(org.apache.spark.sql.GraftBridge.expression(c), s"$salt:"))
@@ -117,4 +161,8 @@ object HashKernels {
   def tokenHash16(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       Md5Prefix16(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  def tokenHash64(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      Md5Prefix64(org.apache.spark.sql.GraftBridge.expression(c)))
 }

@@ -176,6 +176,66 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over an already-normalized document — the
+  * production-size signature (16 bits is a demonstration size: its 4-bit
+  * bands have only 16 bucket values, so buckets grow linearly with the
+  * corpus; 64 bits band into 4×16-bit bands with 65536 values each while
+  * keeping the same guaranteed recall at hamming ≤ 3). Token hash = first
+  * 8 md5 bytes big-endian (= HashKernels.md5Prefix64); same per-row
+  * no-shuffle shape and empty-token semantics as [[SimHash16]].
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    SimHash64.kernel(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.SimHash64.kernel($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def kernel(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start || bytes.length == 0) {
+          val h = HashKernels.md5Prefix64Raw(bytes, start, i - start)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+    sim
+  }
+
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHash64(org.apache.spark.sql.GraftBridge.expression(c)))
+}
+
 object SimHash16 {
   def kernel(s: UTF8String): Int = {
     val bytes = s.getBytes

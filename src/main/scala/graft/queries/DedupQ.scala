@@ -38,6 +38,20 @@ object DedupQ extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // Production-size 64-bit SimHash (16-bit bands): signature + pairs.
+    "d07_simhash64" -> { (s, dir) =>
+      Dedup.simhash64(Tables(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"),
+          lower(lpad(hex(col("simhash64")), 16, "0")).as("simhash64"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d08_simhash64_pairs" -> { (s, dir) =>
+      Dedup.simhash64Pairs(Tables(s, dir).documents, "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
     // Duplicate clusters: connected components over the LSH candidate
     // pairs, labeled by the smallest member id (the keeper).
     "d06_dup_clusters" -> { (s, dir) =>
@@ -132,6 +146,26 @@ object DedupQ extends QueryPack {
 
     "d03_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
 
+    "d07_simhash64" -> (simhash64Sql +
+      "\nSELECT doc_id, lower(lpad(to_hex(simhash), 16, '0')) AS simhash64" +
+      "\nFROM sim ORDER BY doc_id"),
+
+    // Mirrors the 4×16-bit banding (guaranteed recall at hamming ≤ 3).
+    "d08_simhash64_pairs" ->
+      s"""$simhash64Sql,
+         |by AS (SELECT doc_id, simhash,
+         |        (simhash >> 48) & 65535 AS b0, (simhash >> 32) & 65535 AS b1,
+         |        (simhash >> 16) & 65535 AS b2, simhash & 65535 AS b3 FROM sim),
+         |cands AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |  l.simhash AS simA, r.simhash AS simB
+         | FROM by l JOIN by r
+         |  ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+         |     AND l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(simA, simB)) AS INT) AS hamming
+         |FROM cands WHERE bit_count(xor(simA, simB)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
     // Mirrors the 4-nibble banding (guaranteed recall at hamming ≤ 3).
     "d04_simhash_pairs" ->
       s"""$simhashSql,
@@ -159,6 +193,25 @@ object DedupQ extends QueryPack {
          | ON l.label = r.label AND l.vec_id < r.vec_id
          |ORDER BY cos4 DESC, a, b LIMIT 20""".stripMargin
   )
+
+  /** CTEs computing the 64-bit simhash per doc (mirror of
+    * operators.Dedup.simhash64): token hash = first 16 md5 hex digits as
+    * UBIGINT; 64 bit-votes recombined through HUGEINT powers of two.
+    */
+  private def simhash64Sql: String = {
+    val bitSums = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n  ")
+    val combine = (0 until 64).map { b =>
+      // BigInt: 1L << 63 would render as Long.MinValue
+      s"CASE WHEN s$b > 0 THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |t AS (SELECT doc_id, unnest(${wordsSql()}) AS tok FROM n),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM t),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ($combine)::UBIGINT AS simhash FROM bits)""".stripMargin
+  }
 
   /** CTEs computing the 16-bit simhash per doc (mirror of
     * operators.Dedup.simhash16).

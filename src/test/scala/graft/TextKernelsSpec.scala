@@ -186,6 +186,51 @@ class TextKernelsSpec extends SparkTestBase {
     assert(n == 0, s"$n docs diverge")
   }
 
+  test("SimHash64 kernel equals the exploded vote pipeline on documents") {
+    import graft.functions.text
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "   !!   "), (90003L, "one"))
+        .toDF("doc_id", "text"))
+    val toks = docs
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
+      .withColumn("h", graft.plans.HashKernels.tokenHash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      // >>> semantics: mask after an arithmetic shift
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simCol = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    val exploded = sums.select(col("doc_id"), simCol.as("expl"))
+    val native = docs.select(col("doc_id"),
+      graft.plans.SimHash64.simhash64(text.normText(col("text"))).as("nat"))
+    val n = native.join(exploded, Seq("doc_id"))
+      .filter(col("nat") =!= col("expl")).count()
+    assert(n == 0, s"$n docs diverge")
+  }
+
+  test("simhash64Pairs equals brute force at hamming <= 3 (banding recall)") {
+    // pigeonhole: <= 3 differing bits leave >= 1 of the 4 16-bit bands
+    // equal, so banded candidate generation must find EVERY such pair —
+    // compare against the driver-side all-pairs filter on real docs
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+    val banded = Dedup.simhash64Pairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute).take(3)}")
+  }
+
   test("MinHashShingles kernel equals the exploded shingle pipeline") {
     import graft.functions.text
     import graft.operators.Dedup
