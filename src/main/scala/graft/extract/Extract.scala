@@ -163,17 +163,30 @@ object Extract {
             x => x.getField("f")).as("features"))).as("stops_geojson"))
   }
 
+  /** First member way id per relation (update-routes.js:406 `ways[0]?.id`
+    * — the ways.geojson feature's `id` property).
+    */
+  def firstWayIds(ordered: DataFrame): DataFrame =
+    ordered.groupBy(col("relation_id"))
+      .agg(min_by(col("way_id"), col("member_idx")).as("first_way_id"))
+
   /** K2: assemble per-relation GeoJSON FeatureCollections (ways + stops) as
     * JSON strings — one row per relation, writable with a text sink
-    * (update-routes.js:398-417, 463-466).
+    * (update-routes.js:398-417, 463-466). The ways feature carries the
+    * reference's `{id, relationId}` properties (:405-408); `id` is omitted
+    * when unknown, matching JSON.stringify dropping `undefined`.
     */
-  def geojsonDocs(lines: DataFrame, stops: DataFrame): DataFrame = {
+  def geojsonDocs(lines: DataFrame, stops: DataFrame,
+                  firstWays: Option[DataFrame] = None): DataFrame = {
     val features = stops
       .groupBy(col("relation_id"))
       .agg(collect_list(struct(col("stop_seq"), col("stop_id"), col("stop_name"),
         col("role"), col("lon"), col("lat"), col("is_real"))).as("st"))
       .select(col("relation_id"), sort_array(col("st")).as("st"))
-    lines.join(features, Seq("relation_id"), "left")
+    val withWayId = firstWays.fold(
+      lines.withColumn("first_way_id", lit(null).cast("long")))(fw =>
+      lines.join(fw, Seq("relation_id"), "left"))
+    withWayId.join(features, Seq("relation_id"), "left")
       .select(col("relation_id"),
         to_json(struct(
           lit("FeatureCollection").as("type"),
@@ -182,7 +195,10 @@ object Extract {
             struct(lit("LineString").as("type"),
               transform(col("coords"), c =>
                 array(c.getField("_1"), c.getField("_2"))).as("coordinates"))
-              .as("geometry"))).as("features"))).as("ways_geojson"),
+              .as("geometry"),
+            struct(col("first_way_id").as("id"),
+              col("relation_id").cast("string").as("relationId"))
+              .as("properties"))).as("features"))).as("ways_geojson"),
         to_json(struct(
           lit("FeatureCollection").as("type"),
           transform(col("st"), s => struct(

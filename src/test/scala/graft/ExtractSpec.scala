@@ -153,10 +153,14 @@ class ExtractSpec extends SparkTestBase {
     val stops = Seq((7L, 0, "9", "Start", "stop", 0.0, 0.0, true))
       .toDF("relation_id", "stop_seq", "stop_id", "stop_name", "role",
         "lon", "lat", "is_real")
-    val doc = Extract.geojsonDocs(lines, stops).collect()(0)
+    val firstWays = Seq((7L, 31L)).toDF("relation_id", "first_way_id")
+    val doc = Extract.geojsonDocs(lines, stops, Some(firstWays)).collect()(0)
     val ways = spark.read.json(Seq(doc.getAs[String]("ways_geojson")).toDS())
     val sj = spark.read.json(Seq(doc.getAs[String]("stops_geojson")).toDS())
     assert(ways.selectExpr("features[0].geometry.type").first.getString(0) == "LineString")
+    // reference ways.geojson properties (update-routes.js:405-408)
+    assert(ways.selectExpr("features[0].properties.id").first.getLong(0) == 31L)
+    assert(ways.selectExpr("features[0].properties.relationId").first.getString(0) == "7")
     assert(sj.selectExpr("features[0].properties.id").first.getString(0) == "9")
     assert(sj.selectExpr("features[0].properties.isReal").first.getBoolean(0))
   }
