@@ -29,11 +29,17 @@ object GtfsApp {
     // would otherwise each recompute the full per-relation pipeline
     // (measured 38 s -> ~20 s end-to-end on the reference feed)
     val tB = System.nanoTime()
+    def ck(n: String, df: org.apache.spark.sql.DataFrame) = {
+      val t = System.nanoTime()
+      val r = df.localCheckpoint()
+      println(f"[gtfs]     $n ${(System.nanoTime() - t) / 1e9}%.1f s")
+      r
+    }
     val g = GtfsPipeline.Gtfs(
-      built.agency.localCheckpoint(), built.routes.localCheckpoint(),
-      built.stops.localCheckpoint(), built.shapes.localCheckpoint(),
-      built.trips.localCheckpoint(), built.stopTimes.localCheckpoint(),
-      built.calendar.localCheckpoint())
+      ck("agency", built.agency), ck("routes", built.routes),
+      ck("stops", built.stops), ck("shapes", built.shapes),
+      ck("trips", built.trips), ck("stop_times", built.stopTimes),
+      ck("calendar", built.calendar))
     println(f"[gtfs]   build+materialize ${(System.nanoTime() - tB) / 1e9}%.1f s")
     val tables = Map(
       "agency" -> g.agency, "routes" -> g.routes, "stops" -> g.stops,

@@ -78,4 +78,34 @@ class OperatorsSpec extends SparkTestBase {
       "vec_id", "embedding", 2).select("vec_id").as[Long].collect()
     assert(top.head == 2L)
   }
+
+  test("IVF probe recall@5 vs brute force on the embeddings table") {
+    // quality evidence, not just determinism: restricting the scan to the
+    // query's IVF cell must retain most true neighbors on label-clustered
+    // embeddings (measured mean recall@5 ~0.88 over these 10 queries on
+    // the sf0.01 table; asserted with slack). The sign-bit bucket is a
+    // partition-pruning demonstration, not a recall path — it is NOT held
+    // to this bar.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val withCell = e.withColumn("cell",
+      Similarity.ivfCell(col("embedding"), codebook)).cache()
+    val recalls = (0L until 10L).map { qid =>
+      val q = withCell.filter(col("vec_id") === qid)
+      val rest = withCell.filter(col("vec_id") =!= qid)
+      val brute = Similarity.bruteForceTopK(rest, q, "vec_id", "embedding", 5)
+        .select("vec_id").as[Long].collect().toSet
+      val qcell = q.select("cell").as[Int].head()
+      val probed = Similarity.bruteForceTopK(
+          rest.filter(col("cell") === qcell), q, "vec_id", "embedding", 5)
+        .select("vec_id").as[Long].collect().toSet
+      (brute intersect probed).size / 5.0
+    }
+    withCell.unpersist()
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
+  }
 }
