@@ -43,6 +43,31 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce[Column](_ + _)
 
+  /** One distributed Lloyd (k-means) iteration: assign every vector to its
+    * nearest codebook centroid (per-row codegen, no join — see
+    * [[ivfCell]]), then recompute per-cell component means. Long-form
+    * output (cell, component idx 1-based, n_members, mean_val) — one row
+    * per centroid component.
+    *
+    * Determinism across engines: components are quantized to 1e-6 integers
+    * BEFORE summing, so the aggregation is order-free exact long
+    * arithmetic and the final mean is a single IEEE division — the same
+    * bits on any engine and any partitioning. (A double sum's value would
+    * depend on reduction order.) This is also the 100 TB shape: one
+    * shuffle on (cell, idx), map-side partial sums.
+    */
+  def kmeansStep(df: DataFrame, vecCol: String,
+                 codebook: Seq[(Int, Array[Double])]): DataFrame =
+    df.withColumn("cell", ivfCell(col(vecCol), codebook))
+      .select(col("cell"),
+        posexplode(vectors.asDouble(col(vecCol))).as(Seq("idx0", "x")))
+      .groupBy(col("cell"), (col("idx0") + 1).as("idx"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x") * 1e6).cast("bigint")).as("qsum"))
+      .select(col("cell"), col("idx"), col("n_members"),
+        (col("qsum").cast("double") / (col("n_members") * lit(1e6)))
+          .as("mean_val"))
+
   /** IVF cell assignment: nearest codebook centroid by cosine (rounded to
     * 4 dp for cross-engine determinism; smallest centroid id on ties).
     *

@@ -52,6 +52,21 @@ object EventsQ extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // As-of join: every non-purchase event picks up the user's latest
+    // preceding purchase (union + carry-forward window — one shuffle on
+    // user_id; the oracle is DuckDB's native ASOF LEFT JOIN).
+    "e05_asof_last_purchase" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("ref_id"))
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.operators.AsofJoin.asofJoin(left, right, "user_id", "ts_us")
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }
   )
 
@@ -94,6 +109,18 @@ object EventsQ extends QueryPack {
         |  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
         |SELECT user_id, ts_us, event_id FROM walk WHERE kept
         |ORDER BY user_id, ts_us""".stripMargin,
+
+    "e05_asof_last_purchase" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS ref_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT l.user_id, l.ts_us, l.event_id, r.ref_id AS asof_ref_id
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin,
 
     "e04_json_props_rollup" ->
       """SELECT event_type, COUNT(*) AS n,

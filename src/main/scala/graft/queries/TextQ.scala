@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.text
+import org.apache.spark.sql.expressions.Window
 import SqlMacros._
 
 /** Text-analysis operators over the documents table (training-data
@@ -39,6 +40,29 @@ object TextQ extends QueryPack {
           col("doc_id"), col("lang"),
           text.langId(col("text"), LangClasses).as("predicted"))
         .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF building blocks, integer-only for cross-engine determinism:
+    // per-doc top-3 terms by term frequency with each term's document
+    // frequency attached (the caller computes idf = ln(N/df) at use
+    // time — transcendental outputs would reintroduce libm drift).
+    // Shape at scale: one shuffle on (doc, term), one on term, a per-doc
+    // window, and a term-keyed join that AQE broadcasts (vocabulary ≪
+    // corpus).
+    "t07_tfidf_top_terms" -> { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("term"))
+      tf.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .join(dfreq, Seq("term"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("tf").desc, col("term"))
     },
 
     "t03_quality_score" -> { (s, dir) =>
@@ -132,6 +156,18 @@ object TextQ extends QueryPack {
          |FROM n ORDER BY doc_id""".stripMargin,
 
     "t02_lang_id" -> langCase,
+
+    "t07_tfidf_top_terms" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |t AS (SELECT doc_id, unnest(${wordsSql()}) AS term FROM n),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |       WHERE term <> '' GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tf DESC, term) AS rn FROM tf)
+         |SELECT r.doc_id, r.term, r.tf, df.df
+         |FROM r JOIN df ON r.term = df.term WHERE rn <= 3
+         |ORDER BY doc_id, tf DESC, r.term""".stripMargin,
 
     "t03_quality_score" ->
       s"""WITH n AS (

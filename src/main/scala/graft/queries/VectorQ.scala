@@ -52,24 +52,26 @@ object VectorQ extends QueryPack {
         .orderBy(col("bucket"))
     },
 
+    // One distributed Lloyd iteration over the full table (codebook =
+    // vectors 1..8): per-cell quantized component means, long form.
+    "v05_kmeans_step" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.kmeansStep(e, "embedding", codebook(e))
+        .orderBy(col("cell"), col("idx"))
+    },
+
     // IVF probe: deterministic codebook = vectors 1..8; assign every
     // vector to its nearest centroid (per-row codegen over the broadcast
     // codebook — no join/shuffle), then scan only the query's cell.
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
-      val codebook: Seq[(Int, Array[Double])] =
-        e.filter(col("vec_id").between(1, CodebookSize))
-          .select(col("vec_id"), col("embedding"))
-          .collect()
-          .map(r => r.getLong(0).toInt ->
-            r.getSeq[Float](1).map(_.toDouble).toArray)
-          .toSeq
+      val cb = codebook(e)
       val q = e.filter(col("vec_id") === 0)
       val qb = broadcast(q.select(col("embedding").as("__qvec"),
-        Similarity.ivfCell(col("embedding"), codebook).as("qcell")))
+        Similarity.ivfCell(col("embedding"), cb).as("qcell")))
       e.filter(col("vec_id") =!= 0)
-        .withColumn("cell", Similarity.ivfCell(col("embedding"), codebook))
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), cb))
         .crossJoin(qb)
         .filter(col("cell") === col("qcell"))
         .withColumn("cos4", round(vectors.cosine(
@@ -80,8 +82,19 @@ object VectorQ extends QueryPack {
     }
   )
 
-  /** Codebook size for v04 (centroids = vec_id 1..CodebookSize). */
+  /** Codebook size for v04/v05 (centroids = vec_id 1..CodebookSize). */
   val CodebookSize: Int = 8
+
+  /** Deterministic codebook: the embeddings of vec_id 1..CodebookSize
+    * (a bounded driver-held constant, like any IVF codebook).
+    */
+  private def codebook(e: DataFrame): Seq[(Int, Array[Double])] =
+    e.filter(col("vec_id").between(1, CodebookSize))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0).toInt ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
 
   /** SQL mirror of Similarity.signBucket over BucketPositions. */
   private val bucketSql: String =
@@ -112,6 +125,28 @@ object VectorQ extends QueryPack {
     "v03_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Mirrors kmeansStep: same cell assignment as v04, then per-cell
+    // quantized component means (1e-6 integer sums → one exact division).
+    "v05_kmeans_step" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |scored AS (
+         | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM embeddings e CROSS JOIN c),
+         |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
+         |      FROM scored WHERE rn = 1),
+         |x AS (SELECT cell,
+         |       unnest([{'i': i, 'x': ee[i]}
+         |               FOR i IN range(1, len(ee)+1)], recursive := true)
+         |      FROM a)
+         |SELECT cell, CAST(i AS INT) AS idx, COUNT(*) AS n_members,
+         | CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
+         |   / (COUNT(*) * 1000000.0) AS mean_val
+         |FROM x GROUP BY cell, i ORDER BY cell, idx""".stripMargin,
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

@@ -79,6 +79,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(top.head == 2L)
   }
 
+  test("asofJoin carries the latest preceding right row, inclusive at ties") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      (2L, 7L, "d")).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L)).toDF("k", "t", "ref")
+    val got = AsofJoin.asofJoin(left, right, "k", "t")
+      .orderBy("k", "t")
+      .select("k", "t", "ev", "asof_ref")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, "a", -1L),    // before any right row → null
+      (1L, 10L, "b", 100L),  // equal time → inclusive, right wins
+      (1L, 20L, "c", 150L),  // latest preceding (15 > 10)
+      (2L, 7L, "d", -1L)))   // key with no right rows at all
+  }
+
   test("IVF probe recall@5 vs brute force on the embeddings table") {
     // quality evidence, not just determinism: restricting the scan to the
     // query's IVF cell must retain most true neighbors on label-clustered
