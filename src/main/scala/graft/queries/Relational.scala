@@ -236,6 +236,23 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // Exact discrete percentiles — the oracled counterpart to q15's
+    // sketches: percentile_disc PICKS a value from the data (no
+    // interpolation arithmetic), so the result is engine-independent.
+    "q16_exact_percentiles" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50_price"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p90_price"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p99_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact distinct aggregation (shuffle-heavy; exercises partial aggs).
     "q12_distinct_parts_per_flag" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -369,6 +386,14 @@ object Relational extends QueryPack {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q16_exact_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_disc(l_extendedprice, 0.5) AS p50_price,
+        | quantile_disc(l_extendedprice, 0.9) AS p90_price,
+        | quantile_disc(l_extendedprice, 0.99) AS p99_price,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q12_distinct_parts_per_flag" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
