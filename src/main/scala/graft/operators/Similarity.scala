@@ -43,6 +43,25 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce[Column](_ + _)
 
+  /** Multi-probe IVF: the query's `nprobe` nearest codebook cells (same
+    * rounded-cosine scoring and id tiebreak as [[ivfCell]], so the
+    * nprobe=1 head equals ivfCell). Scanning these cells instead of one
+    * trades scan width for recall — the standard IVF knob; the probe
+    * filter is `array_contains(ivfProbeCells(q, cb, n), cell)`.
+    */
+  def ivfProbeCells(vecCol: Column, codebook: Seq[(Int, Array[Double])],
+                    nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= codebook.size)
+    val scored = codebook.sortBy(_._1).map { case (cid, ctr) =>
+      struct(round(vectors.cosine(vectors.asDouble(vecCol), lit(ctr)), 4).as("s"),
+        lit(-cid).as("negid"))
+    }
+    // sort struct array descending: (score, -cid) desc == score desc with
+    // smallest cid first on ties — matching ivfCell's tiebreak
+    val top = slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    transform(top, t => -t.getField("negid"))
+  }
+
   /** One distributed Lloyd (k-means) iteration: assign every vector to its
     * nearest codebook centroid (per-row codegen, no join — see
     * [[ivfCell]]), then recompute per-cell component means. Long-form

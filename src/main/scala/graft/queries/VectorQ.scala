@@ -52,6 +52,26 @@ object VectorQ extends QueryPack {
         .orderBy(col("bucket"))
     },
 
+    // Multi-probe IVF: scan the query's 2 nearest cells instead of 1 —
+    // the recall/scan-width knob.
+    "v06_ivf_multiprobe" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val q = e.filter(col("vec_id") === 0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec"),
+        Similarity.ivfProbeCells(col("embedding"), cb, 2).as("qcells")))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), cb))
+        .crossJoin(qb)
+        .filter(array_contains(col("qcells"), col("cell")))
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     // One distributed Lloyd iteration over the full table (codebook =
     // vectors 1..8): per-cell quantized component means, long form.
     "v05_kmeans_step" -> { (s, dir) =>
@@ -125,6 +145,25 @@ object VectorQ extends QueryPack {
     "v03_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "v06_ivf_multiprobe" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT cid AS qc FROM c, q
+         |           ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid LIMIT 2),
+         |scored AS (
+         | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM embeddings e CROSS JOIN c
+         | WHERE e.vec_id <> 0),
+         |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
+         |      FROM scored WHERE rn = 1)
+         |SELECT a.vec_id, a.cell, round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
+         |FROM a, q WHERE a.cell IN (SELECT qc FROM qcells)
+         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin,
 
     // Mirrors kmeansStep: same cell assignment as v04, then per-cell
     // quantized component means (1e-6 integer sums → one exact division).

@@ -126,4 +126,24 @@ class OperatorsSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
+
+  test("multi-probe IVF widens the scan monotonically; head equals ivfCell") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val probes = e.select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), codebook).as("cell"),
+        Similarity.ivfProbeCells(col("embedding"), codebook, 1).as("p1"),
+        Similarity.ivfProbeCells(col("embedding"), codebook, 3).as("p3"))
+      .collect()
+    probes.foreach { r =>
+      val cell = r.getInt(1)
+      val p1 = r.getSeq[Int](2)
+      val p3 = r.getSeq[Int](3)
+      assert(p1 == Seq(cell), s"nprobe=1 head ${p1} != ivfCell $cell")
+      assert(p3.take(1) == Seq(cell) && p3.size == 3 && p3.distinct.size == 3)
+    }
+  }
 }
