@@ -18,7 +18,8 @@ object SparkEntry {
     EventsQ,
     GraphQ,
     MediaQ,
-    ScaleQ
+    ScaleQ,
+    PipelineQ
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every id maps
+  * to a stable percentage bucket via the engine's md5-prefix hash (NOT
+  * Spark's murmur `hash()` — md5 is engine-independent, so the oracle and
+  * any other system can reproduce the exact split), and buckets map to
+  * named splits by cumulative percentage.
+  *
+  * Per-row expression — no shuffle, no sampling nondeterminism, stable
+  * under reruns and partitioning changes. Group-stratified splits (all of
+  * a user's docs in one split) fall out by hashing the group key instead
+  * of the row id.
+  */
+object Splits {
+
+  /** Stable bucket in [0, 100) for an id column. */
+  def pctBucket(idCol: Column, salt: Int = 0): Column =
+    graft.functions.text.saltedHash32(idCol.cast("string"), salt) % 100
+
+  /** Named split by cumulative percentages, e.g.
+    * `Seq("train" -> 90, "val" -> 5, "test" -> 5)` (must sum to 100).
+    */
+  def assignSplit(idCol: Column, cuts: Seq[(String, Int)],
+                  salt: Int = 0): Column = {
+    require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
+    val b = pctBucket(idCol, salt)
+    val cum = cuts.scanLeft(0)(_ + _._2).tail
+    cuts.zip(cum).init.foldRight(lit(cuts.last._1)) {
+      case (((name, _), upper), el) => when(b < upper, name).otherwise(el)
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.text
+import graft.operators.Splits
+import SqlMacros._
+
+/** End-to-end training-data pipeline composition: deterministic hash
+  * splits (p01) and the full manifest — exact-dedup keepers, quality
+  * gate, split assignment — as ONE query (p02). The point of p02 is that
+  * the composed pipeline stays a single declarative plan (Catalyst fuses
+  * the per-row scoring into the dedup window's shuffle) AND stays
+  * oracle-able end to end: every stage is engine-independent (md5
+  * fingerprints/buckets, integer basis points).
+  */
+object PipelineQ extends QueryPack {
+
+  private val Cuts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 90/5/5 split: per-split doc counts + char volume.
+    "p01_split_counts" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .withColumn("split", Splits.assignSplit(col("doc_id"), Cuts))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    },
+
+    // Training-set manifest: keep each duplicate group's smallest id,
+    // require mid+ quality, assign the split — one declarative plan.
+    "p02_training_manifest" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          text.fingerprint(col("text")).as("fp"),
+          text.tokenCount(col("text")).as("n_tok"),
+          text.markerHits(col("text"), TextQ.StopWords).as("stops"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+            .as("punct"))
+      d.withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keeper") && col("n_tok") > 0)
+        // same exact integer basis points as t03 (see TextQ for why
+        // integers, not rounded doubles)
+        .withColumn("num",
+          lit(40) * least(col("n_tok"), lit(100)) * col("n_tok") * col("n_chars") +
+            lit(3000) * (col("n_tok") - col("stops")) * col("n_chars") +
+            lit(3000) * (col("n_chars") - col("punct")) * col("n_tok"))
+        .withColumn("den", col("n_tok") * col("n_chars"))
+        .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
+        .filter(col("bp") >= 4000)
+        .withColumn("split", Splits.assignSplit(col("doc_id"), Cuts))
+        .select(col("doc_id"), col("split"), col("bp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def splitCaseSql(idExpr: String): String =
+    s"""CASE WHEN ${saltedHash32Sql(idExpr, 0)} % 100 < 90 THEN 'train'
+       |     WHEN ${saltedHash32Sql(idExpr, 0)} % 100 < 95 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "p01_split_counts" ->
+      s"""SELECT ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split,
+         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "p02_training_manifest" ->
+      s"""WITH n AS (
+         | SELECT doc_id, n_chars, $normSql AS norm,
+         |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct
+         | FROM documents),
+         |w AS (
+         | SELECT doc_id, n_chars, punct, norm,
+         |  CASE WHEN norm = '' THEN 0 ELSE len(${wordsSql()}) END AS n_tok,
+         |  ${markerHitsSql(wordsSql(), TextQ.StopWords)} AS stops
+         | FROM n),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper
+         |      FROM w),
+         |q AS (SELECT doc_id, n_chars, punct, n_tok, stops FROM k
+         |      WHERE doc_id = keeper AND n_tok > 0),
+         |b AS (
+         | SELECT doc_id,
+         |  (2 * (40 * least(n_tok, 100) * n_tok * n_chars
+         |        + 3000 * (n_tok - stops) * n_chars
+         |        + 3000 * (n_chars - punct) * n_tok)
+         |   + n_tok * n_chars) // (2 * n_tok * n_chars) AS bp
+         | FROM q)
+         |SELECT doc_id, ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split, bp
+         |FROM b WHERE bp >= 4000 ORDER BY doc_id""".stripMargin
+  )
+}
