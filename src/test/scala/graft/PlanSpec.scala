@@ -50,6 +50,16 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"no partial aggregation:\n$plan")
   }
 
+  test("p02 manifest pipeline fuses to two shuffles (dedup window + sort)") {
+    // the composed pipeline (fingerprint dedup + quality gate + split)
+    // must stay one plan: all per-row scoring fused into projections,
+    // shuffles only where semantics force them
+    val plan = formattedPlan("p02_training_manifest")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, s"$exchanges shuffles:\n$plan")
+    assert(plan.contains("Scan parquet"), plan)
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
