@@ -116,4 +116,39 @@ class PropertySpec extends SparkTestBase {
       assert(df.filter(col("s") < 0 || col("s") >= salts).count() == 0)
     }
   }
+
+  test("assignSplit is total, stable, and roughly respects the cut sizes") {
+    import graft.operators.Splits
+    val cuts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val ids = samples(Gen.chooseNum(0L, Long.MaxValue), 2000).distinct
+    val df = ids.toDF("id")
+      .select(col("id"), Splits.assignSplit(col("id"), cuts).as("s1"),
+        Splits.assignSplit(col("id"), cuts).as("s2"))
+      .cache()
+    // total + deterministic: every id gets the same named split twice
+    assert(df.filter(col("s1").isNull || col("s1") =!= col("s2")).count() == 0)
+    val counts = df.groupBy("s1").count().as[(String, Long)].collect().toMap
+    val n = ids.size.toDouble
+    // md5 buckets are uniform: 90/5/5 within generous slack
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts("train") / n > 0.8 && counts("train") / n < 0.97, counts.toString)
+    df.unpersist()
+  }
+
+  test("asofJoin is left-preserving and never looks into the future") {
+    import graft.operators.AsofJoin
+    val rows = samples(Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 1000L)), 400)
+    val left = rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "t", "lid")
+    // right: one row per (k, t) as the operator contract requires
+    val right = rows.distinct.zipWithIndex
+      .collect { case ((k, t), i) if i % 3 == 0 => (k, t, t) }
+      .toDF("k", "t", "rt")
+    val out = AsofJoin.asofJoin(left, right, "k", "t").cache()
+    assert(out.count() == left.count()) // every left row survives exactly once
+    // the carried right timestamp never exceeds the left timestamp
+    assert(out.filter(col("asof_rt").isNotNull && col("asof_rt") > col("t"))
+      .count() == 0)
+    out.unpersist()
+  }
 }
