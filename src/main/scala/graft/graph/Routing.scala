@@ -19,18 +19,6 @@ import graft.functions.geo
   */
 object Routing {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
-  /** Warn when an iterative loop hit its round bound with work left —
-    * partial distances are otherwise indistinguishable from converged
-    * output (the frontier is localCheckpoint'd, so the check is cheap).
-    */
-  private def warnIfTruncated(what: String, frontier: DataFrame,
-                              rounds: Int, maxIter: Int): Unit =
-    if (rounds >= maxIter && !frontier.isEmpty)
-      log.warn(s"$what stopped at maxIter=$maxIter with a non-empty frontier; " +
-        "results are partial — raise maxIter")
-
   /** G1/W9: consecutive-stop edges per route with haversine-m weights
     * (index.html:127-140). Input: (route_id, position, stop_id, lon, lat).
     * Output: directed edges (src, dst, route_id, weight_m).
@@ -61,7 +49,8 @@ object Routing {
     * bounds rounds (graph diameter suffices); convergence is detected via
     * an improvement count so it exits early.
     */
-  def sssp(edges: DataFrame, sourceId: String, maxIter: Int = 50): DataFrame = {
+  def sssp(edges: DataFrame, sourceId: String, maxIter: Int = 50,
+           warnOnTruncation: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // localCheckpoint, not cache: reused every round, freed with the result
@@ -110,7 +99,8 @@ object Routing {
       frontier = dist.filter(col("__new"))
       i += 1
     }
-    warnIfTruncated("sssp", frontier, i, maxIter)
+    graft.operators.Iteration.warnIfTruncated("sssp", frontier, i, maxIter,
+      warnOnTruncation)
     dist.drop("__new")
   }
 
@@ -165,7 +155,8 @@ object Routing {
   /** Unweighted BFS hop counts from a source — the oracle-checkable variant
     * (DuckDB mirrors it with a recursive CTE). Same loop structure as sssp.
     */
-  def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int,
+              warnOnTruncation: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -194,7 +185,8 @@ object Routing {
       frontier = dist.filter(col("__new"))
       i += 1
     }
-    warnIfTruncated("bfsHops", frontier, i, maxIter)
+    graft.operators.Iteration.warnIfTruncated("bfsHops", frontier, i, maxIter,
+      warnOnTruncation)
     dist.drop("__new")
   }
 }

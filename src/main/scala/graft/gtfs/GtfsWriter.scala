@@ -85,8 +85,9 @@ object GtfsWriter {
     val tmp = s"$dir/.tmp_$name"
     render(df, fields).select(concat(col("line"), lit("\r")).as("line"))
       .coalesce(1).write.mode("overwrite").text(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow()
+    val partStream = Files.list(Paths.get(tmp))
+    val part = try partStream.filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow() finally partStream.close()
     val out = Paths.get(dir, name)
     val header = (fields.mkString(",") + "\r\n").getBytes("UTF-8")
     val body = Files.readAllBytes(part)
@@ -140,14 +141,15 @@ object GtfsWriter {
     val src = Paths.get(srcGtfsDir)
     if (!Files.isDirectory(src)) return Seq.empty
     val copied = scala.collection.mutable.ArrayBuffer.empty[String]
-    Files.list(src).sorted().forEach { p =>
+    val stream = Files.list(src)
+    try stream.sorted().forEach { p =>
       val n = p.getFileName.toString
       if (Files.isRegularFile(p) && n.endsWith(".txt") && !FieldOrder.contains(n)) {
         Files.copy(p, Paths.get(outDir, n),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         copied += n
       }
-    }
+    } finally stream.close()
     copied.toSeq
   }
 
@@ -158,14 +160,15 @@ object GtfsWriter {
   def zipFeed(gtfsDir: String, zipPath: String): Unit = {
     val zos = new java.util.zip.ZipOutputStream(
       new java.io.FileOutputStream(zipPath))
+    val stream = Files.list(Paths.get(gtfsDir))
     try {
-      Files.list(Paths.get(gtfsDir)).sorted().forEach { p =>
+      stream.sorted().forEach { p =>
         if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".txt")) {
           zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
           zos.write(Files.readAllBytes(p))
           zos.closeEntry()
         }
       }
-    } finally zos.close()
+    } finally { stream.close(); zos.close() }
   }
 }

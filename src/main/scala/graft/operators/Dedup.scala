@@ -183,10 +183,7 @@ object Dedup {
       frontier = labels.filter(col("__new"))
       i += 1
     }
-    if (i >= maxIter && !frontier.isEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dupClusters stopped at maxIter=$maxIter with a non-empty frontier; " +
-          "labels are partial — raise maxIter")
+    Iteration.warnIfTruncated("dupClusters", frontier, i, maxIter)
     labels.select(col("node").as("member"), col("label").as("cluster"))
   }
 

@@ -57,8 +57,12 @@ object GraphQ extends QueryPack {
 
     // Frontier BFS at fact-table scale (the measured evidence that the
     // iterative loop shape holds beyond the 25-node synthetic graph).
+    // The 10-hop bound is BY DESIGN (the oracle mirrors `hops < 10`), so
+    // the truncation warning is suppressed — it must stay meaningful for
+    // loops where hitting maxIter means wrong results.
     "r03_bfs_trade_graph" -> { (s, dir) =>
-      Routing.bfsHops(tradeEdges(s, dir), tradeSource(s, dir), maxIter = 10)
+      Routing.bfsHops(tradeEdges(s, dir), tradeSource(s, dir), maxIter = 10,
+          warnOnTruncation = false)
         .orderBy(col("node"))
     },
 

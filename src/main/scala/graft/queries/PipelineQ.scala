@@ -43,12 +43,13 @@ object PipelineQ extends QueryPack {
       d.withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
         .filter(col("doc_id") === col("keeper") && col("n_tok") > 0)
         // same exact integer basis points as t03 (see TextQ for why
-        // integers, not rounded doubles)
+        // integers, not rounded doubles, and why n_tok widens to long)
+        .withColumn("ltok", col("n_tok").cast("long"))
         .withColumn("num",
-          lit(40) * least(col("n_tok"), lit(100)) * col("n_tok") * col("n_chars") +
-            lit(3000) * (col("n_tok") - col("stops")) * col("n_chars") +
-            lit(3000) * (col("n_chars") - col("punct")) * col("n_tok"))
-        .withColumn("den", col("n_tok") * col("n_chars"))
+          lit(40L) * least(col("ltok"), lit(100L)) * col("ltok") * col("n_chars") +
+            lit(3000L) * (col("ltok") - col("stops")) * col("n_chars") +
+            lit(3000L) * (col("n_chars") - col("punct")) * col("ltok"))
+        .withColumn("den", col("ltok") * col("n_chars"))
         .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
         .filter(col("bp") >= 4000)
         .withColumn("split", Splits.assignSplit(col("doc_id"), Cuts))

@@ -80,11 +80,15 @@ object TextQ extends QueryPack {
         // (HALF_UP on the shortest decimal repr) and DuckDB's (binary
         // double) disagree. All-integer arithmetic is bit-deterministic
         // in both engines; quality = bp/10⁴ is one exact IEEE division.
+        // n_tok is IntegerType: widen to long BEFORE multiplying — the
+        // int-typed prefix 4000·n_tok would overflow (ANSI: throw) at
+        // n_tok ≥ ~537k, a ~3 MB document; the oracle is BIGINT throughout
+        .withColumn("ltok", col("n_tok").cast("long"))
         .withColumn("num",
-          lit(40) * least(col("n_tok"), lit(100)) * col("n_tok") * col("n_chars") +
-            lit(3000) * (col("n_tok") - col("stops")) * col("n_chars") +
-            lit(3000) * (col("n_chars") - col("punct")) * col("n_tok"))
-        .withColumn("den", col("n_tok") * col("n_chars"))
+          lit(40L) * least(col("ltok"), lit(100L)) * col("ltok") * col("n_chars") +
+            lit(3000L) * (col("ltok") - col("stops")) * col("n_chars") +
+            lit(3000L) * (col("n_chars") - col("punct")) * col("ltok"))
+        .withColumn("den", col("ltok") * col("n_chars"))
         .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
         .withColumn("quality", col("bp").cast("double") / 10000)
         .withColumn("bucket",

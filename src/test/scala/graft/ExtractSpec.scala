@@ -153,7 +153,17 @@ class ExtractSpec extends SparkTestBase {
     val stops = Seq((7L, 0, "9", "Start", "stop", 0.0, 0.0, true))
       .toDF("relation_id", "stop_seq", "stop_id", "stop_name", "role",
         "lon", "lat", "is_real")
-    val firstWays = Seq((7L, 31L)).toDF("relation_id", "first_way_id")
+    // first_way_id through the production helper (min member_idx way)
+    val rels = spark.createDataFrame(
+      java.util.List.of(
+        Row(7L, java.util.List.of(Row("way", 31L, ""), Row("way", 32L, "")))),
+      relSchema)
+    val waysFx = spark.createDataFrame(
+      java.util.List.of(
+        Row(31L, "Jl. A", java.util.List.of(Row(0.0, 0.0), Row(0.01, 0.0))),
+        Row(32L, "Jl. B", java.util.List.of(Row(0.01, 0.0), Row(0.02, 0.0)))),
+      waySchema)
+    val firstWays = Extract.firstWayIds(Extract.orderedWays(rels, waysFx))
     val doc = Extract.geojsonDocs(lines, stops, Some(firstWays)).collect()(0)
     val ways = spark.read.json(Seq(doc.getAs[String]("ways_geojson")).toDS())
     val sj = spark.read.json(Seq(doc.getAs[String]("stops_geojson")).toDS())
