@@ -30,6 +30,18 @@ object PipelineQ extends QueryPack {
         .orderBy(col("split"))
     },
 
+    // Group-stratified split: hash the USER key, so every event of a
+    // user lands in one split (no leakage of a user across train/val) —
+    // checked by counting distinct users and events per split.
+    "p03_group_split_counts" -> { (s, dir) =>
+      Tables(s, dir).events
+        .withColumn("split", Splits.assignSplit(col("user_id"), Cuts))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("split"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -68,6 +80,11 @@ object PipelineQ extends QueryPack {
       s"""SELECT ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split,
          | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "p03_group_split_counts" ->
+      s"""SELECT ${splitCaseSql("CAST(user_id AS VARCHAR)")} AS split,
+         | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
 
     "p02_training_manifest" ->
       s"""WITH n AS (
