@@ -237,19 +237,28 @@ object Relational extends QueryPack {
     },
 
     // Exact discrete percentiles — the oracled counterpart to q15's
-    // sketches: percentile_disc PICKS a value from the data (no
-    // interpolation arithmetic), so the result is engine-independent.
+    // sketches. Formulated as pre-aggregated counts + a cumulative
+    // window with INTEGER threshold comparison (cum·100 ≥ p·tot — exact
+    // rational arithmetic, engine-independent): equals
+    // percentile_disc/quantile_disc (verified at all SFs) but avoids
+    // Spark's per-percentile value-buffer aggregate, which was ~4 s at
+    // sf0.1 vs ~1 s for this plan; at scale the buffers hold every
+    // distinct value per group in executor memory, this shape spills.
     "q16_exact_percentiles" -> { (s, dir) =>
-      Tables(s, dir).lineitem
+      val counts = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOrd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      def pick(p: Int) = min(when(col("cum") * 100 >= col("tot") * p,
+        col("l_extendedprice")))
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("tot", sum(col("cnt")).over(wAll))
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p50_price"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p90_price"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p99_price"),
-          count(lit(1)).as("n"))
+        .agg(pick(50).as("p50_price"), pick(90).as("p90_price"),
+          pick(99).as("p99_price"), max(col("tot")).as("n"))
         .orderBy(col("l_returnflag"))
     },
 
