@@ -33,6 +33,40 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq(("10:00", "click", 2L, 3.0), ("11:00", "view", 1L, 5.0)))
   }
 
+  test("hourlyRollup append mode finalizes windows and drops late data") {
+    // Complete mode never drops anything — the 2 h watermark only has
+    // observable semantics in Append mode: a window emits exactly once
+    // when the watermark passes its end, and events arriving behind the
+    // watermark are discarded.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.hourlyRollup(df)
+      .writeStream.format("memory").queryName("rollup_append")
+      .outputMode(OutputMode.Append).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0))
+    q.processAllAvailable()
+    // advances the watermark to 11:30 (13:30 − 2 h) for the NEXT batch
+    mem.addData((ts(13, 30), "view", 1.0))
+    q.processAllAvailable()
+    // late: 09:50 sits behind the 11:30 watermark — must be discarded
+    mem.addData((ts(9, 50), "click", 99.0))
+    q.processAllAvailable()
+    // flush: push the watermark far enough to finalize everything ≤ 13:00
+    mem.addData((ts(16, 30), "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("rollup_append")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    q.stop()
+    // the 10:00 window holds ONLY the two on-time clicks; the late event
+    // created no 09:00 window and didn't disturb the finalized result
+    assert(rows.contains(("10:00", "click", 2L, 3.0)), rows.toString)
+    assert(!rows.exists(_._1 == "09:00"), rows.toString)
+  }
+
   test("sessionizeStream closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
