@@ -141,6 +141,76 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 
+  /** Exact token-Jaccard pairs above θ = thetaNum/thetaDen via PREFIX
+    * FILTERING (AllPairs/ppjoin candidate scheme) — the deterministic
+    * complement to MinHash-LSH: no hashing, exact recall. Each doc's
+    * distinct tokens are globally ordered by (document frequency, token);
+    * if J(A,B) ≥ θ then |A∩B| ≥ ceil(θ·|A|), and a subset of that size
+    * cannot avoid A's first |A| − ceil(θ·|A|) + 1 tokens, so matching
+    * pairs must collide on a prefix token. Candidates therefore come from
+    * an equi-join on prefix tokens (rare tokens first ⇒ small buckets),
+    * then exact verification with INTEGER threshold comparison
+    * (inter·den ≥ union·num — no float boundary).
+    *
+    * Scale shape: df computation and the prefix join shuffle on the
+    * token; the verify join ships each candidate pair's token arrays by
+    * id. Output (a, b, jaccard) with jaccard rounded to 4 dp.
+    *
+    * `shingleN`: compare word-n-gram SETS instead of single-token sets.
+    * Single tokens only discriminate on corpora with diverse
+    * vocabularies; on templated text most docs share most tokens and the
+    * prefix filter prunes nothing (measured: 57% of ALL testdata pairs
+    * clear token-Jaccard 0.6 — a quadratic result no candidate scheme
+    * can save). Shingles make near-uniqueness the common case.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         thetaNum: Int = 3, thetaDen: Int = 5,
+                         shingleN: Int = 1): DataFrame = {
+    require(thetaNum > 0 && thetaNum <= thetaDen)
+    val items =
+      if (shingleN == 1) array_distinct(text.tokens(col(textCol)))
+      else coalesce(
+        // per-row codegen kernel (same distinct-shingle set as the HOF
+        // pipeline, TextKernelsSpec): the transform/slice HOF form is
+        // CodegenFallback at ~1 ms/doc — measured 9.3 s → 4 s at sf0.1
+        graft.plans.MinHashShingles
+          .minhashShingles(text.normText(col(textCol)), 1, shingleN)
+          .getField("sh"),
+        array().cast("array<string>"))
+    val tok = docs
+      .select(col(idCol), explode(items).as("t"))
+      .filter(col("t") =!= "")
+      .localCheckpoint() // feeds df counts, ranking, and both verify joins
+    val dfc = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val ranked = tok.join(dfc, Seq("t"))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("dfc"), col("t"))))
+    // prefix length sz − ceil(θ·sz) + 1, with exact integer ceil
+    val pref = ranked.filter(col("rn") <=
+      col("sz") - expr(s"(($thetaNum * sz + $thetaDen - 1) div $thetaDen)") + 1)
+    // AllPairs length filter at candidate time: J(A,B) ≥ θ forces
+    // θ·|A| ≤ |B| ≤ |A|/θ, so size-incompatible collisions never enter
+    // the (array-shipping) verify join
+    val cands = pref.select(col(idCol).as("a"), col("t"), col("sz").as("sza"))
+      .join(pref.select(col(idCol).as("b"), col("t").as("rt"),
+          col("sz").as("szb")),
+        col("t") === col("rt") && col("a") < col("b") &&
+          col("sza") * thetaNum <= col("szb") * thetaDen &&
+          col("szb") * thetaNum <= col("sza") * thetaDen)
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    val sets = tok.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+    cands
+      .join(sets.select(col(idCol).as("a"), col("ts").as("ta")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("ts").as("tb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+      .filter(col("inter") * thetaDen >= col("uni") * thetaNum)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
   /** Connected components over near-dup candidate pairs: every member is
     * labeled with the smallest doc id reachable through the pair graph
     * (the canonical "keeper" of its duplicate cluster). Frontier-based

@@ -52,6 +52,17 @@ object DedupQ extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // Exact 3-shingle-Jaccard ≥ 0.6 via prefix filtering (AllPairs
+    // scheme) — the hash-free, exact-recall complement to the LSH
+    // generators, on the same shingle universe d02 banded. (Shingles,
+    // not tokens: on this templated corpus 57% of ALL pairs clear
+    // token-Jaccard 0.6 — an inherently quadratic result set.)
+    "d09_prefix_jaccard_pairs" -> { (s, dir) =>
+      Dedup.prefixJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+          thetaNum = 3, thetaDen = 5, shingleN = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
     // Duplicate clusters: connected components over the LSH candidate
     // pairs, labeled by the smallest member id (the keeper).
     "d06_dup_clusters" -> { (s, dir) =>
@@ -143,6 +154,36 @@ object DedupQ extends QueryPack {
          |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node)
          |SELECT node AS member, MIN(r) AS cluster
          |FROM reach GROUP BY node ORDER BY cluster, member""".stripMargin,
+
+    // Mirrors prefixJaccardPairs over 3-shingles: same (df, item) global
+    // order, same integer prefix length and threshold comparison.
+    "d09_prefix_jaccard_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+         |sh AS (SELECT doc_id, ${shingles3Sql()} AS sh FROM w WHERE len(w) >= 3),
+         |tok AS (SELECT DISTINCT doc_id, t
+         |        FROM (SELECT doc_id, unnest(sh) AS t FROM sh) WHERE t <> ''),
+         |dfc AS (SELECT t, COUNT(*) AS dfc FROM tok GROUP BY t),
+         |rk AS (SELECT doc_id, tok.t,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY dfc, t) AS rn,
+         |        COUNT(*) OVER (PARTITION BY doc_id) AS sz
+         |       FROM tok JOIN dfc USING (t)),
+         |pref AS (SELECT doc_id, t, sz FROM rk
+         |         WHERE rn <= sz - ((3 * sz + 4) // 5) + 1),
+         |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |          FROM pref l JOIN pref r
+         |          ON l.t = r.t AND l.doc_id < r.doc_id
+         |          AND l.sz * 3 <= r.sz * 5 AND r.sz * 3 <= l.sz * 5),
+         |sets AS (SELECT doc_id, list_sort(list(t)) AS ts FROM tok GROUP BY doc_id),
+         |v AS (SELECT a, b,
+         |       len(list_filter(sa.ts, x -> list_contains(sb.ts, x))) AS inter,
+         |       len(sa.ts) AS la, len(sb.ts) AS lb
+         |      FROM cands
+         |      JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
+         |SELECT a, b,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |FROM v WHERE inter * 5 >= (la + lb - inter) * 3
+         |ORDER BY a, b""".stripMargin,
 
     "d03_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
 

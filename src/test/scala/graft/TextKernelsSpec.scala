@@ -231,6 +231,29 @@ class TextKernelsSpec extends SparkTestBase {
       s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute).take(3)}")
   }
 
+  test("prefixJaccardPairs equals brute force (exact recall of the prefix filter)") {
+    // unlike LSH, prefix filtering is exact: the pairs above θ must be
+    // EXACTLY the brute-force all-pairs result, not a subset
+    import graft.operators.Dedup
+    import graft.functions.text
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), array_distinct(text.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), array_remove(col("ts"), "").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).sortBy(_._1)
+    val brute = (for {
+      i <- toks.indices; j <- (i + 1) until toks.length
+      inter = (toks(i)._2 intersect toks(j)._2).size
+      uni = (toks(i)._2 union toks(j)._2).size
+      if uni > 0 && inter * 5 >= uni * 3
+    } yield (toks(i)._1, toks(j)._1)).toSet
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"got=${got.size} brute=${brute.size} missing=${(brute diff got).take(3)}")
+  }
+
   test("MinHashShingles kernel equals the exploded shingle pipeline") {
     import graft.functions.text
     import graft.operators.Dedup
