@@ -177,10 +177,18 @@ object Dedup {
           .minhashShingles(text.normText(col(textCol)), 1, shingleN)
           .getField("sh"),
         array().cast("array<string>"))
-    val tok = docs
-      .select(col(idCol), explode(items).as("t"))
-      .filter(col("t") =!= "")
-      .localCheckpoint() // feeds df counts, ranking, and both verify joins
+    // Checkpoint the per-doc shingle ARRAYS (|docs| rows), not the
+    // exploded token table (|docs|·|shingles| rows): the explode is cheap
+    // to re-run per consumer, while the array frame doubles as the verify
+    // side for free — no collect_list re-aggregation (measured at sf0.1:
+    // two ObjectHashAggregate+Exchange pairs and a 2M-row checkpoint
+    // serialization gone, ~6.5 s → ~2.5 s).
+    val shing = docs
+      .select(col(idCol), array_remove(coalesce(items,
+        array().cast("array<string>")), "").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val tok = shing.select(col(idCol), explode(col("sh")).as("t"))
     val dfc = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
     val byDoc = Window.partitionBy(col(idCol))
     val ranked = tok.join(dfc, Seq("t"))
@@ -199,11 +207,19 @@ object Dedup {
           col("sza") * thetaNum <= col("szb") * thetaDen &&
           col("szb") * thetaNum <= col("sza") * thetaDen)
       .select(col("a"), col("b")).dropDuplicates("a", "b")
-    val sets = tok.groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("t"))).as("ts"))
+    // set intersection is order-free, so the raw (distinct) shingle
+    // arrays verify directly — no sort, no re-aggregation. shuffle_hash,
+    // not broadcast: the array frame is small by ROW count, so Catalyst
+    // would broadcast it, but its BYTES are all the corpus's shingles —
+    // the driver builds (and ships) a ~30 MB hash relation twice,
+    // serially (measured +2.4 s at sf0.1). A shuffled hash join builds
+    // per-partition tables in parallel, and at 100 TB the array side
+    // couldn't broadcast anyway.
     cands
-      .join(sets.select(col(idCol).as("a"), col("ts").as("ta")), Seq("a"))
-      .join(sets.select(col(idCol).as("b"), col("ts").as("tb")), Seq("b"))
+      .join(shing.select(col(idCol).as("a"), col("sh").as("ta"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(shing.select(col(idCol).as("b"), col("sh").as("tb"))
+        .hint("shuffle_hash"), Seq("b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
       .filter(col("inter") * thetaDen >= col("uni") * thetaNum)
