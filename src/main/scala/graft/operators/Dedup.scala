@@ -317,21 +317,37 @@ object Dedup {
       .withColumn("b2", shiftright(col("simhash64"), 16).bitwiseAND(lit(0xffffL)))
       .withColumn("b3", col("simhash64").bitwiseAND(lit(0xffffL)))
       .localCheckpoint()
-    val cands = Seq("b0", "b1", "b2", "b3").map { bandCol =>
-      val keyed = capBuckets(
-        withBands.select(col(idCol), col("simhash64"), col(bandCol).as("k")),
-        "k", maxBucketSize)
-      val l = keyed.select(col(idCol).as("a"), col("simhash64").as("simA"),
-        col("k"))
-      val r = keyed.select(col(idCol).as("b"), col("simhash64").as("simB"),
-        col("k").as("rk"))
-      l.join(r, col("k") === col("rk") && col("a") < col("b"))
-        .withColumn("hamming",
-          bit_count(col("simA").bitwiseXOR(col("simB"))))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("a"), col("b"), col("hamming"))
-    }.reduce(_ unionByName _).dropDuplicates("a", "b")
-    cands.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+    // First-match-band disambiguation (cap off only): band i emits a pair
+    // iff bands 0..i-1 DIFFER (cheap bit tests on the signatures already
+    // in the row), so the 4 band unions are disjoint by construction and
+    // the dropDuplicates shuffle over every bucket collision disappears.
+    // With a bucket cap the trick is unsound — a pair capped out of its
+    // first matching band must still surface through a later band.
+    val shifts = Seq(48, 32, 16, 0)
+    val cands = Seq("b0", "b1", "b2", "b3").zipWithIndex.map {
+      case (bandCol, i) =>
+        val keyed = capBuckets(
+          withBands.select(col(idCol), col("simhash64"), col(bandCol).as("k")),
+          "k", maxBucketSize)
+        val l = keyed.select(col(idCol).as("a"), col("simhash64").as("simA"),
+          col("k"))
+        val r = keyed.select(col(idCol).as("b"), col("simhash64").as("simB"),
+          col("k").as("rk"))
+        val earlierDiffer = shifts.take(i).map { s =>
+          shiftright(col("simA"), s).bitwiseAND(lit(0xffffL)) =!=
+            shiftright(col("simB"), s).bitwiseAND(lit(0xffffL))
+        }.foldLeft(lit(true))(_ && _)
+        val firstMatch =
+          if (maxBucketSize.isEmpty) earlierDiffer else lit(true)
+        l.join(r, col("k") === col("rk") && col("a") < col("b") && firstMatch)
+          .withColumn("hamming",
+            bit_count(col("simA").bitwiseXOR(col("simB"))))
+          .filter(col("hamming") <= maxHamming)
+          .select(col("a"), col("b"), col("hamming"))
+    }.reduce(_ unionByName _)
+    val deduped =
+      if (maxBucketSize.isEmpty) cands else cands.dropDuplicates("a", "b")
+    deduped.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
   }
 
   /** Near-dup pairs by SimHash: band the 16-bit signature into 4 nibbles —
@@ -364,23 +380,36 @@ object Dedup {
       .withColumn("n2", shiftright(col("simhash"), 4).bitwiseAND(lit(0xf)))
       .withColumn("n3", col("simhash").bitwiseAND(lit(0xf)))
       .localCheckpoint()
-    val cands = Seq("n0", "n1", "n2", "n3").map { byteCol =>
-      val keyed = capBuckets(
-        withBytes.select(col(idCol), col("simhash"), col(byteCol).as("k")),
-        "k", maxBucketSize)
-      val l = keyed.select(col(idCol).as("a"), col("simhash").as("simA"),
-        col("k"))
-      val r = keyed.select(col(idCol).as("b"), col("simhash").as("simB"),
-        col("k").as("rk"))
-      // hamming filter BEFORE the union/dedup: hamming is deterministic
-      // per pair, so filtering early shrinks the dropDuplicates shuffle
-      // to the (rare) near-dup pairs instead of every bucket collision.
-      l.join(r, col("k") === col("rk") && col("a") < col("b"))
-        .withColumn("hamming",
-          bit_count(col("simA").bitwiseXOR(col("simB"))))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("a"), col("b"), col("hamming"))
-    }.reduce(_ unionByName _).dropDuplicates("a", "b")
-    cands.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+    // Same first-match-band disambiguation as simhash64Pairs: with no
+    // bucket cap the band unions are disjoint by construction, so no
+    // dropDuplicates shuffle (it dominated d04 at sf0.1 — the 16-value
+    // nibble buckets make candidate volume quadratic in corpus size).
+    val shifts = Seq(12, 8, 4, 0)
+    val cands = Seq("n0", "n1", "n2", "n3").zipWithIndex.map {
+      case (byteCol, i) =>
+        val keyed = capBuckets(
+          withBytes.select(col(idCol), col("simhash"), col(byteCol).as("k")),
+          "k", maxBucketSize)
+        val l = keyed.select(col(idCol).as("a"), col("simhash").as("simA"),
+          col("k"))
+        val r = keyed.select(col(idCol).as("b"), col("simhash").as("simB"),
+          col("k").as("rk"))
+        val earlierDiffer = shifts.take(i).map { s =>
+          shiftright(col("simA"), s).bitwiseAND(lit(0xf)) =!=
+            shiftright(col("simB"), s).bitwiseAND(lit(0xf))
+        }.foldLeft(lit(true))(_ && _)
+        val firstMatch =
+          if (maxBucketSize.isEmpty) earlierDiffer else lit(true)
+        // hamming filter BEFORE the union: hamming is deterministic per
+        // pair, so filtering early keeps only the (rare) near-dup pairs.
+        l.join(r, col("k") === col("rk") && col("a") < col("b") && firstMatch)
+          .withColumn("hamming",
+            bit_count(col("simA").bitwiseXOR(col("simB"))))
+          .filter(col("hamming") <= maxHamming)
+          .select(col("a"), col("b"), col("hamming"))
+    }.reduce(_ unionByName _)
+    val deduped =
+      if (maxBucketSize.isEmpty) cands else cands.dropDuplicates("a", "b")
+    deduped.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
   }
 }
