@@ -53,10 +53,23 @@ object Bench {
       // a throwing query must read as broken (-1), not as a fast success
       name -> (if (failed) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout; full-precision
+    // doubles pushed the 59-query line past that, truncating its head and
+    // breaking the driver's JSON parse ("parsed": null in BENCH_r1-r3).
+    // 2 dp (centisecond) per-query values keep the whole line inside the
+    // tail window; full precision goes to BENCH_DETAIL.json alongside.
+    def fmt(v: Double) = f"$v%.2f"
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

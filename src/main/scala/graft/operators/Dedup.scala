@@ -317,33 +317,47 @@ object Dedup {
       .withColumn("b2", shiftright(col("simhash64"), 16).bitwiseAND(lit(0xffffL)))
       .withColumn("b3", col("simhash64").bitwiseAND(lit(0xffffL)))
       .localCheckpoint()
-    // First-match-band disambiguation (cap off only): band i emits a pair
-    // iff bands 0..i-1 DIFFER (cheap bit tests on the signatures already
-    // in the row), so the 4 band unions are disjoint by construction and
-    // the dropDuplicates shuffle over every bucket collision disappears.
-    // With a bucket cap the trick is unsound — a pair capped out of its
-    // first matching band must still surface through a later band.
-    val shifts = Seq(48, 32, 16, 0)
-    val cands = Seq("b0", "b1", "b2", "b3").zipWithIndex.map {
-      case (bandCol, i) =>
-        val keyed = capBuckets(
-          withBands.select(col(idCol), col("simhash64"), col(bandCol).as("k")),
-          "k", maxBucketSize)
-        val l = keyed.select(col(idCol).as("a"), col("simhash64").as("simA"),
-          col("k"))
-        val r = keyed.select(col(idCol).as("b"), col("simhash64").as("simB"),
-          col("k").as("rk"))
-        val earlierDiffer = shifts.take(i).map { s =>
-          shiftright(col("simA"), s).bitwiseAND(lit(0xffffL)) =!=
-            shiftright(col("simB"), s).bitwiseAND(lit(0xffffL))
-        }.foldLeft(lit(true))(_ && _)
-        val firstMatch =
-          if (maxBucketSize.isEmpty) earlierDiffer else lit(true)
-        l.join(r, col("k") === col("rk") && col("a") < col("b") && firstMatch)
-          .withColumn("hamming",
-            bit_count(col("simA").bitwiseXOR(col("simB"))))
-          .filter(col("hamming") <= maxHamming)
-          .select(col("a"), col("b"), col("hamming"))
+    bandedHammingPairs(withBands, idCol, "simhash64",
+      Seq("b0", "b1", "b2", "b3"), Seq(48, 32, 16, 0), 0xffffL,
+      maxHamming, maxBucketSize)
+  }
+
+  /** Shared candidate-pair core for the banded SimHash joins: one
+    * equi-join per band column, hamming filter before the union, and
+    * FIRST-MATCH-BAND disambiguation when no bucket cap is set — band i
+    * emits a pair iff bands 0..i-1 (recomputed from the signatures via
+    * `shifts`/`mask`) DIFFER, so the band unions are disjoint by
+    * construction and the dropDuplicates shuffle over every bucket
+    * collision disappears. With a bucket cap the trick is unsound (a pair
+    * capped out of its first matching band must still surface through a
+    * later band), so capped mode keeps the dropDuplicates instead.
+    */
+  private def bandedHammingPairs(withBands: DataFrame, idCol: String,
+                                 simCol: String, bandCols: Seq[String],
+                                 shifts: Seq[Int], mask: Long,
+                                 maxHamming: Int,
+                                 maxBucketSize: Option[Int]): DataFrame = {
+    val cands = bandCols.zipWithIndex.map { case (bandCol, i) =>
+      val keyed = capBuckets(
+        withBands.select(col(idCol), col(simCol), col(bandCol).as("k")),
+        "k", maxBucketSize)
+      val l = keyed.select(col(idCol).as("a"), col(simCol).as("simA"),
+        col("k"))
+      val r = keyed.select(col(idCol).as("b"), col(simCol).as("simB"),
+        col("k").as("rk"))
+      val earlierDiffer = shifts.take(i).map { s =>
+        shiftright(col("simA"), s).bitwiseAND(lit(mask)) =!=
+          shiftright(col("simB"), s).bitwiseAND(lit(mask))
+      }.foldLeft(lit(true))(_ && _)
+      val firstMatch =
+        if (maxBucketSize.isEmpty) earlierDiffer else lit(true)
+      // hamming filter BEFORE the union: hamming is deterministic per
+      // pair, so filtering early keeps only the (rare) near-dup pairs.
+      l.join(r, col("k") === col("rk") && col("a") < col("b") && firstMatch)
+        .withColumn("hamming",
+          bit_count(col("simA").bitwiseXOR(col("simB"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a"), col("b"), col("hamming"))
     }.reduce(_ unionByName _)
     val deduped =
       if (maxBucketSize.isEmpty) cands else cands.dropDuplicates("a", "b")
@@ -380,36 +394,8 @@ object Dedup {
       .withColumn("n2", shiftright(col("simhash"), 4).bitwiseAND(lit(0xf)))
       .withColumn("n3", col("simhash").bitwiseAND(lit(0xf)))
       .localCheckpoint()
-    // Same first-match-band disambiguation as simhash64Pairs: with no
-    // bucket cap the band unions are disjoint by construction, so no
-    // dropDuplicates shuffle (it dominated d04 at sf0.1 — the 16-value
-    // nibble buckets make candidate volume quadratic in corpus size).
-    val shifts = Seq(12, 8, 4, 0)
-    val cands = Seq("n0", "n1", "n2", "n3").zipWithIndex.map {
-      case (byteCol, i) =>
-        val keyed = capBuckets(
-          withBytes.select(col(idCol), col("simhash"), col(byteCol).as("k")),
-          "k", maxBucketSize)
-        val l = keyed.select(col(idCol).as("a"), col("simhash").as("simA"),
-          col("k"))
-        val r = keyed.select(col(idCol).as("b"), col("simhash").as("simB"),
-          col("k").as("rk"))
-        val earlierDiffer = shifts.take(i).map { s =>
-          shiftright(col("simA"), s).bitwiseAND(lit(0xf)) =!=
-            shiftright(col("simB"), s).bitwiseAND(lit(0xf))
-        }.foldLeft(lit(true))(_ && _)
-        val firstMatch =
-          if (maxBucketSize.isEmpty) earlierDiffer else lit(true)
-        // hamming filter BEFORE the union: hamming is deterministic per
-        // pair, so filtering early keeps only the (rare) near-dup pairs.
-        l.join(r, col("k") === col("rk") && col("a") < col("b") && firstMatch)
-          .withColumn("hamming",
-            bit_count(col("simA").bitwiseXOR(col("simB"))))
-          .filter(col("hamming") <= maxHamming)
-          .select(col("a"), col("b"), col("hamming"))
-    }.reduce(_ unionByName _)
-    val deduped =
-      if (maxBucketSize.isEmpty) cands else cands.dropDuplicates("a", "b")
-    deduped.select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+    bandedHammingPairs(withBytes, idCol, "simhash",
+      Seq("n0", "n1", "n2", "n3"), Seq(12, 8, 4, 0), 0xfL,
+      maxHamming, maxBucketSize)
   }
 }
