@@ -236,19 +236,34 @@ object Dedup {
     * bounded by the cluster diameter, which is small for near-dup graphs.
     * Input: (a, b) pairs. Output: (member, cluster).
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** `pairsCanonical = true` asserts the input is already DISTINCT with
+    * `a < b` on every row (true for every pair generator in this file —
+    * they all emit `a < b` after a dedup). The symmetrized edge list is
+    * then distinct by construction and the full `distinct()` shuffle over
+    * it is skipped (measured ~0.7 s of r04's 4.5 s at sf0.1).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50,
+                  pairsCanonical: Boolean = false): DataFrame = {
     // localCheckpoint, not cache: reused every round, freed by GC with the
     // result instead of living in the CacheManager until unpersist
-    val e = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+    val e = (if (pairsCanonical) sym else sym.distinct()).localCheckpoint()
     // One checkpoint per round: the label set absorbs this round's
     // improvements through a single full-outer merge (same shape as
     // Routing.sssp — the previous lazy anti-join chain re-executed every
     // prior round's merge on deep iterations, and the separate frontier
     // checkpoint cost an extra job per round).
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    //
+    // Seed label = min(self, min neighbor) in ONE aggregation over the
+    // edge list: identical to what the first round of self-seeded
+    // propagation computes, but as a groupBy instead of a full-frontier
+    // join + groupBy + merge — one round (and its checkpoint) gone.
+    // Every node appears as a src (edges are symmetric), so the seed
+    // covers the full node set.
+    var labels = e.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
       .withColumn("__new", lit(true)).localCheckpoint()
     var frontier = labels.filter(col("__new"))
     var i = 0

@@ -69,7 +69,8 @@ object DedupQ extends QueryPack {
       val pairs = Dedup.minhashLshPairs(Tables(s, dir).documents,
           "doc_id", "text", k = 8, bands = 2, shingleN = 3)
         .select(col("a"), col("b"))
-      Dedup.dupClusters(pairs)
+      // LSH pairs are dropDuplicates'd with a < b → canonical
+      Dedup.dupClusters(pairs, pairsCanonical = true)
         .orderBy(col("cluster"), col("member"))
     },
 

@@ -76,7 +76,8 @@ object GraphQ extends QueryPack {
       val pairs = tradeEdges(s, dir)
         .filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b"))
-      graft.operators.Dedup.dupClusters(pairs)
+      // tradeEdges is distinct and the filter keeps src < dst → canonical
+      graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster"))
