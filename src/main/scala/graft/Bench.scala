@@ -10,10 +10,14 @@ import org.apache.spark.sql.SparkSession
   * cache, then each query is timed executing to a `noop` sink and the
   * MINIMUM of three passes is reported (noise on a shared host is
   * strictly additive, so the min is the closest reading of true cost —
-  * the standard steady-state microbenchmark convention). The noop sink
-  * materializes every output column (unlike `count()`, under which
-  * Catalyst eliminates sorts and prunes expensive projections, so the
-  * measured work would not be the query's work).
+  * the standard steady-state microbenchmark convention). The three
+  * passes are INTERLEAVED round-robin — pass 1 of every query, then
+  * pass 2, then pass 3 — so a multi-minute host-noise burst lands on
+  * at most one pass of any given query instead of swallowing all three
+  * back-to-back (observed in round 4: one query read 6× its true time).
+  * The noop sink materializes every output column (unlike `count()`,
+  * under which Catalyst eliminates sorts and prunes expensive
+  * projections, so the measured work would not be the query's work).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,6 +28,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // round-robin interleaving runs ~59 queries between two passes of
+      // the same query; the default 100-entry codegen cache would evict
+      // every generated class in between, so each timed pass would
+      // re-compile codegen (work the warmup pass is supposed to absorb)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -39,34 +48,46 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var failed = false
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try run(name, fn) catch { case _: Throwable => failed = true }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop any cache the query built for itself so every pass (and
-        // the next query) starts cold — no pass measures a cache hit
-        spark.catalog.clearCache()
-        dt
-      }
-      // a throwing query must read as broken (-1), not as a fast success
-      name -> (if (failed) -1.0 else times.min)
+    val ordered = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to 3; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try run(name, fn) catch { case _: Throwable => failedQ += name }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any cache the query built for itself so every pass (and
+      // the next query) starts cold — no pass measures a cache hit
+      spark.catalog.clearCache()
+      samples(name) = dt :: samples(name)
     }
+    // a throwing query must read as broken (-1), not as a fast success
+    val results = ordered.map { case (name, _) =>
+      name -> (if (failedQ(name)) -1.0 else samples(name).min)
+    }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver keeps only the LAST 2000 chars of stdout; full-precision
     // doubles pushed the 59-query line past that, truncating its head and
     // breaking the driver's JSON parse ("parsed": null in BENCH_r1-r3).
     // 2 dp (centisecond) per-query values keep the whole line inside the
     // tail window; full precision goes to BENCH_DETAIL.json alongside.
-    def fmt(v: Double) = f"$v%.2f"
+    // Locale.ROOT: the f"" interpolator formats via the JVM default
+    // locale, so a comma-decimal locale (de_DE …) would emit "34,48" and
+    // break the driver's JSON parse
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      // stderr isn't part of the parsed stdout tail, so a failed detail
+      // write stays diagnosable without corrupting the JSON line
+      case e: Throwable =>
+        System.err.println(s"BENCH_DETAIL.json write failed: $e")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -12,10 +12,12 @@ import graft.functions.geo
   *
   * SSSP is an iterative DataFrame relaxation (distances are non-negative,
   * so Bellman-Ford-style rounds converge to Dijkstra's result). Each round
-  * is one shuffle join on the frontier; `localCheckpoint` truncates lineage
-  * so plans stay bounded. At cluster scale the frontier join partitions by
-  * node id — the standard Pregel layout — and rounds are bounded by the
-  * graph diameter.
+  * is one shuffle join on the frontier; per-round materialization truncates
+  * lineage so plans stay bounded (`localCheckpoint` by default; pass
+  * `checkpointDir` for reliable checkpoints on a cluster — see
+  * [[graft.operators.Iteration.materializer]]). At cluster scale the
+  * frontier join partitions by node id — the standard Pregel layout — and
+  * rounds are bounded by the graph diameter.
   */
 object Routing {
 
@@ -50,13 +52,17 @@ object Routing {
     * an improvement count so it exits early.
     */
   def sssp(edges: DataFrame, sourceId: String, maxIter: Int = 50,
-           warnOnTruncation: Boolean = true): DataFrame = {
+           warnOnTruncation: Boolean = true,
+           checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // localCheckpoint, not cache: reused every round, freed with the result
-    // by the ContextCleaner instead of pinning a CacheManager entry
-    val e = edges.select(col("src"), col("dst"), col("route_id"),
-      col("weight_m").cast("double")).localCheckpoint()
+    // default localCheckpoint, not cache: reused every round, freed with
+    // the result by the ContextCleaner instead of pinning a CacheManager
+    // entry; checkpointDir switches every round to reliable checkpoints
+    // (executor loss mid-iteration survives — the cluster deployment mode)
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e = ckpt(edges.select(col("src"), col("dst"), col("route_id"),
+      col("weight_m").cast("double")))
     // Delta/frontier iteration: each round relaxes only edges out of nodes
     // improved in the previous round, not the whole settled set — at scale
     // the frontier is a vanishing fraction of V once the wave passes, and
@@ -69,9 +75,10 @@ object Routing {
     // AND an extra checkpoint job per round — a 25-35% wall-clock tax on
     // overhead-bound loops, measured on r02/r03/r04). The next frontier
     // is a filter over the checkpoint (free).
-    var dist = Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
-      .toDF("node", "dist_m", "prev", "prev_route")
-      .withColumn("__new", lit(true)).localCheckpoint()
+    var dist = ckpt(
+      Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("node", "dist_m", "prev", "prev_route")
+        .withColumn("__new", lit(true)))
     var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
@@ -88,14 +95,13 @@ object Routing {
       // strictly improves it; unmatched candidates are new discoveries
       val improved = col("cand_m").isNotNull &&
         (col("dist_m").isNull || col("cand_m") < col("dist_m"))
-      dist = dist.drop("__new")
+      dist = ckpt(dist.drop("__new")
         .join(cand, Seq("node"), "full")
         .select(col("node"),
           when(improved, col("cand_m")).otherwise(col("dist_m")).as("dist_m"),
           when(improved, col("cand_prev")).otherwise(col("prev")).as("prev"),
           when(improved, col("cand_route")).otherwise(col("prev_route")).as("prev_route"),
-          improved.as("__new"))
-        .localCheckpoint()
+          improved.as("__new")))
       frontier = dist.filter(col("__new"))
       i += 1
     }
@@ -112,9 +118,13 @@ object Routing {
     * (node, dist_m, prev, prev_route); empty if the target is unreachable.
     */
   def shortestPathFrame(edges: DataFrame, sourceId: String, targetId: String,
-                        maxIter: Int = 50): DataFrame = {
-    val dist = sssp(edges, sourceId, maxIter) // already localCheckpoint'd
-    var path = dist.filter(col("node") === targetId).localCheckpoint()
+                        maxIter: Int = 50,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = graft.operators.Iteration.materializer(
+      edges.sparkSession, checkpointDir)
+    val dist = sssp(edges, sourceId, maxIter,
+      checkpointDir = checkpointDir) // already materialized per round
+    var path = ckpt(dist.filter(col("node") === targetId))
     var frontier = path
     // ≤ path-length rounds: each step hops to the frontier row's `prev`.
     // The frontier is one row, so Spark broadcasts it and each round is a
@@ -123,8 +133,8 @@ object Routing {
     while (hops <= maxIter && !frontier.filter(col("prev").isNotNull).isEmpty) {
       val next = broadcast(frontier.filter(col("prev").isNotNull)
         .select(col("prev").as("pnode")).distinct())
-      frontier = dist.join(next, dist("node") === col("pnode"))
-        .drop("pnode").localCheckpoint()
+      frontier = ckpt(dist.join(next, dist("node") === col("pnode"))
+        .drop("pnode"))
       path = path.unionByName(frontier)
       hops += 1
     }
@@ -156,10 +166,12 @@ object Routing {
     * (DuckDB mirrors it with a recursive CTE). Same loop structure as sssp.
     */
   def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int,
-              warnOnTruncation: Boolean = true): DataFrame = {
+              warnOnTruncation: Boolean = true,
+              checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e = ckpt(edges.select(col("src"), col("dst")))
     // Frontier BFS: in an unweighted graph a node's first discovery is its
     // final hop count, so each round only expands last round's discoveries.
     // Empty frontier = convergence. Per-round shuffle is
@@ -168,20 +180,19 @@ object Routing {
     // no anti-join is needed) and is checkpointed once per round — the
     // frontier is a filter over that checkpoint, not a second
     // materialization (see sssp).
-    var dist = Seq((sourceId, 0)).toDF("node", "hops")
-      .withColumn("__new", lit(true)).localCheckpoint()
+    var dist = ckpt(Seq((sourceId, 0)).toDF("node", "hops")
+      .withColumn("__new", lit(true)))
     var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (col("hops") + 1).as("cand_hops"))
         .groupBy("node").agg(min("cand_hops").as("cand_hops"))
-      dist = dist.drop("__new")
+      dist = ckpt(dist.drop("__new")
         .join(next, Seq("node"), "full")
         .select(col("node"),
           coalesce(col("hops"), col("cand_hops")).as("hops"),
-          col("hops").isNull.as("__new"))
-        .localCheckpoint()
+          col("hops").isNull.as("__new")))
       frontier = dist.filter(col("__new"))
       i += 1
     }

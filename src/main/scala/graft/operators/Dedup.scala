@@ -240,15 +240,38 @@ object Dedup {
     * `a < b` on every row (true for every pair generator in this file —
     * they all emit `a < b` after a dedup). The symmetrized edge list is
     * then distinct by construction and the full `distinct()` shuffle over
-    * it is skipped (measured ~0.7 s of r04's 4.5 s at sf0.1).
+    * it is skipped (measured ~0.7 s of r04's 4.5 s at sf0.1). The
+    * contract is VALIDATED (one extra pass over the pairs, loud failure)
+    * when `spark.graft.debug.validate=true` — results would stay correct
+    * on a violating input (min-label propagation is idempotent over
+    * duplicate edges) but the skipped-shuffle perf claim would silently
+    * degrade, so tests run with the flag on.
+    *
+    * `checkpointDir`: reliable per-round checkpoints instead of
+    * `localCheckpoint` — required on a real cluster, where localCheckpoint
+    * blocks are pinned to executors and one executor loss mid-iteration
+    * kills the job (see [[graft.operators.Iteration.materializer]]).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50,
-                  pairsCanonical: Boolean = false): DataFrame = {
-    // localCheckpoint, not cache: reused every round, freed by GC with the
-    // result instead of living in the CacheManager until unpersist
+                  pairsCanonical: Boolean = false,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    if (pairsCanonical &&
+        spark.conf.getOption("spark.graft.debug.validate").contains("true")) {
+      val bad = pairs.select(col("a"), col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 || col("a") >= col("b"))
+      require(bad.isEmpty,
+        "dupClusters(pairsCanonical = true) requires DISTINCT pairs with " +
+          "a < b on every row; got violations, e.g. " +
+          bad.limit(3).collect().mkString(", "))
+    }
+    // default localCheckpoint, not cache: reused every round, freed by GC
+    // with the result instead of living in the CacheManager until unpersist
+    val ckpt = Iteration.materializer(spark, checkpointDir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val e = (if (pairsCanonical) sym else sym.distinct()).localCheckpoint()
+    val e = ckpt(if (pairsCanonical) sym else sym.distinct())
     // One checkpoint per round: the label set absorbs this round's
     // improvements through a single full-outer merge (same shape as
     // Routing.sssp — the previous lazy anti-join chain re-executed every
@@ -261,10 +284,10 @@ object Dedup {
     // join + groupBy + merge — one round (and its checkpoint) gone.
     // Every node appears as a src (edges are symmetric), so the seed
     // covers the full node set.
-    var labels = e.groupBy(col("src").as("node"))
+    var labels = ckpt(e.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
-      .withColumn("__new", lit(true)).localCheckpoint()
+      .withColumn("__new", lit(true)))
     var frontier = labels.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
@@ -275,12 +298,11 @@ object Dedup {
       // symmetric, so each dst seeded itself in round 0)
       val improved = col("cand_label").isNotNull &&
         col("cand_label") < col("label")
-      labels = labels.drop("__new")
+      labels = ckpt(labels.drop("__new")
         .join(cand, Seq("node"), "full")
         .select(col("node"),
           when(improved, col("cand_label")).otherwise(col("label")).as("label"),
-          improved.as("__new"))
-        .localCheckpoint()
+          improved.as("__new")))
       frontier = labels.filter(col("__new"))
       i += 1
     }
