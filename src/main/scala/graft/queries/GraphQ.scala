@@ -83,6 +83,28 @@ object GraphQ extends QueryPack {
         .orderBy(col("cluster"))
     },
 
+    // The ORACLE-CHECKED companion to r04: connected components through
+    // the same dupClusters loop, on a key-bounded slice of the trade
+    // graph (custkey ≤ 40, suppkey ≤ 20 → ≤ ~60 nodes at every SF), so
+    // the d06 recursive-CTE all-pairs-reachability oracle is tractable.
+    // r04 stays as the ~600k-edge scale run; this pins the loop's
+    // cluster/rollup semantics on fact-table-derived data.
+    "r05_cc_subgraph" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") <= 40 && col("l_suppkey") <= 20)
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      // distinct with "c…" < "s…" on every row → canonical
+      graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
+    },
+
     "r02_sssp_distances" -> { (s, dir) =>
       // Weighted SSSP — oracled against a hop-bounded recursive-CTE walk
       // with min-dist aggregation (shortest paths are simple, so ≤24 hops
@@ -128,6 +150,22 @@ object GraphQ extends QueryPack {
         |  WHERE w.hops < 25)
         |SELECT node, round(MIN(d), 6) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // d06's reachability pattern on the bounded trade slice: every node
+    // reaches out along undirected edges; cluster = min reachable id.
+    "r05_cc_subgraph" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <= 40 AND l_suppkey <= 20),
+        |pe AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM pe
+        |  UNION
+        |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node),
+        |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+        |SELECT cluster, count(*) AS n_members FROM lab
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "r03_bfs_trade_graph" ->
       """WITH RECURSIVE e AS (
