@@ -35,8 +35,14 @@ object OverpassSource {
       backoffBaseMs: Long = 2000,
       sleepMs: Long => Unit = Thread.sleep) extends Transport {
     def fetch(query: String): String = {
+      // while loop, not `for (attempt <- 1 to attempts)`: a `return`
+      // inside a for-comprehension body is a NonLocalReturnControl throw,
+      // which a catch-all in the same body would swallow as a "failed
+      // attempt" — every fetch would then error after N good responses
+      // (caught by the live-socket OverpassSpec).
       var lastErr: Throwable = null
-      for (attempt <- 1 to attempts) {
+      var attempt = 1
+      while (attempt <= attempts) {
         try {
           val url = java.net.URI.create(
             endpoint + "?data=" + java.net.URLEncoder.encode(query, "UTF-8")).toURL
@@ -53,6 +59,7 @@ object OverpassSource {
             lastErr = e
             if (attempt < attempts) sleepMs(backoffBaseMs * attempt)
         }
+        attempt += 1
       }
       throw new RuntimeException(
         s"Overpass query failed after $attempts attempts", lastErr)

@@ -64,6 +64,69 @@ class OverpassSpec extends SparkTestBase {
     assert(sleeps.toSeq == Seq(2000L, 4000L)) // linear backoff ×attempt
   }
 
+  // --- live-socket coverage for the real HTTP path (S4/I3): a local
+  // com.sun.net.httpserver instance stands in for overpass-api.de, so the
+  // exact code that runs in production (HttpURLConnection, URL encoding,
+  // status handling, retry loop) is exercised end-to-end with no network.
+
+  private def withLocalServer[A](handler: com.sun.net.httpserver.HttpExchange => Unit)
+                                (f: String => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/interpreter",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        try handler(ex)
+        catch { case e: Throwable => System.err.println(s"[handler] $e") }
+        finally ex.close())
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/api/interpreter")
+    finally server.stop(0)
+  }
+
+  test("HttpTransport over a real socket: two 500s, then success") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seenQueries = scala.collection.mutable.ArrayBuffer.empty[String]
+    withLocalServer { ex =>
+      seenQueries.synchronized { seenQueries += ex.getRequestURI.getRawQuery }
+      if (hits.incrementAndGet() <= 2) ex.sendResponseHeaders(500, -1)
+      else {
+        val body = relationJson.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      }
+    } { endpoint =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t = new HttpTransport(endpoint = endpoint, sleepMs = sleeps += _)
+      val payload = t.fetch(relationQuery("7"))
+      assert(hits.get() == 3, "two failed attempts + one success")
+      assert(sleeps.toSeq == Seq(2000L, 4000L),
+        "2s-linear backoff between attempts (update-routes.js:48-66)")
+      // the query rides URL-encoded in the data= parameter
+      assert(seenQueries.forall(_ ==
+        "data=" + java.net.URLEncoder.encode(relationQuery("7"), "UTF-8")))
+      // the fetched payload parses through the DataFrame pipeline
+      val rels = OverpassSource.relations(spark,
+        new FixtureTransport(Map(relationQuery("7") -> payload)), Seq("7"))
+      assert(rels.select("relation_id").as[Long].head() == 7L)
+    }
+  }
+
+  test("HttpTransport over a real socket: all attempts fail → error after ×3") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withLocalServer { ex =>
+      hits.incrementAndGet()
+      ex.sendResponseHeaders(503, -1)
+    } { endpoint =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t = new HttpTransport(endpoint = endpoint, sleepMs = sleeps += _)
+      val err = intercept[RuntimeException](t.fetch(relationQuery("7")))
+      assert(err.getMessage.contains("after 3 attempts"))
+      assert(hits.get() == 3)
+      assert(sleeps.toSeq == Seq(2000L, 4000L),
+        "no sleep after the final attempt")
+    }
+  }
+
   test("A1 last-wins route dedup by relation id") {
     val routes = Seq(
       (0, 0, 0, "r1", "first"), (0, 0, 1, "r2", "only"), (0, 1, 0, "r1", "last"))
