@@ -42,17 +42,28 @@ object Bench {
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=q01,r03 limits the run to a subset and
+    // SPARK_GRAFT_PASSES overrides the pass count — iteration aids for
+    // local tuning on a noisy host (more interleaved passes tighten the
+    // min); the driver never sets either.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    val subset = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      subset.forall(_.contains(n))
+    }
+
     // Untimed warmup pass, then drop any caches a query built for itself.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try run(name, fn) catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
 
-    val ordered = SparkEntry.queries.toSeq
+    val ordered = selected.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val failedQ = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to 3; (name, fn) <- ordered) {
+    for (_ <- 1 to passes; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       try run(name, fn) catch { case _: Throwable => failedQ += name }
       val dt = (System.nanoTime() - t0) / 1e9

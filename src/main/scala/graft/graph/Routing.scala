@@ -75,6 +75,24 @@ object Routing {
     // AND an extra checkpoint job per round — a 25-35% wall-clock tax on
     // overhead-bound loops, measured on r02/r03/r04). The next frontier
     // is a filter over the checkpoint (free).
+    //
+    // Two round-floor experiments were MEASURED at sf0.1 (paired 7-pass-
+    // min samples) and rejected; benchmarks before re-trying either:
+    // (a) folding the isEmpty probe into the checkpoint job via
+    //     Dataset.observe — wall-clock neutral (r02 −0.15 s, d06/r04
+    //     +0.1 s, all inside host noise), and Observation.get blocks
+    //     FOREVER if the listener-bus event is dropped (Spark drops
+    //     events on queue overflow on busy drivers) — an unbounded-hang
+    //     risk in a long cluster job that a tiny synchronous take(1)
+    //     probe over localCheckpoint blocks never has;
+    // (b) two frontier hops per round (expand, aggregate, expand again,
+    //     one merge+checkpoint) — helps only overhead-bound toy graphs
+    //     (r01 0.99→0.64 s) and consistently HURTS fact-scale graphs
+    //     (r03 3.3→3.75 s, r04 3.9→4.85 s): the second expansion re-joins
+    //     every candidate (settled nodes included), ~doubling per-round
+    //     shuffle volume, which outweighs the saved merge+checkpoint
+    //     whenever the frontier join carries real data — and shuffle
+    //     volume, not round count, dominates at 100 TB.
     var dist = ckpt(
       Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
         .toDF("node", "dist_m", "prev", "prev_route")

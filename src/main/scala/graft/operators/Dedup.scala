@@ -276,7 +276,14 @@ object Dedup {
     // improvements through a single full-outer merge (same shape as
     // Routing.sssp — the previous lazy anti-join chain re-executed every
     // prior round's merge on deep iterations, and the separate frontier
-    // checkpoint cost an extra job per round).
+    // checkpoint cost an extra job per round). One propagation HOP per
+    // round is also deliberate: pushing candidate labels a second hop
+    // before the merge (halving rounds) was measured at sf0.1 and
+    // consistently hurt the ~600k-edge graph (r04 3.9→4.85 s, paired
+    // 7-pass-min samples) — the second push re-joins every candidate
+    // node against the edge list, doubling per-round shuffle volume,
+    // and volume beats round count at scale. See Routing.sssp for the
+    // matching observe-probe rejection.
     //
     // Seed label = min(self, min neighbor) in ONE aggregation over the
     // edge list: identical to what the first round of self-seeded
