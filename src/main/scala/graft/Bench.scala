@@ -27,7 +27,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // round-robin interleaving runs ~59 queries between two passes of
       // the same query; the default 100-entry codegen cache would evict
       // every generated class in between, so each timed pass would
@@ -38,6 +39,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in: parallelize the single-row-group documents scan (see
+    // Tables.documents) — local tuning experiments only
+    sys.env.get("SPARK_GRAFT_DOCS_REPART")
+      .foreach(n => spark.conf.set("spark.graft.docs.repartition", n))
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

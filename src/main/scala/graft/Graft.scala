@@ -63,6 +63,20 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _        => raw
     }
   }
-  def documents: DataFrame  = table("documents")
+  /** The text-kernel queries (minhash/simhash/winnowing/BPE…) burn their
+    * CPU in per-row codegen kernels directly over this scan. The local
+    * testdata is a single parquet row group, so Spark gives the scan ONE
+    * task no matter how many cores exist (a row group is the minimum
+    * split unit); `spark.graft.docs.repartition=N` (opt-in, unset by
+    * default) round-robins the scan into N partitions so those kernels
+    * parallelize. A no-op knob at cluster scale, where file splits
+    * already provide parallelism — never set it there: it would shuffle
+    * the whole corpus for nothing.
+    */
+  def documents: DataFrame = {
+    val docs = table("documents")
+    spark.conf.getOption("spark.graft.docs.repartition")
+      .map(n => docs.repartition(n.toInt)).getOrElse(docs)
+  }
   def embeddings: DataFrame = table("embeddings")
 }
