@@ -245,7 +245,18 @@ object Relational extends QueryPack {
     // sf0.1 vs ~1 s for this plan; at scale the buffers hold every
     // distinct value per group in executor memory, this shape spills.
     "q16_exact_percentiles" -> { (s, dir) =>
+      // pre-shuffle by the grouping key instead of letting the aggregate
+      // plan partial+exchange+final: (flag, price) keys are ~unique here
+      // (~550k groups from 600k rows), so the partial-agg hash pass
+      // reduces almost nothing and just burns a serial pass over the
+      // one-task local scan (measured 1.4→1.25 s at sf0.1). After the
+      // explicit repartition the partial and final aggregates run
+      // co-located and fully parallel. On inputs whose keys DO repeat
+      // heavily, prefer the plain groupBy (map-side combine earns its
+      // pass back by shrinking the shuffle).
       val counts = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .repartition(col("l_returnflag"), col("l_extendedprice"))
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).as("cnt"))
       val wOrd = Window.partitionBy(col("l_returnflag"))
