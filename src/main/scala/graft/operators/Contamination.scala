@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** Corpus-hygiene passes a training-data pipeline runs before training:
+  * benchmark decontamination (drop documents that leak evaluation data)
+  * and repetition filtering (drop documents dominated by repeated
+  * n-grams — the MassiveText/Gopher quality signals). Both published,
+  * standard techniques re-expressed as declarative Spark plans.
+  */
+object Contamination {
+
+  /** Distinct word-n-gram set per row from the one-pass codegen kernel
+    * (graft.plans.MinHashShingles) — no explode/window/shuffle before
+    * the consumer needs one; rows whose text yields no n-gram produce an
+    * empty array.
+    */
+  private def shingleSet(textCol: org.apache.spark.sql.Column, n: Int) =
+    array_remove(coalesce(
+      graft.plans.MinHashShingles
+        .minhashShingles(text.normText(textCol), 1, n)
+        .getField("sh"),
+      array().cast("array<string>")), "")
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram with the benchmark (evaluation) set, with the count of
+    * distinct leaked n-grams. Published practice uses n of 8–13 over
+    * normalized words; n is the caller's contract with their eval suite.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT n-grams and is
+    * broadcast — eval sets are tiny next to a training corpus, so the
+    * corpus never shuffles at all: one kernel pass, a broadcast hash
+    * probe, and the per-doc count aggregation shuffles only the (rare)
+    * hits. If a benchmark ever outgrew the broadcast threshold, drop the
+    * broadcast() hint and the same plan shuffle-joins on the gram.
+    * Output: (idCol, n_hit_grams), contaminated docs only.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    val bg = benchmark
+      .select(explode(shingleSet(col(textCol), n)).as("s"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shingleSet(col(textCol), n)).as("s"))
+      // the kernel emits DISTINCT shingles per doc, so this count is the
+      // distinct leaked-gram count without a countDistinct's extra pass
+      .join(broadcast(bg), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Gopher-style repetition signals per document over word n-grams:
+    * total grams, distinct grams, duplicate-gram ratio
+    * (1 − distinct/total) and the share of the single most frequent gram
+    * — the two thresholds the MassiveText filters cut on. Uses the
+    * positional shingle long form (Dedup.shingleRows) because occurrence
+    * COUNTS are needed, which the distinct-set kernel discards; the
+    * (doc, gram) aggregation shuffles on the same doc-keyed layout every
+    * downstream per-doc consumer reuses.
+    * Output: (idCol, n_grams, n_distinct, dup_ratio, top_share).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val perGram = Dedup.shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("s"))
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4)
+          .as("dup_ratio"),
+        round(col("top_cnt").cast("double") / col("n_grams"), 4)
+          .as("top_share"))
+  }
+}

@@ -32,4 +32,21 @@ object Splits {
       case (((name, _), upper), el) => when(b < upper, name).otherwise(el)
     }
   }
+
+  /** Deterministic STRATIFIED sampling predicate: keep a row iff its
+    * id's stable bucket falls under its stratum's percentage — per-class
+    * downsampling (e.g. rebalance a language-skewed corpus) as a pure
+    * per-row filter: no sampleBy nondeterminism, no shuffle, same rows
+    * kept on every rerun/engine. Unlisted strata keep `defaultPct`.
+    */
+  def stratifiedKeep(idCol: Column, stratumCol: Column,
+                     pct: Seq[(String, Int)], defaultPct: Int = 100,
+                     salt: Int = 0): Column = {
+    require((defaultPct +: pct.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "percentages must be within [0, 100]")
+    val rate = pct.foldRight(lit(defaultPct)) {
+      case ((stratum, p), el) => when(stratumCol === stratum, p).otherwise(el)
+    }
+    pctBucket(idCol, salt) < rate
+  }
 }

@@ -20,6 +20,13 @@ object PipelineQ extends QueryPack {
 
   private val Cuts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
 
+  /** Per-language sampling rates for p04: downsample the majority
+    * language hard, the mid-size ones lightly (corpus rebalancing).
+    */
+  private val SampleRates = Seq("en" -> 20, "de" -> 60)
+  private val SampleDefault = 90
+  private val SampleSalt = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 90/5/5 split: per-split doc counts + char volume.
     "p01_split_counts" -> { (s, dir) =>
@@ -40,6 +47,21 @@ object PipelineQ extends QueryPack {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
         .orderBy(col("split"))
+    },
+
+    // Deterministic stratified sampling (corpus rebalancing): keep a row
+    // iff its id's stable md5 bucket falls under its language's rate — a
+    // pure per-row predicate, so the "sample" is reproducible across
+    // engines/reruns/partitionings (Spark's sampleBy is none of those).
+    // Checked as per-language kept/total counts.
+    "p04_stratified_sample" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(Splits.stratifiedKeep(col("doc_id"), col("lang"),
+              SampleRates, SampleDefault, SampleSalt), 1L).otherwise(0L))
+            .as("n_sampled"))
+        .orderBy(col("lang"))
     },
 
     // Training-set manifest: keep each duplicate group's smallest id,
@@ -85,6 +107,16 @@ object PipelineQ extends QueryPack {
       s"""SELECT ${splitCaseSql("CAST(user_id AS VARCHAR)")} AS split,
          | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "p04_stratified_sample" -> {
+      val rateCase = SampleRates
+        .map { case (l, p) => s"WHEN '$l' THEN $p" }
+        .mkString("CASE lang ", " ", s" ELSE $SampleDefault END")
+      s"""SELECT lang, COUNT(*) AS n_total,
+         | CAST(SUM(CASE WHEN ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", SampleSalt)} % 100
+         |   < $rateCase THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "p02_training_manifest" ->
       s"""WITH n AS (

@@ -22,9 +22,16 @@ private[queries] object SqlMacros {
   def tokenHash16Sql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 4))::INTEGER"
 
+  /** Mirror of text.shingles(_, n) over a words column `w`. */
+  def shinglesNSql(w: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(k => if (k == 0) s"$w[i]" else s"$w[i+$k]")
+      .mkString(" || ' ' || ")
+    s"[$parts FOR i IN generate_series(1, len($w)-${n - 1})]"
+  }
+
   /** Mirror of text.shingles(_, 3) over a words column `w`. */
-  def shingles3Sql(w: String = "w"): String =
-    s"[$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] FOR i IN generate_series(1, len($w)-2)]"
+  def shingles3Sql(w: String = "w"): String = shinglesNSql(w, 3)
 
   /** Mirror of vectors.cosine over two DOUBLE[] expressions. */
   def cosineSql(a: String, b: String): String =

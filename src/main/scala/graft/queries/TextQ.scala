@@ -135,6 +135,28 @@ object TextQ extends QueryPack {
         .select(col("doc_id"),
           explode(text.winnowFingerprints(col("text"), 8, 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
+    },
+
+    // Benchmark decontamination: corpus docs (doc_id % 10 ≠ 7) leaking any
+    // 8-gram of the held-out "benchmark" slice (doc_id % 10 = 7) — the
+    // pre-training eval-leak scrub. The benchmark side reduces to distinct
+    // grams and broadcasts; the corpus never shuffles (see
+    // operators.Contamination).
+    "t08_decontaminate" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      graft.operators.Contamination.contaminatedDocs(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher/MassiveText repetition signals over 3-grams: duplicate-gram
+    // ratio + most-frequent-gram share, the two repetition cut thresholds.
+    "t09_repetition_stats" -> { (s, dir) =>
+      graft.operators.Contamination.repetitionStats(
+          Tables(s, dir).documents, "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -232,6 +254,34 @@ object TextQ extends QueryPack {
          |  list_distinct([list_min(hs[i:i+3])
          |   FOR i IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
          | FROM g)
-         |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin
+         |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    // Distinct 8-grams per doc (same n/w/sh/tok chain as d09's oracle),
+    // benchmark slice = doc_id % 10 = 7, corpus = the rest.
+    "t08_decontaminate" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+         |sh AS (SELECT doc_id, ${shinglesNSql("w", 8)} AS sh FROM w
+         |       WHERE len(w) >= 8),
+         |tok AS (SELECT DISTINCT doc_id, t
+         |        FROM (SELECT doc_id, unnest(sh) AS t FROM sh)
+         |        WHERE t <> ''),
+         |bg AS (SELECT DISTINCT t FROM tok WHERE doc_id % 10 = 7)
+         |SELECT c.doc_id, COUNT(*) AS n_hit_grams
+         |FROM tok c JOIN bg USING (t) WHERE c.doc_id % 10 <> 7
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "t09_repetition_stats" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+         |sh AS (SELECT doc_id, unnest(${shingles3Sql()}) AS s FROM w
+         |       WHERE len(w) >= 3),
+         |f AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+         |g AS (SELECT doc_id, s, COUNT(*) AS c FROM f GROUP BY doc_id, s)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         | COUNT(*) AS n_distinct,
+         | round(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio,
+         | round(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_share
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

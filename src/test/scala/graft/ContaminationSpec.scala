@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Contamination, Splits}
+
+/** Corpus-hygiene operators: benchmark decontamination (n-gram leak
+  * detection), repetition signals, and deterministic stratified sampling.
+  */
+class ContaminationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("contaminatedDocs flags exactly the docs sharing an n-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "alpha beta gamma" (and "beta gamma delta") verbatim
+      (1L, "prefix alpha beta gamma delta suffix"),
+      // same words, order broken — no shared 3-gram
+      (2L, "beta alpha delta gamma words"),
+      // clean
+      (3L, "completely unrelated sentence here")
+    ).toDF("doc_id", "text")
+    val got = Contamination.contaminatedDocs(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    // bench 3-grams: {alpha beta gamma, beta gamma delta} — doc 1 has both
+    assert(got(0).getAs[Long]("n_hit_grams") == 2L)
+  }
+
+  test("contaminatedDocs counts DISTINCT leaked grams (repeats in doc = 1)") {
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma and alpha beta gamma again")).toDF("doc_id", "text")
+    val got = Contamination.contaminatedDocs(corpus, bench, "doc_id", "text", 3)
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Long]("n_hit_grams") == 1L)
+  }
+
+  test("contaminatedDocs matches brute force on real documents (8-grams)") {
+    val docs = Tables(spark, sfSmoke).documents
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val got = Contamination.contaminatedDocs(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+
+    // independent fold: distinct 8-gram sets per doc via plain Scala
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val benchGrams = all.filter(_._1 % 10 == 7).flatMap(d => grams(d._2)).toSet
+    val expect = all.filter(_._1 % 10 != 7)
+      .map { case (id, t) => id -> grams(t).count(benchGrams.contains).toLong }
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    assert(got == expect)
+  }
+
+  test("repetitionStats computes dup_ratio and top_share exactly") {
+    // 3-grams of "a b a b a b a": (a b a)x3? positions: [a b a],[b a b],
+    // [a b a],[b a b],[a b a] → total 5, distinct 2, top count 3
+    val docs = Seq((1L, "a b a b a b a")).toDF("doc_id", "text")
+    val r = Contamination.repetitionStats(docs, "doc_id", "text", 3).collect()(0)
+    assert(r.getAs[Long]("n_grams") == 5L)
+    assert(r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Double]("dup_ratio") == 0.6)   // 1 - 2/5
+    assert(r.getAs[Double]("top_share") == 0.6)   // 3/5
+  }
+
+  test("stratifiedKeep is a deterministic per-row predicate (partition-proof)") {
+    val docs = Tables(spark, sfSmoke).documents
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .filter(Splits.stratifiedKeep(col("doc_id"), col("lang"),
+        Seq("en" -> 20, "de" -> 60), defaultPct = 90, salt = 4))
+      .select("doc_id").as[Long].collect().toSet
+    val a = kept(docs)
+    val b = kept(docs.repartition(17, col("lang")))
+    assert(a == b && a.nonEmpty)
+    // the en stratum must actually be downsampled harder than the rest
+    val langOf = docs.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    val en = langOf.count(_._2 == "en")
+    val enKept = a.count(id => langOf(id) == "en")
+    assert(enKept < en / 2)
+  }
+}
