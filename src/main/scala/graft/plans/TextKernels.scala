@@ -445,3 +445,91 @@ object CountInVocab {
     org.apache.spark.sql.GraftBridge.column(
       CountInVocab(org.apache.spark.sql.GraftBridge.expression(c), vocab))
 }
+
+/** Per-row n-gram repetition statistics over an already-normalized
+  * (single-space-joined, ASCII) document — the counting complement to
+  * [[MinHashShingles]] (whose distinct-set output discards occurrence
+  * counts): total shingles, distinct shingles, and the count of the most
+  * frequent shingle, in ONE pass with a per-row hash map. Replaces the
+  * posexplode→window→two-aggregation long form for the Gopher-style
+  * repetition filters, which shuffled every (doc, gram) occurrence row
+  * (~2M rows at sf0.1) just to count them; with this kernel the stats
+  * distribute with the row and the query is a pure projection.
+  *
+  * Null when the document has fewer than `n` tokens (no shingles) —
+  * mirroring the long form, which emits no row for such docs.
+  */
+case class ShingleStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"shingle_stats expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType),
+    StructField("n_distinct", LongType),
+    StructField("top_cnt", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_stats"
+
+  override protected def nullSafeEval(s: Any): Any =
+    ShingleStats.kernel(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val row = ctx.freshName("ssRow")
+      s"""
+       org.apache.spark.sql.catalyst.InternalRow $row =
+         graft.plans.ShingleStats.kernel($c, $n);
+       if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}
+
+object ShingleStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def kernel(s: UTF8String, n: Int): InternalRow = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return null
+    // token start offsets (norm is single-space separated, no empties
+    // except the fully-empty string) — same walk as MinHashShingles
+    var tokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') tokens += 1; i += 1 }
+    val nShingles = tokens - n + 1
+    if (nShingles < 1) return null
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = bytes.length + 1
+    val counts = new java.util.HashMap[UTF8String, Integer](nShingles * 2)
+    var top = 0
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      val from = starts(sIdx)
+      val len = starts(sIdx + n) - 1 - from // drop the trailing separator
+      val sh = UTF8String.fromBytes(bytes, from, len)
+      val c = counts.merge(sh, 1, (a, b) => a + b)
+      if (c > top) top = c
+      sIdx += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nShingles.toLong, counts.size.toLong, top.toLong))
+  }
+
+  def shingleStats(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ShingleStats(org.apache.spark.sql.GraftBridge.expression(c), n))
+}

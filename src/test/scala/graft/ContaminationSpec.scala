@@ -69,6 +69,16 @@ class ContaminationSpec extends SparkTestBase {
     assert(r.getAs[Double]("top_share") == 0.6)   // 3/5
   }
 
+  test("ShingleStats kernel equals the exploded long form on real documents") {
+    val docs = Tables(spark, sfSmoke).documents
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val kernel = rows(Contamination.repetitionStats(docs, "doc_id", "text", 3))
+    val long = rows(Contamination.repetitionStatsExploded(docs, "doc_id", "text", 3))
+    assert(kernel.nonEmpty && kernel == long)
+  }
+
   test("stratifiedKeep is a deterministic per-row predicate (partition-proof)") {
     val docs = Tables(spark, sfSmoke).documents
     def kept(df: org.apache.spark.sql.DataFrame): Set[Long] = df
