@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic dataset splitting for training pipelines: every id maps
   * to a stable percentage bucket via the engine's md5-prefix hash (NOT
@@ -48,5 +49,30 @@ object Splits {
       case ((stratum, p), el) => when(stratumCol === stratum, p).otherwise(el)
     }
     pctBucket(idCol, salt) < rate
+  }
+
+  /** Token-budget source mixing: keep each group's rows, in a
+    * deterministic pseudo-random order (md5 bucket, then id), until the
+    * group's token budget is reached — greedy admission, so the first row
+    * that crosses the budget is still kept (every group with any data
+    * contributes at least one row). This is the data-mixing primitive of
+    * a training pipeline: cap each source/domain at N tokens instead of
+    * letting corpus size dictate the mixture.
+    *
+    * Scale shape: one shuffle on the group key + an ordered window per
+    * group. Exact greedy admission is inherently sequential per group;
+    * if one group dwarfs the rest, pre-thin it with [[stratifiedKeep]]
+    * (rate ≈ budget/group-tokens) before the exact pass so the window
+    * never scans far past the budget.
+    */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, budget: Long,
+                        salt: Int = 0): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pctBucket(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < budget)
+      .drop("__cum")
   }
 }

@@ -64,6 +64,22 @@ object PipelineQ extends QueryPack {
         .orderBy(col("lang"))
     },
 
+    // Token-budget source mixing: cap each source at 30k tokens,
+    // admitting docs in deterministic md5-bucket order (greedy — the doc
+    // that crosses the budget is kept). Checked as per-source kept-doc /
+    // kept-token counts.
+    "p05_source_token_budget" -> { (s, dir) =>
+      val withTok = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          text.tokenCount(col("text")).as("n_tok"))
+      Splits.capTokensPerGroup(withTok, "source", "doc_id", "n_tok",
+          budget = 30000L, salt = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tok")).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -117,6 +133,21 @@ object PipelineQ extends QueryPack {
          |   < $rateCase THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "p05_source_token_budget" ->
+      s"""WITH n AS (SELECT doc_id, source, $normSql AS norm FROM documents),
+         |tk AS (SELECT doc_id, source,
+         |        CASE WHEN norm = '' THEN 0 ELSE len(${wordsSql()}) END AS n_tok,
+         |        ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 5)} % 100 AS b
+         |       FROM n),
+         |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
+         |        ORDER BY b, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM tk)
+         |SELECT source, COUNT(*) AS n_docs_kept,
+         | CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+         |FROM c WHERE cum - n_tok < 30000
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "p02_training_manifest" ->
       s"""WITH n AS (

@@ -145,7 +145,10 @@ object TextQ extends QueryPack {
     "t08_decontaminate" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       graft.operators.Contamination.contaminatedDocs(
-          docs.filter(col("doc_id") % 10 =!= 7),
+          // corpus side is kernel-dominated → same serial one-row-group
+          // scan fix as d02/t06 (measured 0.51→0.43 s at sf0.1)
+          docs.filter(col("doc_id") % 10 =!= 7)
+            .repartition(s.sparkContext.defaultParallelism),
           docs.filter(col("doc_id") % 10 === 7),
           "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))

@@ -79,6 +79,26 @@ class ContaminationSpec extends SparkTestBase {
     assert(kernel.nonEmpty && kernel == long)
   }
 
+  test("capTokensPerGroup admits greedily in bucket order, keeps the crossing row") {
+    // one group; admission order is (md5 bucket, id) — compute it the
+    // same way the operator does, then check the greedy prefix
+    val df = Seq((1L, "g", 40L), (2L, "g", 40L), (3L, "g", 40L),
+      (4L, "g", 40L), (5L, "g", 40L)).toDF("id", "grp", "tok")
+    val kept = Splits.capTokensPerGroup(df, "grp", "id", "tok",
+        budget = 100L, salt = 5)
+      .select("id").as[Long].collect().toSet
+    val order = df.select(col("id"),
+        Splits.pctBucket(col("id"), 5).as("b"))
+      .as[(Long, Long)].collect().sortBy(identity).sortBy(_._2).map(_._1)
+    // greedy: 40 + 40 admitted under 100, third crosses (cum-before 80 < 100) → kept, fourth dropped
+    assert(kept == order.take(3).toSet)
+
+    // every non-empty group contributes at least one row even when a
+    // single row exceeds the budget
+    val big = Seq((1L, "g", 999L)).toDF("id", "grp", "tok")
+    assert(Splits.capTokensPerGroup(big, "grp", "id", "tok", 10L).count() == 1)
+  }
+
   test("stratifiedKeep is a deterministic per-row predicate (partition-proof)") {
     val docs = Tables(spark, sfSmoke).documents
     def kept(df: org.apache.spark.sql.DataFrame): Set[Long] = df
