@@ -87,6 +87,48 @@ object Similarity {
         (col("qsum").cast("double") / (col("n_members") * lit(1e6)))
           .as("mean_val"))
 
+  /** Product-quantization codes: the vector is split into `m` equal
+    * subvectors; each is assigned the id of the L2-nearest codeword slice
+    * — the compression step of PQ-based ANN (Jégou et al., TPAMI'11): at
+    * 100 TB the m small codes (here 4 bytes) stand in for the full vector
+    * in memory-resident candidate scans, with exact re-ranking only on
+    * the short list.
+    *
+    * Determinism across engines: component deltas are quantized to 1e-6
+    * integers BEFORE squaring/summing (see [[kmeansStep]]), so each
+    * distance is exact long arithmetic and the argmin (smallest codeword
+    * id on ties, via struct ordering) is bit-stable on any engine and
+    * partitioning. The codebook is a driver-held constant — assignment is
+    * a per-row expression chain, no join, no shuffle.
+    */
+  def pqCodes(vecCol: Column, codebook: Seq[(Int, Array[Double])],
+              m: Int): Seq[Column] = {
+    val dim = codebook.head._2.length
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(codebook.forall(_._2.length == dim))
+    val sub = dim / m
+    val ev = vectors.asDouble(vecCol)
+    (0 until m).map { j =>
+      val scored = codebook.sortBy(_._1).map { case (cid, ctr) =>
+        val d = aggregate(
+          zip_with(slice(ev, j * sub + 1, sub),
+            lit(ctr.slice(j * sub, (j + 1) * sub)),
+            (x, y) => {
+              val q = round((x - y) * 1e6).cast("bigint")
+              q * q
+            }),
+          lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(cid).as("cid"))
+      }
+      array_min(array(scored: _*)).getField("cid").as(s"c${j + 1}")
+    }
+  }
+
+  /** PQ-encode a table: (idCol, c1..cm) — see [[pqCodes]]. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: Seq[(Int, Array[Double])], m: Int): DataFrame =
+    df.select(col(idCol) +: pqCodes(col(vecCol), codebook, m): _*)
+
   /** IVF cell assignment: nearest codebook centroid by cosine (rounded to
     * 4 dp for cross-engine determinism; smallest centroid id on ties).
     *

@@ -80,6 +80,18 @@ object VectorQ extends QueryPack {
         .orderBy(col("cell"), col("idx"))
     },
 
+    // Product quantization codes (m=4 subspaces over the 64-dim vectors,
+    // codewords = the codebook vectors' slices): the 100 TB vector-
+    // compression step — 4 small codes replace the vector in candidate
+    // scans. Exact-integer distances (1e-6 quantized deltas) make the
+    // argmin bit-stable across engines.
+    "v07_pq_codes" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.pqEncode(e.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", codebook(e), m = PqSubspaces)
+        .orderBy(col("vec_id"))
+    },
+
     // IVF probe: deterministic codebook = vectors 1..8; assign every
     // vector to its nearest centroid (per-row codegen over the broadcast
     // codebook — no join/shuffle), then scan only the query's cell.
@@ -104,6 +116,9 @@ object VectorQ extends QueryPack {
 
   /** Codebook size for v04/v05 (centroids = vec_id 1..CodebookSize). */
   val CodebookSize: Int = 8
+
+  /** PQ subspace count for v07 (64-dim vectors → 16-dim subvectors). */
+  val PqSubspaces: Int = 4
 
   /** Deterministic codebook: the embeddings of vec_id 1..CodebookSize
     * (a bounded driver-held constant, like any IVF codebook).
@@ -186,6 +201,29 @@ object VectorQ extends QueryPack {
          | CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
          |   / (COUNT(*) * 1000000.0) AS mean_val
          |FROM x GROUP BY cell, i ORDER BY cell, idx""".stripMargin,
+
+    "v07_pq_codes" -> {
+      val sub = 64 / PqSubspaces
+      def delta = s"(e.ee[(j.j-1)*$sub + i] - c.ce[(j.j-1)*$sub + i])"
+      def qd = s"(CAST(round($delta * 1000000) AS BIGINT))"
+      val codeCols = (1 to PqSubspaces).map(j =>
+        s"CAST(MAX(CASE WHEN j = $j THEN cid END) AS INT) AS c$j").mkString(",\n ")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |      FROM embeddings WHERE vec_id <> 0),
+         |j AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
+         |d AS (SELECT e.vec_id, j.j, c.cid,
+         |       CAST(list_sum([$qd * $qd
+         |        FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
+         |      FROM e CROSS JOIN c CROSS JOIN j),
+         |a AS (SELECT vec_id, j, cid,
+         |       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |      FROM d)
+         |SELECT vec_id,
+         | $codeCols
+         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

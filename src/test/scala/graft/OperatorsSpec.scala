@@ -127,6 +127,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
 
+  test("pqEncode: codebook vectors encode to their own id; codes in range") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", codebook, m = 4)
+    // a codebook vector's every subvector is L2-distance 0 from its own
+    // codeword slice → all 4 codes must be its own id
+    val self = codes.filter(col("vec_id").between(1, 8))
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(self.length == 8 &&
+      self.forall(r => r._2 == r._1 && r._3 == r._1 && r._4 == r._1 && r._5 == r._1))
+    // every code is a valid codeword id
+    val all = codes.as[(Long, Int, Int, Int, Int)].collect()
+    assert(all.forall(r => Seq(r._2, r._3, r._4, r._5)
+      .forall(c => c >= 1 && c <= 8)))
+  }
+
   test("multi-probe IVF widens the scan monotonically; head equals ivfCell") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val codebook = e.filter(col("vec_id").between(1, 8))
