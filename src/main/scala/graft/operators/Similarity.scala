@@ -129,6 +129,55 @@ object Similarity {
                codebook: Seq[(Int, Array[Double])], m: Int): DataFrame =
     df.select(col(idCol) +: pqCodes(col(vecCol), codebook, m): _*)
 
+  /** PQ asymmetric-distance (ADC) top-k: approximate L2² between the
+    * query and every row as the sum of per-subspace lookup-table entries
+    * — the PQ search path, where the scan touches ONLY the m codes (here
+    * 4 ints standing in for 64 floats; at 100 TB the codes fit in memory
+    * where the vectors never could). The LUT (m × |codebook| quantized
+    * distances between the query's subvectors and every codeword slice)
+    * is evaluated BY Spark on a one-row constant projection, so its
+    * round() semantics are the engine's own — the same exact-integer
+    * distances as [[pqCodes]], bit-stable across engines.
+    * Output: (idCol, c1..cm, adc) — the k smallest, ties on id.
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                codebook: Seq[(Int, Array[Double])], query: Array[Double],
+                m: Int, k: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    require(query.length == dim && m >= 1 && dim % m == 0)
+    val sub = dim / m
+    val sorted = codebook.sortBy(_._1)
+    val lutExprs = for {
+      j <- 0 until m
+      (cid, ctr) <- sorted
+    } yield aggregate(
+      zip_with(lit(query.slice(j * sub, (j + 1) * sub)),
+        lit(ctr.slice(j * sub, (j + 1) * sub)),
+        (x, y) => {
+          val q = round((x - y) * 1e6).cast("bigint")
+          q * q
+        }),
+      lit(0L), (acc, x) => acc + x).as(s"l_${j}_$cid")
+    val lutRow = df.sparkSession.range(1).select(lutExprs: _*).head()
+    val lut = (for {
+      j <- 0 until m
+      (cid, _) <- sorted
+    } yield (j, cid) -> lutRow.getAs[Long](s"l_${j}_$cid")).toMap
+    // codes materialize in one projection; the ADC sum then only maps
+    // each small code through the literal LUT — no vector math per row
+    val coded = pqEncode(df, idCol, vecCol, codebook, m)
+    val adc = (0 until m).map { j =>
+      val cj = col(s"c${j + 1}")
+      sorted.tail.foldLeft(
+        when(cj === sorted.head._1, lit(lut((j, sorted.head._1))))) {
+        case (acc, (cid, _)) => acc.when(cj === cid, lit(lut((j, cid))))
+      }
+    }.reduce[Column](_ + _)
+    coded.withColumn("adc", adc)
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF cell assignment: nearest codebook centroid by cosine (rounded to
     * 4 dp for cross-engine determinism; smallest centroid id on ties).
     *

@@ -92,6 +92,20 @@ object VectorQ extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // PQ asymmetric-distance search: approximate top-10 by summed
+    // per-subspace LUT entries over the v07 codes — the scan reads ONLY
+    // the 4 codes per row (the point of PQ at 100 TB). Exact-integer LUT
+    // (evaluated by Spark itself) keeps the ranking bit-stable.
+    "v08_pq_adc_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      // the query vector is a one-row driver constant, like the codebook
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.pqAdcTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", codebook(e), qvec, m = PqSubspaces, k = 10)
+        .orderBy(col("adc"), col("vec_id"))
+    },
+
     // IVF probe: deterministic codebook = vectors 1..8; assign every
     // vector to its nearest centroid (per-row codegen over the broadcast
     // codebook — no join/shuffle), then scan only the query's cell.
@@ -223,6 +237,39 @@ object VectorQ extends QueryPack {
          |SELECT vec_id,
          | $codeCols
          |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    "v08_pq_adc_topk" -> {
+      val sub = 64 / PqSubspaces
+      def qd(vec: String) =
+        s"(CAST(round(($vec[(j.j-1)*$sub + i] - c.ce[(j.j-1)*$sub + i]) * 1000000) AS BIGINT))"
+      val ed = qd("e.ee")
+      val ld = qd("q.qe")
+      val codeCols = (1 to PqSubspaces).map(j =>
+        s"CAST(MAX(CASE WHEN a.j = $j THEN a.cid END) AS INT) AS c$j").mkString(",\n ")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |      FROM embeddings WHERE vec_id <> 0),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |j AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
+         |d AS (SELECT e.vec_id, j.j, c.cid,
+         |       CAST(list_sum([$ed * $ed
+         |        FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
+         |      FROM e CROSS JOIN c CROSS JOIN j),
+         |a AS (SELECT vec_id, j, cid,
+         |       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |      FROM d),
+         |lut AS (SELECT j.j, c.cid,
+         |        CAST(list_sum([$ld * $ld
+         |         FOR i IN generate_series(1, $sub)]) AS BIGINT) AS ld
+         |        FROM c CROSS JOIN j CROSS JOIN q)
+         |SELECT a.vec_id,
+         | $codeCols,
+         | CAST(SUM(l.ld) AS BIGINT) AS adc
+         |FROM a JOIN lut l ON a.j = l.j AND a.cid = l.cid
+         |WHERE a.rn = 1 GROUP BY a.vec_id
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
     },
 
     "v04_ivf_probe" ->

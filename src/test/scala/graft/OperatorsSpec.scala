@@ -146,6 +146,45 @@ class OperatorsSpec extends SparkTestBase {
       .forall(c => c >= 1 && c <= 8)))
   }
 
+  test("pqAdcTopK: adc equals quantized L2 to the reconstruction; sane recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val top = Similarity.pqAdcTopK(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", codebook, qvec, m = 4, k = 10)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+
+    // PQ's defining identity: adc == Σ_j quantized-L2²(query_j,
+    // codeword(code_j)_j) — recompute independently with the same
+    // HALF_UP rounding Spark's round() uses
+    def qr(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cb = codebook.toMap
+    for ((id, c1, c2, c3, c4, adc) <- top) {
+      val expect = Seq(c1, c2, c3, c4).zipWithIndex.map { case (c, j) =>
+        (j * 16 until (j + 1) * 16).map { i =>
+          val q = qr((qvec(i) - cb(c)(i)) * 1e6); q * q
+        }.sum
+      }.sum
+      assert(adc == expect, s"vec $id adc $adc != $expect")
+    }
+
+    // coarse 8-codeword codebook → modest recall vs exact L2; measured
+    // 0.3 on this table, asserted with slack (quality floor, not a tune)
+    val exact = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy { case (id, v) =>
+        (v.zip(qvec).map { case (x, y) => (x - y) * (x - y) }.sum, id)
+      }.take(10).map(_._1).toSet
+    val recall = (top.map(_._1).toSet intersect exact).size / 10.0
+    assert(recall >= 0.2, s"ADC recall@10 $recall")
+  }
+
   test("multi-probe IVF widens the scan monotonically; head equals ivfCell") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val codebook = e.filter(col("vec_id").between(1, 8))
