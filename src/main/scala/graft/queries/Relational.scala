@@ -245,28 +245,59 @@ object Relational extends QueryPack {
     // sf0.1 vs ~1 s for this plan; at scale the buffers hold every
     // distinct value per group in executor memory, this shape spills.
     "q16_exact_percentiles" -> { (s, dir) =>
-      // pre-shuffle by the grouping key instead of letting the aggregate
-      // plan partial+exchange+final: (flag, price) keys are ~unique here
-      // (~550k groups from 600k rows), so the partial-agg hash pass
-      // reduces almost nothing and just burns a serial pass over the
-      // one-task local scan (measured 1.4→1.25 s at sf0.1). After the
-      // explicit repartition the partial and final aggregates run
-      // co-located and fully parallel. On inputs whose keys DO repeat
-      // heavily, prefer the plain groupBy (map-side combine earns its
-      // pass back by shrinking the shuffle).
+      // DISTRIBUTED two-phase prefix sum. A cumulative window partitioned
+      // by l_returnflag alone funnels each flag's ~1/3 of the distinct
+      // prices through ONE task — invisible at sf0.1 (~180k rows/task),
+      // but the plan's only data-scale-proportional serial path at 100×.
+      //
+      // Phase 0 — counts per (flag, price) on a RANGE exchange: range
+      // partitioning on (flag, price) satisfies the aggregate's
+      // clustering requirement (same keys → same partition), so the
+      // partial+final aggregates run co-located with no second exchange
+      // (the hash-repartition form measured 1.4→1.25 s at sf0.1 for the
+      // same reason: ~550k near-unique groups make map-side combine
+      // worthless) — AND it leaves each flag's rows globally ordered by
+      // price ACROSS partitions, which is what makes per-partition
+      // prefix sums composable. `pid` is the range partition a row
+      // landed in. localCheckpoint pins the sampled range boundaries:
+      // the frame feeds both the offsets branch and the main pass, and
+      // ReuseExchange can't dedupe self-join branches (attribute ids
+      // differ — see Dedup.minhashLshPairs), so without materializing,
+      // each branch would re-sample boundaries and could disagree on pid.
       val counts = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"))
-        .repartition(col("l_returnflag"), col("l_extendedprice"))
+        .repartitionByRange(col("l_returnflag"), col("l_extendedprice"))
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).as("cnt"))
-      val wOrd = Window.partitionBy(col("l_returnflag"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      // Phase 1 — per-(pid, flag) subtotals: one row per partition×flag
+      // (bounded by the shuffle-partition count, independent of data
+      // volume), so the cross-partition offset windows over THIS frame
+      // are free; the result broadcasts.
+      val sub = counts.groupBy(col("pid"), col("l_returnflag"))
+        .agg(sum(col("cnt")).as("part_cnt"))
+      val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = sub.select(col("pid"), col("l_returnflag"),
+        coalesce(sum(col("part_cnt")).over(wOff), lit(0L)).as("off"),
+        sum(col("part_cnt")).over(wTot).as("tot"))
+      // Phase 2 — partition-LOCAL cumulative window: partitioned by
+      // (pid, flag), so parallelism scales with the partition count, not
+      // the flag cardinality; the broadcast offset lifts each local
+      // prefix to the global one. Same exact integer-threshold pick
+      // (cum·100 ≥ tot·p — exact rational arithmetic) as before; equals
+      // percentile_disc, verified at all SFs.
+      val wLoc = Window.partitionBy(col("pid"), col("l_returnflag"))
         .orderBy(col("l_extendedprice"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
       def pick(p: Int) = min(when(col("cum") * 100 >= col("tot") * p,
         col("l_extendedprice")))
       counts
-        .withColumn("cum", sum(col("cnt")).over(wOrd))
-        .withColumn("tot", sum(col("cnt")).over(wAll))
+        .withColumn("cum_loc", sum(col("cnt")).over(wLoc))
+        .join(broadcast(offsets), Seq("pid", "l_returnflag"))
+        .withColumn("cum", col("cum_loc") + col("off"))
         .groupBy(col("l_returnflag"))
         .agg(pick(50).as("p50_price"), pick(90).as("p90_price"),
           pick(99).as("p99_price"), max(col("tot")).as("n"))

@@ -60,6 +60,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Scan parquet"), plan)
   }
 
+  test("q16: every window is partition-local (no constant-cardinality key)") {
+    // the exact-percentile prefix sum must stay distributed: a window
+    // partitioned by l_returnflag ALONE (3 values) would funnel a third
+    // of the distinct prices through one task — the regression this
+    // guards. Every window spec in the plan must involve the range
+    // partition id (the big frame's cumulative windows partition BY it;
+    // the tiny offsets frame's windows order by it).
+    val plan = formattedPlan("q16_exact_percentiles")
+    val specs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"no windows found:\n$plan")
+    specs.foreach(l => assert(l.contains("pid#"),
+      s"window not keyed/ordered by the partition id: $l"))
+    // the offsets frame joins back via broadcast — the big frame must
+    // never shuffle for it
+    assert(plan.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
