@@ -106,6 +106,23 @@ object Similarity {
     val dim = codebook.head._2.length
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(codebook.forall(_._2.length == dim))
+    // one native codegen kernel per row (graft.plans.PqEncode) instead of
+    // m×|codebook| interpreted aggregate(zip_with(...)) chains (HOFs are
+    // CodegenFallback, ~1 ms/row on wide vectors; measured v07 at sf0.1:
+    // 2.23 s HOF → 0.26 s kernel). Same exact-integer distances, pinned
+    // to the HOF form by TextKernelsSpec parity.
+    val codes = graft.plans.PqEncode.pqEncode(
+      vectors.asDouble(vecCol), codebook, m)
+    (0 until m).map(j => codes.getItem(j).as(s"c${j + 1}"))
+  }
+
+  /** The HOF form [[pqCodes]] replaced — kept (test-only) as the parity
+    * oracle for the PqEncode kernel, the same pattern as TextKernels.
+    */
+  private[graft] def pqCodesHof(vecCol: Column,
+                                codebook: Seq[(Int, Array[Double])],
+                                m: Int): Seq[Column] = {
+    val dim = codebook.head._2.length
     val sub = dim / m
     val ev = vectors.asDouble(vecCol)
     (0 until m).map { j =>
@@ -129,20 +146,16 @@ object Similarity {
                codebook: Seq[(Int, Array[Double])], m: Int): DataFrame =
     df.select(col(idCol) +: pqCodes(col(vecCol), codebook, m): _*)
 
-  /** PQ asymmetric-distance (ADC) top-k: approximate L2² between the
-    * query and every row as the sum of per-subspace lookup-table entries
-    * — the PQ search path, where the scan touches ONLY the m codes (here
-    * 4 ints standing in for 64 floats; at 100 TB the codes fit in memory
-    * where the vectors never could). The LUT (m × |codebook| quantized
-    * distances between the query's subvectors and every codeword slice)
-    * is evaluated BY Spark on a one-row constant projection, so its
-    * round() semantics are the engine's own — the same exact-integer
-    * distances as [[pqCodes]], bit-stable across engines.
-    * Output: (idCol, c1..cm, adc) — the k smallest, ties on id.
+  /** The ADC lookup table: m × |codebook| quantized L2² distances between
+    * the query's subvectors and every codeword slice. Evaluated BY Spark
+    * on a one-row constant projection, so its round() semantics are the
+    * engine's own — the same exact-integer distances as [[pqCodes]],
+    * bit-stable across engines. Bounded like the codebook itself
+    * (m·|codebook| longs), a driver-held constant.
     */
-  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
-                codebook: Seq[(Int, Array[Double])], query: Array[Double],
-                m: Int, k: Int): DataFrame = {
+  def pqAdcLut(spark: org.apache.spark.sql.SparkSession,
+               codebook: Seq[(Int, Array[Double])], query: Array[Double],
+               m: Int): Map[(Int, Int), Long] = {
     val dim = codebook.head._2.length
     require(query.length == dim && m >= 1 && dim % m == 0)
     val sub = dim / m
@@ -158,23 +171,86 @@ object Similarity {
           q * q
         }),
       lit(0L), (acc, x) => acc + x).as(s"l_${j}_$cid")
-    val lutRow = df.sparkSession.range(1).select(lutExprs: _*).head()
-    val lut = (for {
+    val lutRow = spark.range(1).select(lutExprs: _*).head()
+    (for {
       j <- 0 until m
       (cid, _) <- sorted
     } yield (j, cid) -> lutRow.getAs[Long](s"l_${j}_$cid")).toMap
-    // codes materialize in one projection; the ADC sum then only maps
-    // each small code through the literal LUT — no vector math per row
-    val coded = pqEncode(df, idCol, vecCol, codebook, m)
-    val adc = (0 until m).map { j =>
+  }
+
+  /** The ADC sum over already-materialized code columns c1..cm: each
+    * small code maps through the literal LUT — no vector math at all.
+    */
+  private def adcExpr(lut: Map[(Int, Int), Long],
+                      codebook: Seq[(Int, Array[Double])], m: Int): Column = {
+    val sorted = codebook.sortBy(_._1)
+    (0 until m).map { j =>
       val cj = col(s"c${j + 1}")
       sorted.tail.foldLeft(
         when(cj === sorted.head._1, lit(lut((j, sorted.head._1))))) {
         case (acc, (cid, _)) => acc.when(cj === cid, lit(lut((j, cid))))
       }
     }.reduce[Column](_ + _)
-    coded.withColumn("adc", adc)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k over a PRE-ENCODED codes table
+    * ((idCol, c1..cm) — [[pqEncode]]'s output, at scale materialized to
+    * storage once and reused across queries): approximate L2² between the
+    * query and every row as the sum of per-subspace LUT entries. This is
+    * the PQ search path where the scan genuinely touches ONLY the m codes
+    * (here 4 ints standing in for 64 floats; at 100 TB the codes fit in
+    * memory where the vectors never could), and the per-row work is m
+    * table lookups — no vector math. Output: (idCol, c1..cm, adc) — the k
+    * smallest, ties on id.
+    */
+  def pqAdcTopKFromCodes(coded: DataFrame, idCol: String,
+                         codebook: Seq[(Int, Array[Double])],
+                         query: Array[Double], m: Int, k: Int): DataFrame = {
+    val lut = pqAdcLut(coded.sparkSession, codebook, query, m)
+    coded.withColumn("adc", adcExpr(lut, codebook, m))
       .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
+  /** [[pqAdcTopKFromCodes]] with encoding fused into the same scan — one
+    * pass over the raw vectors (encode kernel + LUT sum + TakeOrdered).
+    * NOTE this pass reads the full vectors by construction; the
+    * memory-resident codes-only scan PQ exists for is the FromCodes
+    * variant over a materialized [[pqEncode]] table.
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                codebook: Seq[(Int, Array[Double])], query: Array[Double],
+                m: Int, k: Int): DataFrame =
+    pqAdcTopKFromCodes(pqEncode(df, idCol, vecCol, codebook, m), idCol,
+      codebook, query, m, k)
+
+  /** The composed production ANN path (IVF-ADC, Jégou et al. §IV): IVF
+    * probe prunes the scan to the query's `nprobe` nearest cells, the PQ
+    * ADC sum ranks the survivors by code arithmetic alone, and only the
+    * `shortlist` best get an exact re-rank against the raw vectors —
+    * top-k by rounded cosine (id tiebreak), the same scoring as
+    * [[bruteForceTopK]] so recall is directly comparable. At 100 TB: the
+    * cell filter is partition pruning when the table is written
+    * partitioned by cell, the ADC scan touches codes only, and the exact
+    * re-rank reads `shortlist` full vectors instead of the table.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                codebook: Seq[(Int, Array[Double])], query: Array[Double],
+                m: Int, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k)
+    val probed = df
+      .withColumn("cell", ivfCell(col(vecCol), codebook))
+      .filter(array_contains(
+        ivfProbeCells(lit(query), codebook, nprobe), col("cell")))
+    val short = pqAdcTopKFromCodes(
+      pqEncode(probed, idCol, vecCol, codebook, m),
+      idCol, codebook, query, m, shortlist)
+    // the shortlist is ≤ `shortlist` ids — broadcast the semi join so the
+    // re-rank never shuffles the vector table
+    df.join(broadcast(short.select(col(idCol))), Seq(idCol), "left_semi")
+      .withColumn("cos4", round(vectors.cosine(
+        vectors.asDouble(col(vecCol)), lit(query)), 4))
+      .orderBy(col("cos4").desc, col(idCol))
       .limit(k)
   }
 

@@ -106,6 +106,22 @@ object VectorQ extends QueryPack {
         .orderBy(col("adc"), col("vec_id"))
     },
 
+    // The COMPOSED production ANN path (IVF-ADC) — what v02–v08's pieces
+    // exist for: IVF probe prunes the scan to the query's 2 nearest
+    // cells, PQ ADC code arithmetic shortlists 20 candidates, and only
+    // those get an exact cosine re-rank. At 100 TB: cell filter =
+    // partition pruning, ADC scan = codes only, exact re-rank = 20 rows.
+    "v09_ivf_pq_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfPqTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", codebook(e), qvec, m = PqSubspaces, k = 5,
+          nprobe = 2, shortlist = 20)
+        .select(col("vec_id"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+    },
+
     // IVF probe: deterministic codebook = vectors 1..8; assign every
     // vector to its nearest centroid (per-row codegen over the broadcast
     // codebook — no join/shuffle), then scan only the query's cell.
@@ -270,6 +286,50 @@ object VectorQ extends QueryPack {
          |FROM a JOIN lut l ON a.j = l.j AND a.cid = l.cid
          |WHERE a.rn = 1 GROUP BY a.vec_id
          |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Mirrors ivfPqTopK end-to-end: v04's cell assignment + v06's 2-cell
+    // probe + v08's exact-integer codes/LUT (restricted to the probed
+    // cells) + cosine re-rank of the 20-row shortlist.
+    "v09_ivf_pq_rerank" -> {
+      val sub = 64 / PqSubspaces
+      def qd(vec: String) =
+        s"(CAST(round(($vec[(j.j-1)*$sub + i] - c.ce[(j.j-1)*$sub + i]) * 1000000) AS BIGINT))"
+      val ed = qd("p.ee")
+      val ld = qd("q.qe")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |      FROM embeddings WHERE vec_id <> 0),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT cid AS qc FROM c, q
+         |           ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid LIMIT 2),
+         |scored AS (
+         | SELECT e.vec_id, e.ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.ee", "c.ce")}, 4) DESC, c.cid) AS rn
+         | FROM e CROSS JOIN c),
+         |p AS (SELECT vec_id, ee FROM scored
+         |      WHERE rn = 1 AND CAST(cid AS INT) IN (SELECT qc FROM qcells)),
+         |j AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
+         |d AS (SELECT p.vec_id, j.j, c.cid,
+         |       CAST(list_sum([$ed * $ed
+         |        FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
+         |      FROM p CROSS JOIN c CROSS JOIN j),
+         |a AS (SELECT vec_id, j, cid,
+         |       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |      FROM d),
+         |lut AS (SELECT j.j, c.cid,
+         |        CAST(list_sum([$ld * $ld
+         |         FOR i IN generate_series(1, $sub)]) AS BIGINT) AS ld
+         |        FROM c CROSS JOIN j CROSS JOIN q),
+         |adc AS (SELECT a.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc
+         |        FROM a JOIN lut l ON a.j = l.j AND a.cid = l.cid
+         |        WHERE a.rn = 1 GROUP BY a.vec_id),
+         |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 20)
+         |SELECT e.vec_id, round(${cosineSql("e.ee", "q.qe")}, 4) AS cos4
+         |FROM e JOIN short USING (vec_id), q
+         |ORDER BY cos4 DESC, e.vec_id LIMIT 5""".stripMargin
     },
 
     "v04_ivf_probe" ->

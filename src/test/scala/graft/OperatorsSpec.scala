@@ -185,6 +185,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"ADC recall@10 $recall")
   }
 
+  test("PqEncode kernel matches the HOF form on every sf0.01 embedding") {
+    // the codegen kernel (graft.plans.PqEncode) replaced the interpreted
+    // aggregate(zip_with(...)) chains; the HOF form stays as the parity
+    // oracle — same pattern as the text kernels. Exact equality on every
+    // row, both directions.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val kernel = e.select(
+      col("vec_id") +: Similarity.pqCodes(col("embedding"), codebook, 4): _*)
+    val hof = e.select(
+      col("vec_id") +: Similarity.pqCodesHof(col("embedding"), codebook, 4): _*)
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty,
+      "kernel and HOF codes differ")
+  }
+
+  test("ivfPqTopK composition: exact cosine scoring on top, sane recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val q = e.filter(col("vec_id") === 0)
+    val qvec = q.select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val rest = e.filter(col("vec_id") =!= 0)
+    val got = Similarity.ivfPqTopK(rest, "vec_id", "embedding", codebook,
+        qvec, m = 4, k = 10, nprobe = 2, shortlist = 30)
+      .select(col("vec_id"), col("cos4")).as[(Long, Double)].collect()
+    // scores must be the EXACT rounded cosine (re-rank reads raw vectors,
+    // not PQ reconstructions) — recompute independently
+    val byId = rest.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(v: Array[Double]): Double = {
+      val dot = v.zip(qvec).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(qvec.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cos(byId(id))) < 1e-9, s"vec $id score $c")
+    }
+    // recall vs exact brute force: the 2-of-8-cell probe bounds what any
+    // downstream stage can recover (true top-10 neighbors in unprobed
+    // cells are unreachable by design), and the coarse 8-codeword ADC
+    // shortlist trims further; measured 0.5 on this table, asserted with
+    // slack (quality floor, not a tune)
+    val brute = Similarity.bruteForceTopK(rest, q, "vec_id", "embedding", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (got.map(_._1).toSet intersect brute).size / 10.0
+    assert(recall >= 0.4, s"ivfPqTopK recall@10 $recall")
+  }
+
   test("multi-probe IVF widens the scan monotonically; head equals ivfCell") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val codebook = e.filter(col("vec_id").between(1, 8))
