@@ -47,13 +47,32 @@ object Bench {
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // SPARK_GRAFT_ONLY=q01,r03 limits the run to a subset and
+    // SPARK_GRAFT_ONLY=q01_…,r03_… limits the run to a subset and
     // SPARK_GRAFT_PASSES overrides the pass count — iteration aids for
     // local tuning on a noisy host (more interleaved passes tighten the
-    // min); the driver never sets either.
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // min); the driver never sets either. Both FAIL FAST on bad values
+    // (an unknown name would otherwise silently select zero queries and
+    // print a plausible-looking empty result), and every non-default knob
+    // is echoed into the output JSON so a tuning run can never be
+    // mistaken for a clean 3-pass full run.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map { p =>
+      require(p.forall(_.isDigit) && p.nonEmpty && p.toInt >= 1,
+        s"SPARK_GRAFT_PASSES must be a positive integer, got '$p'")
+      p.toInt
+    }.getOrElse(3)
     val subset = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    subset.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val knobs = Seq("SPARK_GRAFT_ONLY", "SPARK_GRAFT_PASSES",
+        "SPARK_GRAFT_AQE", "SPARK_GRAFT_DOCS_REPART", "SPARK_GRAFT_CPUS")
+      .flatMap(k => sys.env.get(k).map(v => s""""$k":"$v""""))
+    val knobsJson =
+      if (knobs.isEmpty) "" else knobs.mkString(""","knobs":{""", ",", "}")
     val selected = SparkEntry.queries.filter { case (n, _) =>
       subset.forall(_.contains(n))
     }
@@ -95,7 +114,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$knobsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch {
@@ -106,7 +125,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$knobsJson}""")
     spark.stop()
   }
 }
