@@ -78,5 +78,24 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.getOption("spark.graft.docs.repartition")
       .map(n => docs.repartition(n.toInt)).getOrElse(docs)
   }
+
+  /** [[documents]] for KERNEL-DOMINATED scans (minhash, winnowing,
+    * decontamination): repartitioned to defaultParallelism ONLY when the
+    * scan plans fewer partitions — locally the testdata is a single
+    * parquet row group (the minimum split unit), so the scan gets ONE
+    * task and per-row kernels run serially (d02 measured 1.02→0.72 s at
+    * sf0.1). At cluster scale file splits already exceed the core count,
+    * the gate is false, and no shuffle happens — the unconditional form
+    * would shuffle the whole corpus for nothing. Light queries should
+    * stay on [[documents]]: the rebalance shuffle costs more than it
+    * buys there (measured +0.1–0.2 s each, net loss on the 16-query doc
+    * subset).
+    */
+  def documentsKernelParallel: DataFrame = {
+    val docs = documents
+    val target = spark.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target)
+    else docs
+  }
   def embeddings: DataFrame = table("embeddings")
 }

@@ -21,16 +21,14 @@ object DedupQ extends QueryPack {
         .orderBy(col("keeper"))
     },
 
-    // repartition(cpus) before the 8-hash minhash kernel: the local
-    // testdata is one parquet row group = a ONE-task scan, so the kernel
-    // otherwise runs serially (measured 1.02→0.72 s at sf0.1); a cheap
-    // rebalance at cluster scale where file splits already parallelize.
-    // Blanket-repartitioning every documents query was measured and
-    // rejected (+0.1–0.2 s shuffle tax on each light query, net loss) —
-    // only the kernel-dominated ones (here, t06) keep it.
+    // documentsKernelParallel: rebalance the one-row-group local scan so
+    // the 8-hash minhash kernel parallelizes (measured 1.02→0.72 s at
+    // sf0.1) — GATED on the observed partition count, so at cluster
+    // scale (file splits ≥ cores) no shuffle happens. Light queries stay
+    // on `documents` (the shuffle tax outruns the kernel win there).
     "d02_minhash_lsh_pairs" -> { (s, dir) =>
       Dedup.minhashLshPairs(
-          Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism),
+          Tables(s, dir).documentsKernelParallel,
           "doc_id", "text", k = 8, bands = 2, shingleN = 3)
         .orderBy(col("a"), col("b"))
     },
@@ -74,9 +72,9 @@ object DedupQ extends QueryPack {
     // Duplicate clusters: connected components over the LSH candidate
     // pairs, labeled by the smallest member id (the keeper).
     "d06_dup_clusters" -> { (s, dir) =>
-      // same serial-scan fix as d02 (one row group = one kernel task)
+      // same gated serial-scan fix as d02 (one row group = one kernel task)
       val pairs = Dedup.minhashLshPairs(
-          Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism),
+          Tables(s, dir).documentsKernelParallel,
           "doc_id", "text", k = 8, bands = 2, shingleN = 3)
         .select(col("a"), col("b"))
       // LSH pairs are dropDuplicates'd with a < b → canonical

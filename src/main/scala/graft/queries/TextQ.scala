@@ -124,14 +124,12 @@ object TextQ extends QueryPack {
     },
 
     // Winnowing fingerprints (k=8 char grams, window w=4), long form.
-    // The rolling-hash kernel is the whole cost; repartition(cpus) first
-    // because the local testdata is one parquet row group = a ONE-task
-    // scan, so without it the kernel runs serially (measured 1.05→0.46 s
-    // at sf0.1). At cluster scale the input arrives in many splits and
-    // this becomes a cheap rebalance of an already-parallel scan.
+    // The rolling-hash kernel is the whole cost; documentsKernelParallel
+    // rebalances the ONE-task local one-row-group scan so it parallelizes
+    // (measured 1.05→0.46 s at sf0.1), gated on the observed partition
+    // count so a many-split cluster scan is left untouched.
     "t06_winnow_fingerprints" -> { (s, dir) =>
-      Tables(s, dir).documents
-        .repartition(s.sparkContext.defaultParallelism)
+      Tables(s, dir).documentsKernelParallel
         .select(col("doc_id"),
           explode(text.winnowFingerprints(col("text"), 8, 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
@@ -143,13 +141,12 @@ object TextQ extends QueryPack {
     // grams and broadcasts; the corpus never shuffles (see
     // operators.Contamination).
     "t08_decontaminate" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
+      val t = Tables(s, dir)
       graft.operators.Contamination.contaminatedDocs(
-          // corpus side is kernel-dominated → same serial one-row-group
-          // scan fix as d02/t06 (measured 0.51→0.43 s at sf0.1)
-          docs.filter(col("doc_id") % 10 =!= 7)
-            .repartition(s.sparkContext.defaultParallelism),
-          docs.filter(col("doc_id") % 10 === 7),
+          // corpus side is kernel-dominated → same gated serial-scan fix
+          // as d02/t06 (measured 0.51→0.43 s at sf0.1)
+          t.documentsKernelParallel.filter(col("doc_id") % 10 =!= 7),
+          t.documents.filter(col("doc_id") % 10 === 7),
           "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
     },
