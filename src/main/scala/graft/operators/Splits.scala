@@ -68,11 +68,83 @@ object Splits {
   def capTokensPerGroup(df: DataFrame, groupCol: String, idCol: String,
                         tokenCol: String, budget: Long,
                         salt: Int = 0): DataFrame = {
+    // the temp column would silently clobber (and then drop) a caller
+    // column of the same name — fail loudly instead
+    require(!df.columns.contains("__cum"),
+      "capTokensPerGroup: input already has a __cum column — rename it")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(pctBucket(col(idCol), salt), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokenCol)).over(w))
       .filter(col("__cum") - col(tokenCol) < budget)
       .drop("__cum")
+  }
+
+  /** Two-phase [[capTokensPerGroup]] for skewed mixtures: when one group
+    * dwarfs the budget (a 100×-over-budget web crawl next to small curated
+    * sources), the exact pass's ordered window would scan the whole group
+    * just to discard 99% of it. Phase 1 computes per-group token totals
+    * (one cheap aggregate) and derives a [[stratifiedKeep]] pre-thinning
+    * rate of ~`slack · budget / total` per group; phase 2 runs the exact
+    * greedy pass over the survivors, which now total O(slack · budget)
+    * tokens per group.
+    *
+    * EXACTNESS: the greedy window orders rows by (pctBucket, id) and
+    * stratifiedKeep keeps exactly the rows with pctBucket below the rate —
+    * i.e. a PREFIX of that same order — so greedy admission over the
+    * survivors equals greedy admission over the full group whenever the
+    * budget is crossed inside the prefix. `slack` (≥ 1.05) sizes the
+    * prefix to `slack × budget` expected tokens so that holds with margin;
+    * under `spark.graft.debug.validate=true` the property is asserted
+    * per group (loud failure, never a silent under-fill).
+    */
+  def capTokensPerGroupAuto(df: DataFrame, groupCol: String, idCol: String,
+                            tokenCol: String, budget: Long,
+                            salt: Int = 0, slack: Double = 1.5): DataFrame = {
+    require(slack >= 1.05, s"slack=$slack leaves no margin over the budget")
+    require(!df.columns.contains("__keep_pct"),
+      "capTokensPerGroupAuto: input already has a __keep_pct column")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("__grp_tokens"))
+      // integer percent for pctBucket's 0..99 buckets: ceil, floor 1, cap 100
+      .select(col(groupCol),
+        least(lit(100L), greatest(lit(1L),
+          ceil(lit(100.0 * slack * budget) / col("__grp_tokens"))
+            .cast("long"))).cast("int").as("__keep_pct"))
+    // totals is one row per group — broadcast, no extra shuffle of df
+    val validate = df.sparkSession.conf
+      .getOption("spark.graft.debug.validate").contains("true")
+    val thinned0 = df.join(broadcast(totals), Seq(groupCol))
+      .filter(pctBucket(col(idCol), salt) < col("__keep_pct"))
+    // validation rides a per-group total over the PRE-cap survivors (the
+    // prefix the exact pass will scan); evaluated on admitted rows, so a
+    // group only escapes the check if its entire prefix is empty — which
+    // needs every id of a >slack·budget group to hash into the dropped
+    // 1−rate tail, vanishingly unlikely at exactly the sizes that thin
+    val thinned = if (validate) {
+      val wg = Window.partitionBy(col(groupCol))
+      thinned0.withColumn("__prefix_total", sum(col(tokenCol)).over(wg))
+    } else thinned0
+    val capped = capTokensPerGroup(
+      thinned, groupCol, idCol, tokenCol, budget, salt)
+    val validated =
+      if (validate)
+        // a thinned group (keep_pct < 100) must cross the budget inside
+        // its surviving prefix, or the thinned greedy result could admit
+        // fewer rows than the exact pass — rewrite tokenCol through a
+        // raise_error branch so the check can't be pruned as unused
+        capped.withColumn(tokenCol,
+            when(col("__keep_pct") === 100 ||
+                 col("__prefix_total") >= budget, col(tokenCol))
+              .otherwise(raise_error(concat(
+                lit("capTokensPerGroupAuto: thinned group "),
+                col(groupCol).cast("string"),
+                lit(" did not reach the budget — raise slack")))
+                .cast(df.schema(tokenCol).dataType)))
+          .drop("__prefix_total")
+      else capped
+    // the broadcast join moved groupCol to the front — restore the
+    // caller's column order (output schema == input schema)
+    validated.select(df.columns.map(col): _*)
   }
 }

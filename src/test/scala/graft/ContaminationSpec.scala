@@ -97,6 +97,39 @@ class ContaminationSpec extends SparkTestBase {
     // single row exceeds the budget
     val big = Seq((1L, "g", 999L)).toDF("id", "grp", "tok")
     assert(Splits.capTokensPerGroup(big, "grp", "id", "tok", 10L).count() == 1)
+
+    // the __cum temp column must not silently clobber a caller column
+    val clash = Seq((1L, "g", 5L, 0L)).toDF("id", "grp", "tok", "__cum")
+    assertThrows[IllegalArgumentException](
+      Splits.capTokensPerGroup(clash, "grp", "id", "tok", 10L))
+  }
+
+  test("capTokensPerGroupAuto equals the exact pass, scans O(budget) rows") {
+    spark.conf.set("spark.graft.debug.validate", "true")
+    try {
+      // one dwarfing group (5000 rows × 10 tokens = 100× the budget) next
+      // to a small group that fits — the mixture shape auto mode exists for
+      val rows = (1L to 5000L).map(i => (i, "web", 10L)) ++
+        (9001L to 9030L).map(i => (i, "curated", 10L))
+      val df = rows.toDF("id", "grp", "tok")
+      val budget = 500L
+      def keyOf(r: org.apache.spark.sql.Row) = (r.getString(1), r.getLong(0))
+      val exact = Splits.capTokensPerGroup(df, "grp", "id", "tok", budget)
+        .collect().map(keyOf).toSet
+      val auto = Splits.capTokensPerGroupAuto(df, "grp", "id", "tok", budget)
+        .collect().map(keyOf).toSet
+      assert(auto == exact, "auto mode diverged from the exact greedy pass")
+      assert(exact.count(_._1 == "web") >= 50 &&
+        exact.count(_._1 == "curated") == 30)
+
+      // the mechanism: with slack 1.5 the dwarfing group's derived keep
+      // rate is ceil(100·1.5·500/50000) = 2%, so the ordered window scans
+      // ~2% of the group (O(budget) tokens), not all 5000 rows
+      val scanned = df.filter(col("grp") === "web" &&
+        Splits.pctBucket(col("id")) < 2).count()
+      assert(scanned <= 250, s"thinned prefix scanned $scanned rows")
+      assert(scanned * 10L >= budget, "prefix must still cover the budget")
+    } finally spark.conf.unset("spark.graft.debug.validate")
   }
 
   test("stratifiedKeep is a deterministic per-row predicate (partition-proof)") {
