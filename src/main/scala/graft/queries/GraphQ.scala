@@ -76,8 +76,13 @@ object GraphQ extends QueryPack {
       val pairs = tradeEdges(s, dir)
         .filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b"))
-      // tradeEdges is distinct and the filter keeps src < dst → canonical
-      graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true)
+      // tradeEdges is distinct and the filter keeps src < dst → canonical.
+      // spark.graft.checkpoint.dir routes reliable per-round checkpoints
+      // into the fixed (SparkSession, dir) query signature — the cluster
+      // deployment mode (executor loss mid-iteration survives); unset =
+      // localCheckpoint, the single-node default.
+      graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true,
+          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster"))

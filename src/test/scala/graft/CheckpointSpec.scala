@@ -90,6 +90,30 @@ class CheckpointSpec extends SparkTestBase {
       2L -> 2L, 8L -> 2L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("r04's real query runs reliable checkpoints + canonical validation") {
+    // drives the actual SparkEntry entry (not a fixture): checkpointDir
+    // arrives through spark.graft.checkpoint.dir, pairsCanonical=true is
+    // validated (debug flag on), and the result must equal the default
+    // localCheckpoint path
+    withTempDir { dir =>
+      spark.conf.set("spark.graft.debug.validate", "true")
+      spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
+      try {
+        val reliable = SparkEntry.queries("r04_cc_trade_graph")(spark, sfSmoke)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        assert(rddCheckpointFiles(dir).nonEmpty,
+          "query did not write reliable checkpoints")
+        spark.conf.unset("spark.graft.checkpoint.dir")
+        val default = SparkEntry.queries("r04_cc_trade_graph")(spark, sfSmoke)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        assert(reliable == default && reliable.nonEmpty)
+      } finally {
+        spark.conf.unset("spark.graft.checkpoint.dir")
+        spark.conf.unset("spark.graft.debug.validate")
+      }
+    }
+  }
+
   test("debug validation rejects non-canonical input loudly") {
     spark.conf.set("spark.graft.debug.validate", "true")
     try {
