@@ -317,6 +317,91 @@ object Dedup {
     labels.select(col("node").as("member"), col("label").as("cluster"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round alternative to
+    * [[dupClusters]]'s O(diameter)-round min-label propagation. Each
+    * round rewrites the whole edge set toward a star per component:
+    * large-star points every larger neighbor of u at u's neighborhood
+    * minimum; small-star does the same for the smaller neighbors. At
+    * fixpoint every edge is (member, component-min). Same output contract
+    * as [[dupClusters]]: (member, cluster), cluster = smallest reachable
+    * id, roots included.
+    *
+    * Convergence check: per-round (count, xxhash64 checksum) of the edge
+    * set — one tiny action per star instead of an edge-set subtract.
+    *
+    * Round economics vs min-label, measured on r04's ~600k-edge trade
+    * graph at sf0.1 (two paired 7-pass-min runs, minutes apart): star
+    * 5.19/5.01 s vs min-label 4.74/4.68 s — min-label wins ~8% and stays
+    * r04's default. The trade graph's diameter is small, so min-label
+    * pays few rounds over a frontier that SHRINKS as components settle,
+    * while every star round rewrites and dedupes the FULL edge set
+    * through groupBy+join+distinct. Star is the right tool when the
+    * diameter is large relative to log n: on a 64-node path (diameter
+    * 63) min-label TRUNCATES at its default 50-round budget while star
+    * converges well inside its own (OperatorsSpec pins both) — kept as
+    * the documented high-diameter complement, not dead code.
+    */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckpt = Iteration.materializer(spark, checkpointDir)
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star (paper Alg. 1): over the SYMMETRIC neighborhood,
+    // m(u) = min(Γ(u) ∪ u); emit (v, m) for every neighbor v > u.
+    // v > u ≥ m, so no self-loops and edges stay larger→smaller.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = sym(e)
+      val mins = nb.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nb.filter(col("v") > col("u")).join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star (paper Alg. 2): orient every edge toward its larger
+    // endpoint u; m(u) = min of the smaller neighbors; emit (v, m) for
+    // each smaller neighbor plus (u, m), dropping the (m, m) self-loop.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v"), col("m"))
+        .unionByName(mins.select(col("u").as("v"), col("m")))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, String) = {
+      // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var edges = ckpt(pairs.select(col("a").as("u"), col("b").as("v")))
+    var prev = checksum(edges)
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      edges = ckpt(smallStar(largeStar(edges)))
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClustersStar stopped at maxIter=$maxIter without a stable " +
+          "edge set; results may be partial — raise maxIter")
+    // at fixpoint edges are (member, root): add the roots themselves
+    edges.select(col("u").as("member"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("member"), col("v").as("cluster")))
+      .distinct()
+  }
+
   /** 16-bit SimHash per document: bit b is the majority vote of bit b over
     * the 16-bit md5-derived hashes of all (non-distinct) tokens. A single
     * per-row codegen kernel (graft.plans.SimHash16) — no explode, no

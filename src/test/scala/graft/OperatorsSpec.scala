@@ -185,6 +185,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"ADC recall@10 $recall")
   }
 
+  test("dupClustersStar equals min-label propagation (path + real pairs)") {
+    // a 64-node path — the high-diameter shape large/small-star exists
+    // for: min-label needs diameter≈63 rounds (it TRUNCATES at the
+    // default maxIter=50 here, with a warning — hence maxIter=100),
+    // star converges within its default budget
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val starPath = Dedup.dupClustersStar(path)
+      .as[(Long, Long)].collect().toSet
+    val labelPath = Dedup.dupClusters(path, maxIter = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(starPath == labelPath && starPath.map(_._2) == Set(1L))
+
+    // real LSH candidate pairs from the sf0.001 documents
+    val docs = graft.Tables(spark, sfSmoke).documents
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 8, bands = 2, shingleN = 3)
+      .select(col("a"), col("b"))
+    val star = Dedup.dupClustersStar(pairs)
+      .as[(Long, Long)].collect().toSet
+    val label = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(star == label)
+  }
+
   test("PqEncode kernel matches the HOF form on every sf0.01 embedding") {
     // the codegen kernel (graft.plans.PqEncode) replaced the interpreted
     // aggregate(zip_with(...)) chains; the HOF form stays as the parity
