@@ -100,6 +100,27 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> (if (failedQ(name)) -1.0 else samples(name).min)
     }.toMap
+
+    // The reference-parity GTFS pipeline is the headline capability;
+    // run it end-to-end once per round (full-suite runs only, so subset
+    // tuning loops stay fast) and track its wall-clock in BENCH_DETAIL.
+    // Never in the stdout line: the driver-parsed tail is char-budgeted
+    // and the app is not a per-query metric.
+    val gtfsSec: Option[Double] =
+      if (subset.nonEmpty) None
+      else try {
+        val root = sys.env.getOrElse("SPARK_GRAFT_GTFS_ROOT", "/root/reference")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-bench-gtfs").toString
+        val t0 = System.nanoTime()
+        graft.gtfs.GtfsApp.run(spark, root, out)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] gtfs app run failed: $e")
+          Some(-1.0)
+      }
+    val gtfsJson = gtfsSec.fold("")(v => s""","gtfs_app_sec":$v""")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver keeps only the LAST 2000 chars of stdout; full-precision
     // doubles pushed the 59-query line past that, truncating its head and
@@ -114,7 +135,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$knobsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$knobsJson$gtfsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch {

@@ -229,10 +229,12 @@ object Similarity {
     * ADC sum ranks the survivors by code arithmetic alone, and only the
     * `shortlist` best get an exact re-rank against the raw vectors —
     * top-k by rounded cosine (id tiebreak), the same scoring as
-    * [[bruteForceTopK]] so recall is directly comparable. At 100 TB: the
-    * cell filter is partition pruning when the table is written
-    * partitioned by cell, the ADC scan touches codes only, and the exact
-    * re-rank reads `shortlist` full vectors instead of the table.
+    * [[bruteForceTopK]] so recall is directly comparable. Here the three
+    * stages run fused in one pass over the probed vectors; in the 100 TB
+    * deployment the cell filter becomes partition pruning (table written
+    * partitioned by cell), the ADC stage runs [[pqAdcTopKFromCodes]]
+    * over a MATERIALIZED [[pqEncode]] codes table (codes-only scan), and
+    * only the exact re-rank reads `shortlist` full vectors.
     */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
                 codebook: Seq[(Int, Array[Double])], query: Array[Double],
