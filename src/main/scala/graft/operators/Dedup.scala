@@ -317,6 +317,52 @@ object Dedup {
     labels.select(col("node").as("member"), col("label").as("cluster"))
   }
 
+  /** INCREMENTAL corpus dedup: drop `increment` rows whose `keyCol` value
+    * already exists in `corpus` — the crawl-increment-vs-existing-corpus
+    * step of a continuously-growing training set, shaped so the (huge)
+    * corpus NEVER shuffles. Results are EXACT (plain anti-join
+    * semantics, oracle-able); the Bloom filter is only a prefilter:
+    *
+    *  1. a Bloom sketch over the corpus keys (public `stat.bloomFilter`,
+    *     a bounded driver constant like any codebook — ~1.2 MB per 1M
+    *     keys at 1% fpp) is probed per increment row through a native
+    *     codegen expression (plans/BloomMightContain): no join, no
+    *     shuffle, and no false negatives, so nothing exact is lost;
+    *  2. the surviving candidates (true dups + ~fpp·|increment| false
+    *     positives) are CONFIRMED by a semi-join of the corpus against
+    *     the broadcast candidate keys, then the tiny confirmed-dup key
+    *     set broadcasts back into an anti-join on the increment.
+    *
+    * Both joins broadcast the small side — the corpus is scanned (twice:
+    * sketch + confirm) but never shuffled, and the increment never
+    * shuffles at all. At deployment scale the sketch is built once,
+    * persisted, and amortized across increments (step 1's scan drops
+    * out); `expectedKeys`/`fpp` size it.
+    *
+    * `keyCol` must be evaluable on both frames (e.g. a fingerprint of
+    * the text column). Intra-increment duplicates are NOT collapsed —
+    * that is [[exactGroups]]' job; this operator only subtracts what the
+    * corpus already has.
+    */
+  def dedupAgainstCorpus(increment: DataFrame, corpus: DataFrame,
+                         keyCol: Column, expectedKeys: Long,
+                         fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1)
+    val keyed = increment.withColumn("__fp", keyCol)
+    val corpusKeys = corpus.select(keyCol.as("__fp"))
+    val bloom = corpusKeys.select(xxhash64(col("__fp")).as("__h"))
+      .stat.bloomFilter("__h", expectedKeys, fpp)
+    // per-row probe; an xxhash64 collision only ever ADDS a candidate,
+    // which the exact confirm join removes — exactness is unconditional
+    val cand = keyed.filter(graft.plans.BloomMightContain
+      .mightContainLong(xxhash64(col("__fp")), bloom))
+    val dupKeys = corpusKeys
+      .join(broadcast(cand.select(col("__fp")).distinct()), Seq("__fp"),
+        "left_semi")
+      .distinct()
+    keyed.join(broadcast(dupKeys), Seq("__fp"), "left_anti").drop("__fp")
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
     * rewrites (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the O(log n)-round alternative to

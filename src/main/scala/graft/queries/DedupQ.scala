@@ -82,6 +82,25 @@ object DedupQ extends QueryPack {
         .orderBy(col("cluster"), col("member"))
     },
 
+    // Incremental crawl dedup: treat the doc_id%10==3 slice as "today's
+    // increment" and subtract everything the rest of the corpus already
+    // has, keyed by the LEAD fingerprint (md5 of the first 8 normalized
+    // tokens — the lead-paragraph key that catches templated re-crawls
+    // where full-text fingerprints never collide). Exact anti-join
+    // semantics; the Bloom sketch + broadcast confirm keep the corpus
+    // from ever shuffling (see Dedup.dedupAgainstCorpus).
+    "d10_bloom_increment_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val key = md5(concat_ws(" ",
+        slice(graft.functions.text.tokens(col("text")), 1, 8)))
+      Dedup.dedupAgainstCorpus(
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 =!= 3),
+          key, expectedKeys = 100000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-dup with label blocking (blocked all-pairs
     // inside each label bucket only). Blocks larger than 1000 vectors are
     // dropped via Dedup.capBuckets — the same hot-bucket guard as LSH:
@@ -193,6 +212,19 @@ object DedupQ extends QueryPack {
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |FROM v WHERE inter * 5 >= (la + lb - inter) * 3
          |ORDER BY a, b""".stripMargin,
+
+    // Mirrors the lead fingerprint: first 8 normalized tokens, single
+    // space joined, md5. coalesce('') mirrors Spark's concat_ws, which
+    // yields "" (not NULL) on a null token array.
+    "d10_bloom_increment_dedup" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |       md5(coalesce(array_to_string((${wordsSql()})[1:8], ' '), '')) AS fp
+         |      FROM n)
+         |SELECT doc_id, lang FROM f
+         |WHERE doc_id % 10 = 3
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 <> 3)
+         |ORDER BY doc_id""".stripMargin,
 
     "d03_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
 

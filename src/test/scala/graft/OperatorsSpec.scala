@@ -185,6 +185,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"ADC recall@10 $recall")
   }
 
+  test("chunkTokens: exact windows, overlap, tail suppression, empty docs") {
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a"),                                      // 1 token
+      (3L, ""),                                       // blank → no chunks
+      (4L, null.asInstanceOf[String]))                // null → no chunks
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, String)].collect()
+    // starts every 2: 0,2,4,6; start 8 contributes no new token past
+    // chunk [6,10) (8 + overlap 2 >= 10) and is suppressed
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0, 4L), (1, 4L), (2, 4L), (3, 4L)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1L, "a")))
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
+  test("dedupAgainstCorpus equals a plain anti-join; bloom FPs are confirmed away") {
+    // tiny undersized sketch (expectedKeys=1, fpp=0.5) forces Bloom
+    // false positives through the exact confirm join — the result must
+    // stay the plain anti-join answer regardless
+    val inc = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("id", "k")
+    val corpus = Seq((10L, "bb"), (11L, "dd"), (12L, "zz")).toDF("id", "k")
+    val got = Dedup.dedupAgainstCorpus(inc, corpus, col("k"),
+        expectedKeys = 1, fpp = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+
+    // real documents, lead-fingerprint key: operator == plain anti-join,
+    // and the increment really loses rows (dups exist at sf0.001)
+    import graft.functions.text
+    val docs = graft.Tables(spark, sfSmoke).documents
+    val key = md5(concat_ws(" ", slice(text.tokens(col("text")), 1, 8)))
+    val i = docs.filter(col("doc_id") % 10 === 3)
+    val c = docs.filter(col("doc_id") % 10 =!= 3)
+    val viaOp = Dedup.dedupAgainstCorpus(i, c, key, expectedKeys = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = i.withColumn("__k", key)
+      .join(c.select(key.as("__k")).distinct(), Seq("__k"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaOp == plain)
+    assert(viaOp.size < i.count(), "fixture increment should lose rows")
+  }
+
   test("dupClustersStar equals min-label propagation (path + real pairs)") {
     // a 64-node path — the high-diameter shape large/small-star exists
     // for: min-label needs diameter≈63 rounds (it TRUNCATES at the
