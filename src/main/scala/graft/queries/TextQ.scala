@@ -157,6 +157,16 @@ object TextQ extends QueryPack {
       graft.operators.Contamination.repetitionStats(
           Tables(s, dir).documents, "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // Context-window chunking: 64-token windows every 48 tokens (16-token
+    // overlap) — the training-sequence prep step. Per-row expressions
+    // only (sequence/explode/slice): chunks distribute with their doc,
+    // no shuffle, no window function.
+    "t10_chunk_windows" -> { (s, dir) =>
+      graft.operators.Chunking.chunkTokens(Tables(s, dir).documents,
+          "doc_id", "text", chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 
@@ -180,6 +190,23 @@ object TextQ extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // Mirrors Chunking.chunkTokens (64/16): starts every 48 tokens, a
+    // window only when it contributes new tokens (st=0 or st+16 < nt);
+    // DuckDB list slices are 1-based end-inclusive like Spark's slice.
+    "t10_chunk_windows" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w,
+         |        CASE WHEN norm = '' THEN 0 ELSE len(${wordsSql()}) END AS nt
+         |      FROM n),
+         |s AS (SELECT doc_id, w, nt,
+         |        UNNEST(generate_series(0, nt - 1, 48)) AS st
+         |      FROM w WHERE nt > 0)
+         |SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
+         | CAST(LEAST(64, nt - st) AS BIGINT) AS n_tokens,
+         | array_to_string(w[st + 1 : st + 64], ' ') AS chunk_text
+         |FROM s WHERE st = 0 OR st + 16 < nt
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "t01_token_stats" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT doc_id,
