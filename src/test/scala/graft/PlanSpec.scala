@@ -78,6 +78,34 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$plan")
   }
 
+  test("d10: neither table shuffles — bloom probe + broadcast joins only") {
+    // the whole point of the operator: the corpus feeds a driver sketch
+    // and a broadcast-probed semi join, the increment is filtered and
+    // anti-joined against a broadcast. Allowed shuffles: the final
+    // presentation orderBy + the two distincts that BOUND the broadcast
+    // sides — those move O(candidates), never O(corpus). What must never
+    // appear is a shuffled join of either big table.
+    val plan = formattedPlan("d10_bloom_increment_dedup")
+    val shuffles = plan.linesIterator
+      .count(_.trim.startsWith("+- Exchange"))
+    assert(shuffles <= 3, s"$shuffles shuffles:\n$plan")
+    assert(plan.contains("bloom_might_contain"), s"bloom probe missing:\n$plan")
+    val broadcastJoins =
+      "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcastJoins >= 2, s"joins not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"big-table shuffle join:\n$plan")
+  }
+
+  test("t10: chunking is shuffle-free up to the final sort") {
+    val plan = formattedPlan("t10_chunk_windows")
+    val shuffles = plan.linesIterator
+      .count(_.trim.startsWith("+- Exchange"))
+    assert(shuffles <= 1, s"$shuffles shuffles:\n$plan")
+    // per-row explode, not a window function
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
