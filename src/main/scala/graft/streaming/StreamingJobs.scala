@@ -110,6 +110,32 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming ingest prefilter: drop stream rows whose key is (very
+    * probably) already in the static corpus — the Bloom face of
+    * [[graft.operators.Dedup.dedupAgainstCorpus]] for CONTINUOUS
+    * ingestion, where the batch confirm join is unavailable (a streaming
+    * candidate set can't broadcast). The sketch is built ONCE from the
+    * static corpus at stream start and probed per row (native codegen
+    * expression, no state store, no shuffle).
+    *
+    * Exactness trade-off, stated plainly: no false negatives (every true
+    * duplicate is dropped), but ~fpp of genuinely-new rows are falsely
+    * dropped too. Size `fpp` to the acceptable loss, or run the batch
+    * confirm over the kept rows downstream when exactness matters.
+    */
+  def bloomPrefilterStream(stream: DataFrame,
+                           keyCol: org.apache.spark.sql.Column,
+                           corpus: DataFrame,
+                           corpusKeyCol: org.apache.spark.sql.Column,
+                           expectedKeys: Long,
+                           fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1)
+    val bloom = corpus.select(xxhash64(corpusKeyCol).as("__h"))
+      .stat.bloomFilter("__h", expectedKeys, fpp)
+    stream.filter(!graft.plans.BloomMightContain
+      .mightContainLong(xxhash64(keyCol), bloom))
+  }
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

@@ -33,6 +33,38 @@ class PropertySpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("chunkTokens reconstructs the token stream; overlap is exact") {
+    import graft.operators.Chunking
+    // random word-ish docs over a tiny alphabet (forces repeated tokens)
+    val doc: Gen[String] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d1", "e")).map(_.mkString(" ")))
+    val docs = samples(doc, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chunks = Chunking.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 7, overlap = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val toks = docs.select(col("doc_id"), text.normText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+      .map { case (id, n) => id -> (if (n.isEmpty) Array.empty[String]
+                                    else n.split(" ")) }
+    toks.foreach { case (id, ts) =>
+      val cs = chunks.getOrElse(id, Array.empty)
+      if (ts.isEmpty) assert(cs.isEmpty, s"doc $id: chunks for empty doc")
+      else {
+        // stitching rule: chunk 0 whole, then drop each later chunk's
+        // 3-token overlap — the concatenation must be the exact stream
+        val stitched = cs.head._4.split(" ") ++
+          cs.tail.flatMap(_._4.split(" ").drop(3))
+        assert(stitched.toSeq == ts.toSeq, s"doc $id reconstruction")
+        // every chunk except the last is exactly chunkSize tokens
+        assert(cs.init.forall(_._3 == 7L), s"doc $id interior chunk size")
+        assert(cs.last._3 == cs.last._4.split(" ").length.toLong)
+      }
+    }
+  }
+
   test("time codec round-trips every non-negative second count") {
     val df = samples(Gen.chooseNum(0, 200 * 3600), 2000).toDF("s")
       .select(col("s"), timecodec.timeToSec(timecodec.secToTime(col("s"))).as("rt"))

@@ -33,6 +33,28 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq(("10:00", "click", 2L, 3.0), ("11:00", "view", 1L, 5.0)))
   }
 
+  test("bloomPrefilterStream drops corpus duplicates from a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta"), (101L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val key = graft.functions.text.fingerprint(col("text"))
+    val q = StreamingJobs.bloomPrefilterStream(stream, key, corpus, key,
+        expectedKeys = 100, fpp = 0.001)
+      .writeStream.format("memory").queryName("bloom_kept")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, "alpha beta"), (2L, "fresh text"), (3L, "gamma delta"))
+    q.processAllAvailable()
+    mem.addData((4L, "gamma delta"), (5L, "another new one"))
+    q.processAllAvailable()
+    val kept = spark.table("bloom_kept").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(2L, 5L),
+      s"corpus dups must drop in every batch, new docs pass: $kept")
+  }
+
   test("hourlyRollup append mode finalizes windows and drops late data") {
     // Complete mode never drops anything — the 2 h watermark only has
     // observable semantics in Append mode: a window emits exactly once
