@@ -101,6 +101,43 @@ object DedupQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Embedding near-dup blocking WITHOUT labels — the raw-crawl shape
+    // (d05's label column doesn't exist at 100 TB): candidates collide
+    // on either of two 4-bit sign-hyperplane bands (v02's signBucket
+    // over disjoint component sets), exact cosine on candidates only,
+    // top 20. Band 1 joins only pairs whose band 0 DIFFERS
+    // (first-match-band, as in the SimHash joins), so the union is
+    // disjoint and the candidate dedup shuffle disappears; the band
+    // joins carry ids+bands only, embeddings re-join by id after.
+    "d11_embedding_bucket_pairs" -> { (s, dir) =>
+      import graft.functions.vectors
+      import graft.operators.Similarity
+      val e = Tables(s, dir).embeddings
+      // ids + band keys only; feeds both sides of both joins (see
+      // minhashLshPairs for the localCheckpoint-vs-ReuseExchange note)
+      val withB = e.select(col("vec_id"),
+          Similarity.signBucket(col("embedding"), Seq(1, 17, 33, 49)).as("b0"),
+          Similarity.signBucket(col("embedding"), Seq(9, 25, 41, 57)).as("b1"))
+        .localCheckpoint()
+      def side(p: String) = withB.select(col("vec_id").as(p),
+        col("b0").as(s"${p}b0"), col("b1").as(s"${p}b1"))
+      val c0 = side("a").join(side("b"),
+          col("ab0") === col("bb0") && col("a") < col("b"))
+        .select(col("a"), col("b"))
+      val c1 = side("a").join(side("b"),
+          col("ab1") === col("bb1") && col("ab0") =!= col("bb0") &&
+            col("a") < col("b"))
+        .select(col("a"), col("b"))
+      c0.unionByName(c1)
+        .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("ea")), vectors.asDouble(col("eb"))), 4))
+        .select(col("a"), col("b"), col("cos4"))
+        .orderBy(col("cos4").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Embedding-cosine near-dup with label blocking (blocked all-pairs
     // inside each label bucket only). Blocks larger than 1000 vectors are
     // dropped via Dedup.capBuckets — the same hot-bucket guard as LSH:
@@ -212,6 +249,22 @@ object DedupQ extends QueryPack {
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |FROM v WHERE inter * 5 >= (la + lb - inter) * 3
          |ORDER BY a, b""".stripMargin,
+
+    // Mirrors the two 4-bit sign bands + OR-collision candidates (the
+    // disjoint first-match union is set-equal to the OR join).
+    "d11_embedding_bucket_pairs" -> {
+      def bucket(ps: Seq[Int]) = ps.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN embedding[$p] > 0 THEN ${1 << (ps.size - 1 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  ${bucket(Seq(1, 17, 33, 49))} AS b0,
+         |  ${bucket(Seq(9, 25, 41, 57))} AS b1 FROM embeddings),
+         |c AS (SELECT l.vec_id AS a, r.vec_id AS b, l.v AS lv, r.v AS rv
+         |      FROM b l JOIN b r
+         |      ON (l.b0 = r.b0 OR l.b1 = r.b1) AND l.vec_id < r.vec_id)
+         |SELECT a, b, round(${cosineSql("lv", "rv")}, 4) AS cos4
+         |FROM c ORDER BY cos4 DESC, a, b LIMIT 20""".stripMargin
+    },
 
     // Mirrors the lead fingerprint: first 8 normalized tokens, single
     // space joined, md5. coalesce('') mirrors Spark's concat_ws, which
