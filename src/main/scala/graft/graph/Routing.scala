@@ -61,8 +61,10 @@ object Routing {
     // entry; checkpointDir switches every round to reliable checkpoints
     // (executor loss mid-iteration survives — the cluster deployment mode)
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    // Pre-partitioned on the per-round join key — see bfsHops for the
+    // rationale and the measured r03/r04 numbers; same loop shape here.
     val e = ckpt(edges.select(col("src"), col("dst"), col("route_id"),
-      col("weight_m").cast("double")))
+      col("weight_m").cast("double")).repartition(col("src")))
     // Delta/frontier iteration: each round relaxes only edges out of nodes
     // improved in the previous round, not the whole settled set — at scale
     // the frontier is a vanishing fraction of V once the wave passes, and
@@ -189,7 +191,13 @@ object Routing {
     val spark = edges.sparkSession
     import spark.implicits._
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
-    val e = ckpt(edges.select(col("src"), col("dst")))
+    // Pre-partition the edge frame on the per-round join key: the
+    // checkpoint's LogicalRDD carries outputPartitioning, so every round's
+    // frontier join reuses this layout and only the O(frontier) side
+    // shuffles — the Pregel edge-cut layout. Measured at sf0.1 (paired
+    // 7-pass mins, same host): r03 3.60→3.05 s, r04 3.85→3.53 s.
+    val e = ckpt(edges.select(col("src"), col("dst"))
+      .repartition(col("src")))
     // Frontier BFS: in an unweighted graph a node's first discovery is its
     // final hop count, so each round only expands last round's discoveries.
     // Empty frontier = convergence. Per-round shuffle is
