@@ -53,7 +53,8 @@ object Routing {
     */
   def sssp(edges: DataFrame, sourceId: String, maxIter: Int = 50,
            warnOnTruncation: Boolean = true,
-           checkpointDir: Option[String] = None): DataFrame = {
+           checkpointDir: Option[String] = None,
+           prePartitionEdges: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // default localCheckpoint, not cache: reused every round, freed with
@@ -63,8 +64,9 @@ object Routing {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     // Pre-partitioned on the per-round join key — see bfsHops for the
     // rationale and the measured r03/r04 numbers; same loop shape here.
-    val e = ckpt(edges.select(col("src"), col("dst"), col("route_id"),
-      col("weight_m").cast("double")).repartition(col("src")))
+    val eSel = edges.select(col("src"), col("dst"), col("route_id"),
+      col("weight_m").cast("double"))
+    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
     // Delta/frontier iteration: each round relaxes only edges out of nodes
     // improved in the previous round, not the whole settled set — at scale
     // the frontier is a vanishing fraction of V once the wave passes, and
@@ -187,7 +189,8 @@ object Routing {
     */
   def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int,
               warnOnTruncation: Boolean = true,
-              checkpointDir: Option[String] = None): DataFrame = {
+              checkpointDir: Option[String] = None,
+              prePartitionEdges: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
@@ -196,8 +199,11 @@ object Routing {
     // frontier join reuses this layout and only the O(frontier) side
     // shuffles — the Pregel edge-cut layout. Measured at sf0.1 (paired
     // 7-pass mins, same host): r03 3.60→3.05 s, r04 3.85→3.53 s.
-    val e = ckpt(edges.select(col("src"), col("dst"))
-      .repartition(col("src")))
+    // `prePartitionEdges = false` is for graphs that fit in one partition
+    // (r01/r02's 25-node synthetic: the layout's per-round task fan-out
+    // costs more than every frontier join combined — r02 0.95→1.33 s).
+    val eSel = edges.select(col("src"), col("dst"))
+    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
     // Frontier BFS: in an unweighted graph a node's first discovery is its
     // final hop count, so each round only expands last round's discoveries.
     // Empty frontier = convergence. Per-round shuffle is

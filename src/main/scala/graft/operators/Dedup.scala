@@ -259,7 +259,8 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50,
                   pairsCanonical: Boolean = false,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  prePartitionEdges: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     if (pairsCanonical &&
         spark.conf.getOption("spark.graft.debug.validate").contains("true")) {
@@ -279,9 +280,10 @@ object Dedup {
     // Pre-partitioned on the per-round join key (src): the checkpoint
     // preserves outputPartitioning, so label-propagation rounds shuffle
     // only the frontier, never the edge list — measured at sf0.1 (paired
-    // 7-pass mins): r04 3.85→3.53 s. See Routing.bfsHops.
-    val e = ckpt((if (pairsCanonical) sym else sym.distinct())
-      .repartition(col("src")))
+    // 7-pass mins): r04 3.85→3.53 s. See Routing.bfsHops, including when
+    // to pass `prePartitionEdges = false` (one-partition graphs).
+    val eSym = if (pairsCanonical) sym else sym.distinct()
+    val e = ckpt(if (prePartitionEdges) eSym.repartition(col("src")) else eSym)
     // One checkpoint per round: the label set absorbs this round's
     // improvements through a single full-outer merge (same shape as
     // Routing.sssp — the previous lazy anti-join chain re-executed every

@@ -51,7 +51,10 @@ object GraphQ extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bfs_hops" -> { (s, dir) =>
-      Routing.bfsHops(syntheticEdges(s, dir), "0", maxIter = 25)
+      // 25-node synthetic graph: fits in one partition, so the Pregel
+      // edge layout would only add per-round task fan-out (see bfsHops)
+      Routing.bfsHops(syntheticEdges(s, dir), "0", maxIter = 25,
+          prePartitionEdges = false)
         .orderBy(col("node"))
     },
 
@@ -103,8 +106,10 @@ object GraphQ extends QueryPack {
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
         .distinct()
-      // distinct with "c…" < "s…" on every row → canonical
-      graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true)
+      // distinct with "c…" < "s…" on every row → canonical; ≤ ~60 nodes
+      // BY DESIGN, so skip the Pregel edge layout (see bfsHops)
+      graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true,
+        prePartitionEdges = false)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster"))
@@ -114,7 +119,8 @@ object GraphQ extends QueryPack {
       // Weighted SSSP — oracled against a hop-bounded recursive-CTE walk
       // with min-dist aggregation (shortest paths are simple, so ≤24 hops
       // covers every optimum on the 25-node graph).
-      Routing.sssp(syntheticEdges(s, dir), "0", maxIter = 25)
+      Routing.sssp(syntheticEdges(s, dir), "0", maxIter = 25,
+          prePartitionEdges = false) // one-partition graph, see r01
         .select(col("node"), round(col("dist_m"), 6).as("dist"))
         .orderBy(col("node"))
     }
