@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.Routing
+import graft.graph.{Ranking, Routing}
 
 /** Graph/routing operators (SURVEY §2.10) over a deterministic synthetic
   * graph derived from the nation table: each nation key n gets directed
@@ -123,10 +123,71 @@ object GraphQ extends QueryPack {
           prePartitionEdges = false) // one-partition graph, see r01
         .select(col("node"), round(col("dist_m"), 6).as("dist"))
         .orderBy(col("node"))
+    },
+
+    // Integer PageRank (graph.Ranking): hash-matched against a DuckDB
+    // mirror of the exact fixed-point recurrence — the loop semantics
+    // are fully oracled, unlike float PageRank (sum-order drift).
+    "r06_pagerank" -> { (s, dir) =>
+      Ranking.pageRank(syntheticEdges(s, dir), iters = 10)
+        .orderBy(col("node"))
+    },
+
+    // The fact-scale run: rank the bipartite customer–supplier trade
+    // graph (~600k directed edges at sf0.1) — the domain-weighting
+    // shape a crawl pipeline runs. Fewer rounds: rank pipelines use a
+    // fixed round budget, and each round here is a full-E shuffle.
+    "r07_pagerank_trade" -> { (s, dir) =>
+      Ranking.pageRank(tradeEdges(s, dir), iters = 5)
+        .orderBy(col("node"))
     }
   )
 
+  /** DuckDB mirror of [[graft.graph.Ranking.pageRank]]: an unrolled CTE
+    * chain (aggregates are not allowed in a recursive term), one CTE per
+    * round, same integer ops — `//` is DuckDB's integer division, `div`
+    * Spark's; SUM is cast back from HUGEINT to BIGINT.
+    * `preCtes` must define e(src, dst).
+    */
+  private def pageRankSql(preCtes: String, iters: Int,
+                          scale: Long = 1000000L): String = {
+    val base = 15L * scale / 100
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST($base AS BIGINT) + (85 * COALESCE(f.inflow, 0)) // 100 AS r
+         |  FROM (SELECT node FROM r0) n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.r // deg.od) AS BIGINT) AS inflow
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |           JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $preCtes,
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS r
+       |       FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |$rounds
+       |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "r06_pagerank" -> pageRankSql(
+      """e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS src,
+        |         CAST((n_nationkey*7+3)%25 AS VARCHAR) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS VARCHAR),
+        |         CAST((n_nationkey*11+5)%25 AS VARCHAR) FROM nation)""".stripMargin,
+      iters = 10),
+
+    "r07_pagerank_trade" -> pageRankSql(
+      """p AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)""".stripMargin,
+      iters = 5),
+
     "r01_bfs_hops" ->
       """WITH RECURSIVE e AS (
         |  SELECT CAST(n_nationkey AS VARCHAR) AS src,

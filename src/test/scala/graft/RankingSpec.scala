@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Ranking
+
+/** Integer PageRank (graph.Ranking): fixed-point invariants that are
+  * exact by construction, plus partitioning-independence — the property
+  * the integer formulation exists for. The full recurrence is oracled
+  * end-to-end by r06/r07 (DuckDB CTE mirror).
+  */
+class RankingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("2-cycle is a fixed point: ranks stay exactly `scale`") {
+    // a⇄b, outdeg 1 each: r' = 150000 + 85·1000000 div 100 = 1000000
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Ranking.pageRank(e, iters = 7)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("hub of a star outranks the leaves; leaves tie exactly") {
+    // b,c,d → a and a → b,c,d: the hub aggregates three contributions,
+    // each leaf gets one third of the hub's
+    val e = Seq(("b", "a"), ("c", "a"), ("d", "a"),
+      ("a", "b"), ("a", "c"), ("a", "d")).toDF("src", "dst")
+    val r = Ranking.pageRank(e, iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(r("a") > r("b"))
+    assert(r("b") == r("c") && r("c") == r("d"))
+  }
+
+  test("one round matches the hand-computed recurrence incl. truncation") {
+    // a→b, a→c, c→b. outdeg(a)=2, outdeg(c)=1; scale 10 → base 1 (15·10
+    // div 100), contrib(a→·) = 10 div 2 = 5, contrib(c→b) = 10.
+    // r1(a) = 1 + 0            = 1
+    // r1(b) = 1 + 85·15 div 100 = 1 + 12 = 13   (1275/100 truncates)
+    // r1(c) = 1 + 85·5 div 100  = 1 + 4  = 5
+    val e = Seq(("a", "b"), ("a", "c"), ("c", "b")).toDF("src", "dst")
+    val r = Ranking.pageRank(e, iters = 1, scale = 10L)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 1L, "b" -> 13L, "c" -> 5L))
+  }
+
+  test("result is identical on any input partitioning") {
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("b", "d")).toDF("src", "dst")
+    val expected = Ranking.pageRank(base, iters = 6)
+      .as[(String, Long)].collect().toSortedRanks
+    for (parts <- Seq(1, 7)) {
+      val got = Ranking.pageRank(base.repartition(parts), iters = 6)
+        .as[(String, Long)].collect().toSortedRanks
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("zero iterations returns the uniform seed over all nodes") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = Ranking.pageRank(e, iters = 0)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+  }
+
+  private implicit class RankOps(rows: Array[(String, Long)]) {
+    def toSortedRanks: Seq[(String, Long)] = rows.sortBy(_._1).toSeq
+  }
+}
