@@ -51,6 +51,21 @@ object Splits {
     pctBucket(idCol, salt) < rate
   }
 
+  /** Weight-proportional deterministic Bernoulli keep: a row survives
+    * iff its id's stable 10⁴ bucket falls below the row's own weight in
+    * basis points (0 = never, 10000 = always). The importance-sampling
+    * primitive: per-row keep probability ∝ any engine-computable score
+    * (quality, length, domain weight) as a pure predicate — zero
+    * shuffle, exactly reproducible across engines/reruns/partitionings,
+    * and monotone in the weight (raising a row's weight can only keep
+    * it kept, so resampling at a higher rate extends the sample instead
+    * of reshuffling it).
+    */
+  def keepByWeightBp(idCol: Column, weightBp: Column,
+                     salt: Int = 0): Column =
+    (graft.functions.text.saltedHash32(idCol.cast("string"), salt)
+      % 10000) < weightBp
+
   /** Token-budget source mixing: keep each group's rows, in a
     * deterministic pseudo-random order (md5 bucket, then id), until the
     * group's token budget is reached — greedy admission, so the first row

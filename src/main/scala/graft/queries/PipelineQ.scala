@@ -80,6 +80,19 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Weight-proportional deterministic sampling (importance sampling):
+    // keep probability = min(20·n_chars, 10⁴) basis points — longer docs
+    // proportionally likelier to survive — as a pure per-row md5
+    // predicate (Splits.keepByWeightBp): no shuffle, reproducible on any
+    // engine/partitioning, monotone in the weight.
+    "p06_weighted_sample" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .filter(Splits.keepByWeightBp(col("doc_id"),
+          least(col("n_chars") * 20, lit(10000L)), salt = 6))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -148,6 +161,12 @@ object PipelineQ extends QueryPack {
          | CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
          |FROM c WHERE cum - n_tok < 30000
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "p06_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 6)} % 10000
+         |  < least(n_chars * 20, 10000)
+         |ORDER BY doc_id""".stripMargin,
 
     "p02_training_manifest" ->
       s"""WITH n AS (

@@ -167,6 +167,17 @@ object TextQ extends QueryPack {
       graft.operators.Chunking.chunkTokens(Tables(s, dir).documents,
           "doc_id", "text", chunkSize = 64, overlap = 16)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Inverted-index build (operators.Index): per term, document
+    // frequency + the top-5 postings by (tf desc, doc id), serialized
+    // doc-ordered. The word-soup corpus makes EVERY term stopword-hot
+    // (df ≈ corpus size), so this exercises exactly the salted two-phase
+    // top-k the operator exists for.
+    "t11_inverted_index" -> { (s, dir) =>
+      graft.operators.Index.invertedIndex(Tables(s, dir).documents,
+          "doc_id", "text", maxPostings = 5, salts = 8)
+        .orderBy(col("term"))
     }
   )
 
@@ -206,6 +217,22 @@ object TextQ extends QueryPack {
          | array_to_string(w[st + 1 : st + 64], ' ') AS chunk_text
          |FROM s WHERE st = 0 OR st + 16 < nt
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // The doc-ordered "doc:tf" serialization mirrors Index.postingsString;
+    // the cap is the same (tf DESC, doc_id) total order.
+    "t11_inverted_index" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |t AS (SELECT doc_id, unnest(${wordsSql()}) AS term FROM n),
+         |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM t WHERE term <> '' GROUP BY term, doc_id),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY term
+         |        ORDER BY tf DESC, doc_id) AS rn FROM tf)
+         |SELECT r.term, dfreq.df, COUNT(*) AS n_postings,
+         | string_agg(r.doc_id || ':' || r.tf, ',' ORDER BY r.doc_id)
+         |   AS postings
+         |FROM r JOIN dfreq ON r.term = dfreq.term
+         |WHERE rn <= 5 GROUP BY r.term, dfreq.df ORDER BY r.term""".stripMargin,
 
     "t01_token_stats" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
