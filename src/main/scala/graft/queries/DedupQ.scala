@@ -171,7 +171,7 @@ object DedupQ extends QueryPack {
   /** Full MinHash-LSH candidate chain up to `j` (pairs + set sizes) —
     * shared by d02 (jaccard output) and d06 (cluster output).
     */
-  private val lshCtes: String = {
+  private[queries] val lshCtes: String = {
     val sigCols = (1 to 8).map { j =>
       s"list_min([${saltedHash32Sql("x", j)} FOR x IN sh]) AS m$j"
     }.mkString(",\n  ")

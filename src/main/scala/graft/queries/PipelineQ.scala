@@ -93,6 +93,65 @@ object PipelineQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The COMPOSED corpus-prep pipeline — every hygiene stage of a
+    // training-data build in ONE declarative plan (plus the CC loop the
+    // keeper selection rides): LSH near-dup clusters → keeper docs →
+    // held-out eval slice excluded → 8-gram decontamination against that
+    // slice → repetition gate (per-row kernel, NO join) → integer
+    // quality gate → split assignment → per-source token budget. Every
+    // stage is engine-independent (md5 hashes, integer thresholds), so
+    // the whole composition hash-matches a single DuckDB CTE chain.
+    // Scale posture inherits from the parts: banded candidate joins,
+    // broadcast contamination probe, per-row kernels, one window per
+    // source for the budget.
+    "p07_corpus_prep" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documents
+      // near-dup keepers over the whole corpus (dedup precedes holdout)
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+          t.documentsKernelParallel, "doc_id", "text", k = 8, bands = 2,
+          shingleN = 3)
+        .select(col("a"), col("b"))
+      val clusters = graft.operators.Dedup.dupClusters(pairs,
+        pairsCanonical = true) // (member, cluster); LSH pairs are a < b
+      val bench = docs.filter(col("doc_id") % 10 === 7)
+      val contaminated = graft.operators.Contamination.contaminatedDocs(
+          docs.filter(col("doc_id") % 10 =!= 7), bench, "doc_id", "text",
+          n = 8)
+        .select(col("doc_id"))
+      val st = graft.plans.ShingleStats
+        .shingleStats(text.normText(col("text")), 3)
+      docs
+        .join(clusters, docs("doc_id") === clusters("member"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .drop("member", "cluster")
+        .filter(col("doc_id") % 10 =!= 7)
+        // the contaminated set is rare-hit by construction → broadcast
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .withColumn("__st", st)
+        .filter(col("__st").isNull ||
+          col("__st.n_distinct") * 10 >= col("__st.n_grams") * 8)
+        .withColumn("n_tok", text.tokenCount(col("text")))
+        .withColumn("stops", text.markerHits(col("text"), TextQ.StopWords))
+        .withColumn("punct", size(regexp_extract_all(col("text"),
+          lit("[^a-zA-Z0-9 ]"), lit(0))))
+        .filter(col("n_tok") > 0)
+        // same exact integer basis points as t03/p02
+        .withColumn("ltok", col("n_tok").cast("long"))
+        .withColumn("num",
+          lit(40L) * least(col("ltok"), lit(100L)) * col("ltok") * col("n_chars") +
+            lit(3000L) * (col("ltok") - col("stops")) * col("n_chars") +
+            lit(3000L) * (col("n_chars") - col("punct")) * col("ltok"))
+        .withColumn("den", col("ltok") * col("n_chars"))
+        .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
+        .filter(col("bp") >= 4000)
+        .withColumn("split", Splits.assignSplit(col("doc_id"), Cuts))
+        .select(col("doc_id"), col("source"), col("split"), col("n_tok"))
+        .transform(Splits.capTokensPerGroup(_, "source", "doc_id", "n_tok",
+          budget = 30000L, salt = 5))
+        .orderBy(col("doc_id"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -167,6 +226,66 @@ object PipelineQ extends QueryPack {
          |WHERE ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 6)} % 10000
          |  < least(n_chars * 20, 10000)
          |ORDER BY doc_id""".stripMargin,
+
+    // The composed pipeline: d02/d06's LSH+CC chain (reused verbatim via
+    // DedupQ.lshCtes) → t08's 8-gram decontamination chain → t09's
+    // repetition stats → p02's integer quality gate → p01's split →
+    // p05's token-budget window, all in one statement.
+    "p07_corpus_prep" ->
+      s"""${DedupQ.lshCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pe AS (SELECT a AS src, b AS dst FROM j UNION SELECT b, a FROM j),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node),
+         |lab AS (SELECT node AS member, MIN(r) AS cluster
+         |        FROM reach GROUP BY node),
+         |sh8 AS (SELECT doc_id, ${shinglesNSql("w", 8)} AS s8 FROM w
+         |        WHERE len(w) >= 8),
+         |tok8 AS (SELECT DISTINCT doc_id, t
+         |         FROM (SELECT doc_id, unnest(s8) AS t FROM sh8)
+         |         WHERE t <> ''),
+         |bg AS (SELECT DISTINCT t FROM tok8 WHERE doc_id % 10 = 7),
+         |cont AS (SELECT DISTINCT c.doc_id FROM tok8 c JOIN bg USING (t)
+         |         WHERE c.doc_id % 10 <> 7),
+         |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |         COUNT(*) AS n_distinct
+         |        FROM (SELECT doc_id, s, COUNT(*) AS c
+         |              FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |              WHERE s <> '' GROUP BY doc_id, s)
+         |        GROUP BY doc_id),
+         |qn AS (SELECT d.doc_id, d.source, d.n_chars,
+         |        len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]')) AS punct,
+         |        CASE WHEN n.norm = '' THEN 0 ELSE len(w.w) END AS n_tok,
+         |        ${markerHitsSql("w.w", TextQ.StopWords)} AS stops
+         |       FROM documents d
+         |       JOIN n ON n.doc_id = d.doc_id
+         |       JOIN w ON w.doc_id = d.doc_id),
+         |surv AS (SELECT q.doc_id, q.source, q.n_tok,
+         |         (2 * (40 * least(q.n_tok, 100) * q.n_tok * q.n_chars
+         |               + 3000 * (q.n_tok - q.stops) * q.n_chars
+         |               + 3000 * (q.n_chars - q.punct) * q.n_tok)
+         |          + q.n_tok * q.n_chars) // (2 * q.n_tok * q.n_chars) AS bp
+         |        FROM qn q
+         |        LEFT JOIN lab ON lab.member = q.doc_id
+         |        LEFT JOIN rep ON rep.doc_id = q.doc_id
+         |        WHERE (lab.member IS NULL OR lab.cluster = q.doc_id)
+         |          AND q.doc_id % 10 <> 7
+         |          AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+         |          AND (rep.doc_id IS NULL
+         |               OR rep.n_distinct * 10 >= rep.n_grams * 8)
+         |          AND q.n_tok > 0),
+         |gb AS (SELECT doc_id, source, n_tok,
+         |        ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 5)} % 100 AS bkt
+         |       FROM surv WHERE bp >= 4000),
+         |cw AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
+         |        ORDER BY bkt, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM gb)
+         |SELECT doc_id, source,
+         | ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split,
+         | CAST(n_tok AS INT) AS n_tok
+         |FROM cw WHERE cum - n_tok < 30000 ORDER BY doc_id""".stripMargin,
 
     "p02_training_manifest" ->
       s"""WITH n AS (
