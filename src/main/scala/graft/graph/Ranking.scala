@@ -33,15 +33,17 @@ object Ranking {
     * simplification, acceptable for ranking use (no normalized
     * probability interpretation is claimed).
     *
-    * Scale shape — ONE shuffle per round: the edge frame is materialized
-    * once, out-degree attached, in the Pregel hash(src) layout (the
-    * degree join forces that layout even unhinted; the checkpoint's
-    * LogicalRDD preserves it — see Routing.bfsHops). Each round's
-    * rank join then meets it exchange-free (ranks are hash(node)
-    * partitioned from the previous round), the dst-keyed inflow
-    * aggregation is the round's only exchange, and the node-frame left
-    * join that re-attaches rankless nodes is colocated with it. Rounds
-    * cost O(E) map work + one O(E→V) shuffle — nothing accumulates.
+    * Scale shape: the edge frame is materialized ONCE with out-degree
+    * attached; each round is a join of the V-sized rank frame against
+    * it, the dst-keyed inflow aggregation (the round's main exchange),
+    * and a V-sized left join re-attaching rankless nodes. While ranks
+    * fit the broadcast threshold the O(E) frame never re-shuffles;
+    * where V outgrows it, write the edge frame as a src-BUCKETED table
+    * (sources/Warehouse) — bucketed SMJ then pins the E side
+    * exchange-free with only the rank frame shuffling per round. (A
+    * checkpoint alone cannot pin it: AQE checkpoints drop
+    * outputPartitioning — PlanSpec.) Rounds cost O(E) map work + one
+    * O(E→V) shuffle — nothing accumulates across rounds.
     *
     * `scale` bounds: Σ ranks ≤ V·scale, and the update multiplies by 85,
     * so V·scale must stay below 2^63/85 ≈ 10^17 — at 10^9 nodes the
@@ -51,6 +53,16 @@ object Ranking {
     * `checkpointDir`: reliable per-round checkpoints for cluster runs
     * (see [[graft.operators.Iteration.materializer]]).
     * Output: (node, r) — r in units of 1/scale.
+    *
+    * MEASURED AND REJECTED (benchmark before re-trying): pinning the
+    * edge frame to an explicit repartition(defaultParallelism, src)
+    * before the checkpoint — paired 5-pass mins at sf0.1 read r07
+    * 5.90→7.50 s and r06 1.63→2.57 s. AQE's byte-based coalescing of
+    * the materialized frame is already the right granularity here; the
+    * extra per-round task fan-out costs more than the map-parallelism
+    * it buys. (On a real cluster the checkpoint blocks spread over
+    * executors regardless — the knob would only matter if a round's
+    * map work measurably serialized, which it does not.)
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
                checkpointDir: Option[String] = None): DataFrame = {

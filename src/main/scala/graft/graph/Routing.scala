@@ -194,11 +194,16 @@ object Routing {
     val spark = edges.sparkSession
     import spark.implicits._
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
-    // Pre-partition the edge frame on the per-round join key: the
-    // checkpoint's LogicalRDD carries outputPartitioning, so every round's
-    // frontier join reuses this layout and only the O(frontier) side
-    // shuffles — the Pregel edge-cut layout. Measured at sf0.1 (paired
-    // 7-pass mins, same host): r03 3.60→3.05 s, r04 3.85→3.53 s.
+    // Pre-partition the edge frame on the per-round join key before
+    // materializing. Measured at sf0.1 (paired 7-pass mins, same host):
+    // r03 3.60→3.05 s, r04 3.85→3.53 s. The mechanism is PHYSICAL
+    // LAYOUT/BALANCE, not exchange elision: under AQE, Dataset
+    // checkpoints drop outputPartitioning (PlanSpec pins this), so each
+    // round's join still plans its own exchanges — but the hash-grouped,
+    // evenly spread blocks keep every round's shuffle map stage balanced.
+    // True per-round exchange elision at cluster scale comes from writing
+    // the edge frame src-bucketed (sources/Warehouse) and letting
+    // bucketed SMJ pin the O(E) side — then only the frontier shuffles.
     // `prePartitionEdges = false` is for graphs that fit in one partition
     // (r01/r02's 25-node synthetic: the layout's per-round task fan-out
     // costs more than every frontier join combined — r02 0.95→1.33 s).

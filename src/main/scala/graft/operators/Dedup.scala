@@ -277,11 +277,13 @@ object Dedup {
     val ckpt = Iteration.materializer(spark, checkpointDir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // Pre-partitioned on the per-round join key (src): the checkpoint
-    // preserves outputPartitioning, so label-propagation rounds shuffle
-    // only the frontier, never the edge list — measured at sf0.1 (paired
-    // 7-pass mins): r04 3.85→3.53 s. See Routing.bfsHops, including when
-    // to pass `prePartitionEdges = false` (one-partition graphs).
+    // Pre-partitioned on the per-round join key (src) before
+    // materializing — measured at sf0.1 (paired 7-pass mins): r04
+    // 3.85→3.53 s. See Routing.bfsHops for the actual mechanism (layout
+    // balance, NOT exchange elision — AQE checkpoints drop partitioning
+    // metadata, PlanSpec pins it), the cluster-scale bucketed-table
+    // alternative, and when to pass `prePartitionEdges = false`
+    // (one-partition graphs).
     val eSym = if (pairsCanonical) sym else sym.distinct()
     val e = ckpt(if (prePartitionEdges) eSym.repartition(col("src")) else eSym)
     // One checkpoint per round: the label set absorbs this round's

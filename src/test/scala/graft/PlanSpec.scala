@@ -106,6 +106,38 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("checkpoint partitioning: dropped under AQE, preserved without") {
+    // Documents the loop operators' measured reality (Routing.bfsHops,
+    // Dedup.dupClusters, Ranking.pageRank): the repartition-before-
+    // checkpoint is a physical layout/BALANCE optimization, not exchange
+    // elision — under AQE (the production config) Dataset checkpoints
+    // drop outputPartitioning, so per-round joins re-plan their own
+    // exchanges. Pin BOTH directions so a Spark upgrade changing either
+    // invalidates the operator comments loudly (if AQE checkpoints ever
+    // preserve the layout, the loops get genuine exchange elision for
+    // free and the bucketed-table guidance should be revisited).
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 200).map(i => (s"n${i % 10}", s"n${(i * 3) % 10}"))
+      .toDF("src", "dst")
+    val aqePart = base.repartition(col("src")).localCheckpoint()
+      .queryExecution.executedPlan.outputPartitioning
+    assert(!aqePart.isInstanceOf[HashPartitioning],
+      s"AQE checkpoint now PRESERVES $aqePart — revisit the loop layout " +
+        "comments: exchange elision is available")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val part = base.repartition(col("src")).localCheckpoint()
+        .queryExecution.executedPlan.outputPartitioning
+      assert(part.isInstanceOf[HashPartitioning] &&
+        part.asInstanceOf[HashPartitioning].expressions
+          .exists(_.toString.contains("src")),
+        s"non-AQE checkpoint lost the layout: $part")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
