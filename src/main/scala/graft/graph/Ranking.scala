@@ -70,32 +70,83 @@ object Ranking {
     val spark = edges.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val e0 = edges.select(col("src"), col("dst"))
-    // out-degree attached to every edge ONCE; the src-keyed aggregate +
-    // join leave the materialized frame hash(src)-partitioned, which is
-    // the layout every round's rank join reuses
+    // out-degree attached to every edge ONCE, then materialized so no
+    // round re-derives it
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val ew = ckpt(e0.join(deg, Seq("src")))
-    val base = 15L * scale / 100
     val nodes = ckpt(
       e0.select(col("src").as("node"))
         .unionByName(e0.select(col("dst").as("node")))
         .distinct())
+    iterate(ew, nodes, iters, scale, ckpt)
+  }
+
+  /** [[pageRank]] over a src-bucketed edge table written by
+    * [[writeBucketedEdges]] — the cluster deployment mode for rank
+    * iteration. Every round's rank join reads the bucket layout straight
+    * from the metastore, so the O(E) side NEVER shuffles, round after
+    * round, no matter how large V grows. The checkpoint-based form
+    * cannot promise that (AQE checkpoints drop partitioning — PlanSpec);
+    * at 100 TB, re-scanning a bucketed columnar table per round is the
+    * cheaper side of the trade against re-shuffling it per round.
+    * Identical integer semantics to [[pageRank]] (RankingSpec pins the
+    * equality); RankingSpec also pins the plan property: with broadcast
+    * disabled, a round has exchanges ONLY on the V-sized frames.
+    */
+  def pageRankOnTable(spark: org.apache.spark.sql.SparkSession,
+                      table: String, iters: Int, scale: Long = 1000000L,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val ew = spark.table(table) // (src, dst, od), bucketed+sorted by src
+    val nodes = ckpt(
+      ew.select(col("src").as("node"))
+        .unionByName(ew.select(col("dst").as("node")))
+        .distinct())
+    iterate(ew, nodes, iters, scale, ckpt)
+  }
+
+  /** Stage the edge side of [[pageRankOnTable]]: out-degree precomputed,
+    * bucketed AND sorted by src (the sort removes the per-task sort from
+    * every round's sort-merge join).
+    */
+  def writeBucketedEdges(edges: DataFrame, table: String,
+                         buckets: Int): Unit = {
+    val e0 = edges.select(col("src"), col("dst"))
+    graft.sources.Warehouse.writeBucketed(
+      e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("od")),
+        Seq("src")),
+      table, "src", buckets)
+  }
+
+  private def iterate(ew: DataFrame, nodes: DataFrame, iters: Int,
+                      scale: Long,
+                      ckpt: DataFrame => DataFrame): DataFrame = {
     var r = ckpt(nodes.withColumn("r", lit(scale)))
     var i = 0
     while (i < iters) {
-      // ew is hash(src), r is hash(node): same key values → exchange-free
-      val inflow = ew.join(r, ew("src") === r("node"))
-        .select(col("dst").as("node"), expr("r div od").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      // nodes is hash(node), inflow comes out hash(node): colocated left
-      // join re-attaches nodes that received nothing this round
-      r = ckpt(nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100"))
-            .as("r")))
+      r = ckpt(rankRound(ew, nodes, r, scale))
       i += 1
     }
     r
+  }
+
+  /** One un-materialized round: contributions routed along edges, summed
+    * per receiver, damped update re-attached to the full node set.
+    * Exposed inside the package so the plan properties can be asserted
+    * on exactly the frame the loop materializes.
+    */
+  private[graft] def rankRound(ew: DataFrame, nodes: DataFrame,
+                               r: DataFrame, scale: Long): DataFrame = {
+    val base = 15L * scale / 100
+    val inflow = ew.join(r, ew("src") === r("node"))
+      .select(col("dst").as("node"), expr("r div od").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+    // the left join re-attaches nodes that received nothing this round
+    nodes
+      .join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+          .as("r"))
   }
 }

@@ -140,6 +140,18 @@ object GraphQ extends QueryPack {
     "r07_pagerank_trade" -> { (s, dir) =>
       Ranking.pageRank(tradeEdges(s, dir), iters = 5)
         .orderBy(col("node"))
+    },
+
+    // The cluster deployment mode (Ranking.pageRankOnTable): identical
+    // integer recurrence over a src-bucketed edge table, where the
+    // O(E) side provably never shuffles per round (RankingSpec pins the
+    // plan property). The bucketed WRITE is part of the query — like
+    // s02, a corrupted bucket layout would hash-mismatch the oracle.
+    "r08_pagerank_bucketed" -> { (s, dir) =>
+      Ranking.writeBucketedEdges(syntheticEdges(s, dir),
+        "graft_rank_edges", buckets = 4)
+      Ranking.pageRankOnTable(s, "graft_rank_edges", iters = 10)
+        .orderBy(col("node"))
     }
   )
 
@@ -187,6 +199,17 @@ object GraphQ extends QueryPack {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)""".stripMargin,
       iters = 5),
+
+    // same recurrence as r06 — the bucketed layout must not change the
+    // answer, only the plan
+    "r08_pagerank_bucketed" -> pageRankSql(
+      """e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS src,
+        |         CAST((n_nationkey*7+3)%25 AS VARCHAR) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS VARCHAR),
+        |         CAST((n_nationkey*11+5)%25 AS VARCHAR) FROM nation)""".stripMargin,
+      iters = 10),
 
     "r01_bfs_hops" ->
       """WITH RECURSIVE e AS (

@@ -61,6 +61,41 @@ class RankingSpec extends SparkTestBase {
     assert(r == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
   }
 
+  test("pageRankOnTable equals pageRank; the edge table never shuffles") {
+    val e = (1 to 120)
+      .map(i => (s"n${i % 17}", s"n${(i * 5 + 2) % 17}")).toDF("src", "dst")
+    Ranking.writeBucketedEdges(e, "graft_rank_edges_spec", buckets = 4)
+    val want = Ranking.pageRank(e, iters = 5)
+      .as[(String, Long)].collect().toMap
+    val got = Ranking.pageRankOnTable(spark, "graft_rank_edges_spec",
+        iters = 5).as[(String, Long)].collect().toMap
+    assert(got == want)
+
+    // Plan property (the reason the variant exists): with broadcast off,
+    // a round over the bucketed table needs one FEWER exchange than the
+    // same round over a plain materialized edge frame — the bucket
+    // layout substitutes for the E-side shuffle of the sort-merge join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = spark.table("graft_rank_edges_spec")
+      val plain = bucketed.localCheckpoint()
+      val nodes = bucketed.select(col("src").as("node"))
+        .unionByName(bucketed.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      val r = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+      def exchanges(ew: org.apache.spark.sql.DataFrame): Int =
+        Ranking.rankRound(ew, nodes, r, 1000000L)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val (nb, np) = (exchanges(bucketed), exchanges(plain))
+      assert(nb == np - 1,
+        s"bucketed round has $nb exchanges vs plain $np — bucket layout not used")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private implicit class RankOps(rows: Array[(String, Long)]) {
     def toSortedRanks: Seq[(String, Long)] = rows.sortBy(_._1).toSeq
   }
