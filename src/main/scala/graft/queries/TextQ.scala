@@ -25,6 +25,9 @@ object TextQ extends QueryPack {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
 
+  /** Fixed disjunctive query for the t12 BM25 demo. */
+  val Bm25Terms: Seq[String] = Seq("spark", "window", "merge")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
       Tables(s, dir).documents.select(
@@ -169,6 +172,42 @@ object TextQ extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term disjunctive
+    // query — the retrieval scorer the t11 index feeds. No logarithm:
+    // idf is the exact rational (N+1)/(df+1) (the t07 no-libm doctrine —
+    // ln() drifts across engines; +,×,÷ are IEEE-exact everywhere), and
+    // the score keeps ONE fixed association order mirrored textually by
+    // the oracle, so the doubles are bit-identical cross-engine. Shape:
+    // one aggregation over tokens, a one-row corpus-stats broadcast,
+    // per-row scoring — the per-doc frame never shuffles again.
+    "t12_bm25_topdocs" -> { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val perDocAggs = count(lit(1)).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i") }
+      val perDoc = tok.groupBy(col("doc_id"))
+        .agg(perDocAggs.head, perDocAggs.tail: _*)
+      val statAggs = count(lit(1)).as("n_docs") +:
+        sum(col("dl")).as("total_dl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      def tscore(i: Int) = when(col(s"tf$i") > 0,
+        (col("n_docs") + 1).cast("double") / (col(s"df$i") + 1) *
+          (col(s"tf$i") * lit(2.2)) /
+          (col(s"tf$i") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("total_dl"))))
+        .otherwise(lit(0.0))
+      perDoc.crossJoin(broadcast(stats))
+        .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+        .withColumn("bm25", round(tscore(0) + tscore(1) + tscore(2), 4))
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Inverted-index build (operators.Index): per term, document
     // frequency + the top-5 postings by (tf desc, doc id), serialized
     // doc-ordered. The word-soup corpus makes EVERY term stopword-hot
@@ -217,6 +256,37 @@ object TextQ extends QueryPack {
          | array_to_string(w[st + 1 : st + 64], ' ') AS chunk_text
          |FROM s WHERE st = 0 OR st + 16 < nt
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Same fixed association order as the Spark expression — every op is
+    // IEEE +,×,÷ on exactly-representable integer inputs, so the doubles
+    // match bit-for-bit before the final 4dp round.
+    "t12_bm25_topdocs" -> {
+      def tscore(i: Int) =
+        s"""CASE WHEN tf$i > 0 THEN
+           |  CAST(n_docs + 1 AS DOUBLE) / (df$i + 1) * (tf$i * 2.2)
+           |  / (tf$i + 1.2 * (0.25 + 0.75 * dl * n_docs / total_dl))
+           | ELSE 0 END""".stripMargin
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+      }.mkString(",\n  ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n  ")
+      val scores = Bm25Terms.indices.map(tscore).mkString("\n + ")
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |t AS (SELECT doc_id, unnest(${wordsSql()}) AS term FROM n),
+         |perdoc AS (SELECT doc_id, COUNT(*) AS dl,
+         |  $tfCols
+         | FROM t WHERE term <> '' GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS total_dl,
+         |  $dfCols
+         | FROM perdoc)
+         |SELECT doc_id, round($scores, 4) AS bm25
+         |FROM perdoc, stats
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // The doc-ordered "doc:tf" serialization mirrors Index.postingsString;
     // the cap is the same (tf DESC, doc_id) total order.

@@ -125,6 +125,27 @@ object VectorQ extends QueryPack {
     // IVF probe: deterministic codebook = vectors 1..8; assign every
     // vector to its nearest centroid (per-row codegen over the broadcast
     // codebook — no join/shuffle), then scan only the query's cell.
+    // Diversity-capped selection (the "semantic dedup" shape of corpus
+    // curation): assign every vector to its nearest centroid cell — a
+    // per-row codegen expression, no join/shuffle — and keep at most 40
+    // per cell in deterministic md5-bucket order. Dense regions are
+    // downsampled to the cap, sparse regions survive whole; one window
+    // per cell, parallelism = cell count (salt the window per
+    // operators.Skew if one cell dominates at scale).
+    "v10_diversity_cap" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"))
+        .orderBy(graft.operators.Splits.pctBucket(col("vec_id"), 9),
+          col("vec_id"))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), codebook(e)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 40)
+        .select(col("vec_id"), col("cell"), col("rn"))
+        .orderBy(col("vec_id"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -331,6 +352,28 @@ object VectorQ extends QueryPack {
          |FROM e JOIN short USING (vec_id), q
          |ORDER BY cos4 DESC, e.vec_id LIMIT 5""".stripMargin
     },
+
+    // v04's cell-assignment chain + a per-cell capped row_number in the
+    // same (md5 bucket, id) order as Splits.pctBucket
+    "v10_diversity_cap" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |scored AS (
+         | SELECT e.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM embeddings e CROSS JOIN c
+         | WHERE e.vec_id <> 0),
+         |a AS (SELECT vec_id, CAST(cid AS INT) AS cell
+         |      FROM scored WHERE rn = 1),
+         |k AS (SELECT vec_id, cell,
+         |       row_number() OVER (PARTITION BY cell
+         |        ORDER BY ${saltedHash32Sql("CAST(vec_id AS VARCHAR)", 9)} % 100,
+         |                 vec_id) AS rn
+         |      FROM a)
+         |SELECT vec_id, cell, CAST(rn AS INT) AS rn
+         |FROM k WHERE rn <= 40 ORDER BY vec_id""".stripMargin,
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
