@@ -51,6 +51,42 @@ object Contamination {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Cross-document repeated-span accounting — the C4 line-dedup analog
+    * at word-n-gram granularity, with keep-first semantics: a gram
+    * appearing in ≥ `minDf` documents is a SHARED SPAN; its keeper is
+    * the smallest doc id containing it, and every other containing doc
+    * counts it as a duplicated span (the text a span-scrub would cut
+    * there). Completes the dedup family: exact (d01) → near (d02/d04)
+    * → span-level. Output: (idCol, n_grams [distinct grams in the doc],
+    * n_shared [shared spans this doc does not keep], dup_frac 4dp);
+    * docs with fewer than n tokens yield no row.
+    *
+    * Scale shape: one kernel pass per doc (distinct grams stay with the
+    * row), one gram-keyed aggregate whose map-side combine collapses
+    * the repeats, and a gram-keyed join back. The shared-gram frame is
+    * df-filtered; for stopword-grade `minDf` it broadcasts, and the
+    * operator leaves that to AQE — at 100 TB with minDf=2 the frame is
+    * corpus-sized and the join must shuffle, which is exactly how the
+    * published C4 dedup ran.
+    */
+  def sharedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would mark every gram as shared")
+    val grams = docs
+      .select(col(idCol), explode(shingleSet(col(textCol), n)).as("s"))
+    val shared = grams.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("keeper"))
+      .filter(col("df") >= minDf)
+    grams.join(shared.select(col("s"), col("keeper")), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("keeper").isNotNull && col("keeper") =!= col(idCol),
+          1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4)
+          .as("dup_frac"))
+  }
+
   /** Gopher-style repetition signals per document over word n-grams:
     * total grams, distinct grams, duplicate-gram ratio
     * (1 − distinct/total) and the share of the single most frequent gram

@@ -101,6 +101,16 @@ object DedupQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-doc repeated-span accounting (operators.Contamination): the
+    // C4 line-dedup analog over 3-gram spans, keep-first semantics — a
+    // span repeated across docs is charged to every doc except its
+    // keeper (smallest id).
+    "d12_shared_span_stats" -> { (s, dir) =>
+      graft.operators.Contamination.sharedSpanStats(
+          Tables(s, dir).documents, "doc_id", "text", n = 3, minDf = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding near-dup blocking WITHOUT labels — the raw-crawl shape
     // (d05's label column doesn't exist at 100 TB): candidates collide
     // on either of two 4-bit sign-hyperplane bands (v02's signBucket
@@ -194,6 +204,25 @@ object DedupQ extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // same n/w/sh chain as d09; distinct grams per doc, keeper = min id
+    "d12_shared_span_stats" ->
+      s"""$shingleCtes,
+         |tok AS (SELECT DISTINCT doc_id, t
+         |        FROM (SELECT doc_id, unnest(sh) AS t FROM sh)
+         |        WHERE t <> ''),
+         |shared AS (SELECT t, MIN(doc_id) AS keeper FROM tok
+         |           GROUP BY t HAVING COUNT(*) >= 2)
+         |SELECT tok.doc_id, COUNT(*) AS n_grams,
+         | CAST(SUM(CASE WHEN shared.keeper IS NOT NULL
+         |                AND shared.keeper <> tok.doc_id
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         | round(CAST(SUM(CASE WHEN shared.keeper IS NOT NULL
+         |                      AND shared.keeper <> tok.doc_id
+         |                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+         |   AS dup_frac
+         |FROM tok LEFT JOIN shared ON tok.t = shared.t
+         |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
+
     "d01_exact_dedup_groups" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT md5(norm) AS fingerprint, min(doc_id) AS keeper,
