@@ -119,6 +119,16 @@ object Ranking {
       table, "src", buckets)
   }
 
+  /** MEASURED AND REJECTED (benchmark before re-trying): chaining the
+    * fixed rounds LAZILY into one plan (no per-round materialization
+    * when `checkpointDir` is unset — there is no convergence probe, so
+    * nothing forces a job per round). Paired 5-pass mins at sf0.1, same
+    * host, minutes apart: r06 1.81→2.00 s, r07 6.41→6.27 s, r08
+    * 2.24→2.34 s — a wash. The per-round jobs the lazy form saves are
+    * repaid in optimizing a plan that deepens by a join+agg+join every
+    * round; and at user-chosen high `iters` that unmaterialized depth
+    * turns into runaway analysis time, where the eager form stays flat.
+    */
   private def iterate(ew: DataFrame, nodes: DataFrame, iters: Int,
                       scale: Long,
                       ckpt: DataFrame => DataFrame): DataFrame = {
