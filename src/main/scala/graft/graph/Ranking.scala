@@ -69,7 +69,15 @@ object Ranking {
     require(iters >= 0, "iters must be non-negative")
     val spark = edges.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
-    val e0 = edges.select(col("src"), col("dst"))
+    // The caller's edge frame is often an expensive derivation (r07:
+    // fact-join + distinct + symmetrize), and it feeds THREE consumers
+    // below (out-degree, the degree join's probe side, the node set).
+    // Without this materialization each consumer re-runs the whole
+    // upstream query — paired 5-pass bench mins at sf0.1: r07
+    // 6.41→4.79 s, r06 1.81→1.54 s. One O(E) checkpoint replaces two
+    // full upstream recomputes; at cluster scale the same trade holds
+    // (one edge-list write vs two re-scans of the fact join).
+    val e0 = ckpt(edges.select(col("src"), col("dst")))
     // out-degree attached to every edge ONCE, then materialized so no
     // round re-derives it
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
