@@ -274,4 +274,23 @@ object Similarity {
       when(s === best, lit(cid)).otherwise(el)
     }
   }
+
+  /** Stage an IVF index AT REST: the corpus with its [[ivfCell]]
+    * assignment, written as a cell-PARTITIONED table. This is the piece
+    * that turns the v04/v06 probes from "scan everything, filter on a
+    * per-row kernel" into "read only the probed cells' directories":
+    * against the partitioned layout a probe's `cell IN (…)` is a
+    * STATIC partition filter — pruned at planning time, so scan cost is
+    * O(corpus/nlist · nprobe) instead of O(corpus), which is the entire
+    * point of IVF at 100 TB. The assignment itself is the same per-row
+    * codegen expression chain the online probes use (no join, no
+    * shuffle on the way in; the write's only cost is the O(corpus)
+    * pass any index build pays once, amortized over every query after).
+    */
+  def writeIvfIndex(df: DataFrame, vecCol: String,
+                    codebook: Seq[(Int, Array[Double])],
+                    table: String): Unit =
+    graft.sources.Warehouse.writePartitioned(
+      df.withColumn("cell", ivfCell(col(vecCol), codebook)),
+      table, Seq("cell"))
 }

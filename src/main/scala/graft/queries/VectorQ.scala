@@ -72,6 +72,38 @@ object VectorQ extends QueryPack {
         .limit(5)
     },
 
+    // v06 through an index AT REST (Similarity.writeIvfIndex): identical
+    // multiprobe semantics, but the corpus is written partitioned by
+    // cell once and the probe's `cell IN (…)` literals prune to the 2
+    // probed directories at PLANNING time — the scan never touches the
+    // other cells (IndexSpec pins numPartitions = nprobe on the scan
+    // metrics). Like r08/s02 the write is part of the query: a corrupted
+    // partition layout would hash-mismatch the oracle. The probe cells
+    // come from the SAME ivfProbeCells expression the online probes use,
+    // evaluated on the 1-row query frame (a bounded driver collect, like
+    // the codebook itself) so the driver can't disagree with the engine
+    // on rounding/tiebreaks.
+    "v11_ivf_partitioned_probe" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val q = e.filter(col("vec_id") === 0)
+      val cells = q.select(
+          Similarity.ivfProbeCells(col("embedding"), cb, 2).as("c"))
+        .collect()(0).getSeq[Int](0)
+      Similarity.writeIvfIndex(e.filter(col("vec_id") =!= 0), "embedding",
+        cb, "graft_ivf_idx")
+      val qb = broadcast(q.select(col("embedding").as("__qvec")))
+      graft.sources.Warehouse.read(s, "graft_ivf_idx")
+        .filter(col("cell").isin(cells: _*))
+        .crossJoin(qb)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     // One distributed Lloyd iteration over the full table (codebook =
     // vectors 1..8): per-cell quantized component means, long form.
     "v05_kmeans_step" -> { (s, dir) =>
@@ -183,6 +215,26 @@ object VectorQ extends QueryPack {
       .toSeq
 
   /** SQL mirror of Similarity.signBucket over BucketPositions. */
+  /** Shared mirror for v06/v11 (one semantics, two storage paths). */
+  private lazy val ivfMultiprobeSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qcells AS (SELECT cid AS qc FROM c, q
+       |           ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid LIMIT 2),
+       |scored AS (
+       | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+       |            c.cid) AS rn
+       | FROM embeddings e CROSS JOIN c
+       | WHERE e.vec_id <> 0),
+       |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
+       |      FROM scored WHERE rn = 1)
+       |SELECT a.vec_id, a.cell, round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
+       |FROM a, q WHERE a.cell IN (SELECT qc FROM qcells)
+       |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin
+
   private val bucketSql: String =
     BucketPositions.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN embedding[$p] > 0 THEN ${1 << (BucketPositions.size - 1 - i)} ELSE 0 END)"
@@ -212,24 +264,13 @@ object VectorQ extends QueryPack {
       s"""SELECT $bucketSql AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
 
-    "v06_ivf_multiprobe" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
-         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-         |qcells AS (SELECT cid AS qc FROM c, q
-         |           ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid LIMIT 2),
-         |scored AS (
-         | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
-         |  row_number() OVER (PARTITION BY e.vec_id
-         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
-         |            c.cid) AS rn
-         | FROM embeddings e CROSS JOIN c
-         | WHERE e.vec_id <> 0),
-         |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
-         |      FROM scored WHERE rn = 1)
-         |SELECT a.vec_id, a.cell, round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
-         |FROM a, q WHERE a.cell IN (SELECT qc FROM qcells)
-         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin,
+    "v06_ivf_multiprobe" -> ivfMultiprobeSql,
+
+    // v11 is v06 through the partitioned index — same semantics, same
+    // mirror. (The storage layout is Spark-side mechanics the oracle
+    // can't see; what it CAN see is any row lost or cell corrupted by
+    // the partitioned write, which would break the hash.)
+    "v11_ivf_partitioned_probe" -> ivfMultiprobeSql,
 
     // Mirrors kmeansStep: same cell assignment as v04, then per-cell
     // quantized component means (1e-6 integer sums → one exact division).

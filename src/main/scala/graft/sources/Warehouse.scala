@@ -37,5 +37,27 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Write `df` as a partitioned (unbucketed) managed parquet table:
+    * each distinct value of `partCols` becomes a directory level, so a
+    * probe filtering on them reads only the matching directories
+    * (static partition pruning — planning-time, before any task runs).
+    * The layout for "write once, probe a sliver many times" access —
+    * e.g. an IVF index partitioned by cell
+    * ([[graft.operators.Similarity.writeIvfIndex]]). Same
+    * stale-location cleanup as [[writeBucketed]].
+    */
+  def writePartitioned(df: DataFrame, table: String,
+                       partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "writePartitioned needs partition columns")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCols: _*).saveAsTable(table)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

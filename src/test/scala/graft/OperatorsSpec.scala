@@ -127,6 +127,47 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
 
+  test("v11 partitioned IVF probe: scan prunes to nprobe cells, equals v06") {
+    // The index-at-rest contract: the probe's `cell IN (…)` must become
+    // a PLANNING-time partition filter — the scan touches exactly the
+    // nprobe probed directories, not the corpus. And the layout detour
+    // must not change the answer: row-identical to the online v06 probe.
+    val v11 = SparkEntry.queries("v11_ivf_partitioned_probe")(spark, sfSmoke)
+    val v11Rows = v11.collect().toSeq
+    val v06Rows = SparkEntry.queries("v06_ivf_multiprobe")(spark, sfSmoke)
+      .collect().toSeq
+    assert(v11Rows == v06Rows, s"v11 $v11Rows != v06 $v06Rows")
+
+    val nCells = spark.table("graft_ivf_idx")
+      .select(col("cell")).distinct().count()
+    assert(nCells > 2, s"fixture degenerate: only $nCells cells")
+    // plan.collect can't see scans inside AQE query stages (leaves) —
+    // descend into them explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      (p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }) ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }).flatMap(allScans)
+    // the index scan is the one over the partitioned table (its scan
+    // carries the cell partition filter; the 1-row query-vector scan
+    // reads the raw parquet and has none)
+    val scans = allScans(v11.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "[]") != "[]")
+    assert(scans.nonEmpty, "no partition-filtered scan found")
+    val partsRead = scans.map(_.metrics("numPartitions").value).max
+    assert(partsRead == 2,
+      s"probe read $partsRead partitions of $nCells, want 2 (nprobe)")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_idx")
+  }
+
   test("pqEncode: codebook vectors encode to their own id; codes in range") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val codebook = e.filter(col("vec_id").between(1, 8))
