@@ -100,4 +100,38 @@ object text {
     */
   def saltedHash32(c: Column, salt: Int): Column =
     graft.plans.HashKernels.saltedHash32(c, salt)
+
+  /** PII patterns for corpus redaction (the CCNet/Pile-style scrub pass
+    * before training). Deliberately the COMMON regex subset — ASCII
+    * classes, bounded quantifiers, `\b`, no lookaround/backreferences —
+    * identical leftmost-longest-free semantics under both Java regex
+    * (Spark codegen'd regexp_replace) and RE2 (DuckDB/Go), so the scrub
+    * is oracle-matchable cross-engine. `[0-9]` not `\d` (RE2's `\d` is
+    * ASCII-only, Java's is Unicode-aware under UNICODE_CHARACTER_CLASS —
+    * dodge the difference entirely).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern: String = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Occurrences of `pattern` in `c` (match-count evidence column — a
+    * scrub report needs what was removed, not just the cleaned text).
+    */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, NANP-style phones →
+    * `<PHONE>`. Fixed order (email first: its domain may contain
+    * digit-dot runs an IP pattern could bite into); placeholders are
+    * digit-free so later passes can't re-match earlier replacements.
+    * Pure per-row codegen'd expressions — scales with partitions, no
+    * shuffle, no UDF.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 }

@@ -208,6 +208,38 @@ object TextQ extends QueryPack {
         .limit(10)
     },
 
+    // PII scrub (text.scrubPii): the redaction pass a corpus runs before
+    // training. The synthetic corpus carries no PII, so the query plants
+    // it deterministically — per-row conditional email/IPv4/phone
+    // segments derived from doc_id, built with the SAME arithmetic in
+    // the mirror — then reports match counts per class and the scrubbed
+    // text. Counts vary 0/1 by row (mod-3/4/5 injection), so the oracle
+    // hash actually pins the matcher, not a constant column; rows whose
+    // segments are all absent pin scrub-as-identity on clean text.
+    // All per-row codegen'd regex — no shuffle until the final sort.
+    "t13_pii_scrub" -> { (s, dir) =>
+      val id = col("doc_id")
+      val etext = concat(col("text"),
+        when(pmod(id, lit(3)) =!= 0,
+          concat(lit(" contact u"), id, lit("@ex"), pmod(id, lit(7)),
+            lit(".org"))).otherwise(lit("")),
+        when(pmod(id, lit(4)) =!= 0,
+          concat(lit(" from 10."), pmod(id, lit(256)), lit(".0."),
+            pmod(id, lit(100)))).otherwise(lit("")),
+        when(pmod(id, lit(5)) =!= 0,
+          concat(lit(" tel 555-867-"),
+            lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables(s, dir).documents
+        .select(id, etext.as("etext"))
+        .select(id,
+          text.piiCount(col("etext"), text.EmailPattern).as("n_emails"),
+          text.piiCount(col("etext"), text.Ipv4Pattern).as("n_ips"),
+          text.piiCount(col("etext"), text.PhonePattern).as("n_phones"),
+          text.scrubPii(col("etext")).as("scrubbed"))
+        .orderBy(id)
+    },
+
     // Inverted-index build (operators.Index): per term, document
     // frequency + the top-5 postings by (tf desc, doc id), serialized
     // doc-ordered. The word-soup corpus makes EVERY term stopword-hot
@@ -256,6 +288,34 @@ object TextQ extends QueryPack {
          | array_to_string(w[st + 1 : st + 64], ' ') AS chunk_text
          |FROM s WHERE st = 0 OR st + 16 < nt
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Same enrichment arithmetic as the Spark side; the regex subset is
+    // dialect-shared (text.EmailPattern scaladoc), so Java regex and RE2
+    // find identical matches. 'g' flag: DuckDB replaces first-only by
+    // default where Spark replaces all.
+    "t13_pii_scrub" -> {
+      val e = graft.functions.text.EmailPattern
+      val i = graft.functions.text.Ipv4Pattern
+      val p = graft.functions.text.PhonePattern
+      s"""WITH x AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 <> 0 THEN ' contact u' ||
+         |    CAST(doc_id AS VARCHAR) || '@ex' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 <> 0 THEN ' from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 5 <> 0 THEN ' tel 555-867-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |  AS etext FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(etext, '$e')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(etext, '$i')) AS INT) AS n_ips,
+         | CAST(len(regexp_extract_all(etext, '$p')) AS INT) AS n_phones,
+         | regexp_replace(regexp_replace(regexp_replace(etext,
+         |   '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')
+         |  AS scrubbed
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     // Same fixed association order as the Spark expression — every op is
     // IEEE +,×,÷ on exactly-representable integer inputs, so the doubles

@@ -65,6 +65,34 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("scrubPii: all three classes, multiplicity, clean-text identity") {
+    val rows = Seq(
+      // two emails, one IP, one phone, interleaved
+      ("mail a@b.org then 1.2.3.4 or c.d@e-f.co and 555-123-4567 end",
+        2, 1, 1,
+        "mail <EMAIL> then <IP> or <EMAIL> and <PHONE> end"),
+      // IP digits glued to a word: \b refuses the partial match
+      ("v1.2.3.4x stays but 10.0.0.1 goes", 0, 1, 0,
+        "v1.2.3.4x stays but <IP> goes"),
+      // phone needs the full 3-3-4 shape
+      ("555-12-4567 and 555-123-45678 survive", 0, 0, 0,
+        "555-12-4567 and 555-123-45678 survive"),
+      // clean text is untouched
+      ("no pii here at all", 0, 0, 0, "no pii here at all")
+    ).toDF("t", "we", "wi", "wp", "want")
+    rows.select(col("we"), col("wi"), col("wp"), col("want"),
+        text.piiCount(col("t"), text.EmailPattern).as("e"),
+        text.piiCount(col("t"), text.Ipv4Pattern).as("i"),
+        text.piiCount(col("t"), text.PhonePattern).as("p"),
+        text.scrubPii(col("t")).as("got"))
+      .collect().foreach { r =>
+        assert(r.getInt(4) == r.getInt(0), s"emails: $r")
+        assert(r.getInt(5) == r.getInt(1), s"ips: $r")
+        assert(r.getInt(6) == r.getInt(2), s"phones: $r")
+        assert(r.getString(7) == r.getString(3), s"scrub: $r")
+      }
+  }
+
   test("shingles are space-joined consecutive words") {
     val sh = Seq("w1 w2 w3 w4").toDF("text")
       .select(text.shingles(col("text"), 3)).as[Seq[String]].head()
