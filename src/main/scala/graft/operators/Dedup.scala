@@ -275,8 +275,19 @@ object Dedup {
     // default localCheckpoint, not cache: reused every round, freed by GC
     // with the result instead of living in the CacheManager until unpersist
     val ckpt = Iteration.materializer(spark, checkpointDir)
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Materialize the caller's pair frame before the symmetrize union
+    // consumes it twice: callers hand in expensive derivations (r04:
+    // fact join + distinct + canonical filter), and although ReuseExchange
+    // shares the shuffle WRITE between the two union branches, each
+    // branch still re-runs the post-shuffle distinct aggregation.
+    // Paired 5-pass bench mins at sf0.1: r04 4.83→4.42 s, d06
+    // 1.63→1.38 s, r05 1.87→1.60 s — the extra O(pairs) checkpoint is
+    // cheaper than the spared re-aggregation even on small inputs, and
+    // at cluster scale one pair write beats re-running the upstream
+    // reduce twice.
+    val p0 = ckpt(pairs.select(col("a"), col("b")))
+    val sym = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
     // Pre-partitioned on the per-round join key (src) before
     // materializing — measured at sf0.1 (paired 7-pass mins): r04
     // 3.85→3.53 s. See Routing.bfsHops for the actual mechanism (layout
