@@ -144,7 +144,16 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"BENCH_DETAIL.json write failed: $e")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // The stdout line is parsed from the driver's LAST-2000-char tail;
+    // at 81 queries the full-name map alone is ~2300 chars and would
+    // truncate the line's head (the BENCH_r1-r3 failure mode again).
+    // Emit the id prefix ("q16_exact_percentiles" → "q16") — unique by
+    // construction (asserted), and the id scheme every artifact uses —
+    // on stdout; BENCH_DETAIL.json above keeps full names.
+    def shortId(name: String) = name.takeWhile(_ != '_')
+    require(results.keySet.map(shortId).size == results.size,
+      "query id prefixes must be unique for the stdout bench line")
+    val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$knobsJson}""")
     spark.stop()
