@@ -138,6 +138,28 @@ object VectorQ extends QueryPack {
         .orderBy(col("adc"), col("vec_id"))
     },
 
+    // v08 through a codes table AT REST: pqEncode materialized once as a
+    // managed table holding ONLY (vec_id, c1..c4) — the vectors are not
+    // in the table, so the ADC scan physically cannot read them; its
+    // per-row input is 4 ints standing in for 64 floats (the PQ
+    // compression claim, enforced by storage instead of asserted in a
+    // comment — the spec pins the table's bytes at a fraction of the
+    // raw embeddings'). Same ranking as the fused v08 (shared mirror).
+    "v12_pq_codes_at_rest" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      graft.sources.Warehouse.writeTable(
+        Similarity.pqEncode(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", cb, m = PqSubspaces),
+        "graft_pq_codes")
+      Similarity.pqAdcTopKFromCodes(
+          graft.sources.Warehouse.read(s, "graft_pq_codes"), "vec_id",
+          cb, qvec, m = PqSubspaces, k = 10)
+        .orderBy(col("adc"), col("vec_id"))
+    },
+
     // The COMPOSED production ANN path (IVF-ADC) — what v02–v08's pieces
     // exist for: IVF probe prunes the scan to the query's 2 nearest
     // cells, PQ ADC code arithmetic shortlists 20 candidates, and only
@@ -215,6 +237,42 @@ object VectorQ extends QueryPack {
       .toSeq
 
   /** SQL mirror of Similarity.signBucket over BucketPositions. */
+  /** Shared mirror for v08/v12 (fused ADC scan vs codes table at rest —
+    * the detour through storage must not change the ranking).
+    */
+  private lazy val pqAdcSql: String = {
+    val sub = 64 / PqSubspaces
+    def qd(vec: String) =
+      s"(CAST(round(($vec[(j.j-1)*$sub + i] - c.ce[(j.j-1)*$sub + i]) * 1000000) AS BIGINT))"
+    val ed = qd("e.ee")
+    val ld = qd("q.qe")
+    val codeCols = (1 to PqSubspaces).map(j =>
+      s"CAST(MAX(CASE WHEN a.j = $j THEN a.cid END) AS INT) AS c$j").mkString(",\n ")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+       |      FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |j AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
+       |d AS (SELECT e.vec_id, j.j, c.cid,
+       |       CAST(list_sum([$ed * $ed
+       |        FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
+       |      FROM e CROSS JOIN c CROSS JOIN j),
+       |a AS (SELECT vec_id, j, cid,
+       |       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+       |      FROM d),
+       |lut AS (SELECT j.j, c.cid,
+       |        CAST(list_sum([$ld * $ld
+       |         FOR i IN generate_series(1, $sub)]) AS BIGINT) AS ld
+       |        FROM c CROSS JOIN j CROSS JOIN q)
+       |SELECT a.vec_id,
+       | $codeCols,
+       | CAST(SUM(l.ld) AS BIGINT) AS adc
+       |FROM a JOIN lut l ON a.j = l.j AND a.cid = l.cid
+       |WHERE a.rn = 1 GROUP BY a.vec_id
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Shared mirror for v06/v11 (one semantics, two storage paths). */
   private lazy val ivfMultiprobeSql: String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
@@ -317,38 +375,11 @@ object VectorQ extends QueryPack {
          |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
 
-    "v08_pq_adc_topk" -> {
-      val sub = 64 / PqSubspaces
-      def qd(vec: String) =
-        s"(CAST(round(($vec[(j.j-1)*$sub + i] - c.ce[(j.j-1)*$sub + i]) * 1000000) AS BIGINT))"
-      val ed = qd("e.ee")
-      val ld = qd("q.qe")
-      val codeCols = (1 to PqSubspaces).map(j =>
-        s"CAST(MAX(CASE WHEN a.j = $j THEN a.cid END) AS INT) AS c$j").mkString(",\n ")
-      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
-         |      FROM embeddings WHERE vec_id <> 0),
-         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-         |j AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
-         |d AS (SELECT e.vec_id, j.j, c.cid,
-         |       CAST(list_sum([$ed * $ed
-         |        FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
-         |      FROM e CROSS JOIN c CROSS JOIN j),
-         |a AS (SELECT vec_id, j, cid,
-         |       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
-         |      FROM d),
-         |lut AS (SELECT j.j, c.cid,
-         |        CAST(list_sum([$ld * $ld
-         |         FOR i IN generate_series(1, $sub)]) AS BIGINT) AS ld
-         |        FROM c CROSS JOIN j CROSS JOIN q)
-         |SELECT a.vec_id,
-         | $codeCols,
-         | CAST(SUM(l.ld) AS BIGINT) AS adc
-         |FROM a JOIN lut l ON a.j = l.j AND a.cid = l.cid
-         |WHERE a.rn = 1 GROUP BY a.vec_id
-         |ORDER BY adc, vec_id LIMIT 10""".stripMargin
-    },
+    // shared with v12: the codes-at-rest detour must produce the exact
+    // ranking the fused scan does
+    "v08_pq_adc_topk" -> pqAdcSql,
+
+    "v12_pq_codes_at_rest" -> pqAdcSql,
 
     // Mirrors ivfPqTopK end-to-end: v04's cell assignment + v06's 2-cell
     // probe + v08's exact-integer codes/LUT (restricted to the probed

@@ -59,5 +59,21 @@ object Warehouse {
       .partitionBy(partCols: _*).saveAsTable(table)
   }
 
+  /** Write `df` as a plain (unbucketed, unpartitioned) managed parquet
+    * table — for derived compact representations whose value IS the
+    * narrow schema (e.g. a PQ codes table: the ADC scan reads m ints
+    * per row because the vectors are not in the table at all). Same
+    * stale-location cleanup as [[writeBucketed]].
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

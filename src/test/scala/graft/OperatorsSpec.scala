@@ -127,6 +127,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
 
+  test("v12 codes-at-rest ADC: no vector column in the table, compressed, equals v08") {
+    val v12 = SparkEntry.queries("v12_pq_codes_at_rest")(spark, sfSmoke)
+    val v12Rows = v12.collect().toSeq
+    val v08Rows = SparkEntry.queries("v08_pq_adc_topk")(spark, sfSmoke)
+      .collect().toSeq
+    assert(v12Rows == v08Rows, s"v12 $v12Rows != v08 $v08Rows")
+    // the compression claim, enforced by storage: the codes table holds
+    // only (vec_id, c1..cm) — no array column to read even by accident —
+    // and its bytes are a fraction of the raw embeddings' (4 ints stand
+    // in for 64 floats; parquet overhead keeps the ratio well above the
+    // 16x raw-payload factor at this tiny SF, so assert a loose 3x)
+    val fields = spark.table("graft_pq_codes").schema
+    assert(!fields.exists(_.dataType.typeName == "array"),
+      s"vector column leaked into the codes table: $fields")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_pq_codes")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codesBytes = fs.getContentSummary(wh).getLength
+    val rawBytes = new java.io.File(s"$sfSmoke/embeddings.parquet").length
+    assert(codesBytes * 3 < rawBytes,
+      s"codes table $codesBytes B not < 1/3 of raw embeddings $rawBytes B")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_codes")
+  }
+
   test("v11 partitioned IVF probe: scan prunes to nprobe cells, equals v06") {
     // The index-at-rest contract: the probe's `cell IN (…)` must become
     // a PLANNING-time partition filter — the scan touches exactly the
