@@ -129,7 +129,10 @@ object GraphQ extends QueryPack {
     // mirror of the exact fixed-point recurrence — the loop semantics
     // are fully oracled, unlike float PageRank (sum-order drift).
     "r06_pagerank" -> { (s, dir) =>
-      Ranking.pageRank(syntheticEdges(s, dir), iters = 10)
+      // 25-node graph: the rank frame trivially fits the broadcast
+      // contract (see Ranking.pageRank scaladoc)
+      Ranking.pageRank(syntheticEdges(s, dir), iters = 10,
+          broadcastRanks = true)
         .orderBy(col("node"))
     },
 
@@ -138,7 +141,12 @@ object GraphQ extends QueryPack {
     // shape a crawl pipeline runs. Fewer rounds: rank pipelines use a
     // fixed round budget, and each round here is a full-E shuffle.
     "r07_pagerank_trade" -> { (s, dir) =>
-      Ranking.pageRank(tradeEdges(s, dir), iters = 5)
+      // V = |customers| + |suppliers| — bounded by dim-table cardinality
+      // (~16k at sf0.1, ~16 bytes/row), so the rank frame satisfies the
+      // broadcast contract at any fact-table volume; the O(E) side never
+      // shuffles per round.
+      Ranking.pageRank(tradeEdges(s, dir), iters = 5,
+          broadcastRanks = true)
         .orderBy(col("node"))
     },
 

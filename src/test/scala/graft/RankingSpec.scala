@@ -54,6 +54,16 @@ class RankingSpec extends SparkTestBase {
     }
   }
 
+  test("broadcastRanks changes the plan, not the answer") {
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("b", "d")).toDF("src", "dst")
+    val expected = Ranking.pageRank(base, iters = 6)
+      .as[(String, Long)].collect().toSortedRanks
+    val got = Ranking.pageRank(base, iters = 6, broadcastRanks = true)
+      .as[(String, Long)].collect().toSortedRanks
+    assert(got == expected)
+  }
+
   test("zero iterations returns the uniform seed over all nodes") {
     val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
     val r = Ranking.pageRank(e, iters = 0)
