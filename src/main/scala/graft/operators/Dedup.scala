@@ -257,10 +257,18 @@ object Dedup {
     * blocks are pinned to executors and one executor loss mid-iteration
     * kills the job (see [[graft.operators.Iteration.materializer]]).
     */
+  /** `broadcastFrontier`: opt-in per-round broadcast of the improved-
+    * label frontier — same mechanism and contract as
+    * `Routing.bfsHops(broadcastFrontier)` / `Ranking.pageRank(
+    * broadcastRanks)`; the peak frontier here is the FULL node set
+    * (round 1: every node improves), so the caller asserts V fits
+    * executor memory.
+    */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50,
                   pairsCanonical: Boolean = false,
                   checkpointDir: Option[String] = None,
-                  prePartitionEdges: Boolean = true): DataFrame = {
+                  prePartitionEdges: Boolean = true,
+                  broadcastFrontier: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     if (pairsCanonical &&
         spark.conf.getOption("spark.graft.debug.validate").contains("true")) {
@@ -323,7 +331,8 @@ object Dedup {
     var frontier = labels.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      val cand = frontier.join(e, frontier("node") === e("src"))
+      val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
+      val cand = fSide.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), col("label").as("cand_label"))
         .groupBy("node").agg(min("cand_label").as("cand_label"))
       // every candidate node already carries a label (edges are

@@ -64,8 +64,10 @@ object GraphQ extends QueryPack {
     // the truncation warning is suppressed — it must stay meaningful for
     // loops where hitting maxIter means wrong results.
     "r03_bfs_trade_graph" -> { (s, dir) =>
+      // V bounded by dim-table cardinality (see r07) -> the peak
+      // frontier satisfies the broadcast contract (Routing.bfsHops doc)
       Routing.bfsHops(tradeEdges(s, dir), tradeSource(s, dir), maxIter = 10,
-          warnOnTruncation = false)
+          warnOnTruncation = false, broadcastFrontier = true)
         .orderBy(col("node"))
     },
 
@@ -85,7 +87,8 @@ object GraphQ extends QueryPack {
       // deployment mode (executor loss mid-iteration survives); unset =
       // localCheckpoint, the single-node default.
       graft.operators.Dedup.dupClusters(pairs, pairsCanonical = true,
-          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
+          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"),
+          broadcastFrontier = true) // V bounded by dim tables, see r07
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster"))

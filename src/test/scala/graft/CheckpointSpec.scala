@@ -78,6 +78,15 @@ class CheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("dupClusters broadcastFrontier changes the plan, not the clusters") {
+    val pairs = Seq((3L, 5L), (5L, 9L), (2L, 8L), (1L, 4L)).toDF("a", "b")
+    val default = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = Dedup.dupClusters(pairs, broadcastFrontier = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bcast == default)
+  }
+
   test("dupClusters pairsCanonical is a pure plan shortcut") {
     // canonical: distinct rows, a < b everywhere (chain + pair + pair)
     val pairs = Seq((3L, 5L), (5L, 9L), (2L, 8L), (1L, 4L)).toDF("a", "b")

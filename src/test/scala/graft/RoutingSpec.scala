@@ -46,6 +46,15 @@ class RoutingSpec extends SparkTestBase {
     assert(h == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2, "E" -> 2))
   }
 
+  test("broadcastFrontier changes the plan, not the answers (sssp + bfs)") {
+    val d = Routing.sssp(fixtureEdges, "A", broadcastFrontier = true)
+      .select("node", "dist_m").as[(String, Double)].collect().toMap
+    assert(d == Map("A" -> 0.0, "B" -> 1.0, "C" -> 2.5, "D" -> 5.5, "E" -> 3.5))
+    val h = Routing.bfsHops(fixtureEdges, "A", 10, broadcastFrontier = true)
+      .as[(String, Int)].collect().toMap
+    assert(h == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2, "E" -> 2))
+  }
+
   test("edges builds consecutive-stop pairs with haversine weights") {
     val stops = Seq(
       ("r1", 1, "s1", 107.60, -6.90), ("r1", 2, "s2", 107.61, -6.90),
