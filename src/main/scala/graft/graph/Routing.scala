@@ -201,6 +201,10 @@ object Routing {
     * 5-pass bench mins at sf0.1: r03 3.40→3.15 s, r04 3.72→3.52 s —
     * smaller than PageRank's broadcastRanks gain because the frontier
     * empties as the wave passes and late rounds were already cheap.
+    * MEASURED AND REJECTED for one-partition toy graphs (like
+    * `prePartitionEdges`): r01 1.06→1.31 s, r02 1.15→1.45 s, r05
+    * 1.18→1.27 s paired — the broadcast build's extra job costs more
+    * than every trivial single-partition join it replaces.
     */
   def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int,
               warnOnTruncation: Boolean = true,
