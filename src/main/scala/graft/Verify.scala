@@ -16,7 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration subset (the driver never sets it). Echoed loudly and
+    // validated against the query map so a stray value can't silently
+    // shrink the gate — same discipline as Bench's knob handling.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY unknown: $unknown")
+      System.err.println(s"[verify] SUBSET RUN: ${names.toSeq.sorted.mkString(",")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

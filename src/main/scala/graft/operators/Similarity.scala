@@ -256,6 +256,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+    * corpus by nearest-centroid cell, then inside each cell drop every row
+    * that has a LOWER-ID neighbor with cosine ≥ `tau` — the same
+    * deterministic keep-first sweep the banded SimHash dedups use (a row
+    * is dropped iff ANY lower id in its cell clears the threshold, whether
+    * or not that neighbor itself survived). Output: the survivors with
+    * their cell.
+    *
+    * Scale shape: cell assignment is the per-row [[ivfCell]] codegen chain
+    * (no join, no shuffle); the only shuffle is the anti-join's cell
+    * equi-key, and comparisons never cross cells — the pairwise cost is
+    * Σ|cell|², the bound every SemDeDup deployment tunes with its cluster
+    * count (nlist grows with the corpus so cells stay bounded). A
+    * pathological hot cell is the same failure mode as a hot LSH bucket —
+    * cap it upstream with [[graft.operators.Dedup.capBuckets]] on the cell
+    * column if the codebook can't be retrained.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    codebook: Seq[(Int, Array[Double])],
+                    tau: Double): DataFrame = {
+    val withCell = df.withColumn("cell", ivfCell(col(vecCol), codebook))
+    val right = withCell.select(col(idCol).as("__b"), col("cell").as("__bcell"),
+      col(vecCol).as("__bvec"))
+    withCell.join(right,
+        col("cell") === col("__bcell") && col("__b") < col(idCol) &&
+          round(vectors.cosine(vectors.asDouble(col(vecCol)),
+            vectors.asDouble(col("__bvec"))), 4) >= tau,
+        "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** IVF cell assignment: nearest codebook centroid by cosine (rounded to
     * 4 dp for cross-engine determinism; smallest centroid id on ties).
     *

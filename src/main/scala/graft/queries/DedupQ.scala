@@ -154,6 +154,21 @@ object DedupQ extends QueryPack {
     // one runaway label would otherwise put a quadratic pair explosion on
     // a single reducer. (All testdata blocks are ≤ ~220 rows, so the cap
     // is semantics-neutral here; the oracle mirrors it.)
+    // Semantic dedup (the SemDeDup shape): nearest-centroid cells (same
+    // codebook = vectors 1..8 as v04/v10), then a keep-first sweep inside
+    // each cell — a vector is dropped iff any LOWER-ID cellmate clears
+    // cosine ≥ 0.35. The threshold is tuned to the synthetic corpus (max
+    // pairwise cosine 0.51 — a real crawl's near-dups sit at 0.95+); what
+    // the oracle pins is the semantics: cell blocking, the keep-first
+    // drop rule, and the rounded-cosine threshold comparison.
+    "d13_semantic_dedup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      graft.operators.Similarity.semanticDedup(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          VectorQ.codebook(e), tau = 0.35)
+        .orderBy(col("vec_id"))
+    },
+
     "d05_embedding_top_pairs" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Dedup.capBuckets(Tables(s, dir).embeddings, "label",
@@ -345,6 +360,28 @@ object DedupQ extends QueryPack {
          |SELECT a, b, CAST(bit_count(xor(simA, simB)) AS INT) AS hamming
          |FROM cands WHERE bit_count(xor(simA, simB)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // Mirrors semanticDedup: v04's cell-assignment chain, then the
+    // keep-first sweep as NOT EXISTS over lower-id cellmates at the same
+    // rounded-cosine threshold.
+    "d13_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND ${VectorQ.CodebookSize}),
+         |scored AS (
+         | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM embeddings e CROSS JOIN c
+         | WHERE e.vec_id <> 0),
+         |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
+         |      FROM scored WHERE rn = 1)
+         |SELECT a.vec_id, a.cell FROM a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM a b
+         |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |    AND round(${cosineSql("a.ee", "b.ee")}, 4) >= 0.35)
+         |ORDER BY a.vec_id""".stripMargin,
 
     // Mirrors the 1000-row block cap (labels above it are dropped).
     "d05_embedding_top_pairs" ->

@@ -228,7 +228,7 @@ object VectorQ extends QueryPack {
   /** Deterministic codebook: the embeddings of vec_id 1..CodebookSize
     * (a bounded driver-held constant, like any IVF codebook).
     */
-  private def codebook(e: DataFrame): Seq[(Int, Array[Double])] =
+  private[queries] def codebook(e: DataFrame): Seq[(Int, Array[Double])] =
     e.filter(col("vec_id").between(1, CodebookSize))
       .select(col("vec_id"), col("embedding"))
       .collect()

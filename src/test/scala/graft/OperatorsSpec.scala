@@ -127,6 +127,52 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
 
+  test("semanticDedup matches an independent keep-first sweep; crafted drop rule") {
+    // crafted: a cell where the drop rule's "any lower id, kept or not"
+    // matters — v2 drops against v1, v3 drops against v2 EVEN THOUGH v2
+    // itself was dropped (the keep-first sweep is pairwise, not chained
+    // through survivors).
+    val cb = Seq(1 -> Array(1.0, 0.0, 0.0, 0.0))
+    val near = (d: Double) => Array(1.0, d, 0.0, 0.0)
+    val df = Seq((10L, near(0.0)), (11L, near(0.05)), (12L, near(0.1)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", cb, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L))
+
+    // full-table parity with an independent driver-side sweep at d13's tau
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val codebook = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    val got = Similarity.semanticDedup(e, "vec_id", "embedding", codebook, 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    val cells = e.withColumn("cell", Similarity.ivfCell(col("embedding"), codebook))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = cells.filter { case (id, cell, v) =>
+      !cells.exists { case (id2, cell2, v2) =>
+        // same rounding as Spark's round(): HALF_UP on the double's
+        // SHORTEST decimal repr (BigDecimal.valueOf), not its full binary
+        // expansion
+        cell2 == cell && id2 < id &&
+          BigDecimal(java.math.BigDecimal.valueOf(cos(v2, v))
+            .setScale(4, java.math.RoundingMode.HALF_UP)) >= BigDecimal("0.35")
+      }
+    }.map(_._1).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("v12 codes-at-rest ADC: no vector column in the table, compressed, equals v08") {
     val v12 = SparkEntry.queries("v12_pq_codes_at_rest")(spark, sfSmoke)
     val v12Rows = v12.collect().toSeq
