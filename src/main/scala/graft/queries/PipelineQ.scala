@@ -152,6 +152,50 @@ object PipelineQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Cluster-retention POLICY: d06/p07 keep each near-dup cluster's
+    // smallest id; a production curation pass keeps its BEST member —
+    // argmax of t03's exact-integer quality, smallest id on ties. Output:
+    // per cluster, the chosen keeper, its score, and the cluster size.
+    // Scale shape: the cluster frame is bounded by the dup population
+    // (≪ corpus); quality is a per-row kernel fused into the scan; the
+    // argmax is one window + one size aggregate on the SAME cluster key
+    // (one shuffle), joined cluster-to-cluster.
+    "p08_cluster_best_keeper" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+          t.documentsKernelParallel, "doc_id", "text", k = 8, bands = 2,
+          shingleN = 3)
+        .select(col("a"), col("b"))
+      val clusters = graft.operators.Dedup.dupClusters(pairs,
+        pairsCanonical = true) // (member, cluster)
+      val scored = t.documents
+        .select(col("doc_id"), col("n_chars"),
+          text.tokenCount(col("text")).as("n_tok"),
+          text.markerHits(col("text"), TextQ.StopWords).as("stops"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+            .as("punct"))
+        .filter(col("n_tok") > 0) // zero-token members can't win keeper
+        .withColumn("ltok", col("n_tok").cast("long"))
+        .withColumn("num",
+          lit(40L) * least(col("ltok"), lit(100L)) * col("ltok") * col("n_chars") +
+            lit(3000L) * (col("ltok") - col("stops")) * col("n_chars") +
+            lit(3000L) * (col("n_chars") - col("punct")) * col("ltok"))
+        .withColumn("den", col("ltok") * col("n_chars"))
+        .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
+        .select(col("doc_id"), col("bp"))
+      val sizes = clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("bp").desc, col("member"))
+      clusters.join(scored, col("member") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("member").as("keeper"),
+          col("bp").as("keeper_bp"))
+        .join(sizes, Seq("cluster"))
+        .orderBy(col("cluster"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -286,6 +330,41 @@ object PipelineQ extends QueryPack {
          | ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split,
          | CAST(n_tok AS INT) AS n_tok
          |FROM cw WHERE cum - n_tok < 30000 ORDER BY doc_id""".stripMargin,
+
+    // d06's LSH+CC cluster chain + t03's integer quality → per-cluster
+    // argmax keeper (bp DESC, member ASC) + cluster size.
+    "p08_cluster_best_keeper" ->
+      s"""${DedupQ.lshCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pe AS (SELECT a AS src, b AS dst FROM j UNION SELECT b, a FROM j),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node),
+         |lab AS (SELECT node AS member, MIN(r) AS cluster
+         |        FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster, COUNT(*) AS n_members
+         |          FROM lab GROUP BY cluster),
+         |qn AS (SELECT d.doc_id, d.n_chars,
+         |        len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]')) AS punct,
+         |        CASE WHEN n.norm = '' THEN 0 ELSE len(w.w) END AS n_tok,
+         |        ${markerHitsSql("w.w", TextQ.StopWords)} AS stops
+         |       FROM documents d
+         |       JOIN n ON n.doc_id = d.doc_id
+         |       JOIN w ON w.doc_id = d.doc_id),
+         |b AS (SELECT doc_id,
+         |       (2 * (40 * least(n_tok, 100) * n_tok * n_chars
+         |             + 3000 * (n_tok - stops) * n_chars
+         |             + 3000 * (n_chars - punct) * n_tok)
+         |        + n_tok * n_chars) // (2 * n_tok * n_chars) AS bp
+         |      FROM qn WHERE n_tok > 0),
+         |r AS (SELECT lab.cluster, lab.member, b.bp,
+         |       row_number() OVER (PARTITION BY lab.cluster
+         |        ORDER BY b.bp DESC, lab.member) AS rn
+         |      FROM lab JOIN b ON b.doc_id = lab.member)
+         |SELECT r.cluster, r.member AS keeper, r.bp AS keeper_bp,
+         | s.n_members
+         |FROM r JOIN sizes s USING (cluster)
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "p02_training_manifest" ->
       s"""WITH n AS (
