@@ -256,6 +256,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Corpus-wide max |component| — the symmetric SQ8 quantization scale.
+    * One engine-native aggregate (posexplode + max: map-side partial max,
+    * no HOF); a bounded driver constant like a codebook. Computed over
+    * corpus AND query so codes stay in [-127,127] with no clamp branch.
+    */
+  def sq8MaxAbs(df: DataFrame, vecCol: String): Double =
+    df.select(posexplode(vectors.asDouble(col(vecCol))).as(Seq("__i", "__x")))
+      .agg(max(abs(col("__x"))))
+      .head().getDouble(0)
+
+  /** Driver-side quantization of the query vector — the same
+    * half-away-from-zero rounding as the per-row kernel.
+    */
+  def sq8Quantize(query: Array[Double], scale: Double): Seq[Int] =
+    query.map(x => graft.plans.Sq8Dot.roundHalfAway(x * 127.0 / scale).toInt).toSeq
+
+  /** Int8 scalar-quantized top-k (the SQ8 of FAISS/vector DBs): every
+    * vector is quantized to `round(x·127/scale)` int8 codes and scored
+    * against the pre-quantized query by EXACT integer dot product — a
+    * 4× memory compression with none of PQ's codebook training, the
+    * standard first rung of vector-search compression. One fused per-row
+    * codegen pass (graft.plans.Sq8Dot): no join, no shuffle, and the
+    * integer score is bit-stable on any engine/partitioning. Output:
+    * (idCol, score), the k largest, ties on id.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], scale: Double, k: Int): DataFrame =
+    df.withColumn("score", graft.plans.Sq8Dot.sq8Dot(
+        vectors.asDouble(col(vecCol)), sq8Quantize(query, scale), scale))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
     * corpus by nearest-centroid cell, then inside each cell drop every row
     * that has a LOWER-ID neighbor with cosine ≥ `tau` — the same

@@ -200,6 +200,21 @@ object VectorQ extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Int8 scalar quantization (SQ8) top-k: symmetric corpus-max scale
+    // (a bounded driver constant), per-row round(x·127/s) codes, exact
+    // integer dot against the quantized query — the codebook-free 4×
+    // compression rung below PQ (v07/v08). Fused per-row codegen scan +
+    // TakeOrdered: no join, no shuffle; bit-stable integer scores.
+    "v13_sq8_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val scale = Similarity.sq8MaxAbs(e, "embedding")
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.sq8TopK(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", qvec, scale, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -446,6 +461,22 @@ object VectorQ extends QueryPack {
          |      FROM a)
          |SELECT vec_id, cell, CAST(rn AS INT) AS rn
          |FROM k WHERE rn <= 40 ORDER BY vec_id""".stripMargin,
+
+    // Mirrors sq8TopK: same scale (corpus max |x|, query row included),
+    // same left-to-right x*127/s arithmetic, and DuckDB's round IS the
+    // kernel's half-away-from-zero on the binary double — exact match,
+    // not the measure-zero-caveat kind.
+    "v13_sq8_topk" ->
+      s"""WITH s AS (SELECT MAX(list_max([abs(x) FOR x IN embedding::DOUBLE[]])) AS s
+         |           FROM embeddings),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |      FROM embeddings WHERE vec_id <> 0)
+         |SELECT e.vec_id,
+         | CAST(list_sum([CAST(round(e.ee[i] * 127 / s.s) AS BIGINT)
+         |                * CAST(round(q.qe[i] * 127 / s.s) AS BIGINT)
+         |                FOR i IN generate_series(1, 64)]) AS BIGINT) AS score
+         |FROM e, q, s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

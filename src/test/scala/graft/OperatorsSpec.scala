@@ -127,6 +127,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
 
+  test("sq8: rounding edges, per-row score parity, top-k tracks the exact dot") {
+    import graft.plans.Sq8Dot.roundHalfAway
+    // half AWAY from zero on the binary double — C/DuckDB round, not
+    // rint (half-even) and not floor(x+0.5) (wrong at the value below)
+    assert(roundHalfAway(2.5) == 3L && roundHalfAway(-2.5) == -3L)
+    assert(roundHalfAway(0.49999999999999994) == 0L)
+    assert(roundHalfAway(-0.49999999999999994) == 0L)
+    assert(roundHalfAway(126.5) == 127L && roundHalfAway(0.0) == 0L)
+
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val scale = Similarity.sq8MaxAbs(e, "embedding")
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = rows.find(_._1 == 0L).get._2
+    val qc = Similarity.sq8Quantize(q, scale)
+    // per-row kernel score == independent driver-side fold
+    val got = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), graft.plans.Sq8Dot.sq8Dot(
+        graft.functions.vectors.asDouble(col("embedding")), qc, scale).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val want = rows.filter(_._1 != 0L).map { case (id, v) =>
+      id -> v.zip(qc).map { case (x, c) =>
+        roundHalfAway(x * 127.0 / scale) * c }.sum
+    }.toMap
+    assert(got == want)
+    // quantization preserves the exact-dot ranking (10/10 measured on
+    // this table; asserted with slack)
+    val sqTop = got.toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val exactTop = rows.filter(_._1 != 0L).map { case (id, v) =>
+      id -> v.zip(q).map { case (x, y) => x * y }.sum
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    assert((sqTop intersect exactTop).size >= 8,
+      s"sq8 top-10 $sqTop vs exact $exactTop")
+  }
+
   test("semanticDedup matches an independent keep-first sweep; crafted drop rule") {
     // crafted: a cell where the drop rule's "any lower id, kept or not"
     // matters — v2 drops against v1, v3 drops against v2 EVEN THOUGH v2

@@ -106,6 +106,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("v13: SQ8 scan is a shuffle-free fused pass (TakeOrdered, no join)") {
+    val plan = formattedPlan("v13_sq8_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    val shuffles = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(shuffles == 0, s"$shuffles shuffles:\n$plan")
+  }
+
   test("checkpoint partitioning: dropped under AQE, preserved without") {
     // Documents the loop operators' measured reality (Routing.bfsHops,
     // Dedup.dupClusters, Ranking.pageRank): the repartition-before-
