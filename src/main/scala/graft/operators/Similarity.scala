@@ -289,6 +289,29 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** SQ8-encode a table: (idCol, codes array<tinyint>) — the at-rest form
+    * of [[sq8TopK]]'s quantization, ¼ the vector bytes by type, not by
+    * claim. Scale must bound the corpus max |x| ([[sq8MaxAbs]]).
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
+                scale: Double): DataFrame =
+    df.select(col(idCol), graft.plans.Sq8Dot.sq8Encode(
+      vectors.asDouble(col(vecCol)), scale).as("codes"))
+
+  /** [[sq8TopK]] over a PRE-ENCODED codes table ([[sq8Encode]]'s output):
+    * the scan reads only the int8 codes — no vector math, no join, no
+    * shuffle — and scores by exact integer dot against the quantized
+    * query. Same ranking as the fused form (same codes, same arithmetic).
+    */
+  def sq8TopKFromCodes(coded: DataFrame, idCol: String,
+                       query: Array[Double], scale: Double,
+                       k: Int): DataFrame =
+    coded.withColumn("score", graft.plans.Sq8Dot.sq8CodesDot(
+        col("codes"), sq8Quantize(query, scale)))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
     * corpus by nearest-centroid cell, then inside each cell drop every row
     * that has a LOWER-ID neighbor with cosine ≥ `tau` — the same

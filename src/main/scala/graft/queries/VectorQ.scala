@@ -215,6 +215,27 @@ object VectorQ extends QueryPack {
         .orderBy(col("score").desc, col("vec_id"))
     },
 
+    // v13 through a codes table AT REST (the v12 pattern for SQ8): the
+    // corpus quantized ONCE to array<tinyint> codes and materialized as
+    // a managed table holding only (vec_id, codes) — ¼ the vector bytes
+    // by column type, with the vectors physically absent, so the
+    // codes-only-scan claim is enforced by storage. Same ranking as the
+    // fused v13 (shared mirror).
+    "v14_sq8_codes_at_rest" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val scale = Similarity.sq8MaxAbs(e, "embedding")
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      graft.sources.Warehouse.writeTable(
+        Similarity.sq8Encode(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", scale),
+        "graft_sq8_codes")
+      Similarity.sq8TopKFromCodes(
+          graft.sources.Warehouse.read(s, "graft_sq8_codes"), "vec_id",
+          qvec, scale, k = 10)
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -287,6 +308,19 @@ object VectorQ extends QueryPack {
        |WHERE a.rn = 1 GROUP BY a.vec_id
        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
+
+  /** Shared mirror for v13/v14 (fused SQ8 scan vs codes table at rest). */
+  private lazy val sq8TopKSql: String =
+    s"""WITH s AS (SELECT MAX(list_max([abs(x) FOR x IN embedding::DOUBLE[]])) AS s
+       |           FROM embeddings),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+       |      FROM embeddings WHERE vec_id <> 0)
+       |SELECT e.vec_id,
+       | CAST(list_sum([CAST(round(e.ee[i] * 127 / s.s) AS BIGINT)
+       |                * CAST(round(q.qe[i] * 127 / s.s) AS BIGINT)
+       |                FOR i IN generate_series(1, 64)]) AS BIGINT) AS score
+       |FROM e, q, s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   /** Shared mirror for v06/v11 (one semantics, two storage paths). */
   private lazy val ivfMultiprobeSql: String =
@@ -465,18 +499,11 @@ object VectorQ extends QueryPack {
     // Mirrors sq8TopK: same scale (corpus max |x|, query row included),
     // same left-to-right x*127/s arithmetic, and DuckDB's round IS the
     // kernel's half-away-from-zero on the binary double — exact match,
-    // not the measure-zero-caveat kind.
-    "v13_sq8_topk" ->
-      s"""WITH s AS (SELECT MAX(list_max([abs(x) FOR x IN embedding::DOUBLE[]])) AS s
-         |           FROM embeddings),
-         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
-         |      FROM embeddings WHERE vec_id <> 0)
-         |SELECT e.vec_id,
-         | CAST(list_sum([CAST(round(e.ee[i] * 127 / s.s) AS BIGINT)
-         |                * CAST(round(q.qe[i] * 127 / s.s) AS BIGINT)
-         |                FOR i IN generate_series(1, 64)]) AS BIGINT) AS score
-         |FROM e, q, s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // not the measure-zero-caveat kind. Shared with v14: the codes-at-
+    // rest detour must produce the exact ranking the fused scan does.
+    "v13_sq8_topk" -> sq8TopKSql,
+
+    "v14_sq8_codes_at_rest" -> sq8TopKSql,
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

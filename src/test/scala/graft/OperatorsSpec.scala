@@ -232,6 +232,31 @@ class OperatorsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_pq_codes")
   }
 
+  test("v14 SQ8 codes-at-rest: tinyint codes only, compressed, equals v13") {
+    val v14Rows = SparkEntry.queries("v14_sq8_codes_at_rest")(spark, sfSmoke)
+      .collect().toSeq
+    val v13Rows = SparkEntry.queries("v13_sq8_topk")(spark, sfSmoke)
+      .collect().toSeq
+    assert(v14Rows == v13Rows, s"v14 $v14Rows != v13 $v13Rows")
+    // storage-enforced compression: the only array column is the BYTE
+    // codes (no float/double vector can leak in), and the table is a
+    // fraction of the raw embeddings' bytes (int8 vs float32 payload)
+    val fields = spark.table("graft_sq8_codes").schema
+    // (parquet round-trips containsNull to true — element TYPE is the claim)
+    val arrays = fields.filter(_.dataType.typeName == "array")
+    assert(arrays.map(_.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType) == Seq(org.apache.spark.sql.types.ByteType),
+      s"unexpected array columns: $fields")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_sq8_codes")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codesBytes = fs.getContentSummary(wh).getLength
+    val rawBytes = new java.io.File(s"$sfSmoke/embeddings.parquet").length
+    assert(codesBytes * 2 < rawBytes,
+      s"codes table $codesBytes B not < 1/2 of raw embeddings $rawBytes B")
+    spark.sql("DROP TABLE IF EXISTS graft_sq8_codes")
+  }
+
   test("v11 partitioned IVF probe: scan prunes to nprobe cells, equals v06") {
     // The index-at-rest contract: the probe's `cell IN (…)` must become
     // a PLANNING-time partition filter — the scan touches exactly the
