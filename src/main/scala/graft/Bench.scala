@@ -121,6 +121,26 @@ object Bench {
           Some(-1.0)
       }
     val gtfsJson = gtfsSec.fold("")(v => s""","gtfs_app_sec":$v""")
+    // Baseline staleness is self-reporting: any measured query the
+    // committed DuckDB timing file doesn't cover is invisible to the
+    // bench-vs-baseline ratio (round 6 shipped ~5.9 s of ungraded
+    // queries before this was caught by hand). Full runs only.
+    val missingBaseline: Seq[String] =
+      if (subset.nonEmpty) Nil
+      else try {
+        val p = java.nio.file.Paths.get("DUCKDB_TIMES_sf01.json")
+        if (!java.nio.file.Files.exists(p)) Nil
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val covered = "\"([a-z0-9_]+)\"\\s*:".r
+            .findAllMatchIn(txt).map(_.group(1)).toSet
+          results.keySet.filterNot(covered).toSeq.sorted
+        }
+      } catch { case _: Throwable => Nil }
+    val staleJson =
+      if (missingBaseline.isEmpty) ""
+      else missingBaseline.map("\"" + _ + "\"")
+        .mkString(""","missing_duckdb_baseline":[""", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver keeps only the LAST 2000 chars of stdout; full-precision
     // doubles pushed the 59-query line past that, truncating its head and
@@ -135,7 +155,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$knobsJson$gtfsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$knobsJson$gtfsJson$staleJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch {
