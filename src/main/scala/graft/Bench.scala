@@ -39,6 +39,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keep the driver-parsed stderr tail free of the benign
+    // FileStreamSink glob-probe stack (see Graft.silenceKnownBenignWarns)
+    graft.Graft.silenceKnownBenignWarns()
     // opt-in: parallelize the single-row-group documents scan (see
     // Tables.documents) — local tuning experiments only
     sys.env.get("SPARK_GRAFT_DOCS_REPART")
@@ -68,9 +71,12 @@ object Bench {
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
           unknown.toSeq.sorted.mkString(", "))
     }
+    // knob values are env-provided free text (e.g. a path); escape the two
+    // JSON-breaking characters so the driver-parsed line stays valid JSON
+    def jesc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val knobs = Seq("SPARK_GRAFT_ONLY", "SPARK_GRAFT_PASSES",
         "SPARK_GRAFT_AQE", "SPARK_GRAFT_DOCS_REPART", "SPARK_GRAFT_CPUS")
-      .flatMap(k => sys.env.get(k).map(v => s""""$k":"$v""""))
+      .flatMap(k => sys.env.get(k).map(v => s""""$k":"${jesc(v)}""""))
     val knobsJson =
       if (knobs.isEmpty) "" else knobs.mkString(""","knobs":{""", ",", "}")
     val selected = SparkEntry.queries.filter { case (n, _) =>
@@ -117,10 +123,21 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] gtfs app run failed: $e")
+          // class + message FIRST (a char-budgeted tail truncates stack
+          // HEADS, which is what made r07's benign WARN stack unreadable);
+          // the stack goes after, for full logs
+          System.err.println(
+            s"[bench] GTFS APP FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          e.printStackTrace()
           Some(-1.0)
       }
-    val gtfsJson = gtfsSec.fold("")(v => s""","gtfs_app_sec":$v""")
+    // A failed GTFS pass must poison the run visibly: -1 in the detail
+    // file alone reads as "fast success" to anything summing the line.
+    val gtfsFailed = gtfsSec.contains(-1.0)
+    // short enough for the char-budgeted stdout line too (only on failure)
+    val gtfsFailJson = if (gtfsFailed) ""","gtfs_app_failed":true""" else ""
+    val gtfsJson =
+      gtfsSec.fold("")(v => s""","gtfs_app_sec":$v""") + gtfsFailJson
     // Baseline staleness is self-reporting: any measured query the
     // committed DuckDB timing file doesn't cover is invisible to the
     // bench-vs-baseline ratio (round 6 shipped ~5.9 s of ungraded
@@ -155,7 +172,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"$knobsJson$gtfsJson$staleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"${jesc(sfDir)}"$knobsJson$gtfsJson$staleJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch {
@@ -175,7 +192,7 @@ object Bench {
       "query id prefixes must be unique for the stdout bench line")
     val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$knobsJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${jesc(sfDir)}"$knobsJson$gtfsFailJson}""")
     spark.stop()
   }
 }

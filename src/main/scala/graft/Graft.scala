@@ -12,6 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Every glob-path batch read (e.g. `geojson/<id-glob>/ways.geojson`) makes
+    * FileStreamSink.hasMetadata probe the LITERAL path for a streaming
+    * sink's `_spark_metadata`; `getFileStatus` on the unexpanded glob
+    * throws FileNotFoundException, which Spark logs at WARN **with the
+    * full stack trace** before returning "not a streaming sink" and
+    * proceeding. Harmless and deterministic, but under sbt the stack
+    * lands on stderr as `[error] \tat ...` lines — indistinguishable
+    * from a fatal crash in a char-budgeted log tail (it cost a round of
+    * misdiagnosis as a "transient GTFS failure", BENCH_NOTES round 8).
+    * Raise that one logger to ERROR so real failures stand out.
+    */
+  def silenceKnownBenignWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Build a local session with scale-appropriate defaults. On a cluster the
     * same settings apply except master/memory come from spark-submit.
     */
@@ -31,6 +47,7 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceKnownBenignWarns()
     spark
   }
 }
