@@ -134,4 +134,12 @@ object text {
         regexp_replace(c, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+
+  /** Fused scrub + report: `struct(scrubbed, n_emails, n_ips,
+    * n_phones)` in ONE kernel evaluation (graft.plans.PiiScrub) —
+    * value-equal to `(scrubPii(c), piiCount(c, EmailPattern), ...)`,
+    * which evaluates `c` four times and runs six regex-engine passes.
+    * Parity with the regex forms is spec-pinned (PiiScrubSpec).
+    */
+  def piiScrubReport(c: Column): Column = graft.plans.PiiScrub.piiScrub(c)
 }

@@ -231,12 +231,12 @@ object TextQ extends QueryPack {
             lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
           .otherwise(lit("")))
       Tables(s, dir).documents
-        .select(id, etext.as("etext"))
+        .select(id, text.piiScrubReport(etext).as("r"))
         .select(id,
-          text.piiCount(col("etext"), text.EmailPattern).as("n_emails"),
-          text.piiCount(col("etext"), text.Ipv4Pattern).as("n_ips"),
-          text.piiCount(col("etext"), text.PhonePattern).as("n_phones"),
-          text.scrubPii(col("etext")).as("scrubbed"))
+          col("r.n_emails").as("n_emails"),
+          col("r.n_ips").as("n_ips"),
+          col("r.n_phones").as("n_phones"),
+          col("r.scrubbed").as("scrubbed"))
         .orderBy(id)
     },
 
