@@ -320,26 +320,43 @@ object Similarity {
     * or not that neighbor itself survived). Output: the survivors with
     * their cell.
     *
-    * Scale shape: cell assignment is the per-row [[ivfCell]] codegen chain
-    * (no join, no shuffle); the only shuffle is the anti-join's cell
-    * equi-key, and comparisons never cross cells — the pairwise cost is
-    * Σ|cell|², the bound every SemDeDup deployment tunes with its cluster
-    * count (nlist grows with the corpus so cells stay bounded). A
-    * pathological hot cell is the same failure mode as a hot LSH bucket —
-    * cap it upstream with [[graft.operators.Dedup.capBuckets]] on the cell
-    * column if the codebook can't be retrained.
+    * Scale shape: cell assignment is the per-row [[ivfCell]] codegen
+    * kernel (no join, no shuffle), and candidate generation ships ONLY
+    * (id, cell) through the cell-keyed exchange — the vectors never ride
+    * it (PlanSpec pins the cell exchange vector-free). That matters
+    * twice at 100 TB: the cell key is the skewed one (a hot cell = a hot
+    * partition, and fat rows multiply the damage), and the pair join's
+    * output is O(Σ|cell|²) rows — ids-only keeps that quadratic term 8
+    * bytes/row wide instead of dim·8. The cosine confirm re-joins the
+    * vectors BY ID (uniform hash key, O(rows·dim) moved exactly once per
+    * side — [[graft.operators.Dedup.minhashLshPairs]]'s documented
+    * confirm shape; against an id-bucketed at-rest table even that
+    * exchange elides). Comparisons never cross cells, so the pairwise
+    * cost is Σ|cell|², the bound every SemDeDup deployment tunes with
+    * its cluster count (nlist grows with the corpus so cells stay
+    * bounded). A pathological hot cell is the same failure mode as a hot
+    * LSH bucket — cap it upstream with
+    * [[graft.operators.Dedup.capBuckets]] on the cell column if the
+    * codebook can't be retrained.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     codebook: Seq[(Int, Array[Double])],
                     tau: Double): DataFrame = {
     val withCell = df.withColumn("cell", ivfCell(col(vecCol), codebook))
-    val right = withCell.select(col(idCol).as("__b"), col("cell").as("__bcell"),
-      col(vecCol).as("__bvec"))
-    withCell.join(right,
-        col("cell") === col("__bcell") && col("__b") < col(idCol) &&
-          round(vectors.cosine(vectors.asDouble(col(vecCol)),
-            vectors.asDouble(col("__bvec"))), 4) >= tau,
-        "left_anti")
+    // candidate generation: ids-only through the cell exchange
+    val ids = withCell.select(col(idCol), col("cell"))
+    val pairs = ids.select(col(idCol).as("__a"), col("cell").as("__acell"))
+      .join(ids.select(col(idCol).as("__b"), col("cell").as("__bcell")),
+        col("__acell") === col("__bcell") && col("__b") < col("__a"))
+      .select(col("__a"), col("__b"))
+    // cosine confirm: vectors re-joined by id (uniform key, once per side)
+    val vecs = df.select(col(idCol), vectors.asDouble(col(vecCol)).as("__v"))
+    val dropped = pairs
+      .join(vecs.select(col(idCol).as("__b"), col("__v").as("__bvec")), "__b")
+      .join(vecs.select(col(idCol).as("__a"), col("__v").as("__avec")), "__a")
+      .filter(round(vectors.cosine(col("__avec"), col("__bvec")), 4) >= tau)
+      .select(col("__a").as(idCol)).distinct()
+    withCell.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }
 
@@ -348,11 +365,23 @@ object Similarity {
     *
     * The codebook is a driver-held constant — bounded like any IVF
     * codebook, independent of table size — so assignment is a per-row
-    * codegen'd expression chain over literal centroid arrays: no join, no
-    * shuffle, scales linearly with partitions. With data written
-    * partitioned by `cell`, a probe reads one cell instead of the table.
+    * native codegen kernel (graft.plans.IvfCell, one generated call
+    * regardless of nlist — the literal when-chain form it replaced grew
+    * O(nlist²) generated source and would trip Janino's 64KB method
+    * limit into interpreted fallback past a few hundred centroids): no
+    * join, no shuffle, scales linearly with partitions. With data
+    * written partitioned by `cell`, a probe reads one cell instead of
+    * the table.
     */
-  def ivfCell(vecCol: Column, codebook: Seq[(Int, Array[Double])]): Column = {
+  def ivfCell(vecCol: Column, codebook: Seq[(Int, Array[Double])]): Column =
+    graft.plans.IvfCell.ivfCell(vectors.asDouble(vecCol), codebook)
+
+  /** The literal when-chain [[ivfCell]] replaced — kept (test-only) as
+    * the parity oracle for the IvfCell kernel (IvfCellSpec), the same
+    * pattern as [[pqCodesHof]].
+    */
+  private[graft] def ivfCellWhenChain(vecCol: Column,
+      codebook: Seq[(Int, Array[Double])]): Column = {
     val scored = codebook.sortBy(_._1).map { case (cid, ctr) =>
       cid -> round(vectors.cosine(vectors.asDouble(vecCol), lit(ctr)), 4)
     }

@@ -38,7 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`ch == '_' || Character.isLetterOrDigit(ch)` — `é` and `東` are
   * word chars), so the boundary checks decode the single adjacent
   * codepoint and apply exactly that predicate (caught by the parity
-  * spec's unicode-neighbour cases).
+  * spec's unicode-neighbour cases). MALFORMED UTF-8 rows take a rare
+  * sanitize path: the regex forms decode-with-replacement and re-encode
+  * unconditionally, so the kernel detects invalid bytes up front and
+  * runs every walk on the same U+FFFD-sanitized buffer the regex engine
+  * sees (parity-spec-pinned on overlong/surrogate/truncated inputs).
   *
   * 100 TB story: a pure per-row projection — scales with partitions,
   * no shuffle, no UDF, stays inside whole-stage codegen.
@@ -80,21 +84,42 @@ object PiiScrub {
   @inline private def isWordAscii(b: Byte): Boolean =
     isAlpha(b) || isDigit(b) || b == '_'
 
-  /** Decode the codepoint whose LEAD byte is at `s` (0xFFFD on a
-    * malformed/truncated sequence — a non-letter, like Java's
-    * replacement behavior).
+  /** Decode the codepoint whose LEAD byte is at `s`, STRICTLY: a
+    * malformed sequence — truncated, bad continuation byte, overlong
+    * encoding (e.g. 0xC1 0xA1, which would otherwise decode to 'a', a
+    * word char), surrogate range, or beyond U+10FFFF — yields 0xFFFD,
+    * a non-letter. That matches what the regex Column forms see: the
+    * UTF8String.toString decode replaces every malformed sequence with
+    * U+FFFD (possibly several), and the adjacent char the `\b` test
+    * inspects is then a replacement char — non-word — however many
+    * FFFDs the full decode would produce.
     */
   private def codePointAt(b: Array[Byte], s: Int): Int = {
+    @inline def cont(i: Int): Boolean =
+      i < b.length && (b(i) & 0xc0) == 0x80
     val b0 = b(s) & 0xff
     if (b0 < 0x80) b0
-    else if ((b0 & 0xe0) == 0xc0 && s + 1 < b.length)
-      ((b0 & 0x1f) << 6) | (b(s + 1) & 0x3f)
-    else if ((b0 & 0xf0) == 0xe0 && s + 2 < b.length)
-      ((b0 & 0x0f) << 12) | ((b(s + 1) & 0x3f) << 6) | (b(s + 2) & 0x3f)
-    else if ((b0 & 0xf8) == 0xf0 && s + 3 < b.length)
-      ((b0 & 0x07) << 18) | ((b(s + 1) & 0x3f) << 12) |
-        ((b(s + 2) & 0x3f) << 6) | (b(s + 3) & 0x3f)
-    else 0xFFFD
+    else if ((b0 & 0xe0) == 0xc0) {
+      if (!cont(s + 1)) 0xFFFD
+      else {
+        val cp = ((b0 & 0x1f) << 6) | (b(s + 1) & 0x3f)
+        if (cp < 0x80) 0xFFFD else cp // overlong (0xC0/0xC1 leads)
+      }
+    } else if ((b0 & 0xf0) == 0xe0) {
+      if (!cont(s + 1) || !cont(s + 2)) 0xFFFD
+      else {
+        val cp = ((b0 & 0x0f) << 12) | ((b(s + 1) & 0x3f) << 6) |
+          (b(s + 2) & 0x3f)
+        if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) 0xFFFD else cp
+      }
+    } else if ((b0 & 0xf8) == 0xf0) {
+      if (!cont(s + 1) || !cont(s + 2) || !cont(s + 3)) 0xFFFD
+      else {
+        val cp = ((b0 & 0x07) << 18) | ((b(s + 1) & 0x3f) << 12) |
+          ((b(s + 2) & 0x3f) << 6) | (b(s + 3) & 0x3f)
+        if (cp < 0x10000 || cp > 0x10FFFF) 0xFFFD else cp
+      }
+    } else 0xFFFD
   }
 
   /** Java `\b` word test for the char immediately BEFORE byte `pos`
@@ -295,13 +320,62 @@ object PiiScrub {
     count
   }
 
+  /** True iff `b` is well-formed UTF-8: no truncated sequence, bad
+    * continuation byte, overlong form, surrogate, or > U+10FFFF.
+    * Branch-per-byte with an ASCII fast path — cheap relative to the
+    * pattern walks.
+    */
+  private def isValidUtf8(b: Array[Byte]): Boolean = {
+    val len = b.length
+    var i = 0
+    while (i < len) {
+      val b0 = b(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else {
+        val n =
+          if ((b0 & 0xe0) == 0xc0) 2
+          else if ((b0 & 0xf0) == 0xe0) 3
+          else if ((b0 & 0xf8) == 0xf0) 4
+          else return false
+        if (i + n > len) return false
+        var k = i + 1
+        while (k < i + n) {
+          if ((b(k) & 0xc0) != 0x80) return false
+          k += 1
+        }
+        val cp =
+          if (n == 2) ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f)
+          else if (n == 3) ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) |
+            (b(i + 2) & 0x3f)
+          else ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+            ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        val minCp = if (n == 2) 0x80 else if (n == 3) 0x800 else 0x10000
+        if (cp < minCp || cp > 0x10FFFF ||
+          (cp >= 0xD800 && cp <= 0xDFFF)) return false
+        i += n
+      }
+    }
+    true
+  }
+
   /** Count on a buffer without building output (cheap pre-walk); the
     * replace walk runs only when the count says something matched, so
     * clean rows — the overwhelming majority of a real corpus — do two
     * branch-per-byte walks per pattern and zero copies.
     */
   def kernel(s: UTF8String): InternalRow = {
-    val orig = s.getBytes
+    val raw = s.getBytes
+    // Rare path: malformed UTF-8. EVERY regex Column form decodes to a
+    // java.lang.String (malformed sequences → U+FFFD replacement chars)
+    // and re-encodes its result — even a zero-match regexp_replace
+    // rewrites malformed bytes — so byte-parity requires running every
+    // walk on the SAME sanitized bytes the regex engine sees. (This
+    // also keeps the \b checks honest: an overlong 0xC1 0xA1 would
+    // otherwise decode here to 'a', a word char, where the regex sees
+    // the non-word U+FFFD — the boundary divergence PiiScrubSpec's
+    // malformed-input cases pin.)
+    val orig = if (isValidUtf8(raw)) raw
+      else s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // counts are always on the ORIGINAL text
     val nEmails = emailPass(orig, null)
     val nIps = ipPass(orig, null)

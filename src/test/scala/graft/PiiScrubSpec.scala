@@ -78,6 +78,48 @@ class PiiScrubSpec extends SparkTestBase {
     ))
   }
 
+  test("kernel == regex forms on malformed UTF-8 neighbours") {
+    // Malformed bytes can't ride a Scala String (UTF-16), but a
+    // binary→string CAST wraps raw bytes into a UTF8String unvalidated —
+    // exactly how a dirty crawl row reaches the scrubber. The regex
+    // forms decode-with-replacement (U+FFFD, non-word) and re-encode;
+    // the kernel must match both the \b outcomes AND the sanitized
+    // output bytes. The overlong cases would decode to WORD chars
+    // ('a', '/') under a lenient decoder — the divergence pinned here.
+    def m(lead: Int*)(tail: String): Array[Byte] =
+      lead.map(_.toByte).toArray ++ tail.getBytes("UTF-8")
+    def t(head: String)(trail: Int*): Array[Byte] =
+      head.getBytes("UTF-8") ++ trail.map(_.toByte).toArray
+    val cases: Seq[Array[Byte]] = Seq(
+      m(0xC1, 0xA1)("1.2.3.4"),             // overlong 'a' before an IP
+      t("555-867-5309")(0xC1, 0xA1),        // overlong 'a' after a phone
+      m(0xC0, 0xAF)("a@b.org"),             // overlong '/'
+      t("contact a@b.org")(0xC1, 0xB1),     // overlong 'q' after an email
+      m(0xED, 0xA0, 0x80)("1.2.3.4"),       // CESU-8 surrogate
+      m(0xF0, 0x8F, 0xBF, 0xBF)("10.0.0.1"), // overlong 4-byte
+      m(0xE9)("1.2.3.4"),                   // truncated lead (é cut short)
+      t("1.2.3.4")(0x80),                   // bare continuation byte
+      m(0xF4, 0x90, 0x80, 0x80)("555-867-5309"), // beyond U+10FFFF
+      t("x@y.org")(0xC2))                   // truncated 2-byte at EOS
+    // compare scrubbed outputs as RAW BYTES (string→binary cast is a
+    // passthrough): a row-read String compare would itself decode with
+    // replacement and mask an unsanitized kernel output
+    val rows = cases.toDF("b")
+      .select(col("b").cast("string").as("t"))
+      .select(col("t") +: (regexCols(col("t")) ++ kernelCols(col("t"))): _*)
+      .withColumn("rsb", col("rs").cast("binary"))
+      .withColumn("ksb", col("ks").cast("binary"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(5), s"emails: $r")
+      assert(r.getInt(2) == r.getInt(6), s"ips: $r")
+      assert(r.getInt(3) == r.getInt(7), s"phones: $r")
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("rsb"), r.getAs[Array[Byte]]("ksb")),
+        s"scrub bytes: $r")
+    }
+  }
+
   test("kernel == regex forms on 600 random pii-soup samples") {
     val atom: Gen[String] = Gen.frequency(
       4 -> Gen.oneOf("a@b.org", "u5@ex3.org", "x@y.o", "a@b", "@", "a@",

@@ -106,6 +106,31 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("d13: no vector column rides the cell-keyed exchange") {
+    // semanticDedup's candidate generation must ship ONLY (id, cell)
+    // through the cell shuffle — the cell key is the skewed one and the
+    // pair join's output is the quadratic term; vectors re-join by id.
+    // Broadcast thresholds would hide the exchange at test scale, so
+    // force the SMJ shape (what a 100 TB corpus gets).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = formattedPlan("d13_semantic_dedup")
+      // formatted node details: "(n) Exchange\nInput [k]: [...]\n
+      // Arguments: hashpartitioning(...)..."
+      val sections = plan.split("\\n\\(\\d+\\) ").toSeq
+      val cellExchanges = sections.filter(s =>
+        s.startsWith("Exchange") && s.contains("hashpartitioning") &&
+          s.linesIterator.exists(l =>
+            l.startsWith("Arguments:") && l.contains("cell")))
+      assert(cellExchanges.nonEmpty, s"no cell-keyed exchange found:\n$plan")
+      cellExchanges.foreach(s =>
+        assert(!s.contains("__v") && !s.contains("embedding"),
+          s"vector column rides the cell exchange:\n$s"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("v13: SQ8 scan is a shuffle-free fused pass (TakeOrdered, no join)") {
     val plan = formattedPlan("v13_sq8_topk")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
