@@ -122,6 +122,22 @@ object StreamingJobs {
     * duplicate is dropped), but ~fpp of genuinely-new rows are falsely
     * dropped too. Size `fpp` to the acceptable loss, or run the batch
     * confirm over the kept rows downstream when exactness matters.
+    *
+    * Late data: this operator is STATELESS BY DESIGN — the probe is a
+    * pure per-row predicate against a sketch frozen at stream start, so
+    * there is no event-time state to expire and no watermark to declare.
+    * A late-arriving row is deduped IDENTICALLY to an on-time one: same
+    * sketch, same probe, same verdict regardless of arrival order,
+    * micro-batch boundaries, or replays (the filter is idempotent). The
+    * usual watermark question — "when may buffered state be dropped?" —
+    * has no referent here because nothing is buffered; watermark
+    * semantics belong to the stateful face ([[dedupStream]], whose
+    * keeper state is the thing a timeout policy would bound). What the
+    * static sketch does NOT see is corpus growth after stream start:
+    * rows ingested since the sketch was built are "new" to it by
+    * construction (again independent of lateness). Rebuild the sketch on
+    * corpus publish — the I1 AvailableNow restart pattern — when that
+    * window matters.
     */
   def bloomPrefilterStream(stream: DataFrame,
                            keyCol: org.apache.spark.sql.Column,
