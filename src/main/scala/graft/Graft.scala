@@ -66,17 +66,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as LongType nanos
-    * — normalize to a microsecond TimestampType column so downstream
-    * operators (windows, watermarks) see a real timestamp.
+  /** events.ts normalization: the generator has shipped the column as
+    * parquet TIMESTAMP(NANOS) (arrives as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and as naive
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false, which Spark 4 infers as
+    * TIMESTAMP_NTZ — a type unix_micros/window/watermark reject).
+    * Normalize both to a microsecond TimestampType column; the NTZ→LTZ
+    * cast reinterprets the wall-clock under the session timeZone, which
+    * every entrypoint pins to UTC, so the instants are identical to the
+    * nanos-era values (and to DuckDB's naive-as-UTC epoch reading).
     */
   def events: DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = table("events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
       case _        => raw
     }
   }

@@ -80,8 +80,13 @@ class IvfCellSpec extends SparkTestBase {
     val rnd = new scala.util.Random(42)
     def vec(d: Int) = Array.fill(d)(rnd.nextGaussian())
     val cb256 = (1 to 256).map(c => c -> vec(8))
+    // repartition keeps the projection OFF the local relation —
+    // ConvertToLocalRelation would otherwise evaluate the deterministic
+    // kernel at optimization time, leaving zero codegen subtrees to pin
+    // (a real table scan, the shape under test, can't be folded)
     val data = (1 to 200).map(i => (i, vec(8).toSeq)).toDF("id", "v")
       .select(col("id"), col("v").cast("array<double>").as("v"))
+      .repartition(4)
     // codegen explain can't see through AdaptiveSparkPlan (same caveat
     // as PlanSpec's q01 codegen test)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
