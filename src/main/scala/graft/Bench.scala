@@ -99,8 +99,10 @@ object Bench {
     // instead of costing a judge round to adjudicate.
     def canary(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 40M uniform longs overflows, which
+      // ANSI mode (Spark 4 default) turns into a run-killing exception
       spark.range(0L, 40000000L, 1L, 1)
-        .selectExpr("sum(xxhash64(id))").collect()
+        .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
 
