@@ -21,12 +21,43 @@ object Graft {
     * lands on stderr as `[error] \tat ...` lines — indistinguishable
     * from a fatal crash in a char-budgeted log tail (it cost a round of
     * misdiagnosis as a "transient GTFS failure", BENCH_NOTES round 8).
-    * Raise that one logger to ERROR so real failures stand out.
+    * A RegexFilter DENYs exactly the "Assume no metadata directory"
+    * event (stack included — the filter drops the whole event) on that
+    * one logger; every other message from it, including real
+    * file-stream-sink write diagnostics, still flows. (The first cut
+    * raised the whole logger to ERROR, which also swallowed legitimate
+    * sink WARNs in streaming sessions.)
+    *
+    * Call AFTER the session exists (every entrypoint does): the created
+    * LoggerConfig snapshots its parent's CURRENT level, and before any
+    * session log4j runs its pre-init DefaultConfiguration whose root is
+    * ERROR — calling first would freeze that in.
     */
-  def silenceKnownBenignWarns(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
-      org.apache.logging.log4j.Level.ERROR)
+  def silenceKnownBenignWarns(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val name = "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink"
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val filter = RegexFilter.createFilter(
+      ".*Assume no metadata directory.*", null, java.lang.Boolean.FALSE,
+      Result.DENY, Result.NEUTRAL)
+    val lc = cfg.getLoggerConfig(name) match {
+      case c if c.getName == name => c
+      case parent => // no explicit config yet: add one that inherits level
+        val c = new LoggerConfig(name, parent.getLevel, true)
+        cfg.addLogger(name, c)
+        c
+    }
+    // idempotent: session() is called per-entrypoint and filters stack
+    if (lc.getFilter == null) {
+      lc.addFilter(filter)
+      ctx.updateLoggers()
+    }
+  }
 
   /** Build a local session with scale-appropriate defaults. On a cluster the
     * same settings apply except master/memory come from spark-submit.
