@@ -196,6 +196,25 @@ object PipelineQ extends QueryPack {
         .orderBy(col("cluster"))
     },
 
+    // Sequence packing: next-fit binning of each source's docs (doc_id
+    // order) into 1024-token training sequences — the batching step
+    // between corpus prep and the data loader. Rolled up per sequence
+    // so the result is small and hash-stable; the oracle replays the
+    // same fold as a recursive CTE (the e03 sweep pattern).
+    "p09_sequence_packing" -> { (s, dir) =>
+      val withTok = Tables(s, dir).documents
+        .select(col("source"), col("doc_id"),
+          text.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.Packing
+        .nextFitPack(withTok, "source", "doc_id", "n_tok", budget = 1024L)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -270,6 +289,31 @@ object PipelineQ extends QueryPack {
          |WHERE ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 6)} % 10000
          |  < least(n_chars * 20, 10000)
          |ORDER BY doc_id""".stripMargin,
+
+    "p09_sequence_packing" ->
+      s"""WITH RECURSIVE n AS (
+         |  SELECT doc_id, source, $normSql AS norm FROM documents),
+         |o AS (SELECT doc_id, source,
+         |        CAST(CASE WHEN norm = '' THEN 0
+         |             ELSE len(${wordsSql()}) END AS BIGINT) AS n_tok,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY doc_id) AS rn
+         |      FROM n),
+         |walk(source, rn, doc_id, n_tok, filled, seq) AS (
+         |  SELECT source, rn, doc_id, n_tok, n_tok, CAST(0 AS BIGINT)
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.source, o.rn, o.doc_id, o.n_tok,
+         |    CASE WHEN w.filled > 0 AND w.filled + o.n_tok > 1024
+         |         THEN o.n_tok ELSE w.filled + o.n_tok END,
+         |    CASE WHEN w.filled > 0 AND w.filled + o.n_tok > 1024
+         |         THEN w.seq + 1 ELSE w.seq END
+         |  FROM walk w JOIN o ON o.source = w.source AND o.rn = w.rn + 1)
+         |SELECT source, seq AS seq_id, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM walk GROUP BY source, seq
+         |ORDER BY source, seq_id""".stripMargin,
 
     // The composed pipeline: d02/d06's LSH+CC chain (reused verbatim via
     // DedupQ.lshCtes) → t08's 8-gram decontamination chain → t09's

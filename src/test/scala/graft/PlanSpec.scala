@@ -131,6 +131,25 @@ class PlanSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("p09: packing fold is one group-key exchange (no window, no join)") {
+    // nextFitPack's scale contract: one hash exchange on the group key,
+    // a spill-backed partition sort, then the O(1)-state fold — the
+    // minSpacingSweep shape. A Window or a second Exchange here means
+    // somebody re-expressed the fold as a whole-group materialization.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        graft.functions.text.tokenCount(col("text")).cast("long").as("n_tok"))
+    val plan = graft.operators.Packing
+      .nextFitPack(docs, "source", "doc_id", "n_tok", budget = 1024L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(shuffles == 1, s"$shuffles shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("v13: SQ8 scan is a shuffle-free fused pass (TakeOrdered, no join)") {
     val plan = formattedPlan("v13_sq8_topk")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
