@@ -51,6 +51,53 @@ object Contamination {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** FUZZY benchmark decontamination: corpus documents whose word-n-gram
+    * Jaccard similarity to SOME benchmark document clears
+    * `thetaNum/thetaDen` — the near-duplicate complement to
+    * [[contaminatedDocs]]' any-shared-gram test, for eval leaks that
+    * were paraphrased/re-templated rather than copied verbatim
+    * (published decontamination practice runs both: exact n-gram
+    * overlap AND a fuzzy similarity pass). The threshold compares as
+    * cross-multiplied integers, so the cut is exact — no float
+    * boundary; the reported jaccard is rounded to 4 dp only for
+    * cross-engine display parity.
+    *
+    * Scale shape: same asymmetry as [[contaminatedDocs]] — the
+    * benchmark side (tiny: an eval suite) reduces to per-doc distinct
+    * grams and BROADCASTS twice (gram probe + size lookup), so the
+    * corpus text never shuffles: one kernel pass for grams, one
+    * map-side-combined count for per-doc sizes, and a (corpus-doc,
+    * bench-doc)-keyed aggregate over only the matching gram HITS —
+    * O(hits) rows, not O(corpus). Contrast with [[Dedup]]'s
+    * corpus×corpus generators (banding/prefix filters): corpus×bench
+    * needs neither because one side is broadcastable by assumption.
+    * Output: (a = corpus id, b = bench id, jaccard 4dp), cleared pairs
+    * only; a doc leaking several bench docs yields one row per pair.
+    */
+  def fuzzyContaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"need 0 < thetaNum/thetaDen <= 1, got $thetaNum/$thetaDen")
+    val cg = corpus
+      .select(col(idCol).as("a"), explode(shingleSet(col(textCol), n)).as("s"))
+    val bg = benchmark
+      .select(col(idCol).as("b"), explode(shingleSet(col(textCol), n)).as("s"))
+    // the kernel emits DISTINCT shingles per doc → counts are set sizes
+    val la = cg.groupBy(col("a")).agg(count(lit(1)).as("la"))
+    val lb = bg.groupBy(col("b")).agg(count(lit(1)).as("lb"))
+    cg.join(broadcast(bg), Seq("s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(la, Seq("a"))
+      .join(broadcast(lb), Seq("b"))
+      .filter(col("inter") * thetaDen >=
+        (col("la") + col("lb") - col("inter")) * thetaNum)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("la") + col("lb") - col("inter")), 4).as("jaccard"))
+  }
+
   /** Cross-document repeated-span accounting — the C4 line-dedup analog
     * at word-n-gram granularity, with keep-first semantics: a gram
     * appearing in ≥ `minDf` documents is a SHARED SPAN; its keeper is

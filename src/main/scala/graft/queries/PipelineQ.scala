@@ -215,6 +215,35 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source"), col("seq_id"))
     },
 
+    // LEAKAGE-SAFE split: hash the near-dup CLUSTER representative, not
+    // the doc id, so a document and its near-duplicates always land in
+    // the SAME split — the naive p01 assignment lets a train doc's
+    // near-twin leak into test (the classic eval-inflation bug;
+    // p03 is the same cure for the user-key case). Clusters are d06's
+    // LSH+CC frame; singletons are their own representative. Rolled up
+    // per split (docs, distinct groups, chars) for a small stable
+    // result; the zero-crossing invariant itself is pinned in
+    // OperatorsSpec against the pair list.
+    "p10_leakage_safe_split" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+          t.documentsKernelParallel, "doc_id", "text", k = 8, bands = 2,
+          shingleN = 3)
+        .select(col("a"), col("b"))
+      val clusters = graft.operators.Dedup
+        .dupClusters(pairs, pairsCanonical = true)
+        .select(col("member").as("doc_id"), col("cluster"))
+      t.documents
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("split", Splits.assignSplit(col("rep"), Cuts))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    },
+
     // Training-set manifest: keep each duplicate group's smallest id,
     // require mid+ quality, assign the split — one declarative plan.
     "p02_training_manifest" -> { (s, dir) =>
@@ -314,6 +343,26 @@ object PipelineQ extends QueryPack {
          | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM walk GROUP BY source, seq
          |ORDER BY source, seq_id""".stripMargin,
+
+    // d06's cluster chain (LSH candidates → recursive-CTE CC) + the p01
+    // split case over the cluster representative.
+    "p10_leakage_safe_split" ->
+      s"""${DedupQ.lshCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pe AS (SELECT a AS src, b AS dst FROM j
+         |       UNION SELECT b, a FROM j),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node),
+         |cl AS (SELECT node AS member, MIN(r) AS cluster
+         |       FROM reach GROUP BY node),
+         |rp AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rep,
+         |         d.n_chars
+         |       FROM documents d LEFT JOIN cl ON cl.member = d.doc_id)
+         |SELECT ${splitCaseSql("CAST(rep AS VARCHAR)")} AS split,
+         | COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_groups,
+         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM rp GROUP BY 1 ORDER BY split""".stripMargin,
 
     // The composed pipeline: d02/d06's LSH+CC chain (reused verbatim via
     // DedupQ.lshCtes) → t08's 8-gram decontamination chain → t09's

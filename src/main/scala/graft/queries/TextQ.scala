@@ -154,6 +154,19 @@ object TextQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // FUZZY decontamination: corpus docs whose 3-gram Jaccard vs some
+    // benchmark doc clears 0.2 — catches paraphrased/re-templated eval
+    // leaks the exact-overlap t08 test is blind to. Bench side broadcast
+    // twice (grams + sizes); corpus text never shuffles.
+    "t14_fuzzy_decontaminate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Contamination.fuzzyContaminatedDocs(
+          t.documentsKernelParallel.filter(col("doc_id") % 10 =!= 7),
+          t.documents.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", n = 3, thetaNum = 1, thetaDen = 5)
+        .orderBy(col("a"), col("b"))
+    },
+
     // Gopher/MassiveText repetition signals over 3-grams: duplicate-gram
     // ratio + most-frequent-gram share, the two repetition cut thresholds.
     "t09_repetition_stats" -> { (s, dir) =>
@@ -454,6 +467,28 @@ object TextQ extends QueryPack {
          |SELECT c.doc_id, COUNT(*) AS n_hit_grams
          |FROM tok c JOIN bg USING (t) WHERE c.doc_id % 10 <> 7
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same n/w/sh/tok chain as d09's oracle at n=3; integer
+    // cross-multiplied threshold mirrors the operator's exact cut.
+    "t14_fuzzy_decontaminate" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+         |sh AS (SELECT doc_id, ${shingles3Sql()} AS sh FROM w
+         |       WHERE len(w) >= 3),
+         |tok AS (SELECT DISTINCT doc_id, t
+         |        FROM (SELECT doc_id, unnest(sh) AS t FROM sh)
+         |        WHERE t <> ''),
+         |c AS (SELECT doc_id AS a, t FROM tok WHERE doc_id % 10 <> 7),
+         |bgd AS (SELECT doc_id AS b, t FROM tok WHERE doc_id % 10 = 7),
+         |la AS (SELECT a, COUNT(*) AS la FROM c GROUP BY a),
+         |lb AS (SELECT b, COUNT(*) AS lb FROM bgd GROUP BY b),
+         |i AS (SELECT a, b, COUNT(*) AS inter
+         |      FROM c JOIN bgd USING (t) GROUP BY a, b)
+         |SELECT a, b,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |FROM i JOIN la USING (a) JOIN lb USING (b)
+         |WHERE inter * 5 >= (la + lb - inter) * 1
+         |ORDER BY a, b""".stripMargin,
 
     "t09_repetition_stats" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),

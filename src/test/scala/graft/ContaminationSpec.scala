@@ -58,6 +58,57 @@ class ContaminationSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("fuzzyContaminatedDocs cuts exactly at the integer threshold") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // bench 3-gram set size lb = 3
+    val corpus = Seq(
+      // shares all 3 grams: jaccard 3/3 = 1
+      (1L, "alpha beta gamma delta epsilon"),
+      // grams: {alpha beta gamma, beta gamma zeta, gamma zeta eta} →
+      // inter 1, union 5 → jaccard exactly 1/5: kept at theta = 1/5
+      (2L, "alpha beta gamma zeta eta"),
+      // inter 1, la 4 → union 6 → 1/6 < 1/5: dropped
+      (3L, "alpha beta gamma zeta eta theta"),
+      // order broken — no shared 3-gram, no candidate row at all
+      (4L, "beta alpha delta gamma epsilon words")
+    ).toDF("doc_id", "text")
+    val got = Contamination.fuzzyContaminatedDocs(
+        corpus, bench, "doc_id", "text", n = 3, thetaNum = 1, thetaDen = 5)
+      .orderBy("a")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 100L, 1.0), (2L, 100L, 0.2)))
+  }
+
+  test("fuzzyContaminatedDocs matches brute force on real documents") {
+    val docs = Tables(spark, sfSmoke).documents
+    val got = Contamination.fuzzyContaminatedDocs(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 3, thetaNum = 1, thetaDen = 5)
+      .orderBy("a", "b")
+      .as[(Long, Long, Double)].collect().toSeq
+
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> grams(t) }
+    val expect = (for {
+      (a, ga) <- all if a % 10 != 7 && ga.nonEmpty
+      (b, gb) <- all if b % 10 == 7 && gb.nonEmpty
+      inter = (ga intersect gb).size
+      union = ga.size + gb.size - inter
+      if inter * 5 >= union
+    } yield (a, b,
+      BigDecimal(inter.toDouble / union)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got == expect)
+  }
+
   test("repetitionStats computes dup_ratio and top_share exactly") {
     // 3-grams of "a b a b a b a": (a b a)x3? positions: [a b a],[b a b],
     // [a b a],[b a b],[a b a] → total 5, distinct 2, top count 3

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Sessionize, Similarity, Splits}
 
 /** Operator-level tests: min-spacing sweep against an independent fold,
   * dedup group/pair semantics on crafted inputs.
@@ -56,6 +56,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.length == 1)
     assert(pairs(0).getAs[Long]("a") == 1L && pairs(0).getAs[Long]("b") == 2L)
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("cluster-keyed split: no near-dup pair crosses splits (naive does)") {
+    val t = Tables(spark, sfSmoke)
+    val pairs = Dedup.minhashLshPairs(t.documents, "doc_id", "text",
+        k = 8, bands = 2, shingleN = 3)
+      .select(col("a"), col("b"))
+    val clusters = Dedup.dupClusters(pairs, pairsCanonical = true)
+      .select(col("member").as("doc_id"), col("cluster"))
+    val cuts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val split = t.documents.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Splits.assignSplit(col("doc_id"), cuts).as("naive"),
+        Splits.assignSplit(coalesce(col("cluster"), col("doc_id")), cuts)
+          .as("keyed"))
+    val joined = pairs
+      .join(split.select(col("doc_id").as("a"), col("naive").as("na"),
+        col("keyed").as("ka")), Seq("a"))
+      .join(split.select(col("doc_id").as("b"), col("naive").as("nb"),
+        col("keyed").as("kb")), Seq("b"))
+    val naiveCross = joined.filter(col("na") =!= col("nb")).count()
+    val keyedCross = joined.filter(col("ka") =!= col("kb")).count()
+    assert(keyedCross == 0L, s"$keyedCross near-dup pairs cross splits")
+    // the bug p10 exists to fix is REAL on this corpus: the naive
+    // assignment does strand near-twins on opposite sides of the cut
+    assert(naiveCross > 0L, "corpus no longer exhibits naive crossing — " +
+      "pick a saltier cut or larger slice so the spec stays meaningful")
   }
 
   test("simhash of identical docs equal; simhashPairs finds them") {
