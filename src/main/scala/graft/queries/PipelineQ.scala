@@ -215,6 +215,22 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source"), col("seq_id"))
     },
 
+    // Corpus snapshot diff: two simulated releases of the documents
+    // table (old = ids %5≠4; new = ids %5≠0 with ids %7=3 edited) → per
+    // -doc added/removed/changed/unchanged. Content never travels: each
+    // side reduces to (id, md5 fingerprint) before the one full-outer
+    // join.
+    "p11_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 4)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy(col("doc_id"))
+    },
+
     // LEAKAGE-SAFE split: hash the near-dup CLUSTER representative, not
     // the doc id, so a document and its near-duplicates always land in
     // the SAME split — the naive p01 assignment lets a train doc's
@@ -343,6 +359,24 @@ object PipelineQ extends QueryPack {
          | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM walk GROUP BY source, seq
          |ORDER BY source, seq_id""".stripMargin,
+
+    "p11_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(concat_ws(chr(1),
+         |    COALESCE(text, ''), COALESCE(lang, ''),
+         |    COALESCE(source, ''))) AS fp
+         |  FROM documents WHERE doc_id % 5 <> 4),
+         |nw AS (SELECT doc_id, md5(concat_ws(chr(1),
+         |    COALESCE(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+         |             ELSE text END, ''), COALESCE(lang, ''),
+         |    COALESCE(source, ''))) AS fp
+         |  FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+         | CASE WHEN o.doc_id IS NULL THEN 'added'
+         |      WHEN nw.doc_id IS NULL THEN 'removed'
+         |      WHEN o.fp <> nw.fp THEN 'changed'
+         |      ELSE 'unchanged' END AS status
+         |FROM o FULL JOIN nw ON o.doc_id = nw.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // d06's cluster chain (LSH candidates → recursive-CTE CC) + the p01
     // split case over the cluster representative.

@@ -167,6 +167,18 @@ object TextQ extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // Tokenizer vocabulary TRAINING: top-8 BPE merges learned from the
+    // corpus (Sennrich get_stats + left-to-right fuse; deterministic
+    // count-then-lexicographic tie-break). The only corpus-sized pass
+    // is the word-frequency collapse; the merge loop runs on the
+    // bounded vocab table. Oracle: the same 8 rounds unrolled as CTE
+    // stages running the identical two-pass replace.
+    "t15_bpe_merges" -> { (s, dir) =>
+      graft.operators.BpeTrain
+        .learnMerges(Tables(s, dir).documents, "text", k = 8)
+        .orderBy(col("merge_rank"))
+    },
+
     // Gopher/MassiveText repetition signals over 3-grams: duplicate-gram
     // ratio + most-frequent-gram share, the two repetition cut thresholds.
     "t09_repetition_stats" -> { (s, dir) =>
@@ -467,6 +479,40 @@ object TextQ extends QueryPack {
          |SELECT c.doc_id, COUNT(*) AS n_hit_grams
          |FROM tok c JOIN bg USING (t) WHERE c.doc_id % 10 <> 7
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // 8 unrolled BPE rounds: pair-count argmax (count DESC, then
+    // lexicographic) + the SAME two-pass sentinel-padded replace the
+    // operator runs — textual mirror, so the fuse semantics cannot
+    // diverge between engines.
+    "t15_bpe_merges" -> {
+      val k = 8
+      val stages = (1 to k).map { i =>
+        s"""p$i AS (SELECT a[x] AS l, a[x + 1] AS r, freq
+           |  FROM (SELECT string_split(sym, ' ') AS a, freq,
+           |          unnest(range(1, len(string_split(sym, ' ')))) AS x
+           |        FROM s${i - 1})),
+           |b$i AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |        FROM p$i GROUP BY l, r
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$i AS (SELECT trim(replace(replace(' ' || sym || ' ',
+           |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+           |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '))
+           |    AS sym, freq
+           |  FROM s${i - 1}, b$i b)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to k)
+        .map(i => s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, cnt FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH n AS (SELECT $normSql AS norm FROM documents),
+         |wds AS (SELECT unnest(${wordsSql()}) AS word FROM n),
+         |wf AS (SELECT word, COUNT(*) AS freq FROM wds
+         |       WHERE word <> '' GROUP BY word),
+         |s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+         |         freq FROM wf),
+         |$stages
+         |$out
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     // Same n/w/sh/tok chain as d09's oracle at n=3; integer
     // cross-multiplied threshold mirrors the operator's exact cut.

@@ -58,6 +58,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("snapshotDiff: four statuses; boundary shift = changed; null = ''") {
+    val oldS = Seq((1L, "only old", "x"), (2L, "ab", "c"),
+      (3L, "keep", "z"), (4L, null.asInstanceOf[String], "n"))
+      .toDF("doc_id", "t1", "t2")
+    val newS = Seq((2L, "a", "bc"), (3L, "keep", "z"), (4L, "", "n"),
+      (5L, "brand new", "w")).toDF("doc_id", "t1", "t2")
+    val got = graft.operators.SnapshotDiff
+      .diff(oldS, newS, "doc_id", Seq("t1", "t2"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // id 2: same concatenation, shifted column boundary — the 
+    // separator must catch it; id 4: null ≡ "" under the fingerprint
+    // (documented coalesce), so a null→empty edit is NOT a change
+    assert(got == Seq(1L -> "removed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("cluster-keyed split: no near-dup pair crosses splits (naive does)") {
     val t = Tables(spark, sfSmoke)
     val pairs = Dedup.minhashLshPairs(t.documents, "doc_id", "text",
