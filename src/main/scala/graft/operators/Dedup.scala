@@ -489,6 +489,43 @@ object Dedup {
     * that matters at 100 TB (the exploded form multiplies rows by token
     * count and shuffles them back by doc id just to re-aggregate).
     */
+  /** Winnowing near-dup pairs (the MOSS shape, Schleimer et al. 2003):
+    * documents sharing at least `minShared` winnowed character-gram
+    * fingerprints, with the shared count — span-level copy detection
+    * that survives token-level edits between the copied spans, the
+    * fourth rung of the dedup family (exact → near → span-charge →
+    * winnowed-copy). Fingerprints are the t06 kernel's (k-gram rolling
+    * hashes, window-min selected, distinct per doc).
+    *
+    * `maxDf` drops fingerprints appearing in more than that many docs
+    * before pairing — boilerplate/stopword-grade spans would otherwise
+    * make the fp-keyed self-join quadratic in the hottest key (every
+    * MOSS deployment applies exactly this cut); with it the candidate
+    * volume is bounded by Σ df² ≤ maxDf · |kept fps|, linear in the
+    * corpus for fixed maxDf. Scale shape: one per-row kernel pass, a
+    * df aggregate (map-side combined), the ids-only fp-keyed self-join,
+    * and the (a,b) pair aggregate — no text ever rides a shuffle.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int, minShared: Long, maxDf: Long): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
+    val fps = docs.select(col(idCol),
+      explode(graft.functions.text.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+    val inBand = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(inBand, Seq("fp"))
+    kept.select(col("fp"), col(idCol).as("a"))
+      .join(kept.select(col("fp"), col(idCol).as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // null-text docs are dropped, as the exploded pipeline did implicitly
     // (explode of a null token array emits no rows) and as the d03 oracle

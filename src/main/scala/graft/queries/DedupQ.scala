@@ -111,6 +111,16 @@ object DedupQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing copy detection (MOSS): doc pairs sharing >= 5 winnowed
+    // 8-gram/window-4 fingerprints (t06's kernel), boilerplate-grade
+    // fingerprints (df > 50) cut before pairing — span-level copy pairs
+    // that survive edits between the copied spans.
+    "d14_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowPairs(Tables(s, dir).documentsKernelParallel,
+          "doc_id", "text", k = 8, w = 4, minShared = 5L, maxDf = 50L)
+        .orderBy(col("a"), col("b"))
+    },
+
     // Embedding near-dup blocking WITHOUT labels — the raw-crawl shape
     // (d05's label column doesn't exist at 100 TB): candidates collide
     // on either of two 4-bit sign-hyperplane bands (v02's signBucket
@@ -362,6 +372,26 @@ object DedupQ extends QueryPack {
          |ORDER BY a, b""".stripMargin,
 
     // Mirrors semanticDedup: v04's cell-assignment chain, then the
+    // t06's winnow chain + the df band + fp-keyed self-join.
+    "d14_winnow_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |g AS (SELECT doc_id,
+         |  [('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT
+         |   FOR i IN generate_series(1, len(norm) - 7)] AS hs
+         | FROM n WHERE len(norm) >= 8),
+         |sel AS (SELECT doc_id,
+         |  list_distinct([list_min(hs[i:i+3])
+         |   FOR i IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
+         | FROM g),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |d AS (SELECT fp FROM f GROUP BY fp
+         |      HAVING COUNT(*) BETWEEN 2 AND 50),
+         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
+         |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+         |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY a, b HAVING COUNT(*) >= 5
+         |ORDER BY a, b""".stripMargin,
+
     // keep-first sweep as NOT EXISTS over lower-id cellmates at the same
     // rounded-cosine threshold.
     "d13_semantic_dedup" ->

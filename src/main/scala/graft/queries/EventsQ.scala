@@ -67,6 +67,23 @@ object EventsQ extends QueryPack {
         .select(col("user_id"), col("ts_us"), col("event_id"))
       graft.operators.AsofJoin.asofJoin(left, right, "user_id", "ts_us")
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    // Ordered funnel view → click → purchase with first-touch
+    // sequential matching (stage i = earliest stage-i event STRICTLY
+    // after stage i-1's time): per-user reached stage rolled up to
+    // stage counts; users with no funnel-relevant events count as 0.
+    "e06_funnel_stages" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val f = graft.operators.Funnel.funnelStages(ev, "user_id",
+        "event_type", "ts_us", Seq("view", "click", "purchase"),
+        windowUs = 24L * 3600 * 1000000) // 24 h conversion window
+      ev.select(col("user_id")).distinct()
+        .join(f, Seq("user_id"), "left")
+        .select(coalesce(col("reached"), lit(0)).as("reached"))
+        .groupBy(col("reached")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("reached"))
     }
   )
 
@@ -121,6 +138,32 @@ object EventsQ extends QueryPack {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         |ORDER BY l.user_id, l.ts_us, l.event_id""".stripMargin,
+
+    // per-stage conditional-min chain: stage i's time = min ts of
+    // stage-i events strictly after stage i-1's time and within the
+    // 24 h window (first-touch sequential matching, mirrors the fold).
+    "e06_funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |         AND epoch_us(e.ts) <= s1.t + 86400000000
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |         AND epoch_us(e.ts) <= s2.t + 86400000000
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS reached,
+        | COUNT(*) AS n_users
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        | LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY reached""".stripMargin,
 
     "e04_json_props_rollup" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -58,6 +58,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("winnowPairs matches brute force over the kernel's fingerprints") {
+    val docs = Tables(spark, sfSmoke).documents
+    val got = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 5L, maxDf = 20L)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
+    // brute force from the same kernel's per-doc fingerprint sets (the
+    // kernel itself is oracle-pinned by t06); only the df band + pair
+    // count is under test here
+    val fps = docs.select(col("doc_id"),
+        graft.functions.text.winnowFingerprints(col("text"), 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, f) => id -> f.toSet }
+    val df = fps.flatMap(_._2).groupBy(identity).map { case (fp, g) => fp -> g.size }
+    val band = df.filter { case (_, c) => c >= 2 && c <= 20 }.keySet
+    val expect = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      shared = (fa intersect fb).count(band.contains).toLong
+      if shared >= 5L
+    } yield (a, b, shared)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == expect)
+  }
+
   test("snapshotDiff: four statuses; boundary shift = changed; null = ''") {
     val oldS = Seq((1L, "only old", "x"), (2L, "ab", "c"),
       (3L, "keep", "z"), (4L, null.asInstanceOf[String], "n"))
