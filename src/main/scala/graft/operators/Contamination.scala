@@ -64,11 +64,11 @@ object Contamination {
     *
     * Scale shape: same asymmetry as [[contaminatedDocs]] — the
     * benchmark side (tiny: an eval suite) reduces to per-doc distinct
-    * grams and BROADCASTS twice (gram probe + size lookup), so the
-    * corpus text never shuffles: one kernel pass for grams, one
-    * map-side-combined count for per-doc sizes, and a (corpus-doc,
-    * bench-doc)-keyed aggregate over only the matching gram HITS —
-    * O(hits) rows, not O(corpus). Contrast with [[Dedup]]'s
+    * grams and BROADCASTS, so the corpus text never shuffles: ONE
+    * kernel pass per side (set sizes are the kernel array's length,
+    * carried through the explode — no size aggregate, no re-scan) and
+    * a (corpus-doc, bench-doc)-keyed aggregate over only the matching
+    * gram HITS — O(hits) rows, not O(corpus). Contrast with [[Dedup]]'s
     * corpus×corpus generators (banding/prefix filters): corpus×bench
     * needs neither because one side is broadcastable by assumption.
     * Output: (a = corpus id, b = bench id, jaccard 4dp), cleared pairs
@@ -79,18 +79,18 @@ object Contamination {
                             thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"need 0 < thetaNum/thetaDen <= 1, got $thetaNum/$thetaDen")
+    // the kernel emits DISTINCT shingles per doc → the set size is the
+    // array length, carried through the explode so the kernel runs ONCE
+    // per side and no size aggregate/join is needed
     val cg = corpus
-      .select(col(idCol).as("a"), explode(shingleSet(col(textCol), n)).as("s"))
+      .select(col(idCol).as("a"), shingleSet(col(textCol), n).as("arr"))
+      .select(col("a"), size(col("arr")).as("la"), explode(col("arr")).as("s"))
     val bg = benchmark
-      .select(col(idCol).as("b"), explode(shingleSet(col(textCol), n)).as("s"))
-    // the kernel emits DISTINCT shingles per doc → counts are set sizes
-    val la = cg.groupBy(col("a")).agg(count(lit(1)).as("la"))
-    val lb = bg.groupBy(col("b")).agg(count(lit(1)).as("lb"))
+      .select(col(idCol).as("b"), shingleSet(col(textCol), n).as("arr"))
+      .select(col("b"), size(col("arr")).as("lb"), explode(col("arr")).as("s"))
     cg.join(broadcast(bg), Seq("s"))
-      .groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("la"), col("lb"))
       .agg(count(lit(1)).as("inter"))
-      .join(la, Seq("a"))
-      .join(broadcast(lb), Seq("b"))
       .filter(col("inter") * thetaDen >=
         (col("la") + col("lb") - col("inter")) * thetaNum)
       .select(col("a"), col("b"),
