@@ -507,19 +507,34 @@ object Dedup {
     * and the (a,b) pair aggregate — no text ever rides a shuffle.
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int, w: Int, minShared: Long, maxDf: Long): DataFrame = {
+                  k: Int, w: Int, minShared: Long, maxDf: Long): DataFrame =
+    sharedFingerprintPairs(
+      docs.select(col(idCol),
+        explode(graft.functions.text.winnowFingerprints(col(textCol), k, w))
+          .as("fp")),
+      idCol, "fp", minShared, maxDf)
+
+  /** Generic fingerprint-overlap pairing — the second half of
+    * [[winnowPairs]], factored out because ANY per-item fingerprint
+    * frame pairs the same way (winnowed text grams, sampled video-frame
+    * hashes, audio chroma prints…): df-band the fingerprints (df in
+    * [2, maxDf] — singletons pair with nothing, boilerplate-grade
+    * fingerprints would make the self-join quadratic in the hottest
+    * key), ids-only fp-keyed self-join, per-pair shared count ≥
+    * `minShared`. `fps` must be DISTINCT per (id, fingerprint); output
+    * (a, b, n_shared) with a < b.
+    */
+  def sharedFingerprintPairs(fps: DataFrame, idCol: String, fpCol: String,
+                             minShared: Long, maxDf: Long): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
-    val fps = docs.select(col(idCol),
-      explode(graft.functions.text.winnowFingerprints(col(textCol), k, w))
-        .as("fp"))
-    val inBand = fps.groupBy(col("fp"))
+    val inBand = fps.groupBy(col(fpCol))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("fp"))
-    val kept = fps.join(inBand, Seq("fp"))
-    kept.select(col("fp"), col(idCol).as("a"))
-      .join(kept.select(col("fp"), col(idCol).as("b")), Seq("fp"))
+      .select(col(fpCol))
+    val kept = fps.join(inBand, Seq(fpCol))
+    kept.select(col(fpCol), col(idCol).as("a"))
+      .join(kept.select(col(fpCol), col(idCol).as("b")), Seq(fpCol))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))

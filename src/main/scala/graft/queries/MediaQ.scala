@@ -36,6 +36,30 @@ object MediaQ extends QueryPack {
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"))
         .orderBy(col("doc_id"))
+    },
+
+    // Frame-overlap near-dup pairs — the VIDEO dedup shape: each blob
+    // chunks into fixed 16-byte "frames" (array<binary>), frame-samples
+    // every 2nd via Multimodal.sampleFrames, hashes the sampled frames,
+    // and pairs videos sharing >= 3 frame hashes through the generic
+    // sharedFingerprintPairs band (df <= 50 cuts intro/outro-grade
+    // frames). Columnar end to end: chunking + sampling are per-row
+    // array expressions; only (id, hash) rides the pair join.
+    "m03_frame_overlap_pairs" -> { (s, dir) =>
+      val vids = withBlob(s, dir)
+        .filter(octet_length(col("blob")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, cast(ceil(octet_length(blob) / 16.0) AS int)), " +
+            "i -> substring(blob, (i - 1) * 16 + 1, 16))").as("frames"))
+      val fh = vids
+        .select(col("doc_id"),
+          explode(Multimodal.sampleFrames("frames", 2)).as("f"))
+        .select(col("doc_id"), md5(lower(hex(col("f")))).as("fp"))
+        .distinct()
+      graft.operators.Dedup
+        .sharedFingerprintPairs(fh, "doc_id", "fp",
+          minShared = 3L, maxDf = 50L)
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -81,6 +105,30 @@ object MediaQ extends QueryPack {
         |  (['jpeg','png','webp'])[CAST(((hs % 3) + 3) % 3 AS INT) + 1] AS format,
         |  CAST((abs(hs) // 7) % 1920 + 1 AS INT) AS width,
         |  CAST((abs(hs) // 13) % 1080 + 1 AS INT) AS height
-        |FROM signedh ORDER BY doc_id""".stripMargin
+        |FROM signedh ORDER BY doc_id""".stripMargin,
+
+    // frames = 32-hex-char slices of the blob's hex rendering (16
+    // bytes), sampled at 1-based positions 1,3,5…; both engines digest
+    // the hex text of each frame.
+    "m03_frame_overlap_pairs" ->
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+        |             octet_length(encode(text)) AS n
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (SELECT doc_id,
+        |  [substr(h, (i-1)*32 + 1, 32)
+        |   FOR i IN range(1, CAST(ceil(n / 16.0) AS INT) + 1)] AS frames
+        | FROM b),
+        |sa AS (SELECT doc_id,
+        |  [frames[i] FOR i IN generate_series(1, len(frames), 2)] AS sampled
+        | FROM fr),
+        |fh AS (SELECT DISTINCT doc_id, md5(f) AS fp
+        |       FROM (SELECT doc_id, unnest(sampled) AS f FROM sa)),
+        |d AS (SELECT fp FROM fh GROUP BY fp
+        |      HAVING COUNT(*) BETWEEN 2 AND 50),
+        |kept AS (SELECT fh.doc_id, fh.fp FROM fh JOIN d USING (fp))
+        |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+        |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        |GROUP BY a, b HAVING COUNT(*) >= 3
+        |ORDER BY a, b""".stripMargin
   )
 }

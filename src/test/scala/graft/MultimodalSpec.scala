@@ -48,6 +48,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(n == 3) // indexes 0, 2, 4
   }
 
+  test("frame-overlap pairing: sampled-frame identity, short tails, band") {
+    import spark.implicits._
+    // 16-char blocks as frames; sampled = 1st, 3rd, 5th…
+    def blk(c: Char) = c.toString * 16
+    val docs = Seq(
+      // a and b share ALL THREE sampled frames (A, C, E) with different
+      // unsampled frames in between — the near-dup video pair
+      (1L, blk('a') + blk('x') + blk('c') + blk('y') + blk('e')),
+      (2L, blk('a') + blk('z') + blk('c') + blk('w') + blk('e')),
+      // shares only A and C (2 < minShared 3)
+      (3L, blk('a') + blk('q') + blk('c')),
+      // 20-char blob: frames = [16-char, 4-char tail]; both sampled?
+      // no — tail is frame 2 (unsampled); no overlap with anyone
+      (4L, blk('k') + "tail")
+    ).toDF("doc_id", "text")
+    val vids = docs
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, cast(ceil(octet_length(blob) / 16.0) AS int)), " +
+          "i -> substring(blob, (i - 1) * 16 + 1, 16))").as("frames"))
+    val fh = vids
+      .select(col("doc_id"),
+        explode(Multimodal.sampleFrames("frames", 2)).as("f"))
+      .select(col("doc_id"), md5(lower(hex(col("f")))).as("fp"))
+      .distinct()
+    val got = graft.operators.Dedup
+      .sharedFingerprintPairs(fh, "doc_id", "fp", minShared = 3L, maxDf = 50L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L)))
+  }
+
   test("kmlColor reorders to aabbggrr with 3-digit expansion") {
     val rows = Seq("#2D398B", "#abc", "oops").toDF("c")
       .select(KmlExport.kmlColor(col("c"))).as[String].collect()
