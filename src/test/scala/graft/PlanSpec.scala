@@ -150,6 +150,35 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("t14: benchmark side broadcasts; corpus text never shuffles") {
+    // fuzzy decontamination's contract at 100 TB: the corpus-side rows
+    // reach the gram join via broadcast probe (no exchange carrying the
+    // corpus), and only the post-join hit rows aggregate.
+    val plan = formattedPlan("t14_fuzzy_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val sections = plan.split("\\n\\(\\d+\\) ").toSeq
+    val exchanges = sections.filter(s => s.startsWith("Exchange") &&
+      s.contains("hashpartitioning"))
+    // hash exchanges may exist only for the small post-join aggregate
+    // and the tiny bench-side reductions — never carrying the corpus
+    // text column
+    exchanges.foreach(s => assert(!s.contains("text#"),
+      s"corpus text rides an exchange:\n$s"))
+  }
+
+  test("e06: funnel fold is entity-keyed exchanges only, no window") {
+    val plan = formattedPlan("e06_funnel_stages")
+    assert(!plan.contains("Window"), s"unexpected window function:\n$plan")
+    // every hash exchange keys on the entity (user_id) — the fold and
+    // the final small rollup; nothing shuffles on a per-event key
+    val sections = plan.split("\\n\\(\\d+\\) ").toSeq
+    sections.filter(s => s.startsWith("Exchange") &&
+        s.contains("hashpartitioning")).foreach { s =>
+      assert(s.contains("user_id") || s.contains("reached"),
+        s"exchange keyed off neither user_id nor reached:\n$s")
+    }
+  }
+
   test("v13: SQ8 scan is a shuffle-free fused pass (TakeOrdered, no join)") {
     val plan = formattedPlan("v13_sq8_topk")
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
