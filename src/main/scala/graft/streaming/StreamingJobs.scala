@@ -83,6 +83,53 @@ object StreamingJobs {
       }
   }
 
+  final case class FEv(user_id: Long, event_type: String, ts_us: Long)
+  final case class FunnelProgress(user_id: Long, reached: Int, at_us: Long)
+  final case class FunState(r: Int, t: Long)
+
+  /** Streaming face of [[graft.operators.Funnel.funnelStages]]: per-user
+    * funnel state (reached stage + its time) lives in the state store;
+    * a row is EMITTED every time a user's stage advances (progressive
+    * funnel output — the live-dashboard shape). Within a micro-batch
+    * events sort by time, so for per-user in-order arrival the stream's
+    * final state replays the batch fold exactly (spec-pinned).
+    *
+    * Out-of-order caveat, stated plainly: an event arriving in a LATER
+    * micro-batch with an EARLIER timestamp than the current stage time
+    * cannot retroactively advance the funnel (the batch fold, seeing
+    * global ts order, might have) — stream `reached` is a lower bound
+    * of batch `reached`, never ahead of it. That is the standard
+    * streaming-funnel trade; exact reconciliation is a batch replay
+    * (I1), the same pairing every stateful face here documents.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FEv],
+                   stages: Seq[String], windowUs: Long):
+      org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "stages must be non-empty and distinct")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FEv], state: GroupState[FunState]) =>
+          var s = state.getOption.getOrElse(FunState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+          it.toSeq.filter(e => stages.contains(e.event_type))
+            .sortBy(e => (e.ts_us, e.event_type))
+            .foreach { e =>
+              if (s.r < stages.length && e.event_type == stages(s.r) &&
+                  e.ts_us > s.t &&
+                  (s.r == 0 || e.ts_us <= s.t + windowUs)) {
+                s = FunState(s.r + 1, e.ts_us)
+                out += FunnelProgress(user, s.r, e.ts_us)
+              }
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, fingerprint: String)
 
   /** Streaming exact dedup: emit each fingerprint's FIRST document across

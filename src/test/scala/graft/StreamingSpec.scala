@@ -105,6 +105,48 @@ class StreamingSpec extends SparkTestBase {
     assert(closed == Seq(SessionAgg(1, 0, 900, 3)))
   }
 
+  test("funnelStream advances across batches; equals the batch fold in-order") {
+    import StreamingJobs.{FEv, FunnelProgress}
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val w = 1000L
+    val mem = MemoryStream[FEv]
+    val q = StreamingJobs.funnelStream(mem.toDS(), stages, windowUs = w)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: u1 views (advance to 1); u2's click without a view: no-op
+    mem.addData(FEv(1, "view", 100), FEv(2, "click", 100))
+    q.processAllAvailable()
+    // batch 2: u1's purchase arrives EARLY (stage 2 not reached yet —
+    // consumed without effect, a stream cannot revisit it); u2 views
+    mem.addData(FEv(1, "purchase", 1500), FEv(2, "view", 200))
+    q.processAllAvailable()
+    // batch 3: u1's click arrives LATE (ts 900 < the purchase's 1500) —
+    // it still advances to stage 2, but the already-consumed purchase
+    // is gone: the stream stops at 2 where the batch fold reaches 3
+    mem.addData(FEv(1, "click", 900))
+    q.processAllAvailable()
+    val rows = spark.table("funnel").as[FunnelProgress].collect().toSeq
+    q.stop()
+    assert(rows.toSet == Set(FunnelProgress(1, 1, 100),
+      FunnelProgress(1, 2, 900), FunnelProgress(2, 1, 200)))
+    // the batch fold sees global ts order (view 100, click 900,
+    // purchase 1500 inside the window) and completes the funnel
+    val all = Seq((1L, "view", 100L), (2L, "click", 100L),
+      (1L, "purchase", 1500L), (2L, "view", 200L), (1L, "click", 900L))
+    val batchReached = graft.operators.Funnel.funnelStages(
+        all.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", stages, windowUs = w)
+      .as[(Long, Int)].collect().toMap
+    // u1's late purchase at 950 WOULD advance the batch fold (global ts
+    // order) — the stream is a strict lower bound there
+    assert(batchReached == Map(1L -> 3, 2L -> 1))
+    val streamFinal = rows.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.map(_.reached).max }
+    assert(streamFinal == Map(1L -> 2, 2L -> 1))
+    assert(streamFinal.forall { case (u, r) => r <= batchReached(u) })
+  }
+
   test("dedupStream keeps each fingerprint's first doc across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.Doc]
