@@ -84,6 +84,19 @@ object EventsQ extends QueryPack {
         .select(coalesce(col("reached"), lit(0)).as("reached"))
         .groupBy(col("reached")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("reached"))
+    },
+
+    // Cohort retention triangle: users bucketed by first-signup week,
+    // distinct-user activity counts at week offsets 0..8 (operator doc
+    // pins the semantics: any event type counts as activity, pre-cohort
+    // activity discarded, offset 0 includes the signup itself).
+    "e07_cohort_retention" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.Cohort.retention(ev, "user_id", "event_type",
+          "ts_us", "signup",
+          bucketUs = 7L * 86400 * 1000000, maxOffset = 8)
+        .orderBy(col("cohort_bucket"), col("week_offset"))
     }
   )
 
@@ -164,6 +177,23 @@ object EventsQ extends QueryPack {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         | LEFT JOIN s3 USING (user_id)
         |GROUP BY 1 ORDER BY reached""".stripMargin,
+
+    // cohort = first-signup week (integer µs-epoch division — `//`
+    // floors, Spark's `div` truncates, identical on the non-negative
+    // epochs here); activity reduces to DISTINCT (user, week) before
+    // the join, mirroring the operator's shape; count(*) over the
+    // functional (user → cohort) join = distinct users per cell.
+    "e07_cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) // 604800000000 AS cohort_bucket
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |      FROM events)
+        |SELECT c.cohort_bucket, a.wk - c.cohort_bucket AS week_offset,
+        | COUNT(*) AS n_entities
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |WHERE a.wk - c.cohort_bucket BETWEEN 0 AND 8
+        |GROUP BY 1, 2 ORDER BY cohort_bucket, week_offset""".stripMargin,
 
     "e04_json_props_rollup" ->
       """SELECT event_type, COUNT(*) AS n,
