@@ -101,6 +101,31 @@ object text {
   def saltedHash32(c: Column, salt: Int): Column =
     graft.plans.HashKernels.saltedHash32(c, salt)
 
+  /** Hashed-linear quality score — the inference half of a
+    * fastText/CCNet-style linear document classifier: each DISTINCT
+    * token hashes into one of `weights.size` buckets
+    * (tokenHash16 mod buckets — the hashing trick, collisions and
+    * all), and the score is the integer sum of the bucket weights.
+    * The weight vector is the trained model: a bounded driver-held
+    * constant (like an IVF codebook) embedded as an array literal, so
+    * inference is a pure per-row expression — no join, no shuffle, no
+    * UDF; at 100 TB the filter runs at scan speed alongside the other
+    * per-row hygiene kernels (t03/t09). Distinct-token (set-of-words)
+    * semantics make the score length-robust: repeating one spammy
+    * token doesn't scale its weight. Integer weights keep the score
+    * exact and order-free (overflow-safe: |score| ≤ 65536·max|w|).
+    */
+  def hashedLinearScore(c: Column, weights: Seq[Int]): Column = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    val w = array(weights.map(v => lit(v)): _*)
+    aggregate(
+      array_distinct(filter(tokens(c), t => t =!= "")),
+      lit(0L),
+      (acc, t) =>
+        acc + element_at(w, pmod(tokenHash16(t), lit(weights.size)) + 1)
+          .cast("long"))
+  }
+
   /** PII patterns for corpus redaction (the CCNet/Pile-style scrub pass
     * before training). Deliberately the COMMON regex subset — ASCII
     * classes, bounded quantifiers, `\b`, no lookaround/backreferences —

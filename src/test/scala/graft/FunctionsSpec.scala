@@ -115,6 +115,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("hashedLinearScore: distinct-token sum, empty doc, serial parity") {
+    val w = graft.queries.TextQ.QualityWeights
+    def serial(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ").filter(_.nonEmpty).distinct.map { t =>
+          val hex = md.digest(t.getBytes("UTF-8"))
+            .take(2).map("%02x".format(_)).mkString
+          w(Integer.parseInt(hex, 16) % w.size).toLong
+        }.sum
+    }
+    // distinctness: "spam spam spam" scores once, not thrice
+    val rows = Seq("spam spam spam", "spam", "", "  !!  ",
+      "The quick brown fox JUMPS, 42 times.")
+    val got = rows.toDF("text")
+      .select(text.hashedLinearScore(col("text"), w)).as[Long].collect()
+    assert(got.toSeq == rows.map(serial))
+    assert(got(0) == got(1) && got(2) == 0L && got(3) == 0L)
+    // serial parity over the real corpus
+    val corpus = Tables(spark, sfSmoke).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val real = Tables(spark, sfSmoke).documents
+      .select(col("doc_id"), text.hashedLinearScore(col("text"), w))
+      .as[(Long, Long)].collect().toMap
+    corpus.foreach { case (id, t) => assert(real(id) == serial(t)) }
+  }
+
   test("lerp endpoints and midpoint") {
     val r = Seq((0.0, 10.0)).toDF("a", "b")
       .select(geo.lerp(col("a"), col("b"), lit(0.0)),

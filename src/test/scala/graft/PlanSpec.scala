@@ -150,6 +150,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("t16: classifier inference is per-row — no join, only the sort exchange") {
+    // hashedLinearScore's contract: model inference runs at scan speed
+    // as a pure projection (hash + literal-array lookup + fold). Any
+    // Join or aggregate Exchange here means the model stopped being a
+    // broadcast literal.
+    val plan = formattedPlan("t16_quality_classifier")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    val shuffles = plan.linesIterator
+      .count(_.trim.startsWith("+- Exchange"))
+    assert(shuffles <= 1, s"$shuffles shuffles (want only the sort):\n$plan")
+    assert(plan.contains("rangepartitioning") || shuffles == 0,
+      s"non-sort exchange:\n$plan")
+  }
+
   test("t14: benchmark side broadcasts; corpus text never shuffles") {
     // fuzzy decontamination's contract at 100 TB: the corpus-side rows
     // reach the gram join via broadcast probe (no exchange carrying the
