@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.{Ranking, Routing}
+import graft.graph.{Ranking, Routing, Triangles}
+import SqlMacros._
 
 /** Graph/routing operators (SURVEY §2.10) over a deterministic synthetic
   * graph derived from the nation table: each nation key n gets directed
@@ -163,6 +164,24 @@ object GraphQ extends QueryPack {
         "graft_rank_edges", buckets = 4)
       Ranking.pageRankOnTable(s, "graft_rank_edges", iters = 10)
         .orderBy(col("node"))
+    },
+
+    // Triangle counting (graph.Triangles: degree-ordered orientation,
+    // O(m^1.5) wedge bound) on a md5-mixed Erdős–Rényi-style graph
+    // over 3000 nodes with one edge per order row — |E| scales with
+    // the fact table (≈1.5k/14k/140k draws at sf0.001/0.01/0.1), so
+    // the triangle density sweeps sparse → dense across SFs while V
+    // stays fixed. Per-node participation counts; found-once-per-
+    // triangle semantics pinned by TrianglesSpec.
+    "r09_triangle_counts" -> { (s, dir) =>
+      val edges = Tables(s, dir).orders
+        .select(col("o_orderkey").cast("string").as("k"))
+        .select(
+          (graft.functions.text.saltedHash32(col("k"), 1) % 3000)
+            .cast("int").as("src"),
+          (graft.functions.text.saltedHash32(col("k"), 2) % 3000)
+            .cast("int").as("dst"))
+      Triangles.triangleCounts(edges).orderBy(col("node"))
     }
   )
 
@@ -272,6 +291,40 @@ object GraphQ extends QueryPack {
         |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
         |SELECT cluster, count(*) AS n_members FROM lab
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // textual mirror of the orientation algorithm: DuckDB row-value
+    // comparisons ((d, n) < …) express the same (degree, id) rank the
+    // Spark struct ordering uses; each triangle closes once at its
+    // lowest-rank vertex in both engines.
+    "r09_triangle_counts" ->
+      s"""WITH e0 AS (
+         |  SELECT CAST(${saltedHash32Sql("CAST(o_orderkey AS VARCHAR)", 1)}
+         |              % 3000 AS INT) AS s,
+         |         CAST(${saltedHash32Sql("CAST(o_orderkey AS VARCHAR)", 2)}
+         |              % 3000 AS INT) AS t
+         |  FROM orders),
+         |canon AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+         |          FROM e0 WHERE s <> t),
+         |deg AS (SELECT n, COUNT(*) AS d FROM
+         |          (SELECT a AS n FROM canon
+         |           UNION ALL SELECT b AS n FROM canon)
+         |        GROUP BY n),
+         |o AS (SELECT
+         |        CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.a ELSE c.b END AS u,
+         |        CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.b ELSE c.a END AS v,
+         |        CASE WHEN (da.d, c.a) < (db.d, c.b) THEN db.d ELSE da.d END AS dv
+         |      FROM canon c JOIN deg da ON da.n = c.a
+         |                   JOIN deg db ON db.n = c.b),
+         |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+         |      FROM o o1 JOIN o o2 ON o1.u = o2.u
+         |      WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+         |tri AS (SELECT w.u, w.x, w.y
+         |        FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+         |nodes AS (SELECT u AS node FROM tri
+         |          UNION ALL SELECT x FROM tri
+         |          UNION ALL SELECT y FROM tri)
+         |SELECT node, COUNT(*) AS n_triangles FROM nodes
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     "r03_bfs_trade_graph" ->
       """WITH RECURSIVE e AS (
