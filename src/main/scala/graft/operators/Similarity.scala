@@ -256,6 +256,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 sign matrix for [[signedProjection]]: sign(i,j) =
+    * +1 iff the first md5 hex digit of "i:j" is even (i = projection
+    * 1..k, j = component 1..dim). md5-derived so a SQL oracle (or any
+    * other engine) regenerates the identical matrix from the formula
+    * alone — no literal shipping, same doctrine as the salted MinHash
+    * hashes.
+    */
+  def md5Signs(k: Int, dim: Int): Seq[Array[Int]] =
+    (1 to k).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to dim).map { j =>
+        val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+      }.toArray
+    }
+
+  /** Signed random projection — the Johnson–Lindenstrauss /
+    * Achlioptas-±1 dimensionality reduction: project a dim-d vector
+    * onto k fixed ±1 sign rows, emitting `array<bigint>` of
+    * `Σ_j sign(i,j)·round(x_j·10^6)`. Components are µ-quantized to
+    * integers FIRST, so each projection is an exact, order-free
+    * integer sum (bit-stable on any engine or partitioning — float
+    * dot products are association-order-sensitive, the same reason
+    * sq8/PQ score in integers). Rank fidelity: ±1 projections
+    * preserve inner products in expectation (E[⟨Px,Py⟩] = k·⟨x,y⟩),
+    * the JL guarantee every sketch-based ANN prefilter leans on.
+    *
+    * Scale shape: the sign matrix is a driver-held literal (k·dim
+    * ints — a codebook-class constant), so projection is a pure
+    * per-row expression over the scan: no join, no shuffle, and the
+    * k-dim output (k ≪ dim) is what ships to any downstream
+    * exchange — candidate generation then moves k·8 bytes/row
+    * instead of dim·8, the d13/minhash ids-only doctrine applied to
+    * the vector payload itself.
+    */
+  def signedProjection(vecCol: Column, signs: Seq[Array[Int]]): Column = {
+    require(signs.nonEmpty, "need at least one projection row")
+    require(signs.forall(_.length == signs.head.length),
+      "sign rows must share the vector dimension")
+    array(signs.map { s =>
+      aggregate(
+        zip_with(vectors.asDouble(vecCol), lit(s),
+          (x, sg) => round(x * 1000000).cast("long") * sg),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** Exact integer dot of two [[signedProjection]] outputs — the
+    * compressed-domain score used to shortlist before an exact
+    * re-rank.
+    */
+  def projectionDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Corpus-wide max |component| — the symmetric SQ8 quantization scale.
     * One engine-native aggregate (posexplode + max: map-side partial max,
     * no HOF); a bounded driver constant like a codebook. Computed over

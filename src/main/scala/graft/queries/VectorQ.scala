@@ -236,6 +236,36 @@ object VectorQ extends QueryPack {
         .orderBy(col("score").desc, col("vec_id"))
     },
 
+    // Johnson–Lindenstrauss compressed-domain search, composed like
+    // v09: 64-dim floats sketched to 16 exact-integer ±1 projections
+    // (Similarity.signedProjection — per-row kernel, md5-derived sign
+    // matrix, no shuffle), integer-dot shortlist of 100, then exact
+    // cosine re-ranks the top 10. The sketch phase moves/compares 16
+    // longs per row instead of 64 floats; recall is corpus-bound (JL
+    // noise ∝ 1/√k — built for dim ≫ k deployments; spec-pinned at
+    // this adversarially-uniform corpus's observed level), while the
+    // re-rank makes the surfaced scores exact.
+    "v15_random_projection" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val proj = Similarity.signedProjection(col("embedding"),
+        Similarity.md5Signs(16, 64))
+      val qb = broadcast(e.filter(col("vec_id") === 0)
+        .select(proj.as("__qp"), col("embedding").as("__qvec")))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("p", proj)
+        .crossJoin(qb)
+        .withColumn("pscore", Similarity.projectionDot(col("p"), col("__qp")))
+        .orderBy(col("pscore").desc, col("vec_id"))
+        .limit(100)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")),
+          vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("pscore"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(10)
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -504,6 +534,42 @@ object VectorQ extends QueryPack {
     "v13_sq8_topk" -> sq8TopKSql,
 
     "v14_sq8_codes_at_rest" -> sq8TopKSql,
+
+    // sign matrix regenerated from the md5 formula (first hex digit of
+    // "i:j" even → +1); components µ-quantized to integers BEFORE the
+    // sum, so both engines compute the same order-free integer —
+    // embedding cast to DOUBLE[] first (float×int arithmetic would
+    // diverge from Spark's double math). Shortlist of 100 by (pscore,
+    // vec_id) — a total order, so the LIMIT is deterministic — then
+    // the exact-cosine re-rank mirrors the engine's composition.
+    "v15_random_projection" ->
+      s"""WITH jdx AS (SELECT unnest(generate_series(1, 64)) AS j),
+         |idx AS (SELECT unnest(generate_series(1, 16)) AS i),
+         |sgn AS (SELECT i, j,
+         |          CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT
+         |                    % 2 = 0
+         |               THEN 1 ELSE -1 END AS s
+         |        FROM idx, jdx),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (SELECT e.vec_id, j.j,
+         |           CAST(round(e.v[j.j] * 1000000) AS BIGINT) AS q
+         |         FROM e, jdx j),
+         |proj AS (SELECT c.vec_id, s.i, CAST(SUM(s.s * c.q) AS BIGINT) AS p
+         |         FROM comp c JOIN sgn s ON s.j = c.j
+         |         GROUP BY c.vec_id, s.i),
+         |qp AS (SELECT i, p FROM proj WHERE vec_id = 0),
+         |sc AS (SELECT pr.vec_id, CAST(SUM(pr.p * qp.p) AS BIGINT) AS pscore
+         |       FROM proj pr JOIN qp ON qp.i = pr.i
+         |       WHERE pr.vec_id <> 0
+         |       GROUP BY pr.vec_id),
+         |short AS (SELECT vec_id, pscore FROM sc
+         |          ORDER BY pscore DESC, vec_id LIMIT 100),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+         |      WHERE vec_id = 0)
+         |SELECT s.vec_id, s.pscore,
+         | round(${cosineSql("e.v", "q.qe")}, 4) AS cos4
+         |FROM short s JOIN e ON e.vec_id = s.vec_id, q
+         |ORDER BY cos4 DESC, s.vec_id LIMIT 10""".stripMargin,
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

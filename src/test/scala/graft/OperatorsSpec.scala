@@ -192,6 +192,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(mean >= 0.6, s"mean recall@5 $mean, per-query $recalls")
   }
 
+  test("signedProjection: serial parity, sign determinism, dot identity") {
+    val signs = Similarity.md5Signs(4, 64)
+    // regenerating must give the identical matrix (it seeds the oracle)
+    assert(signs.map(_.toSeq) == Similarity.md5Signs(4, 64).map(_.toSeq))
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    val e = Tables(spark, sfSmoke).embeddings.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signedProjection(col("embedding"), signs).as("p"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    e.foreach { case (_, vec, p) =>
+      val want = signs.map(row =>
+        vec.map(_.toDouble).zip(row)
+          .map { case (x, s) =>
+            BigDecimal(x * 1000000)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong * s }
+          .sum)
+      assert(p == want)
+    }
+    // projectionDot equals the serial integer dot of the sketches
+    val a = e(0)._3; val b = e(1)._3
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.projectionDot(col("a"), col("b")))
+      .as[Long].head()
+    assert(got == a.zip(b).map { case (x, y) => x * y }.sum)
+  }
+
+  test("v15 sketch shortlist recalls exact neighbors; re-ranked scores exact") {
+    // shortlist-quality: the sketch-then-re-rank output must recover a
+    // stated fraction of the TRUE top-10 (measured 5-7/10 on this
+    // corpus — adversarial for JL: near-uniform pairwise cosines at
+    // dim 64 vs noise ∝ 1/√16; pinned at ≥3 so a sketch regression
+    // fails loudly without flaking), and every surfaced cos4 must
+    // EQUAL the brute-force value for that id (the re-rank is exact).
+    val e = Tables(spark, sfSmoke).embeddings
+    val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", 499)
+      .select(col("vec_id"), col("cos4")).as[(Long, Double)].collect()
+    val exactTop10 = exact.sortBy(r => (-r._2, r._1)).take(10).map(_._1).toSet
+    val exactById = exact.toMap
+    val got = SparkEntry.queries("v15_random_projection")(spark, sfSmoke)
+      .select(col("vec_id"), col("cos4")).as[(Long, Double)].collect()
+    assert(got.length == 10)
+    got.foreach { case (id, c) => assert(c == exactById(id), s"cos4 drift at $id") }
+    val recall = got.map(_._1).toSet.intersect(exactTop10).size
+    assert(recall >= 3, s"sketch shortlist recalled only $recall/10")
+  }
+
   test("sq8: rounding edges, per-row score parity, top-k tracks the exact dot") {
     import graft.plans.Sq8Dot.roundHalfAway
     // half AWAY from zero on the binary double — C/DuckDB round, not
