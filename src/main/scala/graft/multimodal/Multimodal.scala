@@ -89,4 +89,32 @@ object Multimodal {
     */
   def sampleFrames(framesCol: String, k: Int): org.apache.spark.sql.Column =
     filter(col(framesCol), (_, i) => i % k === 0)
+
+  /** 64-bit sampled-threshold perceptual hash of an opaque media blob —
+    * the aHash/pHash SHAPE (a fixed-size bit signature whose hamming
+    * distance tracks content similarity) with the codec replaced by a
+    * deterministic byte probe, per the stub-decode doctrine: bit i
+    * tests the LOW-NIBBLE PARITY of the byte at offset ⌊i·n/64⌋ — 64
+    * evenly spaced samples whatever the blob size, so same-length
+    * blobs differing in k bytes differ in ≤ k sampled bits (the
+    * locality a perceptual hash exists for; a real deployment swaps
+    * the probe for decoded 8×8 luma means, the banding downstream is
+    * unchanged). Low nibble, not high: ASCII-range test bytes never
+    * set the high bit, which would collapse every hash to zero. Pure
+    * per-row expression over the hex rendering (the engine-portable
+    * byte accessor m02/m03 established): no UDF, no shuffle. Pair via
+    * [[graft.operators.Dedup.hamming64Pairs]].
+    */
+  def phash64(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = lower(hex(blob))
+    val n = octet_length(blob).cast("long")
+    val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    (0 until 64).map { i =>
+      // low-nibble hex char of 0-based byte ⌊i·n/64⌋ sits at 1-based
+      // hex index 2·⌊i·n/64⌋ + 2
+      val idx = (floor(n * i / 64).cast("int") * 2 + 2)
+      when(substr(h, idx, lit(1)).isin(oddNibbles: _*),
+        lit(1L << (63 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

@@ -570,15 +570,28 @@ object Dedup {
     */
   def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3,
+                     maxBucketSize: Option[Int] = None): DataFrame =
+    hamming64Pairs(simhash64(docs, idCol, textCol), idCol, "simhash64",
+      maxHamming, maxBucketSize)
+
+  /** Banded hamming near-dup pairs over ANY precomputed 64-bit
+    * fingerprint column — text SimHash, media perceptual hash
+    * ([[graft.multimodal.Multimodal.phash64]]), audio chroma print:
+    * whatever produced the signature, the candidate structure is the
+    * same 4×16-bit banding with guaranteed recall at hamming ≤ 3 and
+    * exact `bit_count(xor)` confirm. Factored out of [[simhash64Pairs]]
+    * (m04 pairs media hashes through it). Output (a, b, hamming).
+    */
+  def hamming64Pairs(df: DataFrame, idCol: String, simCol: String,
+                     maxHamming: Int = 3,
                      maxBucketSize: Option[Int] = None): DataFrame = {
-    val sim = simhash64(docs, idCol, textCol)
-    val withBands = sim
-      .withColumn("b0", shiftright(col("simhash64"), 48).bitwiseAND(lit(0xffffL)))
-      .withColumn("b1", shiftright(col("simhash64"), 32).bitwiseAND(lit(0xffffL)))
-      .withColumn("b2", shiftright(col("simhash64"), 16).bitwiseAND(lit(0xffffL)))
-      .withColumn("b3", col("simhash64").bitwiseAND(lit(0xffffL)))
+    val withBands = df
+      .withColumn("b0", shiftright(col(simCol), 48).bitwiseAND(lit(0xffffL)))
+      .withColumn("b1", shiftright(col(simCol), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("b2", shiftright(col(simCol), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("b3", col(simCol).bitwiseAND(lit(0xffffL)))
       .localCheckpoint()
-    bandedHammingPairs(withBands, idCol, "simhash64",
+    bandedHammingPairs(withBands, idCol, simCol,
       Seq("b0", "b1", "b2", "b3"), Seq(48, 32, 16, 0), 0xffffL,
       maxHamming, maxBucketSize)
   }

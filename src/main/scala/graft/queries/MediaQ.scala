@@ -60,6 +60,34 @@ object MediaQ extends QueryPack {
         .sharedFingerprintPairs(fh, "doc_id", "fp",
           minShared = 3L, maxDf = 50L)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Perceptual-hash near-dup pairs — the IMAGE dedup shape: 64-bit
+    // sampled-threshold pHash (Multimodal.phash64) per blob, paired by
+    // the generic 4×16-band hamming join (Dedup.hamming64Pairs, the
+    // d08 core) at hamming ≤ 3. The corpus has no same-length raw-byte
+    // near-dups for a pHash to find, so the query PLANTS deterministic
+    // media families (t13's planting precedent): 8 consecutive doc_ids
+    // share a 256-byte base (8 distinct md5 segments — a repeated
+    // segment would alias the 64 samples onto 8 effective bits), each
+    // overlaying ONE byte at its own sampled offset → family pairs
+    // differ in ≤ 2 sampled bits, non-family hashes are independent.
+    // The oracle replays hash + banding + confirm byte-for-byte.
+    "m04_phash_pairs" -> { (s, dir) =>
+      val fam = expr("doc_id div 8").cast("string")
+      val base = concat((0 until 8).map(k =>
+        md5(concat(fam, lit(s":$k")))): _*)
+      val pos = (pmod(col("doc_id"), lit(8)) * 32 + 1).cast("int")
+      val v = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val planted = concat(
+        substr(base, lit(1), pos - 1), v,
+        substr(base, pos + 1, lit(256)))
+      val ph = Tables(s, dir).documents
+        .select(col("doc_id"),
+          Multimodal.phash64(encode(planted, "utf-8")).as("phash64"))
+      graft.operators.Dedup
+        .hamming64Pairs(ph, "doc_id", "phash64", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -129,6 +157,67 @@ object MediaQ extends QueryPack {
         |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
         |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
         |GROUP BY a, b HAVING COUNT(*) >= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // planted blobs + sampled-parity bits replayed bit-for-bit; the
+    // 64-bit value assembles through HUGEINT (BIGINT products of the
+    // top band overflow) and re-signs like m02 — the final CAST to
+    // BIGINT matters: xor/bit_count on HUGEINT sees 64 phantom
+    // sign-extension bits whenever the two signs differ. Band-OR join
+    // + DISTINCT mirrors the first-match-band union (d08's mirror).
+    "m04_phash_pairs" ->
+      """WITH p0 AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id // 8 AS VARCHAR) || ':0')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':1')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':2')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':3')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':4')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':5')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':6')
+        |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':7') AS base,
+        |    CAST((doc_id % 8) * 32 + 1 AS INT) AS pos,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS v
+        |  FROM documents),
+        |pl AS (SELECT doc_id,
+        |         substr(base, 1, pos - 1) || v || substr(base, pos + 1)
+        |           AS s
+        |       FROM p0),
+        |hx AS (SELECT doc_id, lower(hex(encode(s))) AS h,
+        |         octet_length(encode(s)) AS n
+        |       FROM pl),
+        |bits AS (SELECT doc_id,
+        |  [CASE WHEN strpos('13579bdf', substr(h, 2*((n*i)//64) + 2, 1)) > 0
+        |        THEN 1 ELSE 0 END FOR i IN range(0, 64)] AS bs
+        |  FROM hx),
+        |bands AS (SELECT doc_id,
+        |  CAST(list_sum([bs[j+1]  * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b0,
+        |  CAST(list_sum([bs[j+17] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b1,
+        |  CAST(list_sum([bs[j+33] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b2,
+        |  CAST(list_sum([bs[j+49] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b3
+        |  FROM bits),
+        |ph AS (SELECT doc_id, b0, b1, b2, b3,
+        |  CAST(CASE WHEN CAST(b0 AS HUGEINT)*281474976710656
+        |                 + CAST(b1 AS HUGEINT)*4294967296
+        |                 + CAST(b2 AS HUGEINT)*65536 + b3
+        |                 >= 9223372036854775808
+        |            THEN CAST(b0 AS HUGEINT)*281474976710656
+        |                 + CAST(b1 AS HUGEINT)*4294967296
+        |                 + CAST(b2 AS HUGEINT)*65536 + b3
+        |                 - 18446744073709551616
+        |            ELSE CAST(b0 AS HUGEINT)*281474976710656
+        |                 + CAST(b1 AS HUGEINT)*4294967296
+        |                 + CAST(b2 AS HUGEINT)*65536 + b3
+        |       END AS BIGINT) AS sim
+        |  FROM bands),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |    l.sim AS sa, r.sim AS sb
+        |  FROM ph l JOIN ph r
+        |    ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+        |       AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cands WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY a, b""".stripMargin
   )
 }

@@ -79,6 +79,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 3L)))
   }
 
+  test("phash64: locality, serial parity, hamming64Pairs recovers families") {
+    import spark.implicits._
+    // serial reference of the sampled-parity hash
+    def serial(s: String): Long = {
+      val b = s.getBytes("UTF-8"); val n = b.length
+      (0 until 64).map { i =>
+        if ((b((n.toLong * i / 64).toInt) & 0xf) % 2 == 1) 1L << (63 - i)
+        else 0L
+      }.foldLeft(0L)(_ | _)
+    }
+    val base = "0123456789abcdef" * 16 // 256 chars
+    val oneOff = base.updated(4, 'e')  // byte 4 = sample i=1; parity flips
+    val rows = Seq(base, oneOff, "zz", base.reverse)
+    val got = rows.toDF("s")
+      .select(Multimodal.phash64(encode(col("s"), "utf-8")))
+      .as[Long].collect()
+    assert(got.toSeq == rows.map(serial))
+    // locality: one changed byte flips at most one sampled bit
+    assert(java.lang.Long.bitCount(got(0) ^ got(1)) <= 1)
+    // generic banding recovers planted families end-to-end (every pair
+    // is within hamming <= 2 by construction — the m04 shape)
+    val fams = (0L until 24L).map { id =>
+      val fb = (0 until 8).map { k =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"${id / 8}:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.mkString
+      val pos = ((id % 8) * 32).toInt
+      id -> (fb.substring(0, pos) + "5" + fb.substring(pos + 1))
+    }
+    val ph = fams.toDF("doc_id", "s")
+      .select(col("doc_id"),
+        Multimodal.phash64(encode(col("s"), "utf-8")).as("p"))
+    val pairs = graft.operators.Dedup
+      .hamming64Pairs(ph, "doc_id", "p", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val want = for (f <- 0L until 3L; a <- 0L until 8L; b <- a + 1 until 8L)
+      yield (f * 8 + a, f * 8 + b)
+    assert(pairs.map(p => (p._1, p._2)).toSet == want.toSet)
+    assert(pairs.forall(_._3 <= 2))
+  }
+
   test("kmlColor reorders to aabbggrr with 3-digit expansion") {
     val rows = Seq("#2D398B", "#abc", "oops").toDF("c")
       .select(KmlExport.kmlColor(col("c"))).as[String].collect()
