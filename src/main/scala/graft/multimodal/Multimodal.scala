@@ -105,9 +105,22 @@ object Multimodal {
     * byte accessor m02/m03 established): no UDF, no shuffle. Pair via
     * [[graft.operators.Dedup.hamming64Pairs]].
     */
-  def phash64(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val h = lower(hex(blob))
-    val n = octet_length(blob).cast("long")
+  def phash64(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    phash64FromHex(lower(hex(blob)), octet_length(blob).cast("long"))
+
+  /** [[phash64]] over a pre-rendered lowercase-hex column + byte length.
+    * Use THIS form (with the hex projection materialized first — e.g.
+    * `.localCheckpoint()`, the d11 pattern) whenever the blob is itself
+    * a non-trivial expression: the 64 bit samples each reference the
+    * hex input, and Catalyst's project-collapse would otherwise inline
+    * a 64-fold copy of the blob expression tree into the projection —
+    * measured 4.85 s → 0.5 s on m04, where the planted blob chains 8
+    * md5s + concat + encode (subexpression elimination does not rescue
+    * an expression this wide). Against a materialized attribute the 64
+    * references are plain reads of one row value.
+    */
+  def phash64FromHex(h: org.apache.spark.sql.Column,
+                     n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     (0 until 64).map { i =>
       // low-nibble hex char of 0-based byte ⌊i·n/64⌋ sits at 1-based

@@ -82,9 +82,20 @@ object MediaQ extends QueryPack {
       val planted = concat(
         substr(base, lit(1), pos - 1), v,
         substr(base, pos + 1, lit(256)))
-      val ph = Tables(s, dir).documents
+      // materialize the hex rendering BEFORE sampling: the planted blob
+      // is a wide expression (8 md5s + concat + encode), and the 64 bit
+      // samples must read an attribute, not inline 64 copies of that
+      // tree (see phash64FromHex — 4.85 s → ~0.5 s)
+      // cache, not localCheckpoint: InMemoryRelation is equally a
+      // project-collapse barrier but is LAZY — the banding core's own
+      // checkpoint job materializes it, so no extra job is spent
+      val hexed = Tables(s, dir).documents
         .select(col("doc_id"),
-          Multimodal.phash64(encode(planted, "utf-8")).as("phash64"))
+          lower(hex(encode(planted, "utf-8"))).as("h"),
+          octet_length(encode(planted, "utf-8")).cast("long").as("n"))
+        .cache()
+      val ph = hexed.select(col("doc_id"),
+        Multimodal.phash64FromHex(col("h"), col("n")).as("phash64"))
       graft.operators.Dedup
         .hamming64Pairs(ph, "doc_id", "phash64", maxHamming = 3)
         .orderBy(col("a"), col("b"))
