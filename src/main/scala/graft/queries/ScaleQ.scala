@@ -37,6 +37,32 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  /** s03's z-order grid: lineitem clustered on (l_partkey, l_suppkey),
+    * 3 bits per dim → 64 Morton cells. Cell widths sized so the sf0.1
+    * key domains (partkey ≤ 20k, suppkey ≤ 1k) spread over the full
+    * grid; smaller SFs just occupy the low cells — the bucket math is
+    * scale-independent.
+    */
+  private[queries] val ZTb = 3
+  private[queries] val ZCellX = 2560L
+  private[queries] val ZCellY = 128L
+
+  /** Build-once guard for s03's z-ordered lineitem slice (same pattern
+    * as [[ensureBucketed]]).
+    */
+  @volatile private var zorderedFor: String = null
+  private def ensureZOrdered(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (zorderedFor != dir) {
+        graft.sources.ZOrder.writeZOrdered(
+          Tables(s, dir).lineitem.select("l_partkey", "l_suppkey",
+            "l_returnflag", "l_extendedprice", "l_discount"),
+          "graft_wh_lineitem_z", "l_partkey", "l_suppkey",
+          ZCellX, ZCellY, ZTb)
+        zorderedFor = dir
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skew.saltedJoin over lineitem ⋈ supplier (supplier is small but the
     // point is the rewrite, not the size): per-supplier-nation revenue.
@@ -77,6 +103,27 @@ object ScaleQ extends QueryPack {
           (sum(cents(col("o_totalprice"))).cast("double") / 100)
             .as("sum_total"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Z-order layout probe: lineitem clustered by the Morton bucket of
+    // (l_partkey, l_suppkey) — written once per (JVM, sfDir) like s02 —
+    // then a 2-D box predicate (partkey 2000–4999 × suppkey 300–499 → 4 of 64 cells)
+    // prunes to the box's Morton cells at PLANNING time (driver-derived
+    // `zb IN (…)` literals) before the exact filter. Revenue rollup per
+    // returnflag; the oracle runs the same box on the raw table —
+    // layout must never change the answer (ZOrderSpec pins the
+    // pruned-partition count).
+    "s03_zorder_box_revenue" -> { (s, dir) =>
+      ensureZOrdered(s, dir)
+      graft.sources.ZOrder.readBox(s, "graft_wh_lineitem_z",
+          "l_partkey", "l_suppkey", 2000L, 4999L, 300L, 499L,
+          ZCellX, ZCellY, ZTb)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice")) *
+            (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -94,6 +141,18 @@ object ScaleQ extends QueryPack {
         | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
         |   AS sum_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the raw-table box — the z-order detour through storage must not
+    // change the answer, only the scan width
+    "s03_zorder_box_revenue" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000
+        |   AS revenue
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 2000 AND 4999
+        |  AND l_suppkey BETWEEN 300 AND 499
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
