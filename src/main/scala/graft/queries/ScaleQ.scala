@@ -107,7 +107,7 @@ object ScaleQ extends QueryPack {
 
     // Z-order layout probe: lineitem clustered by the Morton bucket of
     // (l_partkey, l_suppkey) — written once per (JVM, sfDir) like s02 —
-    // then a 2-D box predicate (partkey 2000–4999 × suppkey 300–499 → 4 of 64 cells)
+    // then a 2-D box predicate (partkey ≤ 1279 × suppkey ≤ 63 → 1 of 64 cells, non-empty at every SF)
     // prunes to the box's Morton cells at PLANNING time (driver-derived
     // `zb IN (…)` literals) before the exact filter. Revenue rollup per
     // returnflag; the oracle runs the same box on the raw table —
@@ -116,7 +116,7 @@ object ScaleQ extends QueryPack {
     "s03_zorder_box_revenue" -> { (s, dir) =>
       ensureZOrdered(s, dir)
       graft.sources.ZOrder.readBox(s, "graft_wh_lineitem_z",
-          "l_partkey", "l_suppkey", 2000L, 4999L, 300L, 499L,
+          "l_partkey", "l_suppkey", 0L, 1279L, 0L, 63L,
           ZCellX, ZCellY, ZTb)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
@@ -151,8 +151,8 @@ object ScaleQ extends QueryPack {
         |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000
         |   AS revenue
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 2000 AND 4999
-        |  AND l_suppkey BETWEEN 300 AND 499
+        |WHERE l_partkey BETWEEN 0 AND 1279
+        |  AND l_suppkey BETWEEN 0 AND 63
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
