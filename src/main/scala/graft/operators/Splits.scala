@@ -162,4 +162,55 @@ object Splits {
     // caller's column order (output schema == input schema)
     validated.select(df.columns.map(col): _*)
   }
+
+  /** Target-distribution mixture (the static data-mixing step DoReMi &
+    * friends optimize dynamically): given per-group target SHARES in
+    * basis points (must sum to 10000), downsample every group so the
+    * kept corpus matches the target distribution at the LARGEST total
+    * the data admits. The binding group — the one whose target share
+    * most exceeds its actual share — is kept whole (rate 10000); every
+    * other group thins proportionally. All arithmetic is exact
+    * integers: feasible total B = min over groups of
+    * (actual·10000 div share); per-group rate = (B·share div 10000)·
+    * 10000 div actual; a row survives iff its [[keepByWeightBp]] md5
+    * draw lands under its group's rate — deterministic, reproducible
+    * cross-engine, and monotone (raising a target only adds rows).
+    * Kept token mass matches the target in expectation (the hash is
+    * uniform); use [[capTokensPerGroup]] when exact greedy admission
+    * is required. Groups absent from `targetsBp` are dropped; target
+    * groups absent from the corpus drop out of the min (their share
+    * is unachievable at any size).
+    *
+    * Scale shape: one map-side-combined aggregate builds the
+    * group-totals frame (bounded by group count); B and the rates stay
+    * a one-row/short broadcast — no collect, no driver loop; the
+    * corpus-side pass is a broadcast join + per-row hash filter at
+    * scan speed. Output: the input rows that survive, plus `rate_bp`.
+    */
+  def mixToTarget(df: DataFrame, groupCol: String, idCol: String,
+                  tokenCol: String, targetsBp: Seq[(String, Int)],
+                  salt: Int = 0): DataFrame = {
+    require(targetsBp.nonEmpty, "need at least one target group")
+    require(targetsBp.map(_._1).distinct.size == targetsBp.size,
+      "target groups must be distinct")
+    require(targetsBp.forall(_._2 > 0), "target shares must be positive")
+    require(targetsBp.map(_._2).sum == 10000,
+      s"target shares must sum to 10000 bp, got ${targetsBp.map(_._2).sum}")
+    val spark = df.sparkSession
+    val targets = spark.createDataFrame(targetsBp).toDF("__g", "__share")
+    val actual = df
+      .filter(col(groupCol).isin(targetsBp.map(_._1): _*))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(tokenCol).cast("long")).as("__actual"))
+      .join(targets, Seq("__g"))
+    val feasible = actual
+      .agg(min(expr("__actual * 10000 div __share")).as("__b"))
+    val rates = actual.crossJoin(broadcast(feasible))
+      .select(col("__g"),
+        expr("((__b * __share) div 10000) * 10000 div __actual")
+          .as("rate_bp"))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .filter(keepByWeightBp(col(idCol), col("rate_bp"), salt))
+      .select(df.columns.map(col) :+ col("rate_bp"): _*)
+  }
 }

@@ -80,6 +80,22 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Target-distribution mixture (Splits.mixToTarget): resample 4
+    // sources to a 50/30/15/5 token mixture — the binding group (src0:
+    // equal actuals, largest target) keeps rate 10000, the rest thin
+    // proportionally (6000/3000/1000 bp on uniform data). Exact
+    // integer rate derivation + per-row md5 draw; other sources drop.
+    "p12_target_mixture" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          text.tokenCount(col("text")).cast("long").as("n_tok"))
+      Splits.mixToTarget(d, "source", "doc_id", "n_tok",
+          Seq("src0" -> 5000, "src1" -> 3000, "src2" -> 1500,
+            "src3" -> 500), salt = 12)
+        .select(col("doc_id"), col("source"), col("rate_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // Weight-proportional deterministic sampling (importance sampling):
     // keep probability = min(20·n_chars, 10⁴) basis points — longer docs
     // proportionally likelier to survive — as a pure per-row md5
@@ -334,6 +350,33 @@ object PipelineQ extends QueryPack {
          |WHERE ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 6)} % 10000
          |  < least(n_chars * 20, 10000)
          |ORDER BY doc_id""".stripMargin,
+
+    // same integer rate derivation: B = min(actual·10000 // share),
+    // rate = ((B·share // 10000)·10000) // actual, then the md5 draw
+    "p12_target_mixture" ->
+      s"""WITH n AS (SELECT doc_id, source, $normSql AS norm
+         |           FROM documents),
+         |tok AS (SELECT doc_id, source,
+         |          CAST(CASE WHEN norm = '' THEN 0
+         |               ELSE len(${wordsSql()}) END AS BIGINT) AS nt
+         |        FROM n),
+         |t(g, share) AS (VALUES ('src0', 5000), ('src1', 3000),
+         |                       ('src2', 1500), ('src3', 500)),
+         |a AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS actual
+         |      FROM tok WHERE source IN ('src0','src1','src2','src3')
+         |      GROUP BY source),
+         |j AS (SELECT a.source, a.actual, t.share
+         |      FROM a JOIN t ON t.g = a.source),
+         |b AS (SELECT MIN(actual * 10000 // share) AS b FROM j),
+         |r AS (SELECT source,
+         |        CAST(((b.b * share) // 10000) * 10000 // actual
+         |             AS BIGINT) AS rate_bp
+         |      FROM j, b)
+         |SELECT tok.doc_id, tok.source, r.rate_bp
+         |FROM tok JOIN r ON tok.source = r.source
+         |WHERE ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 12)} % 10000
+         |  < r.rate_bp
+         |ORDER BY tok.doc_id""".stripMargin,
 
     "p09_sequence_packing" ->
       s"""WITH RECURSIVE n AS (

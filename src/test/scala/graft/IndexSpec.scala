@@ -74,4 +74,34 @@ class IndexSpec extends SparkTestBase {
     // ~proportional: 30% weight keeps roughly 30% (md5 is uniform)
     assert(math.abs(kept(3000).size - 150) < 40)
   }
+
+  test("mixToTarget: exact integer rates, binding group whole, drops others") {
+    // groups with engineered token totals: a=1000, b=1000, c=500, x=800
+    def rows(g: String, n: Int, tok: Long, base: Long) =
+      (0 until n).map(i => (base + i, g, tok))
+    val df = (rows("a", 100, 10L, 0L) ++ rows("b", 100, 10L, 1000L) ++
+      rows("c", 50, 10L, 2000L) ++ rows("x", 80, 10L, 3000L))
+      .toDF("id", "g", "tok")
+    // targets a=50%, b=30%, c=20% → B = min(1000·1e4/5000, 1000·1e4/3000,
+    // 500·1e4/2000) = min(2000, 3333, 2500) = 2000 → a binds:
+    // rate(a) = (2000·5000/1e4)·1e4/1000 = 10000
+    // rate(b) = (2000·3000/1e4)·1e4/1000 = 6000
+    // rate(c) = (2000·2000/1e4)·1e4/500  = 8000
+    val got = Splits.mixToTarget(df, "g", "id", "tok",
+        Seq("a" -> 5000, "b" -> 3000, "c" -> 2000), salt = 1)
+      .as[(Long, String, Long, Long)].collect()
+    val rates = got.map(r => r._2 -> r._4).toSet
+    assert(rates == Set("a" -> 10000L, "b" -> 6000L, "c" -> 8000L))
+    // binding group survives whole; 'x' (no target) is gone entirely
+    assert(got.count(_._2 == "a") == 100)
+    assert(!got.exists(_._2 == "x"))
+    // thinned groups keep ~rate fraction (md5 uniform; generous band)
+    val bKept = got.count(_._2 == "b")
+    assert(bKept > 35 && bKept < 85, s"b kept $bKept of 100 at 6000 bp")
+    // rows kept are exactly the keepByWeightBp draws at the same salt
+    val bIds = df.filter(col("g") === "b")
+      .filter(Splits.keepByWeightBp(col("id"), lit(6000L), salt = 1))
+      .select("id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "b").map(_._1).toSet == bIds)
+  }
 }
