@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Volume-anomaly detection over a keyed event stream: bucket events
+  * into fixed windows per series key, then flag buckets whose count
+  * sits more than `sigma` population standard deviations above that
+  * series' mean — the monitoring sweep a crawl/ingest pipeline runs to
+  * catch a crawler trap flooding one source, a log-replay duplicating
+  * an hour, or an upstream outage (spikes AND the dead-air complement,
+  * via `flagLow`).
+  *
+  * Exact integer algebra, no floats (so the result hashes identically
+  * in any engine): with per-series totals T = #buckets, S = Σn,
+  * SS = Σn², the z-test
+  *     (n − S/T) ≥ σ·sqrt(SS/T − (S/T)²)
+  * multiplies through by T² into
+  *     (n·T − S)² ≥ σ²·(T·SS − S²)   with  n·T − S > 0
+  * — every operand a BIGINT (n·T−S ≤ events·buckets ~ 10¹² at 100 TB
+  * scale keeps the square inside int64 for per-series counts < ~3·10⁹;
+  * the helper widens through DECIMAL(38,0) so even that bound is soft).
+  * The strict `> 0` side condition makes a flat series (variance 0)
+  * produce no flags instead of flagging every bucket.
+  *
+  * Scale shape: the raw stream reduces to the (key, bucket) count
+  * matrix in ONE hash aggregate (map-side combined — the only pass
+  * over event-scale data); series stats are a second tiny aggregate
+  * over #buckets-scale rows, re-joined by series key. Cardinality
+  * after the first aggregate is keys × span/bucket — independent of
+  * event volume — so the flagging join is broadcast-sized in any
+  * realistic deployment. No windows, no sorts, no per-key arrays.
+  */
+object Anomaly {
+
+  /** Flagged buckets: (keyCol, bucket, n) where n's z-score vs the
+    * series exceeds `sigma`. `bucketExpr` must be a deterministic
+    * SQL expression over the input columns (e.g. a date_trunc).
+    *
+    * @param flagLow also flag buckets `sigma` BELOW the mean
+    *                (n·T − S < 0 with the same squared inequality)
+    */
+  def spikeBuckets(events: DataFrame, keyCol: String, bucketCol: String,
+                   sigma: Int, flagLow: Boolean = false): DataFrame = {
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    val counts = events
+      .groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__t"),
+        sum(col("n")).as("__s"),
+        // DECIMAL(38,0) before squaring: n² at per-bucket counts past
+        // ~3·10⁹ would wrap int64; decimal keeps the algebra exact
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("__ss"))
+    val dev = col("n").cast("decimal(38,0)") * col("__t") - col("__s")
+    val rhs = (col("__t").cast("decimal(38,0)") * col("__ss") -
+      col("__s").cast("decimal(38,0)") * col("__s")) * (sigma.toLong * sigma)
+    val high = dev > 0 && dev * dev >= rhs
+    val cond = if (flagLow) high || (dev < 0 && dev * dev >= rhs) else high
+    counts.join(stats, Seq(keyCol))
+      .filter(cond)
+      .select(col(keyCol), col(bucketCol), col("n"))
+  }
+}

@@ -97,6 +97,19 @@ object EventsQ extends QueryPack {
           "ts_us", "signup",
           bucketUs = 7L * 86400 * 1000000, maxOffset = 8)
         .orderBy(col("cohort_bucket"), col("week_offset"))
+    },
+
+    // Volume-anomaly sweep: hourly counts per event_type, flag hours
+    // beyond ±3 population-σ of that type's series (both directions —
+    // traffic floods AND dead air). Exact integer z-test, no floats
+    // (operators.Anomaly doc derives the squared inequality).
+    "e08_spike_hours" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
+      graft.operators.Anomaly
+        .spikeBuckets(ev, "event_type", "hour_ms", sigma = 3,
+          flagLow = true)
+        .orderBy(col("event_type"), col("hour_ms"))
     }
   )
 
@@ -194,6 +207,27 @@ object EventsQ extends QueryPack {
         |FROM a JOIN c ON a.user_id = c.user_id
         |WHERE a.wk - c.cohort_bucket BETWEEN 0 AND 8
         |GROUP BY 1, 2 ORDER BY cohort_bucket, week_offset""".stripMargin,
+
+    // the exact-integer three-sigma test: (n·T−S)² ≥ 9·(T·SS−S²) with
+    // n·T−S ≠ 0; squares go through HUGEINT (BIGINT·BIGINT would wrap)
+    // — predicate-only, so the internal width never reaches the output
+    "e08_spike_hours" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS t, SUM(n) AS s,
+        |         SUM(CAST(n AS HUGEINT) * n) AS ss
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour_ms, h.n
+        |FROM h JOIN st USING (event_type)
+        |WHERE CAST(h.n AS HUGEINT) * st.t - st.s <> 0
+        |  AND (CAST(h.n AS HUGEINT) * st.t - st.s)
+        |      * (CAST(h.n AS HUGEINT) * st.t - st.s)
+        |      >= 9 * (CAST(st.t AS HUGEINT) * st.ss
+        |              - CAST(st.s AS HUGEINT) * st.s)
+        |ORDER BY event_type, hour_ms""".stripMargin,
 
     "e04_json_props_rollup" ->
       """SELECT event_type, COUNT(*) AS n,

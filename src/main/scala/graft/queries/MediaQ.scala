@@ -99,6 +99,51 @@ object MediaQ extends QueryPack {
       graft.operators.Dedup
         .hamming64Pairs(ph, "doc_id", "phash64", maxHamming = 3)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Energy-delta fingerprint near-dup pairs — the AUDIO dedup shape
+    // (chromaprint-style): per blob, byte "samples" reduce to 65
+    // overlapping window energies (win 8, hop 4), fingerprint bit i =
+    // [e_i > e_{i+1}], and the 64-bit result pairs through the same
+    // 4×16-band hamming join as m04. The delta-sign transform is GAIN
+    // INVARIANT: adding a constant to every sample shifts every window
+    // energy by 8·gain and leaves every strict comparison unchanged —
+    // which is the point of delta fingerprints (volume-normalized
+    // re-encodes collide). Planted families prove exactly that: 4
+    // consecutive doc_ids share a 288-byte base track; member m plays
+    // it at gain +m AND takes one localized 1-byte glitch at its own
+    // offset (a pop), flipping ≤ 3 bits confined to ≤ 2 bands — so
+    // family pairs sit at hamming ≤ 6 with ≥ 1 clean band guaranteed
+    // (glitch offsets 17/70/123/176 touch bands {0},{0,1},{1},{2}).
+    // Catalyst shape: the codes→energies→bits chain nests inside
+    // single-element `transform` lambdas (a poor man's LET) so each
+    // stage is computed ONCE per row instead of re-inlined per
+    // reference (the m04 project-collapse lesson), then the fingerprint
+    // caches before the band projection reads it 5×.
+    "m05_audio_fp_pairs" -> { (s, dir) =>
+      val fam = expr("doc_id div 4").cast("string")
+      val m = (col("doc_id") % 4).cast("int")
+      val base = concat((0 until 9).map(k =>
+        md5(concat(fam, lit(s":$k")))): _*)
+      val glitch = lit(17) + m * 53
+      val codes = transform(split(base, ""), ch => ascii(ch))
+      val codes2 = transform(codes, (c, i) =>
+        when(i + 1 === glitch, lit(122)).otherwise(c + m))
+      val pw = (0 until 64).map(i => lit(1L << (63 - i)))
+      val fp = element_at(transform(array(codes2), cs => {
+        val en = transform(sequence(lit(0), lit(64)), i =>
+          aggregate(slice(cs, i * lit(4) + 1, lit(8)), lit(0), _ + _))
+        element_at(transform(array(en), e =>
+          (0 until 64).map(i =>
+            when(element_at(e, i + 1) > element_at(e, i + 2), pw(i))
+              .otherwise(lit(0L))).reduce(_ + _)), 1)
+      }), 1)
+      val ph = Tables(s, dir).documents
+        .select(col("doc_id"), fp.as("afp64"))
+        .cache()
+      graft.operators.Dedup
+        .hamming64Pairs(ph, "doc_id", "afp64", maxHamming = 6)
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -229,6 +274,65 @@ object MediaQ extends QueryPack {
         |       AND l.doc_id < r.doc_id)
         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // codes (gain +m, one glitch byte) → 65 overlapping window energies
+    // → 64 delta-sign bits → the same band assembly / OR-join / confirm
+    // as m04, at hamming ≤ 6
+    "m05_audio_fp_pairs" ->
+      """WITH p0 AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id // 4 AS VARCHAR) || ':0')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':1')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':2')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':3')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':4')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':5')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':6')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':7')
+        |    || md5(CAST(doc_id // 4 AS VARCHAR) || ':8') AS base,
+        |    CAST(doc_id % 4 AS INT) AS m
+        |  FROM documents),
+        |codes AS (SELECT doc_id,
+        |  [CASE WHEN k = 17 + 53*m THEN 122
+        |        ELSE ord(substr(base, k, 1)) + m END
+        |   FOR k IN range(1, 289)] AS cs
+        |  FROM p0),
+        |en AS (SELECT doc_id,
+        |  [list_sum(cs[i*4+1 : i*4+8]) FOR i IN range(0, 65)] AS e
+        |  FROM codes),
+        |bits AS (SELECT doc_id,
+        |  [CASE WHEN e[i+1] > e[i+2] THEN 1 ELSE 0 END
+        |   FOR i IN range(0, 64)] AS bs
+        |  FROM en),
+        |bands AS (SELECT doc_id,
+        |  CAST(list_sum([bs[j+1]  * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b0,
+        |  CAST(list_sum([bs[j+17] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b1,
+        |  CAST(list_sum([bs[j+33] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b2,
+        |  CAST(list_sum([bs[j+49] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b3
+        |  FROM bits),
+        |ph AS (SELECT doc_id, b0, b1, b2, b3,
+        |  CAST(CASE WHEN CAST(b0 AS HUGEINT)*281474976710656
+        |                 + CAST(b1 AS HUGEINT)*4294967296
+        |                 + CAST(b2 AS HUGEINT)*65536 + b3
+        |                 >= 9223372036854775808
+        |            THEN CAST(b0 AS HUGEINT)*281474976710656
+        |                 + CAST(b1 AS HUGEINT)*4294967296
+        |                 + CAST(b2 AS HUGEINT)*65536 + b3
+        |                 - 18446744073709551616
+        |            ELSE CAST(b0 AS HUGEINT)*281474976710656
+        |                 + CAST(b1 AS HUGEINT)*4294967296
+        |                 + CAST(b2 AS HUGEINT)*65536 + b3
+        |       END AS BIGINT) AS sim
+        |  FROM bands),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |    l.sim AS sa, r.sim AS sb
+        |  FROM ph l JOIN ph r
+        |    ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+        |       AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cands WHERE bit_count(xor(sa, sb)) <= 6
         |ORDER BY a, b""".stripMargin
   )
 }

@@ -301,6 +301,38 @@ object PipelineQ extends QueryPack {
         .withColumn("split", Splits.assignSplit(col("doc_id"), Cuts))
         .select(col("doc_id"), col("split"), col("bp"))
         .orderBy(col("doc_id"))
+    },
+
+    // Curriculum phases: equal-size quality quartiles in global score
+    // order (phase 1 = cleanest) WITHOUT the single-partition global
+    // ntile sort — operators.Curriculum decomposes the global rank into
+    // a score-histogram prefix (|domain| ≤ 10⁴ rows serialized) plus a
+    // hash-distributed within-score rank; closed-form ntile arithmetic
+    // maps rank → phase. The oracle is DuckDB's LITERAL ntile(4), so
+    // the decomposition is proven equivalent, not just plausible.
+    "p13_curriculum_phases" -> { (s, dir) =>
+      val scored = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          text.tokenCount(col("text")).as("n_tok"),
+          text.markerHits(col("text"), TextQ.StopWords).as("stops"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+            .as("punct"))
+        .filter(col("n_tok") > 0)
+        // same exact integer basis points as t03/p02/p07/p08
+        .withColumn("ltok", col("n_tok").cast("long"))
+        .withColumn("num",
+          lit(40L) * least(col("ltok"), lit(100L)) * col("ltok") * col("n_chars") +
+            lit(3000L) * (col("ltok") - col("stops")) * col("n_chars") +
+            lit(3000L) * (col("n_chars") - col("punct")) * col("ltok"))
+        .withColumn("den", col("ltok") * col("n_chars"))
+        .withColumn("bp", expr("(2 * num + den) div (2 * den)"))
+        .select(col("doc_id"), col("bp"), col("ltok"))
+      graft.operators.Curriculum.phases(scored, "bp", "doc_id", k = 4)
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ltok")).as("sum_tokens"),
+          min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"))
+        .orderBy(col("phase"))
     }
   )
 
@@ -558,6 +590,33 @@ object PipelineQ extends QueryPack {
          |   + n_tok * n_chars) // (2 * n_tok * n_chars) AS bp
          | FROM q)
          |SELECT doc_id, ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split, bp
-         |FROM b WHERE bp >= 4000 ORDER BY doc_id""".stripMargin
+         |FROM b WHERE bp >= 4000 ORDER BY doc_id""".stripMargin,
+
+    // the literal global ntile the operator decomposes away — proving
+    // the histogram-prefix + within-score-rank form exactly equivalent
+    "p13_curriculum_phases" ->
+      s"""WITH n AS (
+         | SELECT doc_id, n_chars, $normSql AS norm,
+         |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct
+         | FROM documents),
+         |w AS (
+         | SELECT doc_id, n_chars, punct,
+         |  CASE WHEN norm = '' THEN 0 ELSE len(${wordsSql()}) END AS n_tok,
+         |  ${markerHitsSql(wordsSql(), TextQ.StopWords)} AS stops
+         | FROM n),
+         |q AS (
+         | SELECT doc_id, CAST(n_tok AS BIGINT) AS ltok,
+         |  (2 * (40 * least(n_tok, 100) * n_tok * n_chars
+         |        + 3000 * (n_tok - stops) * n_chars
+         |        + 3000 * (n_chars - punct) * n_tok)
+         |   + n_tok * n_chars) // (2 * n_tok * n_chars) AS bp
+         | FROM w WHERE n_tok > 0),
+         |t AS (SELECT doc_id, ltok, bp,
+         |        ntile(4) OVER (ORDER BY bp DESC, doc_id) AS phase
+         |      FROM q)
+         |SELECT CAST(phase AS INT) AS phase, COUNT(*) AS n_docs,
+         | CAST(SUM(ltok) AS BIGINT) AS sum_tokens,
+         | MIN(bp) AS min_bp, MAX(bp) AS max_bp
+         |FROM t GROUP BY phase ORDER BY phase""".stripMargin
   )
 }

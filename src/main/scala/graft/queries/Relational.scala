@@ -219,6 +219,30 @@ object Relational extends QueryPack {
         .orderBy(col("returnflag"), col("linestatus"))
     },
 
+    // CUBE (all 4 grouping sets, vs q14's rollup chain), disambiguated
+    // by grouping_id — the bitmask (leftmost dim = high bit in both
+    // engines) that tells a real NULL dimension value from a rolled-up
+    // one. Spark expands grouping sets BEFORE the exchange (Expand →
+    // partial agg → one shuffle keyed on the expanded grouping cols),
+    // so the cube costs one pass and one exchange, not 4 scans.
+    "q17_cube_revenue" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .cube(col("l_returnflag"), col("ship_year"))
+        // grouping_id() must ride the aggregate list — it reads the
+        // Expand node's synthetic spark_grouping_id attribute, which a
+        // post-agg Project can no longer see
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100)
+            .as("sum_price"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("ship_year"), lit(-1)).cast("int").as("ship_year"),
+          col("n"), col("sum_price"))
+        .orderBy(col("gid"), col("returnflag"), col("ship_year"))
+    },
+
     // Sketch-based approximations — the 100 TB substitutes for exact
     // distinct counts and exact quantiles (HLL++ / KLL-style, mergeable
     // map-side, bounded memory). No SQL oracle: sketch implementations
@@ -437,6 +461,20 @@ object Relational extends QueryPack {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    // GROUPING() bitmask semantics match Spark's grouping_id():
+    // leftmost argument = most significant bit
+    "q17_cube_revenue" ->
+      """SELECT CAST(GROUPING(l_returnflag, y) AS INT) AS gid,
+        | coalesce(l_returnflag, 'ALL') AS returnflag,
+        | CAST(coalesce(y, -1) AS INT) AS ship_year,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+        |   AS sum_price
+        |FROM (SELECT l_returnflag, year(l_shipdate) AS y, l_extendedprice
+        |      FROM lineitem)
+        |GROUP BY CUBE (l_returnflag, y)
+        |ORDER BY gid, returnflag, ship_year""".stripMargin,
 
     "q16_exact_percentiles" ->
       """SELECT l_returnflag,

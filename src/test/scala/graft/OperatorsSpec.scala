@@ -617,4 +617,61 @@ class OperatorsSpec extends SparkTestBase {
       assert(p3.take(1) == Seq(cell) && p3.size == 3 && p3.distinct.size == 3)
     }
   }
+
+  test("spikeBuckets: flat series never flags; spike/dip flag by direction") {
+    import graft.operators.Anomaly
+    // Population z over T buckets is bounded by √(T−1), so a 3σ flag
+    // needs T ≥ 10; 20 buckets with one 100× outlier give |z| ≈ 4.3.
+    // A: flat (variance 0, dev 0 — the strict inequality suppresses it);
+    // B: 19×10 + one 1000 (spike); C: 19×1000 + one 1 (dip).
+    val rows =
+      (0 until 20).flatMap(b => Seq.fill(10)(("A", b.toLong))) ++
+        (0 until 19).flatMap(b => Seq.fill(10)(("B", b.toLong))) ++
+        Seq.fill(1000)(("B", 19L)) ++
+        (0 until 19).flatMap(b => Seq.fill(1000)(("C", b.toLong))) ++
+        Seq.fill(1)(("C", 19L))
+    val df = rows.toDF("k", "bucket")
+    val high = Anomaly.spikeBuckets(df, "k", "bucket", sigma = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(high == Set(("B", 19L, 1000L)), s"high-only got $high")
+    val both = Anomaly.spikeBuckets(df, "k", "bucket", sigma = 3,
+        flagLow = true)
+      .as[(String, Long, Long)].collect().toSet
+    assert(both == Set(("B", 19L, 1000L), ("C", 19L, 1L)), s"both got $both")
+  }
+
+  test("spikeBuckets matches a driver-side float z-score on real events") {
+    import graft.operators.Anomaly
+    val ev = Tables(spark, sfSmoke).events
+      .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
+    val got = Anomaly.spikeBuckets(ev, "event_type", "hour_ms", sigma = 3,
+        flagLow = true)
+      .as[(String, Long, Long)].collect().toSet
+    val counts = ev.groupBy("event_type", "hour_ms").count()
+      .as[(String, Long, Long)].collect()
+    val expect = counts.groupBy(_._1).values.flatMap { g =>
+      val ns = g.map(_._3.toDouble)
+      val mean = ns.sum / ns.length
+      val sd = math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / ns.length)
+      g.filter(r => sd > 0 && math.abs(r._3 - mean) >= 3 * sd - 1e-9)
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("Curriculum.phases equals a literal global ntile at several k") {
+    import graft.operators.Curriculum
+    import org.apache.spark.sql.expressions.Window
+    // scores with heavy ties (domain of 7 values over 523 rows) so the
+    // within-score rank path and phase boundaries inside a tie both run
+    val df = (1 to 523).map(i => (i.toLong, (i * i % 7).toLong))
+      .toDF("id", "score")
+    for (k <- Seq(1, 2, 4, 5, 523, 700)) {
+      val got = Curriculum.phases(df, "score", "id", k)
+        .select("id", "phase").as[(Long, Int)].collect().toMap
+      val want = df.withColumn("phase",
+          ntile(k).over(Window.orderBy(col("score").desc, col("id"))))
+        .select("id", "phase").as[(Long, Int)].collect().toMap
+      assert(got == want, s"k=$k mismatch")
+    }
+  }
 }
