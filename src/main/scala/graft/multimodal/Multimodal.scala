@@ -130,4 +130,35 @@ object Multimodal {
         lit(1L << (63 - i))).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** 64-bit energy-delta fingerprint of a decoded sample array — the
+    * chromaprint/audio SHAPE: overlapping window energies
+    * e_i = Σ codes[i·hop+1 .. i·hop+win], fingerprint bit i = [e_i >
+    * e_{i+1}]. Delta signs are GAIN INVARIANT: a constant added to
+    * every sample shifts each energy by win·gain and no strict
+    * comparison moves — volume-normalized re-encodes collide, the
+    * property acoustic fingerprints exist for. A localized k-byte
+    * glitch touches ≤ ⌈win/hop⌉ energies → ≤ ⌈win/hop⌉+1 bits, so
+    * hamming tracks corruption locally. Pure per-row expression; the
+    * codes→energies→bits chain nests inside single-element `transform`
+    * lambdas (a poor man's LET binding) so each stage evaluates ONCE
+    * per row instead of re-inlining per downstream reference — the
+    * m04 project-collapse lesson, solved in-expression this time.
+    * Pair via [[graft.operators.Dedup.hamming64Pairs]].
+    *
+    * `codes` is array<int> (decoded PCM-ish samples; in the stub-codec
+    * doctrine, byte values). Needs codes length ≥ 64·hop + win.
+    */
+  def audioFp64(codes: org.apache.spark.sql.Column,
+                win: Int = 8, hop: Int = 4): org.apache.spark.sql.Column = {
+    val pw = (0 until 64).map(i => lit(1L << (63 - i)))
+    element_at(transform(array(codes), cs => {
+      val en = transform(sequence(lit(0), lit(64)), i =>
+        aggregate(slice(cs, i * hop + 1, lit(win)), lit(0), _ + _))
+      element_at(transform(array(en), e =>
+        (0 until 64).map(i =>
+          when(element_at(e, i + 1) > element_at(e, i + 2), pw(i))
+            .otherwise(lit(0L))).reduce(_ + _)), 1)
+    }), 1)
+  }
 }

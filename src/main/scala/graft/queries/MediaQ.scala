@@ -115,11 +115,9 @@ object MediaQ extends QueryPack {
     // offset (a pop), flipping ≤ 3 bits confined to ≤ 2 bands — so
     // family pairs sit at hamming ≤ 6 with ≥ 1 clean band guaranteed
     // (glitch offsets 17/70/123/176 touch bands {0},{0,1},{1},{2}).
-    // Catalyst shape: the codes→energies→bits chain nests inside
-    // single-element `transform` lambdas (a poor man's LET) so each
-    // stage is computed ONCE per row instead of re-inlined per
-    // reference (the m04 project-collapse lesson), then the fingerprint
-    // caches before the band projection reads it 5×.
+    // The fingerprint itself is Multimodal.audioFp64 (doc there covers
+    // the in-expression LET that sidesteps m04's project-collapse trap);
+    // it caches before the band projection reads it 5×.
     "m05_audio_fp_pairs" -> { (s, dir) =>
       val fam = expr("doc_id div 4").cast("string")
       val m = (col("doc_id") % 4).cast("int")
@@ -129,17 +127,8 @@ object MediaQ extends QueryPack {
       val codes = transform(split(base, ""), ch => ascii(ch))
       val codes2 = transform(codes, (c, i) =>
         when(i + 1 === glitch, lit(122)).otherwise(c + m))
-      val pw = (0 until 64).map(i => lit(1L << (63 - i)))
-      val fp = element_at(transform(array(codes2), cs => {
-        val en = transform(sequence(lit(0), lit(64)), i =>
-          aggregate(slice(cs, i * lit(4) + 1, lit(8)), lit(0), _ + _))
-        element_at(transform(array(en), e =>
-          (0 until 64).map(i =>
-            when(element_at(e, i + 1) > element_at(e, i + 2), pw(i))
-              .otherwise(lit(0L))).reduce(_ + _)), 1)
-      }), 1)
       val ph = Tables(s, dir).documents
-        .select(col("doc_id"), fp.as("afp64"))
+        .select(col("doc_id"), Multimodal.audioFp64(codes2).as("afp64"))
         .cache()
       graft.operators.Dedup
         .hamming64Pairs(ph, "doc_id", "afp64", maxHamming = 6)

@@ -121,6 +121,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.forall(_._3 <= 2))
   }
 
+  test("audioFp64: serial parity, gain invariance, glitch locality") {
+    import spark.implicits._
+    def serial(codes: Seq[Int]): Long = {
+      val en = (0 to 64).map(i => codes.slice(i * 4, i * 4 + 8).sum)
+      (0 until 64).map(i => if (en(i) > en(i + 1)) 1L << (63 - i) else 0L)
+        .foldLeft(0L)(_ | _)
+    }
+    val rnd = new scala.util.Random(42)
+    val tracks = (0 until 20).map(_ => Seq.fill(280)(rnd.nextInt(200)))
+    val variants = tracks.flatMap { t =>
+      val g = t.map(_ + 9)                    // pure gain
+      val glitched = t.updated(100, 999)      // one-sample pop
+      Seq(t, g, glitched)
+    }
+    val got = variants.toDF("codes")
+      .select(Multimodal.audioFp64(col("codes"))).as[Long].collect()
+    assert(got.toSeq == variants.map(serial), "serial parity")
+    got.grouped(3).zip(tracks.iterator).foreach { case (fps, _) =>
+      assert(fps(0) == fps(1), "gain must drop out entirely")
+      // one sample sits in ≤2 windows → ≤3 delta bits can flip
+      assert(java.lang.Long.bitCount(fps(0) ^ fps(2)) <= 3, "glitch locality")
+    }
+  }
+
   test("kmlColor reorders to aabbggrr with 3-digit expansion") {
     val rows = Seq("#2D398B", "#abc", "oops").toDF("c")
       .select(KmlExport.kmlColor(col("c"))).as[String].collect()
