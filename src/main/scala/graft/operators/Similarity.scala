@@ -33,6 +33,72 @@ object Similarity {
       .orderBy(col("cos4").desc, col(idCol))
       .limit(k)
 
+  /** Maximal Marginal Relevance re-rank: greedily pick `k` results from
+    * a relevance shortlist, each step maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+    * diversified-retrieval objective (Carbonell & Goldstein '98), and
+    * the selection pass a training-data curator runs so the k examples
+    * kept from a near-dup-heavy neighborhood aren't k copies.
+    *
+    * Determinism doctrine: relevance and pairwise similarity are
+    * integer ten-thousandths of the 4dp-rounded cosine (the repo-wide
+    * cos4 parity contract), λ is the rational lamNum/lamDen, and every
+    * comparison is exact integer arithmetic at scale lamDen with id
+    * tiebreak — so the greedy walk is bit-reproducible in any engine
+    * (the oracle replays it as a DuckDB recursive CTE).
+    *
+    * Scale shape: the DISTRIBUTED work is shortlist generation (brute
+    * force here; swap ivfPqTopK for the indexed path) and the
+    * shortlist² pairwise-cosine self-join. The greedy walk itself runs
+    * on the driver over `shortlist` ids + `shortlist²` integer sims —
+    * BOUNDED collects (25 rows / 600 pairs at the defaults),
+    * corpus-size-independent, the graph-backtrack precedent. O(k·n)
+    * driver integer ops; no per-step Spark jobs.
+    */
+  def mmrTopK(df: DataFrame, query: DataFrame, idCol: String,
+              vecCol: String, shortlist: Int = 25, k: Int = 10,
+              lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(k <= shortlist, s"k=$k must be <= shortlist=$shortlist")
+    require(0 <= lamNum && lamNum <= lamDen && lamDen > 0,
+      s"lambda $lamNum/$lamDen outside [0,1]")
+    val spark = df.sparkSession
+    val short = bruteForceTopK(df, query, idCol, vecCol, shortlist)
+      .withColumn("rel", round(col("cos4") * 10000).cast("int"))
+      .select(col(idCol), col(vecCol), col("rel"))
+      .localCheckpoint() // two consumers (sims self-join + collect)
+    val l = short.select(col(idCol).as("__a"), col(vecCol).as("__va"))
+    val r = short.select(col(idCol).as("__b"), col(vecCol).as("__vb"))
+    val simRows = l.join(r, col("__a") =!= col("__b"))
+      .withColumn("__s", round(round(vectors.cosine(
+        vectors.asDouble(col("__va")), vectors.asDouble(col("__vb"))), 4)
+        * 10000).cast("int"))
+      .select(col("__a"), col("__b"), col("__s"))
+      .collect()
+    val sims = simRows.map(r0 =>
+      (r0.getLong(0), r0.getLong(1)) -> r0.getInt(2)).toMap
+    val cands = short.select(col(idCol), col("rel")).collect()
+      .map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    var selected = Vector.empty[(Int, Long, Int)] // (rank, id, rel)
+    var chosen = Set.empty[Long]
+    while (selected.size < math.min(k, cands.size)) {
+      val step = selected.size + 1
+      val best = cands.iterator.filterNot(c => chosen(c._1)).map {
+        case (id, rel) =>
+          val score =
+            if (chosen.isEmpty) lamDen.toLong * rel // step 1: pure relevance
+            else lamNum.toLong * rel - (lamDen - lamNum).toLong *
+              chosen.iterator.map(s => sims((id, s))).max
+          (id, rel, score)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected :+= ((step, best._1, best._2))
+      chosen += best._1
+    }
+    import spark.implicits._
+    selected.toDF("rank", idCol, "rel")
+      .select(col("rank"), col(idCol),
+        (col("rel").cast("double") / 10000).as("cos4"))
+  }
+
   /** Deterministic sign-bit bucket over selected components: bit i set iff
     * vec[positions(i)] > 0. With data written partitioned/bucketed by this
     * value, an ANN probe reads a single bucket.

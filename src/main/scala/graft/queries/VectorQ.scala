@@ -266,6 +266,22 @@ object VectorQ extends QueryPack {
         .limit(10)
     },
 
+    // MMR diversified re-rank (λ=0.7): top-25 relevance shortlist, then
+    // the greedy marginal-relevance walk picks 10 — exact integer
+    // scoring at ten-thousandth granularity, replayed step-for-step by
+    // the oracle's recursive CTE (per-step argmax via correlated
+    // LIMIT-1 subqueries). Distributed shortlist + pairwise sims;
+    // driver walk is bounded O(shortlist²) integers (operator doc).
+    "v16_mmr_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.mmrTopK(
+          e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", shortlist = 25, k = 10,
+          lamNum = 7, lamDen = 10)
+        .orderBy(col("rank"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -570,6 +586,52 @@ object VectorQ extends QueryPack {
          | round(${cosineSql("e.v", "q.qe")}, 4) AS cos4
          |FROM short s JOIN e ON e.vec_id = s.vec_id, q
          |ORDER BY cos4 DESC, s.vec_id LIMIT 10""".stripMargin,
+
+    // the greedy walk replayed exactly: integer rel/sim at 1e-4
+    // granularity, per-step argmax = correlated ORDER BY ... LIMIT 1
+    // subqueries in the recursive term (score 7·rel − 3·max sim to the
+    // selected set, id tiebreak)
+    "v16_mmr_rerank" -> {
+      val pick =
+        """SELECT c.vec_id FROM cand c
+          |       WHERE NOT list_contains(w.sel, c.vec_id)
+          |       ORDER BY 7*c.rel - 3*(SELECT MAX(s.s) FROM sim s
+          |                             WHERE s.a = c.vec_id
+          |                               AND list_contains(w.sel, s.b)) DESC,
+          |         c.vec_id
+          |       LIMIT 1""".stripMargin
+      s"""WITH RECURSIVE qv AS (SELECT embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    CAST(round(round(${cosineSql("embedding::DOUBLE[]", "qe")}, 4)
+         |         * 10000) AS INT) AS rel
+         |  FROM embeddings, qv WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 25),
+         |sim AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    CAST(round(round(${cosineSql("a.v", "b.v")}, 4) * 10000) AS INT)
+         |      AS s
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |walk(step, sel, picked, rel) AS (
+         |  (SELECT 1, [c.vec_id], c.vec_id, c.rel FROM cand c
+         |   ORDER BY c.rel DESC, c.vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT w.step + 1,
+         |    list_append(w.sel, ($pick)),
+         |    ($pick),
+         |    (SELECT c.rel FROM cand c
+         |       WHERE NOT list_contains(w.sel, c.vec_id)
+         |       ORDER BY 7*c.rel - 3*(SELECT MAX(s.s) FROM sim s
+         |                             WHERE s.a = c.vec_id
+         |                               AND list_contains(w.sel, s.b)) DESC,
+         |         c.vec_id
+         |       LIMIT 1)
+         |  FROM walk w WHERE w.step < 10)
+         |SELECT step AS rank, picked AS vec_id,
+         | CAST(rel AS DOUBLE)/10000 AS cos4
+         |FROM walk ORDER BY rank""".stripMargin
+    },
 
     "v04_ivf_probe" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

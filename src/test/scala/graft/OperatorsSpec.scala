@@ -618,6 +618,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("mmrTopK: lambda=1 reduces to top-k; diversity penalizes the twin") {
+    // query along +x; a/b nearly collinear high-relevance twins, c a
+    // moderately relevant but orthogonal-ish direction
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f)),       // query
+      (1L, Seq(0.9f, 0.1f, 0f)),   // best
+      (2L, Seq(0.89f, 0.11f, 0f)), // its near-twin
+      (3L, Seq(0.6f, 0f, 0.8f)),   // diverse
+      (4L, Seq(0.5f, -0.2f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val corpus = rows.filter(col("vec_id") =!= 0)
+    val query = rows.filter(col("vec_id") === 0)
+    // pure relevance (λ = 1): identical to bruteForceTopK's order
+    val pure = Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        shortlist = 4, k = 3, lamNum = 1, lamDen = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val bf = Similarity.bruteForceTopK(corpus, query, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pure == bf, "λ=1 must equal relevance order")
+    // balanced λ: after picking 1, the twin (2) scores below the
+    // diverse 3 — MMR must interleave
+    val mmr = Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        shortlist = 4, k = 3, lamNum = 5, lamDen = 10)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(mmr.head == 1L && mmr(1) != 2L,
+      s"twin must be demoted by the similarity penalty, got $mmr")
+    assert(mmr.toSet.size == 3 && mmr.forall(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("spikeBuckets: flat series never flags; spike/dip flag by direction") {
     import graft.operators.Anomaly
     // Population z over T buckets is bounded by √(T−1), so a 3σ flag
