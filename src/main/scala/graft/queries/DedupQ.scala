@@ -121,6 +121,38 @@ object DedupQ extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // ENSEMBLE dedup — the production curation shape: no single channel
+    // catches every near-dup class (shingle-LSH sees lexical overlap,
+    // simhash sees global token-frequency shifts, winnowing sees local
+    // positional matches that survive insertions), so the pair sets
+    // from all three UNION before clustering, and connected components
+    // run over the merged graph. Scale posture inherits from the
+    // channels: each generates candidates via banding/blocking (never
+    // all-pairs), every union leg is an ids-only (a, b) frame, and the
+    // CC loop is the d06 checkpointed min-label propagation.
+    "d15_ensemble_clusters" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documentsKernelParallel
+      val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 8, bands = 2, shingleN = 3).select(col("a"), col("b"))
+      val p2 = Dedup.simhash64Pairs(t.documents, "doc_id", "text",
+        maxHamming = 3).select(col("a"), col("b"))
+      // stricter than d14 (minShared 15, maxDf 20): at d14's settings
+      // this templated corpus winnow-links all 500 docs into one
+      // component and the ensemble degenerates; a channel in an
+      // ensemble runs at high precision, recall comes from the union.
+      // (On THIS corpus the strict channels' pairs land inside the LSH
+      // membership — the df knob is a cliff between that and flooding,
+      // a property of the template generator, not the operator; the
+      // oracle pins the 3-channel union/CC semantics either way.)
+      val p3 = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 15L, maxDf = 20L)
+        .select(col("a"), col("b"))
+      val pairs = p1.union(p2).union(p3).distinct()
+      Dedup.dupClusters(pairs, pairsCanonical = true)
+        .orderBy(col("cluster"), col("member"))
+    },
+
     // Embedding near-dup blocking WITHOUT labels — the raw-crawl shape
     // (d05's label column doesn't exist at 100 TB): candidates collide
     // on either of two 4-bit sign-hyperplane bands (v02's signBucket
@@ -227,6 +259,44 @@ object DedupQ extends QueryPack {
        |  len(list_distinct(sha)) AS la, len(list_distinct(shb)) AS lb
        | FROM cands)""".stripMargin
   }
+
+  /** d08's banded-simhash pair chain sans ORDER BY, reusable as a
+    * subquery (d15's ensemble union).
+    */
+  private def sim64PairsBody: String =
+    s"""$simhash64Sql,
+       |by AS (SELECT doc_id, simhash,
+       |        (simhash >> 48) & 65535 AS b0, (simhash >> 32) & 65535 AS b1,
+       |        (simhash >> 16) & 65535 AS b2, simhash & 65535 AS b3 FROM sim),
+       |cands AS (
+       | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |  l.simhash AS simA, r.simhash AS simB
+       | FROM by l JOIN by r
+       |  ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+       |     AND l.doc_id < r.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(simA, simB)) AS INT) AS hamming
+       |FROM cands WHERE bit_count(xor(simA, simB)) <= 3""".stripMargin
+
+  /** d14's winnow pair chain sans ORDER BY (t06's winnow chain + df band
+    * + fp-keyed self-join), reusable as a subquery.
+    */
+  private def winnowPairsBody(minShared: Int = 5, maxDf: Int = 50): String =
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |g AS (SELECT doc_id,
+       |  [('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT
+       |   FOR i IN generate_series(1, len(norm) - 7)] AS hs
+       | FROM n WHERE len(norm) >= 8),
+       |sel AS (SELECT doc_id,
+       |  list_distinct([list_min(hs[i:i+3])
+       |   FOR i IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
+       | FROM g),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |d AS (SELECT fp FROM f GROUP BY fp
+       |      HAVING COUNT(*) BETWEEN 2 AND $maxDf),
+       |kept AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
+       |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+       |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |GROUP BY a, b HAVING COUNT(*) >= $minShared""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // same n/w/sh chain as d09; distinct grams per doc, keeper = min id
@@ -340,20 +410,7 @@ object DedupQ extends QueryPack {
       "\nFROM sim ORDER BY doc_id"),
 
     // Mirrors the 4×16-bit banding (guaranteed recall at hamming ≤ 3).
-    "d08_simhash64_pairs" ->
-      s"""$simhash64Sql,
-         |by AS (SELECT doc_id, simhash,
-         |        (simhash >> 48) & 65535 AS b0, (simhash >> 32) & 65535 AS b1,
-         |        (simhash >> 16) & 65535 AS b2, simhash & 65535 AS b3 FROM sim),
-         |cands AS (
-         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-         |  l.simhash AS simA, r.simhash AS simB
-         | FROM by l JOIN by r
-         |  ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
-         |     AND l.doc_id < r.doc_id)
-         |SELECT a, b, CAST(bit_count(xor(simA, simB)) AS INT) AS hamming
-         |FROM cands WHERE bit_count(xor(simA, simB)) <= 3
-         |ORDER BY a, b""".stripMargin,
+    "d08_simhash64_pairs" -> s"$sim64PairsBody\nORDER BY a, b",
 
     // Mirrors the 4-nibble banding (guaranteed recall at hamming ≤ 3).
     "d04_simhash_pairs" ->
@@ -373,24 +430,26 @@ object DedupQ extends QueryPack {
 
     // Mirrors semanticDedup: v04's cell-assignment chain, then the
     // t06's winnow chain + the df band + fp-keyed self-join.
-    "d14_winnow_pairs" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-         |g AS (SELECT doc_id,
-         |  [('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT
-         |   FOR i IN generate_series(1, len(norm) - 7)] AS hs
-         | FROM n WHERE len(norm) >= 8),
-         |sel AS (SELECT doc_id,
-         |  list_distinct([list_min(hs[i:i+3])
-         |   FOR i IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fps
-         | FROM g),
-         |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
-         |d AS (SELECT fp FROM f GROUP BY fp
-         |      HAVING COUNT(*) BETWEEN 2 AND 50),
-         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
-         |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
-         |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
-         |GROUP BY a, b HAVING COUNT(*) >= 5
-         |ORDER BY a, b""".stripMargin,
+    "d14_winnow_pairs" -> s"${winnowPairsBody()}\nORDER BY a, b",
+
+    // union the three channels' pair chains (each one's full WITH chain
+    // nests as a subquery), then the d06 reach CTE over the merged edges
+    "d15_ensemble_clusters" ->
+      s"""WITH RECURSIVE pe0 AS (
+         |  SELECT a, b FROM ($lshCtes
+         |    SELECT a, b FROM j)
+         |  UNION
+         |  SELECT a, b FROM ($sim64PairsBody)
+         |  UNION
+         |  SELECT a, b FROM (${winnowPairsBody(minShared = 15, maxDf = 20)})),
+         |pe AS (SELECT a AS src, b AS dst FROM pe0
+         |       UNION SELECT b, a FROM pe0),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node)
+         |SELECT node AS member, MIN(r) AS cluster
+         |FROM reach GROUP BY node ORDER BY cluster, member""".stripMargin,
 
     // keep-first sweep as NOT EXISTS over lower-id cellmates at the same
     // rounded-cosine threshold.
