@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.{Ranking, Routing, Triangles}
+import graft.graph.{Cores, Ranking, Routing, Triangles}
 import SqlMacros._
 
 /** Graph/routing operators (SURVEY §2.10) over a deterministic synthetic
@@ -182,6 +182,36 @@ object GraphQ extends QueryPack {
           (graft.functions.text.saltedHash32(col("k"), 2) % 3000)
             .cast("int").as("dst"))
       Triangles.triangleCounts(edges).orderBy(col("node"))
+    },
+
+    // k-core (k=7) of a hashed order graph — iterative peel to fixpoint
+    // (graph/Cores doc has the per-round O(E) shape). The graph is
+    // SCALE-ADAPTIVE: node count = |orders|/35 keeps average degree ~10
+    // at every SF, so the peel has real structure everywhere (a fixed
+    // modulus makes the graph complete at sf0.1 and dust at sf0.001).
+    // The |orders| count is one metadata-scale action — at 100 TB a
+    // COUNT(*) over a columnar table is a stats read, not a scan. The
+    // oracle replays the peel as a recursive CTE carrying the alive
+    // set as a LIST, with UNION dedup as the fixpoint brake.
+    "r10_kcore_members" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val nn = math.max(o.count() / 35, 8L)
+      val e0 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast("string").as("k"))
+        .select(
+          (graft.functions.text.saltedHash32(col("k"), 1) % nn)
+            .cast("int").as("s"),
+          (graft.functions.text.saltedHash32(col("k"), 2) % nn)
+            .cast("int").as("t"))
+      val canon = e0.filter(col("s") =!= col("t"))
+        .select(least(col("s"), col("t")).as("a"),
+          greatest(col("s"), col("t")).as("b"))
+        .distinct()
+      val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst")))
+      Cores.kCore(sym, k = 7,
+          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
+        .orderBy(col("node"))
     }
   )
 
@@ -325,6 +355,38 @@ object GraphQ extends QueryPack {
          |          UNION ALL SELECT y FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM nodes
          |GROUP BY node ORDER BY node""".stripMargin,
+
+    // the peel as a list-carrying recursive CTE: each round recomputes
+    // in-alive degrees by joining the symmetric edges against TWO
+    // unnests of the carried alive list (hash joins — a list_contains
+    // probe would be O(E·V) per round); plain UNION is the fixpoint
+    // brake (the first repeated alive list is deduped, the working
+    // table empties, recursion stops). Final core = shortest list.
+    "r10_kcore_members" ->
+      s"""WITH RECURSIVE nv AS (
+         |  SELECT GREATEST(COUNT(*) // 35, 8) AS nn FROM orders),
+         |e0 AS (
+         |  SELECT CAST(${saltedHash32Sql("CAST(o_orderkey AS VARCHAR)", 1)}
+         |              % nv.nn AS INT) AS s,
+         |         CAST(${saltedHash32Sql("CAST(o_orderkey AS VARCHAR)", 2)}
+         |              % nv.nn AS INT) AS t
+         |  FROM orders, nv WHERE o_orderkey % 7 = 0),
+         |canon AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+         |          FROM e0 WHERE s <> t),
+         |sym AS (SELECT a AS src, b AS dst FROM canon
+         |        UNION ALL SELECT b, a FROM canon),
+         |walk(alive) AS (
+         |  SELECT (SELECT list(DISTINCT src ORDER BY src) FROM sym)
+         |  UNION
+         |  SELECT (SELECT COALESCE(list(n ORDER BY n), []) FROM (
+         |       SELECT al.n AS n
+         |       FROM unnest(w.alive) AS al(n)
+         |       JOIN sym ON sym.src = al.n
+         |       JOIN unnest(w.alive) AS al2(m) ON sym.dst = al2.m
+         |       GROUP BY al.n HAVING COUNT(*) >= 7))
+         |  FROM walk w),
+         |final AS (SELECT alive FROM walk ORDER BY len(alive) LIMIT 1)
+         |SELECT unnest(alive) AS node FROM final ORDER BY node""".stripMargin,
 
     "r03_bfs_trade_graph" ->
       """WITH RECURSIVE e AS (

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Cores
+
+/** k-core peel: hand-checkable fixpoints on crafted graphs. */
+class CoresSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sym(pairs: (Int, Int)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("kCore: triangle survives the 2-core, pendant chain peels away") {
+    // triangle 1-2-3 plus chain 3-4-5: peeling k=2 removes 5 (deg 1),
+    // then 4 — the triangle is the 2-core
+    val e = sym((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+    val core = Cores.kCore(e, k = 2).as[Int].collect().sorted
+    assert(core.toSeq == Seq(1, 2, 3))
+  }
+
+  test("kCore: cascade — losing one member drops neighbors below k") {
+    // K4 on 1-4 with a tail 4-5-6-5? no: K4 plus vertex 5 attached to
+    // 3 and 4 only (deg 2): 3-core = K4 (5 dies, K4 degrees stay 3)
+    val e = sym((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (3, 5), (4, 5))
+    assert(Cores.kCore(e, k = 3).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4))
+    // k=4: K4 has degree 3 — everything cascades to empty
+    assert(Cores.kCore(e, k = 4).count() == 0)
+  }
+
+  test("kCore equals a serial peel on the r10 hashed graph") {
+    val o = Tables(spark, sfSmoke).orders
+    val nn = math.max(o.count() / 35, 8L)
+    val e0 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").cast("string").as("k"))
+      .select(
+        (graft.functions.text.saltedHash32(col("k"), 1) % nn)
+          .cast("int").as("s"),
+        (graft.functions.text.saltedHash32(col("k"), 2) % nn)
+          .cast("int").as("t"))
+      .filter(col("s") =!= col("t"))
+      .as[(Int, Int)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    // serial reference peel
+    var adj = e0.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val dead = adj.collect { case (n, ns) if ns.size < 7 => n }.toSet
+      changed = dead.nonEmpty
+      adj = adj.collect { case (n, ns) if !dead(n) => n -> (ns -- dead) }
+    }
+    val got = Cores.kCore(sym(e0.toIndexedSeq: _*), k = 7)
+      .as[Int].collect().sorted
+    assert(got.toSeq == adj.keys.toSeq.sorted)
+  }
+}
