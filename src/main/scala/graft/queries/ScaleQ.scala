@@ -124,6 +124,30 @@ object ScaleQ extends QueryPack {
             (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
             .as("revenue"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Compaction PLANNER — the small-files maintenance pass every
+    // 100 TB warehouse runs: treat each (returnflag, ship-month) slice
+    // as one "file" whose size is its row count, and next-fit-pack the
+    // months IN CALENDAR ORDER per flag into ~5000-row target bins
+    // (order-preserving packing keeps the table's time-clustering, so
+    // compacted files still prune on date predicates — packing by
+    // descending size would destroy that). One aggregate collapses the
+    // table to file-level stats (map-side combined; the only
+    // data-scale pass), then the p09 streaming fold packs the tiny
+    // manifest. Output = the bin manifest a compactor would execute.
+    "s04_compaction_plan" -> { (s, dir) =>
+      val files = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag").as("flag"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("mon"))
+        .agg(count(lit(1)).as("rows"))
+      graft.operators.Packing
+        .nextFitPack(files, "flag", "mon", "rows", budget = 5000L)
+        .groupBy(col("flag"), col("seq_id").as("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("bin_rows"),
+          min(col("mon")).as("first_mon"), max(col("mon")).as("last_mon"))
+        .orderBy(col("flag"), col("bin"))
     }
   )
 
@@ -153,6 +177,32 @@ object ScaleQ extends QueryPack {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 0 AND 1279
         |  AND l_suppkey BETWEEN 0 AND 63
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // month-file rollup, then the p09 walk pattern (one recursion step
+    // per file per flag, carrying the running fill)
+    "s04_compaction_plan" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS mon,
+        |    COUNT(*) AS nr
+        |  FROM lineitem GROUP BY 1, 2),
+        |o AS (SELECT flag, mon, nr,
+        |        row_number() OVER (PARTITION BY flag ORDER BY mon) AS rn
+        |      FROM f),
+        |walk(flag, rn, mon, nr, filled, seq) AS (
+        |  SELECT flag, rn, mon, nr, nr, CAST(0 AS BIGINT)
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.flag, o.rn, o.mon, o.nr,
+        |    CASE WHEN w.filled > 0 AND w.filled + o.nr > 5000
+        |         THEN o.nr ELSE w.filled + o.nr END,
+        |    CASE WHEN w.filled > 0 AND w.filled + o.nr > 5000
+        |         THEN w.seq + 1 ELSE w.seq END
+        |  FROM walk w JOIN o ON o.flag = w.flag AND o.rn = w.rn + 1)
+        |SELECT flag, seq AS bin, COUNT(*) AS n_files,
+        | CAST(SUM(nr) AS BIGINT) AS bin_rows,
+        | MIN(mon) AS first_mon, MAX(mon) AS last_mon
+        |FROM walk GROUP BY flag, seq ORDER BY flag, bin""".stripMargin
   )
 }
