@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Volume-anomaly detection over a keyed event stream: bucket events
@@ -33,9 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Per-series stats over a (key, n) counts frame: (keyCol, __t, __s,
+    * __ss) — the baseline the breach test runs against. Persist this
+    * (it is keys-scale, not event-scale) to serve streaming alerts.
+    */
+  def seriesStats(counts: DataFrame, keyCol: String): DataFrame =
+    counts
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__t"),
+        sum(col("n")).as("__s"),
+        // DECIMAL(38,0) before squaring: n² at per-bucket counts past
+        // ~3·10⁹ would wrap int64; decimal keeps the algebra exact
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("__ss"))
+
+  /** The exact-integer breach predicate over a frame carrying
+    * (n, __t, __s, __ss) — see the object doc for the algebra.
+    */
+  def breach(sigma: Int, flagLow: Boolean): Column = {
+    val dev = col("n").cast("decimal(38,0)") * col("__t") - col("__s")
+    val rhs = (col("__t").cast("decimal(38,0)") * col("__ss") -
+      col("__s").cast("decimal(38,0)") * col("__s")) * (sigma.toLong * sigma)
+    val high = dev > 0 && dev * dev >= rhs
+    if (flagLow) high || (dev < 0 && dev * dev >= rhs) else high
+  }
+
   /** Flagged buckets: (keyCol, bucket, n) where n's z-score vs the
-    * series exceeds `sigma`. `bucketExpr` must be a deterministic
-    * SQL expression over the input columns (e.g. a date_trunc).
+    * series exceeds `sigma`.
     *
     * @param flagLow also flag buckets `sigma` BELOW the mean
     *                (n·T − S < 0 with the same squared inequality)
@@ -46,20 +69,8 @@ object Anomaly {
     val counts = events
       .groupBy(col(keyCol), col(bucketCol))
       .agg(count(lit(1)).as("n"))
-    val stats = counts
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__t"),
-        sum(col("n")).as("__s"),
-        // DECIMAL(38,0) before squaring: n² at per-bucket counts past
-        // ~3·10⁹ would wrap int64; decimal keeps the algebra exact
-        sum(col("n").cast("decimal(38,0)") * col("n")).as("__ss"))
-    val dev = col("n").cast("decimal(38,0)") * col("__t") - col("__s")
-    val rhs = (col("__t").cast("decimal(38,0)") * col("__ss") -
-      col("__s").cast("decimal(38,0)") * col("__s")) * (sigma.toLong * sigma)
-    val high = dev > 0 && dev * dev >= rhs
-    val cond = if (flagLow) high || (dev < 0 && dev * dev >= rhs) else high
-    counts.join(stats, Seq(keyCol))
-      .filter(cond)
+    counts.join(seriesStats(counts, keyCol), Seq(keyCol))
+      .filter(breach(sigma, flagLow))
       .select(col(keyCol), col(bucketCol), col("n"))
   }
 }

@@ -199,6 +199,31 @@ object StreamingJobs {
       .mightContainLong(xxhash64(keyCol), bloom))
   }
 
+  /** Streaming volume-anomaly alerts: watermarked hourly counts per
+    * series key from the live stream, joined against a STATIC baseline
+    * of per-series stats (graft.operators.Anomaly.seriesStats over
+    * history), flagging windows that breach the same exact-integer
+    * ±sigma·σ inequality as the batch sweep — so a replay of the
+    * stream through the batch operator flags the identical buckets.
+    *
+    * Shape: stream-static equi-join. The baseline is keys-scale and
+    * broadcast; Spark re-resolves the static side per micro-batch, so
+    * a nightly-refreshed baseline table is picked up without a stream
+    * restart. The stream side's only state is the windowed count
+    * aggregate (bounded by the watermark); append mode emits each
+    * window's verdict once, when the watermark closes it.
+    */
+  def spikeAlertStream(events: DataFrame, keyCol: String,
+                       baseline: DataFrame, sigma: Int,
+                       flagLow: Boolean = true): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), Seq(keyCol))
+      .filter(graft.operators.Anomaly.breach(sigma, flagLow))
+      .select(col(keyCol), col("w.start").as("window_start"), col("n"))
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

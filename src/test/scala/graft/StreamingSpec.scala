@@ -89,6 +89,47 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists(_._1 == "09:00"), rows.toString)
   }
 
+  test("spikeAlertStream flags breaching windows against a static baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    // static history for series "click": 20 hourly buckets of
+    // 16×10 + 2×13 + 2×4 events → T=20, S=194, SS=1970;
+    // rhs = 9·(T·SS − S²) = 9·1764 = 15876
+    val hist = (Seq.fill(16)(10) ++ Seq(13, 13, 4, 4))
+      .zipWithIndex
+      .flatMap { case (n, b) => Seq.fill(n)(("click", b.toLong)) }
+      .toDF("event_type", "bucket")
+    val counts = hist.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val baseline = graft.operators.Anomaly.seriesStats(counts, "event_type")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingJobs.spikeAlertStream(
+        mem.toDF().toDF("ts", "event_type"), "event_type", baseline,
+        sigma = 3, flagLow = true)
+      .writeStream.format("memory").queryName("spike_alerts")
+      .outputMode(OutputMode.Append).start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // hour 10: 25 clicks → dev = 25·20 − 194 = 306; 306² = 93636 ≥
+    // 15876 → breach. hour 11: 11 clicks → dev = 26; 676 < 15876 →
+    // quiet. (History's own worst bucket: n=4 → dev² 12996 < rhs.)
+    mem.addData((1 to 25).map(i => (ts(10, i), "click")): _*)
+    mem.addData((1 to 11).map(i => (ts(11, i), "click")): _*)
+    q.processAllAvailable()
+    // flush the watermark past both windows
+    mem.addData((ts(15, 0), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("spike_alerts")
+      .select(date_format(col("window_start"), "HH:mm"), col("n"))
+      .as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(("10:00", 25L)), rows.toString)
+    // replay through the batch operator: identical verdicts on the
+    // same joined stats (parity of the shared breach predicate)
+    val replay = counts.join(baseline, Seq("event_type"))
+      .filter(graft.operators.Anomaly.breach(3, flagLow = true))
+    assert(replay.count() == 0) // the baseline itself is all in-band
+  }
+
   test("sessionizeStream closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
