@@ -73,4 +73,52 @@ object Anomaly {
       .filter(breach(sigma, flagLow))
       .select(col(keyCol), col(bucketCol), col("n"))
   }
+
+  /** CUSUM drift sweep — the change-point complement of [[spikeBuckets]]:
+    * a z-test flags one loud bucket, but a SUSTAINED small shift (a
+    * crawler quietly ingesting 10% hot, a source slowly going dark) never
+    * trips any single-bucket test. The one-sided CUSUM statistic
+    * accumulates deviation from the series mean and resets at zero:
+    *     C_t = max(0, C_{t−1} + (n_t − mean))
+    * and a bucket is flagged when C_t ≥ threshold (Page 1954 — the
+    * classic sequential change-point detector).
+    *
+    * Exact integer algebra: with T buckets and S = Σn per series, the
+    * per-bucket deviation scales through by T into d_t = n_t·T − S
+    * (BIGINT — n·T wraps only past ~10¹⁸ event-bucket products), and the
+    * recurrence rewrites to the closed window form
+    *     C_t = S⁺_t − min(0, min_{i≤t} S⁺_i),   S⁺_t = Σ_{i≤t} d_i
+    * (prefix sum minus its clamped running minimum — the identity that
+    * turns the sequential fold into two window functions, the same
+    * de-recursion trick as [[Sessionize]]'s session ids). Flag where
+    * C_t ≥ thresholdCounts·T (threshold expressed in un-scaled counts of
+    * cumulative drift).
+    *
+    * Scale shape: event-scale data is touched ONCE by the map-side-
+    * combined (key, bucket) count aggregate; everything after runs on
+    * the bucket matrix (keys × span/bucket rows, volume-independent).
+    * The prefix windows partition by series key — per-key sequential
+    * state never leaves one partition, keys parallelize freely.
+    *
+    * Output: (keyCol, bucketCol, n, cusum) for flagged buckets only,
+    * `cusum` in the scaled n·T units (BIGINT, engine-exact).
+    */
+  def cusumDrift(events: DataFrame, keyCol: String, bucketCol: String,
+                 thresholdCounts: Long): DataFrame = {
+    require(thresholdCounts > 0,
+      s"thresholdCounts must be positive, got $thresholdCounts")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__t"), sum(col("n")).as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    counts.join(stats, Seq(keyCol))
+      .withColumn("__ps", sum(col("n") * col("__t") - col("__s")).over(w))
+      .withColumn("cusum",
+        col("__ps") - least(min(col("__ps")).over(w), lit(0L)))
+      .filter(col("cusum") >= col("__t") * thresholdCounts)
+      .select(col(keyCol), col(bucketCol), col("n"), col("cusum"))
+  }
 }

@@ -213,4 +213,43 @@ object Splits {
       .filter(keepByWeightBp(col(idCol), col("rate_bp"), salt))
       .select(df.columns.map(col) :+ col("rate_bp"): _*)
   }
+
+  /** Deterministic global-shuffle shard manifest — the last step before
+    * a training run: assign every row to one of `numShards` shards and a
+    * position WITHIN its shard, such that (a) each shard is an unbiased
+    * sample of the corpus (shard = stable md5 hash of the id — adjacent
+    * source documents scatter across shards, so no shard is "all of one
+    * crawl"), (b) within-shard order is itself a reproducible pseudo-
+    * random permutation (ordered by an independently-salted hash, id
+    * tiebreak — a loader streaming shard k sequentially sees an unbiased
+    * sample prefix at every cut-off), and (c) the whole manifest is a
+    * pure function of the id SET: re-partitioned or re-ordered input
+    * reproduces it bit-for-bit per engine-independent md5
+    * ([[pctBucket]]'s doctrine; Spark's `rand`/`repartition` round-robin
+    * give neither). A row's SHARD never changes as the corpus grows;
+    * positions are relative to the set, so an epoch manifest is cut per
+    * corpus snapshot.
+    *
+    * Scale shape: one shuffle on the shard key, then per-shard
+    * row_number — each shard sorts independently in its own partitions
+    * (Spark range-partitions within the window partition), so shards
+    * parallelize and no global sort exists. numShards should be ≥ the
+    * write parallelism you want; at 100 TB the manifest IS the shard
+    * writer's input, `partitionBy("shard")`.
+    *
+    * Output: all input columns + (shard INT, pos BIGINT), pos starting
+    * at 1 in hash-then-id order within each shard.
+    */
+  def shardManifest(df: DataFrame, idCol: String, numShards: Int,
+                    salt: Int = 0): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val shard = pmod(graft.functions.text.saltedHash32(
+      col(idCol).cast("string"), salt), lit(numShards)).cast("int")
+    val order = graft.functions.text.saltedHash32(
+      col(idCol).cast("string"), salt + 1)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(order, col(idCol)))
+        .cast("bigint"))
+  }
 }

@@ -110,6 +110,42 @@ object EventsQ extends QueryPack {
         .spikeBuckets(ev, "event_type", "hour_ms", sigma = 3,
           flagLow = true)
         .orderBy(col("event_type"), col("hour_ms"))
+    },
+
+    // Binned interval join (attribution): each error event matched to
+    // every same-user post-purchase window [purchase, +2 h) containing
+    // it. The engine runs the grid method — intervals replicated to the
+    // 1 h bins they overlap, points tagged with their one bin, equi-join
+    // then exact residual — while the oracle runs the naive inequality
+    // join; identical output proves the binning is a pure plan rewrite.
+    "e09_interval_attribution" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("lo"),
+          (col("ts_us") + 7200000000L).as("hi"),
+          col("event_id").as("ref_id"))
+      val pts = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.operators.Intervals
+        .pointInInterval(pts, iv, "user_id", "ts_us", "lo", "hi",
+          binWidth = 3600000000L) // 1 h bins vs 2 h intervals
+        .select(col("user_id"), col("event_id"), col("ref_id"),
+          col("ts_us"))
+        .orderBy(col("user_id"), col("event_id"), col("ref_id"))
+    },
+
+    // CUSUM drift sweep: hours where the per-type hourly count series
+    // has accumulated ≥ 25 counts of sustained positive drift vs the
+    // series mean (change-point detection — the slow-shift complement
+    // of e08's single-bucket z-test; operators.Anomaly derives the
+    // integer window form of the Page recurrence).
+    "e10_cusum_drift" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
+      graft.operators.Anomaly
+        .cusumDrift(ev, "event_type", "hour_ms", thresholdCounts = 25)
+        .orderBy(col("event_type"), col("hour_ms"))
     }
   )
 
@@ -234,6 +270,43 @@ object EventsQ extends QueryPack {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         | MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the naive inequality join the engine's binned plan must equal
+    "e09_interval_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS lo,
+        |         epoch_us(ts) + 7200000000 AS hi, event_id AS ref_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, p.ref_id, e.ts_us
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND e.ts_us >= p.lo AND e.ts_us < p.hi
+        |ORDER BY e.user_id, e.event_id, p.ref_id""".stripMargin,
+
+    // prefix sum of the T-scaled deviation minus its clamped running
+    // min = the Page CUSUM recurrence in closed window form
+    "e10_cusum_drift" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS t, SUM(n) AS s
+        |       FROM h GROUP BY 1),
+        |ps AS (
+        |  SELECT h.event_type, h.hour_ms, h.n, st.t,
+        |    SUM(h.n * st.t - st.s) OVER (PARTITION BY h.event_type
+        |                                 ORDER BY h.hour_ms) AS sp
+        |  FROM h JOIN st USING (event_type)),
+        |c AS (
+        |  SELECT event_type, hour_ms, n, t,
+        |    sp - LEAST(MIN(sp) OVER (PARTITION BY event_type
+        |                             ORDER BY hour_ms), 0) AS cusum
+        |  FROM ps)
+        |SELECT event_type, hour_ms, n, CAST(cusum AS BIGINT) AS cusum
+        |FROM c WHERE cusum >= 25 * t
+        |ORDER BY event_type, hour_ms""".stripMargin
   )
 }

@@ -333,6 +333,34 @@ object PipelineQ extends QueryPack {
           sum(col("ltok")).as("sum_tokens"),
           min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"))
         .orderBy(col("phase"))
+    },
+
+    // Pareto-frontier corpus selection: the documents not strictly
+    // beaten on BOTH "longer" (n_chars ↑) and "denser" (stopword hits ↓)
+    // — the weight-free form of quality-vs-length curation (any scored
+    // top-1 over these axes is drawn from this set). The engine runs
+    // Skyline's histogram-prefix decomposition (one aggregate + a
+    // domain-sized window + a broadcast join); the oracle runs the
+    // textbook O(n²) NOT EXISTS dominance test — identical output
+    // proves the decomposition.
+    "p14_pareto_frontier" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          text.markerHits(col("text"), TextQ.StopWords)
+            .cast("bigint").as("stops"))
+      graft.operators.Skyline.paretoFrontier(d, "n_chars", "stops")
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic global-shuffle shard manifest (Splits.shardManifest
+    // doc): md5 shard + independently-salted within-shard order — the
+    // reproducible corpus shuffle a training run consumes. Emitted
+    // row-level so the oracle pins every (shard, pos) assignment.
+    "p15_shard_manifest" -> { (s, dir) =>
+      Splits.shardManifest(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          numShards = 8)
+        .orderBy(col("shard"), col("pos"))
     }
   )
 
@@ -617,6 +645,35 @@ object PipelineQ extends QueryPack {
          |SELECT CAST(phase AS INT) AS phase, COUNT(*) AS n_docs,
          | CAST(SUM(ltok) AS BIGINT) AS sum_tokens,
          | MIN(bp) AS min_bp, MAX(bp) AS max_bp
-         |FROM t GROUP BY phase ORDER BY phase""".stripMargin
+         |FROM t GROUP BY phase ORDER BY phase""".stripMargin,
+
+    // the textbook O(n²) dominance test the engine's histogram-prefix
+    // decomposition must equal
+    "p14_pareto_frontier" ->
+      s"""WITH n AS (
+         | SELECT doc_id, n_chars, $normSql AS norm FROM documents),
+         |d AS (
+         | SELECT doc_id, n_chars,
+         |  ${markerHitsSql(wordsSql(), TextQ.StopWords)} AS stops
+         | FROM n)
+         |SELECT doc_id, n_chars, stops FROM d b
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d a
+         |  WHERE a.n_chars >= b.n_chars AND a.stops <= b.stops
+         |    AND (a.n_chars > b.n_chars OR a.stops < b.stops))
+         |ORDER BY doc_id""".stripMargin,
+
+    "p15_shard_manifest" -> {
+      val id = "CAST(doc_id AS VARCHAR)"
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(${saltedHash32Sql(id, 0)} % 8 AS INT) AS shard,
+         |    ${saltedHash32Sql(id, 1)} AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+         |    AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin
+    }
   )
 }

@@ -225,6 +225,25 @@ object Relational extends QueryPack {
     // one. Spark expands grouping sets BEFORE the exchange (Expand →
     // partial agg → one shuffle keyed on the expanded grouping cols),
     // so the cube costs one pass and one exchange, not 4 scans.
+    // Pivot (the §2.9 inverse of q11's unpivot): per-returnflag revenue
+    // cents spread across explicit ship-year columns. The value list is
+    // FIXED (1995–2001) so the schema is deterministic — Spark's
+    // implicit-pivot would otherwise run a distinct scan AND produce a
+    // data-dependent schema, which no 100 TB pipeline wants. Catalyst
+    // rewrites the explicit pivot into the same single hash aggregate of
+    // conditional sums the oracle states; absent years surface as a
+    // NULL column in both engines.
+    "q18_pivot_year_revenue" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .withColumn("yr", year(col("l_shipdate")))
+        .groupBy(col("l_returnflag"))
+        .pivot("yr", (1995 to 2001).map(Integer.valueOf))
+        .agg(sum(cents(col("l_extendedprice"))))
+        .select(col("l_returnflag") +:
+          (1995 to 2001).map(y => col(s"`$y`").as(s"y$y")): _*)
+        .orderBy(col("l_returnflag"))
+    },
+
     "q17_cube_revenue" -> { (s, dir) =>
       Tables(s, dir).lineitem
         .withColumn("ship_year", year(col("l_shipdate")))
@@ -464,6 +483,17 @@ object Relational extends QueryPack {
 
     // GROUPING() bitmask semantics match Spark's grouping_id():
     // leftmost argument = most significant bit
+    "q18_pivot_year_revenue" -> {
+      val cols = (1995 to 2001).map(y =>
+        s"CAST(SUM(CASE WHEN year(l_shipdate) = $y THEN " +
+          s"CAST(round(l_extendedprice*100) AS BIGINT) END) AS BIGINT) AS y$y")
+        .mkString(",\n ")
+      s"""SELECT l_returnflag,
+         | $cols
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
     "q17_cube_revenue" ->
       """SELECT CAST(GROUPING(l_returnflag, y) AS INT) AS gid,
         | coalesce(l_returnflag, 'ALL') AS returnflag,

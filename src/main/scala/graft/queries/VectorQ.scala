@@ -282,6 +282,49 @@ object VectorQ extends QueryPack {
         .orderBy(col("rank"))
     },
 
+    // ANN recall harness — the evaluation operator every index tuning
+    // loop needs: for a 5-query panel, exact brute-force top-10 vs the
+    // nprobe=1 IVF probe's top-10, reported as hits and recall basis
+    // points per query. Both legs share ONE scored frame (corpus ×
+    // broadcast query panel, cosines computed once); the probe leg is a
+    // filter over it, so the harness costs the brute-force scan plus
+    // window top-ks — no second corpus pass. At 100 TB the panel stays
+    // a broadcast constant and the scan parallelizes per partition;
+    // recall@k needs the exact leg by definition, which is why eval
+    // runs on a sampled corpus slice while production serves from the
+    // index (v11's at-rest layout).
+    "v17_ann_recall" -> { (s, dir) =>
+      import graft.functions.vectors
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val qids = RecallQueryIds
+      val panel = broadcast(e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("__qvec"),
+          Similarity.ivfCell(col("embedding"), cb).as("qcell")))
+      val scored = e.filter(!col("vec_id").isin(qids: _*))
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), cb))
+        .crossJoin(panel)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")),
+          vectors.asDouble(col("__qvec"))), 4))
+        .select(col("qid"), col("vec_id"), col("cell"), col("qcell"),
+          col("cos4"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+      val exact = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
+      val probe = scored.filter(col("cell") === col("qcell"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
+      exact.join(probe.withColumn("__hit", lit(1)),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("bigint").as("n_hit"))
+        .withColumn("recall_bp", col("n_hit") * 1000)
+        .orderBy(col("qid"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -303,6 +346,9 @@ object VectorQ extends QueryPack {
 
   /** Codebook size for v04/v05 (centroids = vec_id 1..CodebookSize). */
   val CodebookSize: Int = 8
+
+  /** v17's recall query panel — held out of the corpus on both sides. */
+  val RecallQueryIds: Seq[Long] = Seq(0L, 9L, 10L, 11L, 12L)
 
   /** PQ subspace count for v07 (64-dim vectors → 16-dim subvectors). */
   val PqSubspaces: Int = 4
@@ -631,6 +677,48 @@ object VectorQ extends QueryPack {
          |SELECT step AS rank, picked AS vec_id,
          | CAST(rel AS DOUBLE)/10000 AS cos4
          |FROM walk ORDER BY rank""".stripMargin
+    },
+
+    "v17_ann_recall" -> {
+      val ids = RecallQueryIds.mkString(", ")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |       FROM embeddings WHERE vec_id IN ($ids)),
+         |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |           FROM embeddings WHERE vec_id NOT IN ($ids)),
+         |cellr AS (
+         | SELECT corpus.vec_id, corpus.ee, c.cid,
+         |  row_number() OVER (PARTITION BY corpus.vec_id
+         |   ORDER BY round(${cosineSql("corpus.ee", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM corpus CROSS JOIN c),
+         |cc AS (SELECT vec_id, ee, cid AS cell FROM cellr WHERE rn = 1),
+         |qcellr AS (
+         | SELECT qs.qid, qs.qe, c.cid,
+         |  row_number() OVER (PARTITION BY qs.qid
+         |   ORDER BY round(${cosineSql("qs.qe", "c.ce")}, 4) DESC,
+         |            c.cid) AS rn
+         | FROM qs CROSS JOIN c),
+         |qc AS (SELECT qid, qe, cid AS qcell FROM qcellr WHERE rn = 1),
+         |scored AS (
+         | SELECT qc.qid, cc.vec_id, cc.cell, qc.qcell,
+         |  round(${cosineSql("cc.ee", "qc.qe")}, 4) AS cos4
+         | FROM cc CROSS JOIN qc),
+         |exact AS (SELECT qid, vec_id FROM (
+         |   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |     ORDER BY cos4 DESC, vec_id) AS rk FROM scored)
+         |  WHERE rk <= 10),
+         |probe AS (SELECT qid, vec_id FROM (
+         |   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |     ORDER BY cos4 DESC, vec_id) AS rk FROM scored
+         |   WHERE cell = qcell)
+         |  WHERE rk <= 10)
+         |SELECT e.qid, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+         | CAST(COUNT(p.vec_id) * 1000 AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN probe p
+         |  ON e.qid = p.qid AND e.vec_id = p.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
     },
 
     "v04_ivf_probe" ->

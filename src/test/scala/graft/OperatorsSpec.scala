@@ -687,6 +687,69 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("cusumDrift: window form equals the serial Page recurrence") {
+    import graft.operators.Anomaly
+    // per-key hourly counts with a sustained +2 shift halfway through
+    val rows = (for (k <- Seq("a", "b"); t <- 0 until 40) yield {
+      val n = if (k == "a" && t >= 20) 7 else 5
+      Seq.fill(n)((k, t.toLong))
+    }).flatten
+    val df = rows.toDF("k", "bucket")
+    val got = Anomaly.cusumDrift(df, "k", "bucket", thresholdCounts = 10)
+      .select("k", "bucket", "cusum").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // serial fold: C_t = max(0, C_{t-1} + (n_t*T - S)), flag C >= 10*T
+    val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = Seq("a", "b").flatMap { k =>
+      val buckets = (0L until 40L).filter(t => counts.contains((k, t)))
+      val t = buckets.size
+      val s = buckets.map(b => counts((k, b))).sum
+      var c = 0L
+      buckets.flatMap { b =>
+        c = math.max(0L, c + counts((k, b)) * t - s)
+        if (c >= 10L * t) Some((k, b) -> c) else None
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.keys.forall(_._1 == "a")) // the flat series never flags
+    assert(got.nonEmpty)
+  }
+
+  test("cusumDrift flags a sustained small shift that no z-test sees") {
+    import graft.operators.Anomaly
+    // +1/hour drift for the back half: each bucket is well under 3σ of
+    // the series, but the accumulated drift crosses the CUSUM threshold
+    val rows = (0 until 60).flatMap { t =>
+      Seq.fill(if (t >= 30) 11 else 10)(("k", t.toLong))
+    }
+    val df = rows.toDF("k", "bucket")
+    assert(Anomaly.spikeBuckets(df, "k", "bucket", sigma = 3).count() == 0)
+    val drift = Anomaly.cusumDrift(df, "k", "bucket", thresholdCounts = 8)
+    assert(drift.count() > 0)
+    // flags concentrate in the shifted half
+    assert(drift.agg(min(col("bucket"))).as[Long].head() >= 30L)
+  }
+
+  test("shardManifest: deterministic, balanced-ish, order-independent") {
+    val docs = Tables(spark, sfSmoke).documents.select(col("doc_id"))
+    val m1 = Splits.shardManifest(docs, "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    // re-ordered, re-partitioned input → identical manifest
+    val m2 = Splits.shardManifest(
+        docs.orderBy(col("doc_id").desc).repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(m1 == m2 && m1.nonEmpty)
+    // every shard's positions are contiguous 1..n
+    m1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size))
+    }
+    // md5 spreads: no shard empty, none holds > half the corpus
+    val sizes = m1.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.max <= m1.size / 2)
+  }
+
   test("Curriculum.phases equals a literal global ntile at several k") {
     import graft.operators.Curriculum
     import org.apache.spark.sql.expressions.Window
