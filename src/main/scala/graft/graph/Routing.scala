@@ -258,4 +258,53 @@ object Routing {
       warnOnTruncation)
     dist.drop("__new")
   }
+
+  /** Multi-source frontier BFS in ONE loop: hop counts from EVERY seed in
+    * `seeds` simultaneously, state keyed (seed, node). Running
+    * [[bfsHops]] per seed costs |seeds| full iterative loops (each with
+    * its per-round scheduling and checkpoint overhead); here all waves
+    * advance together, so the round count is the max eccentricity once,
+    * and each round's shuffle batches every seed's frontier into the
+    * same O(Σ frontier·out-degree) join. This is the landmark/seed-panel
+    * primitive (closeness/harmonic centrality, seed-distance features):
+    * state is O(V·|seeds|) — |seeds| must be a bounded panel, which is
+    * exactly the centrality-estimation regime (Eppstein-Wang: O(log V /
+    * ε²) sampled seeds estimate closeness for all nodes).
+    *
+    * Same mechanics as [[bfsHops]] otherwise: first discovery = final
+    * hops, settled set absorbs candidates via one full-outer merge per
+    * round, checkpointed per round, empty frontier = convergence.
+    */
+  def multiSourceBfsHops(edges: DataFrame, seeds: Seq[String], maxIter: Int,
+                         warnOnTruncation: Boolean = true,
+                         checkpointDir: Option[String] = None,
+                         prePartitionEdges: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(seeds.distinct.size == seeds.size, "seeds must be distinct")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val eSel = edges.select(col("src"), col("dst"))
+    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    var dist = ckpt(seeds.map(s => (s, s, 0)).toDF("seed", "node", "hops")
+      .withColumn("__new", lit(true)))
+    var frontier = dist.filter(col("__new"))
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("seed"), e("dst").as("node"),
+          (col("hops") + 1).as("cand_hops"))
+        .groupBy("seed", "node").agg(min("cand_hops").as("cand_hops"))
+      dist = ckpt(dist.drop("__new")
+        .join(next, Seq("seed", "node"), "full")
+        .select(col("seed"), col("node"),
+          coalesce(col("hops"), col("cand_hops")).as("hops"),
+          col("hops").isNull.as("__new")))
+      frontier = dist.filter(col("__new"))
+      i += 1
+    }
+    graft.operators.Iteration.warnIfTruncated("multiSourceBfsHops", frontier,
+      i, maxIter, warnOnTruncation)
+    dist.drop("__new")
+  }
 }

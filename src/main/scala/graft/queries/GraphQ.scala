@@ -212,6 +212,22 @@ object GraphQ extends QueryPack {
       Cores.kCore(sym, k = 7,
           checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
         .orderBy(col("node"))
+    },
+
+    // Seed-panel harmonic centrality: ONE multi-source BFS loop carries
+    // all three waves (state keyed (seed, node) — the Eppstein-Wang
+    // sampled-closeness shape), then per node the exact-integer rollup
+    // harmonic_bp = Σ_{seeds at d>0} (10000 div d), n_reached = #seeds
+    // with a finite positive distance. Unreached (seed, node) pairs
+    // simply never enter the frame — no ∞ sentinel needed.
+    "r11_harmonic_centrality" -> { (s, dir) =>
+      val d = Routing.multiSourceBfsHops(syntheticEdges(s, dir),
+        Seq("0", "7", "13"), maxIter = 25, prePartitionEdges = false)
+      d.filter(col("hops") > 0)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).cast("bigint").as("n_reached"),
+          sum(expr("10000 div hops")).cast("bigint").as("harmonic_bp"))
+        .orderBy(col("node"))
     }
   )
 
@@ -399,6 +415,27 @@ object GraphQ extends QueryPack {
         |  SELECT ee.dst, w.hops + 1 FROM walk w JOIN ee ON ee.src = w.node
         |  WHERE w.hops < 10)
         |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // per-seed BFS as one recursive CTE carrying the seed label, then
+    // the same exact-integer harmonic rollup
+    "r11_harmonic_centrality" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS src,
+        |         CAST((n_nationkey*7+3)%25 AS VARCHAR) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS VARCHAR),
+        |         CAST((n_nationkey*11+5)%25 AS VARCHAR) FROM nation),
+        |walk(seed, node, hops) AS (
+        |  SELECT s.s, s.s, 0 FROM (VALUES ('0'), ('7'), ('13')) s(s)
+        |  UNION
+        |  SELECT w.seed, e.dst, w.hops + 1 FROM walk w
+        |  JOIN e ON e.src = w.node WHERE w.hops < 25),
+        |d AS (SELECT seed, node, MIN(hops) AS hops FROM walk
+        |      GROUP BY seed, node)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        | CAST(SUM(10000 // hops) AS BIGINT) AS harmonic_bp
+        |FROM d WHERE hops > 0
         |GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -225,6 +225,27 @@ object Relational extends QueryPack {
     // one. Spark expands grouping sets BEFORE the exchange (Expand →
     // partial agg → one shuffle keyed on the expanded grouping cols),
     // so the cube costs one pass and one exchange, not 4 scans.
+    // RANGE-frame window (value-based frame, distinct from q06's
+    // ROWS-unbounded running sum): per customer, trailing-7-day order
+    // count and spend in cents at every order. The frame is defined on
+    // the DAY VALUE (range [-6, 0]) — same-day peer orders aggregate
+    // together regardless of row order, so the result is deterministic
+    // without a unique-order tiebreak, and a gap of >7 days contributes
+    // nothing (a ROWS frame could not express either). One shuffle on
+    // custkey; frames evaluate in a single sorted pass per partition.
+    "q19_trailing_week_spend" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .withColumn("day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("int"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          count(lit(1)).over(w).as("t7_n"),
+          sum(cents(col("o_totalprice"))).over(w).as("t7_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Pivot (the §2.9 inverse of q11's unpivot): per-returnflag revenue
     // cents spread across explicit ship-year columns. The value list is
     // FIXED (1995–2001) so the schema is deterministic — Spark's
@@ -483,6 +504,18 @@ object Relational extends QueryPack {
 
     // GROUPING() bitmask semantics match Spark's grouping_id():
     // leftmost argument = most significant bit
+    "q19_trailing_week_spend" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS day,
+        | COUNT(*) OVER w AS t7_n,
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w
+        |      AS BIGINT) AS t7_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q18_pivot_year_revenue" -> {
       val cols = (1995 to 2001).map(y =>
         s"CAST(SUM(CASE WHEN year(l_shipdate) = $y THEN " +

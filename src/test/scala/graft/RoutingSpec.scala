@@ -46,6 +46,21 @@ class RoutingSpec extends SparkTestBase {
     assert(h == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2, "E" -> 2))
   }
 
+  test("multiSourceBfsHops equals per-seed bfsHops, in one loop") {
+    val seeds = Seq("A", "C", "E")
+    val got = Routing.multiSourceBfsHops(fixtureEdges, seeds, 10,
+        prePartitionEdges = false)
+      .select("seed", "node", "hops").as[(String, String, Int)]
+      .collect().toSet
+    val want = seeds.flatMap { s =>
+      Routing.bfsHops(fixtureEdges, s, 10, prePartitionEdges = false)
+        .as[(String, Int)].collect().map { case (n, h) => (s, n, h) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // E is a sink: its wave is just itself
+    assert(got.count(_._1 == "E") == 1)
+  }
+
   test("broadcastFrontier changes the plan, not the answers (sssp + bfs)") {
     val d = Routing.sssp(fixtureEdges, "A", broadcastFrontier = true)
       .select("node", "dist_m").as[(String, Double)].collect().toMap
