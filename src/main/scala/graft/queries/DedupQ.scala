@@ -153,6 +153,23 @@ object DedupQ extends QueryPack {
         .orderBy(col("cluster"), col("member"))
     },
 
+    // Content-defined chunk sharing (Chunking.cdcChunks doc): per doc,
+    // how many CDC chunks it has and how many of them also occur in
+    // ANOTHER doc — the storage-dedup / shared-passage report. Chunk
+    // hashes are 8-byte values, so the cross-doc sharing join is
+    // ids-only; df = distinct docs per chunk hash.
+    "d16_cdc_chunk_sharing" -> { (s, dir) =>
+      val ch = graft.operators.Chunking
+        .cdcChunks(Tables(s, dir).documents, "doc_id", "text", divisor = 8)
+      val dfreq = ch.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      ch.join(dfreq, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding near-dup blocking WITHOUT labels — the raw-crawl shape
     // (d05's label column doesn't exist at 100 TB): candidates collide
     // on either of two 4-bit sign-hyperplane bands (v02's signBucket
@@ -450,6 +467,35 @@ object DedupQ extends QueryPack {
          |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node)
          |SELECT node AS member, MIN(r) AS cluster
          |FROM reach GROUP BY node ORDER BY cluster, member""".stripMargin,
+
+    // CDC replayed as list algebra: cut positions (token hash16 ≡ 0 mod
+    // 8), spans between cuts, md5 chunk hash per span, then the same
+    // df ≥ 2 sharing rollup. The trailing span is empty iff the last
+    // token is a cut — the st ≤ en guard mirrors the engine's
+    // prefix-count semantics, which never create it.
+    "d16_cdc_chunk_sharing" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n WHERE norm <> ''),
+         |c AS (SELECT doc_id, w,
+         |  [i FOR i IN generate_series(1, len(w))
+         |   IF ${tokenHash16Sql("w[i]")} % 8 = 0] AS cuts
+         | FROM w),
+         |sp AS (SELECT doc_id, w,
+         |  list_prepend(1, [c + 1 FOR c IN cuts]) AS st,
+         |  list_append(cuts, len(w)) AS en
+         | FROM c),
+         |ch AS (SELECT doc_id,
+         |  [${saltedHash32Sql("array_to_string(w[st[k]:en[k]], ' ')", 0)}
+         |   FOR k IN generate_series(1, len(st)) IF st[k] <= en[k]] AS chs
+         | FROM sp),
+         |occ AS (SELECT doc_id, unnest(chs) AS chash FROM ch),
+         |dfreq AS (SELECT chash, COUNT(DISTINCT doc_id) AS df
+         |          FROM occ GROUP BY chash)
+         |SELECT o.doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_shared
+         |FROM occ o JOIN dfreq d USING (chash)
+         |GROUP BY o.doc_id ORDER BY doc_id""".stripMargin,
 
     // keep-first sweep as NOT EXISTS over lower-id cellmates at the same
     // rounded-cosine threshold.

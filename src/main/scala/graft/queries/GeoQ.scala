@@ -142,6 +142,25 @@ object GeoQ extends QueryPack {
           round(geo.lerp(col("plon"), col("lon"), col("t")), 6).as("lon_i"),
           round(geo.lerp(col("plat"), col("lat"), col("t")), 6).as("lat_i"))
         .orderBy(col("c_nationkey"), col("c_custkey"), col("i"))
+    },
+
+    // Grid radius join (the 2-D sibling of e09's binned interval join):
+    // every customer within 1000 km of some nation centroid, joined on
+    // 5° grid cells (sites replicated to their radius bounding box,
+    // points to their one cell, antimeridian wrap via modular lon bins)
+    // before the exact rounded-haversine residual. The oracle runs the
+    // naive cross-join filter — the grid is a pure plan rewrite.
+    "g06_grid_radius_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pts = t.customer.select(col("c_custkey"),
+        custLon.as("lon"), custLat.as("lat"))
+      val sites = t.nation.select(col("n_nationkey"),
+        natLon.as("cl"), natLat.as("ct"))
+      graft.operators.Spatial.gridRadiusJoin(
+          pts, "lon", "lat", sites, "cl", "ct",
+          radiusKm = 1000.0, cellDeg = 5.0)
+        .select(col("c_custkey"), col("n_nationkey"), col("dist_km"))
+        .orderBy(col("c_custkey"), col("n_nationkey"))
     }
   )
 
@@ -219,6 +238,18 @@ object GeoQ extends QueryPack {
          | round(plon + (lon - plon) * (CAST(r.range AS DOUBLE) / (n + 1)), 6) AS lon_i,
          | round(plat + (lat - plat) * (CAST(r.range AS DOUBLE) / (n + 1)), 6) AS lat_i
          |FROM n_seg JOIN range(1, 5) r ON r.range <= n
-         |ORDER BY c_nationkey, c_custkey, i""".stripMargin
+         |ORDER BY c_nationkey, c_custkey, i""".stripMargin,
+
+    // the naive cross-join radius filter the engine's grid join must equal
+    "g06_grid_radius_join" ->
+      s"""WITH p AS (SELECT c_custkey, $custLonSql AS lon, $custLatSql AS lat
+         |           FROM customer),
+         |s AS (SELECT n_nationkey, $natLonSql AS cl, $natLatSql AS ct
+         |      FROM nation)
+         |SELECT c_custkey, n_nationkey,
+         | round(${havKmSql("lon", "lat", "cl", "ct")}, 4) AS dist_km
+         |FROM p, s
+         |WHERE round(${havKmSql("lon", "lat", "cl", "ct")}, 4) <= 1000
+         |ORDER BY c_custkey, n_nationkey""".stripMargin
   )
 }

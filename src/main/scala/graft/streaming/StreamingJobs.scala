@@ -224,6 +224,38 @@ object StreamingJobs {
       .filter(graft.operators.Anomaly.breach(sigma, flagLow))
       .select(col(keyCol), col("w.start").as("window_start"), col("n"))
 
+  /** Streaming face of [[graft.operators.Intervals.pointInInterval]]:
+    * a live point stream (user_id, ts, event_id) joined to a live
+    * interval-opening stream (user_id, ts, event_id→ref_id) whose
+    * windows span `lenSeconds` from their opening event — the
+    * stream-stream inner join WITH A TIME-RANGE CONDITION, which is
+    * what lets Spark bound both sides' state: each side is watermarked,
+    * and the range `i_ts ≤ p_ts < i_ts + len` tells the engine exactly
+    * how long a buffered interval can still match a future point (and
+    * vice versa), so state expires at watermark + len instead of
+    * growing forever. The batch operator bins; the stream buffers —
+    * same results for in-watermark data (spec-pinned against
+    * pointInInterval on the identical rows), late arrivals beyond the
+    * watermark are dropped, so the stream is a lower bound of a batch
+    * replay — the funnelStream contract.
+    */
+  def intervalJoinStream(points: DataFrame, intervals: DataFrame,
+                         lenSeconds: Long, watermark: String = "2 hours")
+      : DataFrame = {
+    require(lenSeconds > 0, s"lenSeconds must be positive, got $lenSeconds")
+    val p = points
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id"))
+      .withWatermark("p_ts", watermark)
+    val iv = intervals
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+        col("event_id").as("ref_id"))
+      .withWatermark("i_ts", watermark)
+    p.join(iv, expr(
+        s"user_id = i_user AND p_ts >= i_ts AND " +
+          s"p_ts < i_ts + interval $lenSeconds seconds"))
+      .select(col("user_id"), col("event_id"), col("ref_id"), col("p_ts"))
+  }
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

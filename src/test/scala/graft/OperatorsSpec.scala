@@ -750,6 +750,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(sizes.size == 8 && sizes.values.max <= m1.size / 2)
   }
 
+  test("cdcChunks equals a serial fold; chunks partition the tokens") {
+    import graft.operators.Chunking
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h16(t: String) = Integer.parseInt(md5hex(t).substring(0, 4), 16)
+    def h32(s: String) = java.lang.Long.parseLong(
+      md5hex("0:" + s).substring(0, 8), 16)
+    def serial(text: String): Seq[(Int, Long, Long)] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Nil
+      else {
+        val chunks = toks.foldLeft(Vector(Vector.empty[String])) {
+          (acc, t) =>
+            val cur = acc.init :+ (acc.last :+ t)
+            if (h16(t) % 8 == 0) cur :+ Vector.empty else cur
+        }.filter(_.nonEmpty)
+        chunks.zipWithIndex.map { case (c, i) =>
+          (i, c.size.toLong, h32(c.mkString(" ")))
+        }
+      }
+    }
+    val docs = Tables(spark, sfSmoke).documents.limit(50)
+    val got = Chunking.cdcChunks(docs, "doc_id", "text", divisor = 8)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_hash")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sorted.toSeq)
+      .toMap
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> serial(t).sorted }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want && got.nonEmpty)
+    // chunks partition the token stream: per-doc token mass is conserved
+    got.foreach { case (id, chunks) =>
+      assert(chunks.map(_._2).sum ==
+        want(id).map(_._2).sum)
+    }
+  }
+
+  test("cdcChunks boundaries re-align after a prefix edit") {
+    import graft.operators.Chunking
+    val base = Tables(spark, sfSmoke).documents
+      .orderBy("doc_id").limit(1).select("text").as[String].head()
+    val edited = "entirely new lead sentence inserted here " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = Chunking.cdcChunks(df, "doc_id", "text", divisor = 8)
+      .select("doc_id", "chunk_hash").as[(Long, Long)].collect()
+    val a = ch.filter(_._1 == 1L).map(_._2).toSet
+    val b = ch.filter(_._1 == 2L).map(_._2).toSet
+    // content-defined boundaries: every chunk of the original except
+    // (at most) its first survives the prefix insertion verbatim
+    assert(a.size >= 2, s"fixture too short: ${a.size} chunks")
+    assert((a -- b).size <= 1, s"lost ${(a -- b).size} of ${a.size}")
+  }
+
   test("Curriculum.phases equals a literal global ntile at several k") {
     import graft.operators.Curriculum
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Spatial
+
+/** Grid radius join: parity with the naive cross-join filter on real
+  * tables, antimeridian wrap, duplicate-site preservation, and the
+  * no-duplicate-pair guarantee for wide (near-polar) boxes.
+  */
+class SpatialSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def naive(points: org.apache.spark.sql.DataFrame,
+                    sites: org.apache.spark.sql.DataFrame,
+                    r: Double) =
+    points.crossJoin(sites)
+      .withColumn("dist_km", round(graft.functions.geo.haversineKm(
+        col("lon"), col("lat"), col("cl"), col("ct")), 4))
+      .filter(col("dist_km") <= r)
+
+  test("grid join equals the naive cross-join filter on real tables") {
+    val t = Tables(spark, sfSmoke)
+    val pts = t.customer.select(col("c_custkey").as("pid"),
+      ((col("c_custkey") % 3600).cast("double") / 10 - 180).as("lon"),
+      (((col("c_custkey") * 7) % 1700).cast("double") / 10 - 85).as("lat"))
+    val sites = t.nation.select(col("n_nationkey").as("sid"),
+      (((col("n_nationkey") * 37) % 360).cast("double") - 179.5).as("cl"),
+      (((col("n_nationkey") * 23) % 160).cast("double") - 79.5).as("ct"))
+    // cell much smaller than the radius → real multi-cell replication
+    val got = Spatial.gridRadiusJoin(pts, "lon", "lat", sites, "cl", "ct",
+        radiusKm = 1500.0, cellDeg = 4.0)
+      .select("pid", "sid").as[(Long, Long)].collect().toSet
+    val want = naive(pts, sites, 1500.0)
+      .select("pid", "sid").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("antimeridian: a site at lon 179.8 finds a point at lon -179.9") {
+    val pts = Seq((1L, -179.9, 10.0)).toDF("pid", "lon", "lat")
+    val sites = Seq((7L, 179.8, 10.0)).toDF("sid", "cl", "ct")
+    val out = Spatial.gridRadiusJoin(pts, "lon", "lat", sites, "cl", "ct",
+      radiusKm = 200.0, cellDeg = 5.0)
+    assert(out.count() == 1) // ~33 km apart across the wrap
+  }
+
+  test("duplicate site rows each produce their own pair (naive semantics)") {
+    val pts = Seq((1L, 10.0, 10.0)).toDF("pid", "lon", "lat")
+    val sites = Seq((7L, 10.1, 10.1), (7L, 10.1, 10.1))
+      .toDF("sid", "cl", "ct")
+    val out = Spatial.gridRadiusJoin(pts, "lon", "lat", sites, "cl", "ct",
+      radiusKm = 100.0, cellDeg = 5.0)
+    assert(out.count() == 2)
+  }
+
+  test("a near-polar site spans every lon bin without duplicating pairs") {
+    val pts = Seq((1L, 10.0, 88.0), (2L, -170.0, 89.0))
+      .toDF("pid", "lon", "lat")
+    val sites = Seq((7L, 0.0, 89.5)).toDF("sid", "cl", "ct")
+    val out = Spatial.gridRadiusJoin(pts, "lon", "lat", sites, "cl", "ct",
+        radiusKm = 400.0, cellDeg = 5.0)
+      .select("pid", "sid").as[(Long, Long)].collect().toSeq
+    // point 2 is ~120 km from the site (both near the pole), point 1 is
+    // ~220 km of latitude away — both inside 400 km, each exactly once
+    assert(out.sorted == Seq((1L, 7L), (2L, 7L)))
+  }
+}

@@ -130,6 +130,49 @@ class StreamingSpec extends SparkTestBase {
     assert(replay.count() == 0) // the baseline itself is all in-band
   }
 
+  test("intervalJoinStream matches the batch binned join across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val pMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val iMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamingJobs.intervalJoinStream(
+        pMem.toDF().toDF("user_id", "ts", "event_id"),
+        iMem.toDF().toDF("user_id", "ts", "event_id"),
+        lenSeconds = 7200)
+      .writeStream.format("memory").queryName("iv_join")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 opens a window at 10:00 (ref 100); an in-window
+    // point arrives in the SAME batch (10:30, id 10)
+    iMem.addData((1L, ts(10, 0), 100L))
+    pMem.addData((1L, ts(10, 30), 10L))
+    q.processAllAvailable()
+    // batch 2: a LATER point lands in the buffered window (11:59, id
+    // 11 — cross-batch match), one just past it (12:00, id 12 — the
+    // half-open edge), and user 2 has a point but no window
+    pMem.addData((1L, ts(11, 59), 11L), (1L, ts(12, 0), 12L),
+      (2L, ts(11, 0), 20L))
+    q.processAllAvailable()
+    val got = spark.table("iv_join")
+      .select("event_id", "ref_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((10L, 100L), (11L, 100L)), got.toString)
+    // parity: the batch binned operator on the same rows
+    val pts = Seq((1L, ts(10, 30), 10L), (1L, ts(11, 59), 11L),
+      (1L, ts(12, 0), 12L), (2L, ts(11, 0), 20L))
+      .toDF("user_id", "ts", "event_id")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    val ivs = Seq((1L, ts(10, 0), 100L)).toDF("user_id", "ts", "ref_id")
+      .select(col("user_id"), unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + 7200000000L).as("hi"), col("ref_id"))
+    val batch = graft.operators.Intervals
+      .pointInInterval(pts, ivs, "user_id", "ts_us", "lo", "hi",
+        binWidth = 3600000000L)
+      .select("event_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("sessionizeStream closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
