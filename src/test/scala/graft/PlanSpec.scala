@@ -233,6 +233,47 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("e09/g06: binned joins plan as equi-joins — no nested-loop, no cartesian") {
+    for (name <- Seq("e09_interval_attribution", "g06_grid_radius_join")) {
+      val plan = formattedPlan(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name fell back to an unpartitionable join:\n$plan")
+      // the residual predicate must NOT be the join itself
+      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+        s"$name has no equi-join:\n$plan")
+    }
+  }
+
+  test("p14: frontier steps broadcast back; no inequality self-join") {
+    val plan = formattedPlan("p14_pareto_frontier")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"skyline decomposition regressed to a dominance join:\n$plan")
+  }
+
+  test("p15: shard manifest has no global sort before the window") {
+    // the per-shard row_number must partition by shard — a missing
+    // partition key would plan a single-partition window (the q16 guard)
+    val plan = formattedPlan("p15_shard_manifest")
+    val winLines = plan.linesIterator.filter(_.contains("Window")).mkString
+    assert(!winLines.contains("Window ["), s"unexpected plan:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window not shard-partitioned:\n$plan")
+  }
+
+  test("d16: chunk assembly is doc-keyed — one data-scale exchange kind") {
+    val plan = formattedPlan("d16_cdc_chunk_sharing")
+    // every data-scale exchange hashes on doc_id or chunk_hash (the
+    // ids-only sharing join); no exchange on raw text columns
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join:\n$plan")
+    val exLines = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exLines.contains("term"), s"raw tokens rode an exchange:\n$exLines")
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
