@@ -285,14 +285,17 @@ object VectorQ extends QueryPack {
     // ANN recall harness — the evaluation operator every index tuning
     // loop needs: for a 5-query panel, exact brute-force top-10 vs the
     // nprobe=1 IVF probe's top-10, reported as hits and recall basis
-    // points per query. Both legs share ONE scored frame (corpus ×
-    // broadcast query panel, cosines computed once); the probe leg is a
-    // filter over it, so the harness costs the brute-force scan plus
-    // window top-ks — no second corpus pass. At 100 TB the panel stays
-    // a broadcast constant and the scan parallelizes per partition;
-    // recall@k needs the exact leg by definition, which is why eval
-    // runs on a sampled corpus slice while production serves from the
-    // index (v11's at-rest layout).
+    // points per query. Both legs FUSE into one pass over one scored
+    // frame (corpus × broadcast panel): a single window carries
+    // row_number (the exact rank) AND a running conditional count of
+    // cell-matching rows (the probe rank — ranking the filtered subset
+    // without ranking-after-filter, which would sit below its own
+    // exchange, defeat exchange reuse, and cost a second corpus scan).
+    // A row is in the intersection iff rk ≤ k ∧ cell-match ∧ prank ≤ k,
+    // so recall falls out of a groupBy with no join. At 100 TB the
+    // panel stays a broadcast constant; recall@k needs the exact leg by
+    // definition, which is why eval runs on a sampled corpus slice
+    // while production serves from the index (v11's at-rest layout).
     "v17_ann_recall" -> { (s, dir) =>
       import graft.functions.vectors
       import org.apache.spark.sql.expressions.Window
@@ -312,15 +315,15 @@ object VectorQ extends QueryPack {
           col("cos4"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos4").desc, col("vec_id"))
-      val exact = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
-      val probe = scored.filter(col("cell") === col("qcell"))
+      scored
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
-      exact.join(probe.withColumn("__hit", lit(1)),
-          Seq("qid", "vec_id"), "left")
+        .withColumn("prank", sum(when(col("cell") === col("qcell"), 1)
+          .otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rk") <= 10)
         .groupBy(col("qid"))
-        .agg(sum(coalesce(col("__hit"), lit(0))).cast("bigint").as("n_hit"))
+        .agg(sum(when(col("cell") === col("qcell") && col("prank") <= 10, 1L)
+          .otherwise(0L)).cast("bigint").as("n_hit"))
         .withColumn("recall_bp", col("n_hit") * 1000)
         .orderBy(col("qid"))
     },

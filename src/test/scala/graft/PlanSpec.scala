@@ -274,6 +274,21 @@ class PlanSpec extends SparkTestBase {
     assert(!exLines.contains("term"), s"raw tokens rode an exchange:\n$exLines")
   }
 
+  test("v17: both recall legs fuse into ONE window pass (no second scan)") {
+    val plan = formattedPlan("v17_ann_recall")
+    // Spark splits row_number and the framed conditional sum into two
+    // adjacent Window nodes, but they share ONE Sort+Exchange — the pin
+    // is the exchange count: qid window shuffle + final orderBy = 2.
+    // A regressed filter-then-rank formulation plans a second window
+    // shuffle (and a third corpus scan) on the probe leg.
+    val exchanges = plan.linesIterator
+      .count(_.matches(".*\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans <= 2, s"recall legs re-scan the corpus ($scans scans):\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
