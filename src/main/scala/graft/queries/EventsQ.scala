@@ -146,6 +146,22 @@ object EventsQ extends QueryPack {
       graft.operators.Anomaly
         .cusumDrift(ev, "event_type", "hour_ms", thresholdCounts = 25)
         .orderBy(col("event_type"), col("hour_ms"))
+    },
+
+    // Trailing-7-day distinct active users per event type — the WAU
+    // metric. `COUNT(DISTINCT) OVER (RANGE ...)` is inexpressible as a
+    // window function in Spark; SlidingDistinct's interval-coverage
+    // decomposition (distinct activity → lag-deduped ±1 deltas → day
+    // grid prefix sum) computes it exactly with no per-window user
+    // sets. The oracle recomputes each day's window with a correlated
+    // COUNT(DISTINCT) — the definitional form.
+    "e11_sliding_distinct_users" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      graft.operators.SlidingDistinct
+        .slidingDistinct(ev, "event_type", "user_id", "day",
+          windowDays = 7)
+        .orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -307,6 +323,24 @@ object EventsQ extends QueryPack {
         |  FROM ps)
         |SELECT event_type, hour_ms, n, CAST(cusum AS BIGINT) AS cusum
         |FROM c WHERE cusum >= 25 * t
-        |ORDER BY event_type, hour_ms""".stripMargin
+        |ORDER BY event_type, hour_ms""".stripMargin,
+
+    // the definitional correlated COUNT(DISTINCT) per (type, day) —
+    // fine at oracle scale, quadratic at engine scale (which is why
+    // the engine runs the coverage decomposition instead)
+    "e11_sliding_distinct_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |         epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |days AS (
+        |  SELECT event_type, unnest(generate_series(MIN(day), MAX(day)))
+        |           AS day
+        |  FROM a GROUP BY event_type)
+        |SELECT d.event_type, d.day,
+        | (SELECT COUNT(DISTINCT a2.user_id) FROM a a2
+        |  WHERE a2.event_type = d.event_type
+        |    AND a2.day BETWEEN d.day - 6 AND d.day) AS n_distinct
+        |FROM days d ORDER BY d.event_type, d.day""".stripMargin
   )
 }

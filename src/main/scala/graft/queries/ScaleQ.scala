@@ -47,6 +47,32 @@ object ScaleQ extends QueryPack {
   private[queries] val ZCellX = 2560L
   private[queries] val ZCellY = 128L
 
+  /** s05's zone-mapped layout: lineitem partitioned by ship-MONTH
+    * "files" with per-file min/max stats on the ship-DAY — the probe
+    * prunes on data statistics, not on key arithmetic (the reader never
+    * learns the month encoding), which is what lets zone maps prune on
+    * any column correlated with the ingest clustering.
+    */
+  private val ZmLo = java.time.LocalDate.of(1996, 3, 15).toEpochDay
+  private val ZmHi = java.time.LocalDate.of(1996, 4, 30).toEpochDay
+
+  /** Build-once guard for s05 (same pattern as [[ensureBucketed]]). */
+  @volatile private var zoneMappedFor: String = null
+  private def ensureZoneMapped(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (zoneMappedFor != dir) {
+        graft.sources.ZoneMap.writeWithStats(
+          Tables(s, dir).lineitem.select(
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast("long").as("ship_mon"),
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long").as("ship_day"),
+            col("l_returnflag"), col("l_extendedprice"), col("l_discount")),
+          "graft_wh_lineitem_zm", "ship_mon", "ship_day")
+        zoneMappedFor = dir
+      }
+    }
+
   /** Build-once guard for s03's z-ordered lineitem slice (same pattern
     * as [[ensureBucketed]]).
     */
@@ -126,6 +152,25 @@ object ScaleQ extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // Zone-map range probe: revenue per returnflag over a 47-day
+    // ship-date window. The reader consults the per-file (ship-month)
+    // min/max day stats at PLANNING time and opens only the 2-3 files
+    // whose range intersects — file skipping on DATA statistics
+    // (ZoneMap doc; ZoneMapSpec pins the partitions-read count). The
+    // oracle runs the same predicate on the raw table: the layout
+    // detour must never change the answer.
+    "s05_zonemap_range_revenue" -> { (s, dir) =>
+      ensureZoneMapped(s, dir)
+      graft.sources.ZoneMap.readRange(s, "graft_wh_lineitem_zm",
+          "ship_mon", "ship_day", ZmLo, ZmHi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice")) *
+            (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Compaction PLANNER — the small-files maintenance pass every
     // 100 TB warehouse runs: treat each (returnflag, ship-month) slice
     // as one "file" whose size is its row count, and next-fit-pack the
@@ -178,6 +223,17 @@ object ScaleQ extends QueryPack {
         |WHERE l_partkey BETWEEN 0 AND 1279
         |  AND l_suppkey BETWEEN 0 AND 63
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the raw-table range — layout + stats must not change the answer
+    "s05_zonemap_range_revenue" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+         |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000
+         |   AS revenue
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+         |      BETWEEN $ZmLo AND $ZmHi
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // month-file rollup, then the p09 walk pattern (one recursion step
     // per file per flag, carrying the running fill)

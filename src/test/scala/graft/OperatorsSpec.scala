@@ -806,6 +806,53 @@ class OperatorsSpec extends SparkTestBase {
     assert((a -- b).size <= 1, s"lost ${(a -- b).size} of ${a.size}")
   }
 
+  test("slidingDistinct equals a brute-force window recount") {
+    import graft.operators.SlidingDistinct
+    // key a: one user active 10 straight days (must count once per
+    // window, not 7×), another with a >window gap (count drops to 0
+    // between), key b: disjoint users each day
+    val rows =
+      (0L until 10L).map(d => ("a", 1L, d)) ++
+        Seq(("a", 2L, 0L), ("a", 2L, 20L)) ++
+        Seq(("b", 10L, 5L), ("b", 11L, 6L), ("b", 12L, 7L))
+    val df = rows.toDF("k", "u", "day")
+    for (win <- Seq(1, 3, 7)) {
+      val got = SlidingDistinct.slidingDistinct(df, "k", "u", "day", win)
+        .select("k", "day", "n_distinct").as[(String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val byKey = rows.groupBy(_._1)
+      val want = byKey.flatMap { case (k, rs) =>
+        val days = rs.map(_._3)
+        (days.min to days.max).map { d =>
+          (k, d) -> rs.filter(r => r._3 >= d - win + 1 && r._3 <= d)
+            .map(_._2).distinct.size.toLong
+        }
+      }
+      assert(got == want, s"win=$win")
+      // the gap: key a day 16 (window [10,16]) has zero active users
+      if (win == 7) assert(got(("a", 16L)) == 0L)
+    }
+  }
+
+  test("slidingDistinct matches the correlated recount on real events") {
+    import graft.operators.SlidingDistinct
+    val ev = Tables(spark, sfSmoke).events
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val got = SlidingDistinct
+      .slidingDistinct(ev, "event_type", "user_id", "day", 7)
+      .select("event_type", "day", "n_distinct")
+      .as[(String, Long, Long)].collect().toSet
+    val act = ev.select("event_type", "user_id", "day")
+      .as[(String, Long, Long)].collect().distinct
+    val want = act.groupBy(_._1).flatMap { case (k, rs) =>
+      (rs.map(_._3).min to rs.map(_._3).max).map { d =>
+        (k, d, rs.filter(r => r._3 >= d - 6 && r._3 <= d)
+          .map(_._2).distinct.size.toLong)
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("Curriculum.phases equals a literal global ntile at several k") {
     import graft.operators.Curriculum
     import org.apache.spark.sql.expressions.Window

@@ -63,14 +63,14 @@ class ZOrderSpec extends SparkTestBase {
           case r: ReusedExchangeExec => Seq(r.child)
           case other => other.children
         }).flatMap(allScans)
-      val probed = q.filter(col("l_quantity") >= 0)
-      probed.write.format("noop").mode("overwrite").save()
-      val scans = allScans(probed.queryExecution.executedPlan)
+      // planning-time file listing (runtime metrics on the pre-AQE plan
+      // instance stay 0, which made the old numPartitions pin vacuous)
+      val scans = allScans(q.queryExecution.executedPlan)
         .filter(_.metadata.getOrElse("PartitionFilters", "[]") != "[]")
       assert(scans.nonEmpty, "no partition-filtered scan")
-      val partsRead = scans.map(_.metrics("numPartitions").value).max
-      assert(partsRead <= 1,
-        s"box spans 1 Morton cell but scan read $partsRead partitions")
+      val partsRead = scans.map(_.selectedPartitions.partitionCount).max
+      assert(partsRead == 1,
+        s"box spans 1 Morton cell but scan reads $partsRead partitions")
     } finally
       spark.sql("DROP TABLE IF EXISTS z_spec_li")
   }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ZoneMap
+
+/** Zone-map skipping: probe ≡ raw filter, stats correctness, and the
+  * planning-time pruning property (partitions read = files whose
+  * [min,max] intersects the range).
+  */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zone-mapped probe equals the raw range filter; scan skips files") {
+    val li = Tables(spark, sfSmoke).lineitem.select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("mon"),
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("day"),
+      col("l_quantity"))
+    ZoneMap.writeWithStats(li, "zm_spec_li", "mon", "day")
+    try {
+      // a range inside ONE month: stats must prune to that single file
+      val lo = java.time.LocalDate.of(1996, 6, 5).toEpochDay
+      val hi = java.time.LocalDate.of(1996, 6, 25).toEpochDay
+      val q = ZoneMap.readRange(spark, "zm_spec_li", "mon", "day", lo, hi)
+      val got = q.agg(count(lit(1)), sum(col("l_quantity"))).head()
+      val want = li.filter(col("day").between(lo, hi))
+        .agg(count(lit(1)), sum(col("l_quantity"))).head()
+      assert(got == want && got.getLong(0) > 0)
+      // stats table: one row per month-file, lo <= hi, day inside month
+      val stats = spark.table(ZoneMap.statsTable("zm_spec_li"))
+      assert(stats.count() ==
+        li.select("mon").distinct().count())
+      assert(stats.filter(col("lo") > col("hi")).count() == 0)
+      // pruning evidence: the probed scan reads exactly 1 partition
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        (p match {
+          case s: FileSourceScanExec => Seq(s)
+          case _ => Nil
+        }) ++ (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case other => other.children
+        }).flatMap(allScans)
+      // planning-time truth (metrics on the pre-AQE instance stay 0):
+      // the file listing the scan will actually read
+      val scans = allScans(q.queryExecution.executedPlan)
+        .filter(_.metadata.getOrElse("PartitionFilters", "[]") != "[]")
+      assert(scans.nonEmpty, "no partition-filtered scan")
+      val partsRead = scans.map(_.selectedPartitions.partitionCount).max
+      assert(partsRead == 1,
+        s"in-month range should read 1 file, read $partsRead")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS zm_spec_li")
+      spark.sql(s"DROP TABLE IF EXISTS ${ZoneMap.statsTable("zm_spec_li")}")
+    }
+  }
+
+  test("a range missing every zone reads nothing and returns empty") {
+    val df = Seq((1L, 10L, "a"), (1L, 19L, "b"), (2L, 40L, "c"))
+      .toDF("f", "d", "v")
+    ZoneMap.writeWithStats(df, "zm_spec_tiny", "f", "d")
+    try {
+      // 20..39 falls in the gap between file 1's [10,19] and file 2's [40,40]
+      assert(ZoneMap.readRange(spark, "zm_spec_tiny", "f", "d", 20, 39)
+        .count() == 0)
+      // stats over-coverage is harmless: 15..45 reads both, exact
+      // predicate still filters to the true rows
+      val got = ZoneMap.readRange(spark, "zm_spec_tiny", "f", "d", 15, 45)
+        .select("v").as[String].collect().toSet
+      assert(got == Set("b", "c"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS zm_spec_tiny")
+      spark.sql(s"DROP TABLE IF EXISTS ${ZoneMap.statsTable("zm_spec_tiny")}")
+    }
+  }
+}
