@@ -144,6 +144,24 @@ object GeoQ extends QueryPack {
         .orderBy(col("c_nationkey"), col("c_custkey"), col("i"))
     },
 
+    // Radial-distance track simplification (RadialSimplify doc): the
+    // order-sensitive decimation fold — keep a point iff ≥ 5000 km from
+    // the last KEPT point — on the g02 lineitem "tracks". No window
+    // function expresses the evolving kept-set; the oracle replays the
+    // walk as a recursive CTE carrying the last-kept coordinates (the
+    // e03 pattern, with haversine as the gap).
+    "g07_radial_simplify" -> { (s, dir) =>
+      val pts = Tables(s, dir).lineitem.select(
+        col("l_orderkey"),
+        (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L +
+          col("l_suppkey")).as("seq"),
+        liLon.as("lon"), liLat.as("lat"))
+      graft.operators.RadialSimplify
+        .radialSimplify(pts, "l_orderkey", "seq", "lon", "lat",
+          tolKm = 5000.0)
+        .orderBy(col("l_orderkey"), col("seq"))
+    },
+
     // Grid radius join (the 2-D sibling of e09's binned interval join):
     // every customer within 1000 km of some nation centroid, joined on
     // 5° grid cells (sites replicated to their radius bounding box,
@@ -239,6 +257,31 @@ object GeoQ extends QueryPack {
          | round(plat + (lat - plat) * (CAST(r.range AS DOUBLE) / (n + 1)), 6) AS lat_i
          |FROM n_seg JOIN range(1, 5) r ON r.range <= n
          |ORDER BY c_nationkey, c_custkey, i""".stripMargin,
+
+    // the decimation walk replayed row-at-a-time, carrying last-kept
+    // coordinates (e03's recursion pattern with haversine as the gap)
+    "g07_radial_simplify" -> {
+      val hav = havKmSql("w.klon", "w.klat", "p.lon", "p.lat")
+      s"""WITH RECURSIVE p AS (
+         |  SELECT l_orderkey AS trk,
+         |    l_linenumber*10000000000 + l_partkey*100000 + l_suppkey AS seq,
+         |    $liLonSql AS lon, $liLatSql AS lat,
+         |    row_number() OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+         |  FROM lineitem),
+         |walk(trk, rn, seq, lon, lat, klon, klat, kept) AS (
+         |  SELECT trk, rn, seq, lon, lat, lon, lat, true FROM p WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.trk, p.rn, p.seq, p.lon, p.lat,
+         |    CASE WHEN round($hav, 4) >= 5000
+         |         THEN p.lon ELSE w.klon END,
+         |    CASE WHEN round($hav, 4) >= 5000
+         |         THEN p.lat ELSE w.klat END,
+         |    round($hav, 4) >= 5000
+         |  FROM walk w JOIN p ON p.trk = w.trk AND p.rn = w.rn + 1)
+         |SELECT trk AS l_orderkey, seq, lon, lat FROM walk WHERE kept
+         |ORDER BY l_orderkey, seq""".stripMargin
+    },
 
     // the naive cross-join radius filter the engine's grid join must equal
     "g06_grid_radius_join" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.{Cores, Ranking, Routing, Triangles}
+import graft.graph.{Cores, Projection, Ranking, Routing, Triangles}
 import SqlMacros._
 
 /** Graph/routing operators (SURVEY §2.10) over a deterministic synthetic
@@ -214,6 +214,21 @@ object GraphQ extends QueryPack {
         .orderBy(col("node"))
     },
 
+    // Bipartite projection: the supplier co-purchase graph — supplier
+    // pairs weighted by distinct shared customers, hub customers (> 35
+    // distinct suppliers) dropped before the quadratic self-join
+    // (Projection doc: a left node shared by everyone is the bipartite
+    // stopword; the cap bounds the join at C(35,2) pairs per customer).
+    "r12_copurchase_projection" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      Projection.bipartiteProject(edges, "o_custkey", "l_suppkey",
+          maxDeg = 35)
+        .orderBy(col("r1"), col("r2"))
+    },
+
     // Seed-panel harmonic centrality: ONE multi-source BFS loop carries
     // all three waves (state keyed (seed, node) — the Eppstein-Wang
     // sampled-closeness shape), then per node the exact-integer rollup
@@ -416,6 +431,16 @@ object GraphQ extends QueryPack {
         |  WHERE w.hops < 10)
         |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "r12_copurchase_projection" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (SELECT l FROM e GROUP BY l HAVING COUNT(*) <= 35),
+        |k AS (SELECT e.l, e.r FROM e JOIN d USING (l))
+        |SELECT a.r AS r1, b.r AS r2, COUNT(*) AS weight
+        |FROM k a JOIN k b ON a.l = b.l AND a.r < b.r
+        |GROUP BY a.r, b.r ORDER BY r1, r2""".stripMargin,
 
     // per-seed BFS as one recursive CTE carrying the seed label, then
     // the same exact-integer harmonic rollup

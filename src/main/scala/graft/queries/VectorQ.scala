@@ -328,6 +328,45 @@ object VectorQ extends QueryPack {
         .orderBy(col("qid"))
     },
 
+    // Matryoshka-truncation recall — the "how much recall do I lose if
+    // I read only the first 16 of 64 dims" eval behind MRL-style
+    // embedding storage (truncated dims = 4× less vector I/O at rest,
+    // the cheapest ANN lever there is). Same one-pass harness shape as
+    // v17, but the candidate leg is a different RANKING of the same
+    // rows, not a filter: two row_numbers over the SAME qid
+    // partitioning (full-dim and truncated-dim order) — Spark plans
+    // one exchange and two in-partition sorts, no second scan — and a
+    // row is in the intersection iff both ranks are ≤ k.
+    "v18_matryoshka_recall" -> { (s, dir) =>
+      import graft.functions.vectors
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).embeddings
+      val qids = RecallQueryIds
+      val panel = broadcast(e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("__qvec")))
+      val scored = e.filter(!col("vec_id").isin(qids: _*))
+        .crossJoin(panel)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")),
+          vectors.asDouble(col("__qvec"))), 4))
+        .withColumn("tcos4", round(vectors.cosine(
+          vectors.asDouble(slice(col("embedding"), 1, 16)),
+          vectors.asDouble(slice(col("__qvec"), 1, 16))), 4))
+        .select(col("qid"), col("vec_id"), col("cos4"), col("tcos4"))
+      val wq = Window.partitionBy(col("qid"))
+      val full = wq.orderBy(col("cos4").desc, col("vec_id"))
+      val trunc = wq.orderBy(col("tcos4").desc, col("vec_id"))
+      scored
+        .withColumn("rkf", row_number().over(full))
+        .withColumn("rkt", row_number().over(trunc))
+        .filter(col("rkf") <= 10 || col("rkt") <= 10)
+        .groupBy(col("qid"))
+        .agg(sum(when(col("rkf") <= 10 && col("rkt") <= 10, 1L)
+          .otherwise(0L)).cast("bigint").as("n_hit"))
+        .withColumn("recall_bp", col("n_hit") * 1000)
+        .orderBy(col("qid"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -680,6 +719,31 @@ object VectorQ extends QueryPack {
          |SELECT step AS rank, picked AS vec_id,
          | CAST(rel AS DOUBLE)/10000 AS cos4
          |FROM walk ORDER BY rank""".stripMargin
+    },
+
+    "v18_matryoshka_recall" -> {
+      val ids = RecallQueryIds.mkString(", ")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |       FROM embeddings WHERE vec_id IN ($ids)),
+         |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |           FROM embeddings WHERE vec_id NOT IN ($ids)),
+         |scored AS (
+         | SELECT qs.qid, corpus.vec_id,
+         |  round(${cosineSql("corpus.ee", "qs.qe")}, 4) AS cos4,
+         |  round(${cosineSql("(corpus.ee)[1:16]", "(qs.qe)[1:16]")}, 4)
+         |    AS tcos4
+         | FROM corpus CROSS JOIN qs),
+         |r AS (SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos4 DESC, vec_id) AS rkf,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY tcos4 DESC, vec_id) AS rkt
+         | FROM scored)
+         |SELECT qid, CAST(SUM(CASE WHEN rkf <= 10 AND rkt <= 10
+         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | CAST(SUM(CASE WHEN rkf <= 10 AND rkt <= 10
+         |           THEN 1 ELSE 0 END) * 1000 AS BIGINT) AS recall_bp
+         |FROM r GROUP BY qid ORDER BY qid""".stripMargin
     },
 
     "v17_ann_recall" -> {

@@ -853,6 +853,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("radialSimplify keeps first point and enforces distance vs last KEPT") {
+    import graft.operators.RadialSimplify
+    // track along the equator: lon 0, 5, 9, 20 at ~111.19 km/deg.
+    // tol 1000 km: keep 0; 5° (556 km) drop; 9° (1000.77 km from 0) keep;
+    // 20° (1223 km from 9) keep.
+    val df = Seq((1L, 1L, 0.0, 0.0), (1L, 2L, 5.0, 0.0),
+      (1L, 3L, 9.0, 0.0), (1L, 4L, 20.0, 0.0)).toDF("trk", "seq", "lon", "lat")
+    val kept = RadialSimplify.radialSimplify(df, "trk", "seq", "lon", "lat", 1000.0)
+      .select("seq").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("radialSimplify resets state at track boundaries; matches serial fold") {
+    import graft.operators.RadialSimplify
+    val pts = Tables(spark, sfSmoke).lineitem.select(
+      col("l_orderkey").as("trk"),
+      (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L +
+        col("l_suppkey")).as("seq"),
+      ((col("l_partkey") % 3600).cast("double") / 10 - 180).as("lon"),
+      (((col("l_suppkey") * 13) % 1700).cast("double") / 10 - 85).as("lat"))
+    val got = RadialSimplify
+      .radialSimplify(pts, "trk", "seq", "lon", "lat", 5000.0)
+      .select("trk", "seq").as[(Long, Long)].collect().toSet
+    val want = pts.as[(Long, Long, Double, Double)].collect()
+      .groupBy(_._1).values.flatMap { g =>
+        var lastLon = 0.0; var lastLat = 0.0; var first = true
+        g.sortBy(_._2).flatMap { case (trk, seq, lon, lat) =>
+          val keep = first || BigDecimal(RadialSimplify.havKm(
+              lastLon, lastLat, lon, lat))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 5000.0
+          if (keep) { first = false; lastLon = lon; lastLat = lat }
+          if (keep) Some((trk, seq)) else None
+        }
+      }.toSet
+    assert(got == want && got.nonEmpty)
+    // every track keeps its first point
+    assert(got.map(_._1) == pts.select("trk").as[Long].collect().toSet)
+  }
+
   test("Curriculum.phases equals a literal global ntile at several k") {
     import graft.operators.Curriculum
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Projection
+
+/** Bipartite projection: weights, multiplicity dedup, and the hub cap. */
+class ProjectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("co-membership weights count distinct shared left nodes") {
+    // l1: {a,b,c}, l2: {a,b}, l3: {c} → (a,b)=2, (a,c)=1, (b,c)=1
+    val e = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "c")).toDF("l", "r")
+    val got = Projection.bipartiteProject(e, "l", "r", maxDeg = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("duplicate memberships never inflate a weight") {
+    val e = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"))
+      .toDF("l", "r")
+    val got = Projection.bipartiteProject(e, "l", "r", maxDeg = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L)))
+  }
+
+  test("the hub cap drops over-degree left nodes entirely") {
+    val hub = (1 to 5).map(i => (9L, s"r$i")) // degree 5 hub
+    val e = (Seq((1L, "r1"), (1L, "r2")) ++ hub).toDF("l", "r")
+    val got = Projection.bipartiteProject(e, "l", "r", maxDeg = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("r1", "r2", 1L))) // hub contributed nothing
+    // with the cap relaxed the hub's pairs appear
+    val all = Projection.bipartiteProject(e, "l", "r", maxDeg = 5)
+    assert(all.count() == 10L) // C(5,2) from the hub; (r1,r2) merges
+  }
+}
