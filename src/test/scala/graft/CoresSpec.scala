@@ -29,6 +29,23 @@ class CoresSpec extends SparkTestBase {
     assert(Cores.kCore(e, k = 4).count() == 0)
   }
 
+  test("delta round: frontier broadcasts, edge side sees no exchange") {
+    // the per-round shape kCore builds when the removed frontier fits
+    // the broadcast budget: e ⋈ broadcast(frontier) must plan as a
+    // BroadcastHashJoin with no shuffle on the O(E) probe side — the
+    // whole point of delta peeling vs the recompute-from-scratch form
+    val e = sym((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+    val frontier = Seq(5).toDF("dst")
+    val delta = e.join(broadcast(frontier), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("__dec"))
+    val plan = delta.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val joinSection = plan.substring(0, plan.indexOf("HashAggregate"))
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"edge side shuffled before the frontier join:\n$plan")
+  }
+
   test("kCore equals a serial peel on the r10 hashed graph") {
     val o = Tables(spark, sfSmoke).orders
     val nn = math.max(o.count() / 35, 8L)
