@@ -252,4 +252,42 @@ object Splits {
         Window.partitionBy(col("shard")).orderBy(order, col(idCol)))
         .cast("bigint"))
   }
+
+  /** Weighted sampling WITHOUT replacement — exactly `k` rows, each
+    * row's inclusion odds proportional to its weight, deterministic
+    * (Efraimidis–Spirakis A-Res, Inf. Proc. Letters 2006): give every
+    * row a reproducible uniform u ∈ (0,1] from its salted id hash, rank
+    * by u^(1/w), keep the k largest. Unlike [[keepByWeightBp]] (a
+    * Bernoulli rate per row, sample SIZE varies), this draws an exact-k
+    * panel — the "pick 10k docs, long docs proportionally likelier" shape
+    * of eval-set and seed-corpus construction.
+    *
+    * Cross-engine determinism, stated as invariants: u is the exact
+    * dyadic rational (hash+1)/2³² (both engines compute the identical
+    * double); its log is rounded ONCE to integer NANOS — a 10⁻⁹
+    * quantum, ~10⁷ coarser than the engines' libm disagreement (~1 ulp
+    * of ≤22) — and the rank key is the IEEE quotient of that exact
+    * integer by the weight, so every comparison both engines make is
+    * between bit-identical doubles (ln(u)/w orders identically to
+    * u^(1/w) and cannot overflow). Ties break on id.
+    *
+    * Scale shape: a per-row codegen key followed by a global top-k —
+    * Spark plans orderBy+limit as TakeOrderedAndProject: each partition
+    * keeps its local k in a bounded heap and only k-row heads travel,
+    * no full sort, no shuffle of the corpus. k is presumed
+    * driver-bounded (a sample, not a split — use [[keepByWeightBp]]
+    * when the draw itself must be row-scale).
+    */
+  def weightedSampleNoReplacement(df: DataFrame, idCol: String,
+                                  weightCol: String, k: Int,
+                                  salt: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = graft.functions.text.saltedHash32(col(idCol).cast("string"), salt)
+    val u = (h + 1).cast("double") / lit(4294967296.0)
+    val lnuNano = round(log(u) * 1e9).cast("bigint")
+    df.withColumn("samp_key",
+        lnuNano.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+  }
 }

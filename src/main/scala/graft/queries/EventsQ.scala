@@ -162,6 +162,16 @@ object EventsQ extends QueryPack {
         .slidingDistinct(ev, "event_type", "user_id", "day",
           windowDays = 7)
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // First-order user-journey transition matrix: which event type
+    // follows which, with exact integer basis-point rates (Markov doc
+    // has the entity-window → pair-agg → keys-scale-normalize shape).
+    "e12_event_transitions" -> { (s, dir) =>
+      graft.operators.Markov
+        .transitionMatrix(Tables(s, dir).events, "user_id", "event_type",
+          Seq("ts", "event_id"))
+        .orderBy(col("from_state"), col("to_state"))
     }
   )
 
@@ -341,6 +351,20 @@ object EventsQ extends QueryPack {
         | (SELECT COUNT(DISTINCT a2.user_id) FROM a a2
         |  WHERE a2.event_type = d.event_type
         |    AND a2.day BETWEEN d.day - 6 AND d.day) AS n_distinct
-        |FROM days d ORDER BY d.event_type, d.day""".stripMargin
+        |FROM days d ORDER BY d.event_type, d.day""".stripMargin,
+
+    "e12_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS to_state,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS from_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, COUNT(*) AS n
+        |  FROM seq WHERE from_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_state)
+        |       AS BIGINT) AS rate_bp
+        |FROM c ORDER BY from_state, to_state""".stripMargin
   )
 }

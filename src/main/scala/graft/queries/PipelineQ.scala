@@ -361,6 +361,17 @@ object PipelineQ extends QueryPack {
           Tables(s, dir).documents.select(col("doc_id")), "doc_id",
           numShards = 8)
         .orderBy(col("shard"), col("pos"))
+    },
+
+    // Exact-k weighted draw without replacement (A-Res; the
+    // Splits.weightedSampleNoReplacement doc has the determinism
+    // invariants and the TakeOrdered scale shape): 50 docs, inclusion
+    // odds proportional to length — the eval-panel construction draw.
+    "p16_weighted_panel" -> { (s, dir) =>
+      Splits.weightedSampleNoReplacement(
+          Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 50, salt = 7)
+        .orderBy(col("samp_key").desc, col("doc_id"))
     }
   )
 
@@ -674,6 +685,18 @@ object PipelineQ extends QueryPack {
          |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
          |    AS pos
          |FROM h ORDER BY shard, pos""".stripMargin
+    },
+
+    "p16_weighted_panel" -> {
+      val h = saltedHash32Sql("CAST(doc_id AS VARCHAR)", 7)
+      s"""WITH kk AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round(ln(($h + 1) / 4294967296.0) * 1e9) AS BIGINT)
+         |      AS lnu_nano
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  CAST(lnu_nano AS DOUBLE) / CAST(n_chars AS DOUBLE) AS samp_key
+         |FROM kk ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin
     }
   )
 }

@@ -908,4 +908,48 @@ class OperatorsSpec extends SparkTestBase {
       assert(got == want, s"k=$k mismatch")
     }
   }
+
+  test("Markov.transitionMatrix: hand-built sequences, rates sum ≤ 10000") {
+    import graft.operators.Markov
+    // user 1: a→b→a→c ; user 2: a→b ; transitions from a: b,c,b → b=2 c=1
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+        (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("user_id", "seq", "state")
+    val got = Markov.transitionMatrix(ev, "user_id", "state", Seq("seq"))
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L, 6666L), ("a", "c", 1L, 3333L),
+      ("b", "a", 1L, 10000L)))
+    // rates within a from_state never exceed 10000 in total
+    val sums = got.groupBy(_._1).map(_._2.map(_._4).sum)
+    assert(sums.forall(_ <= 10000L))
+  }
+
+  test("weightedSampleNoReplacement: exact k, serial A-Res parity, " +
+    "weight monotonicity in expectation") {
+    val rows = (1L to 400L).map(i => (i, 1L + (i % 10) * 100L))
+    val df = rows.toDF("id", "w")
+    val got = Splits.weightedSampleNoReplacement(df, "id", "w", k = 60,
+        salt = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 60)
+    // serial replay of the exact same key arithmetic
+    def h32(s: String, salt: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = rows.map { case (id, w) =>
+      val u = (h32(id.toString, 3) + 1).toDouble / 4294967296.0
+      val lnuNano = math.round(math.log(u) * 1e9)
+      (lnuNano.toDouble / w.toDouble, id)
+    }.sortBy { case (k2, id) => (-k2, id) }.take(60).map(_._2).toSet
+    assert(got == want)
+    // heavier rows are likelier: mean weight of the panel beats the
+    // corpus mean (weights span 1..901, expectation gap is wide)
+    val meanAll = rows.map(_._2).sum.toDouble / rows.size
+    val meanGot = rows.filter(r => got(r._1)).map(_._2).sum.toDouble / 60
+    assert(meanGot > meanAll, s"panel mean $meanGot vs corpus $meanAll")
+  }
 }
