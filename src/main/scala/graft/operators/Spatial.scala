@@ -74,4 +74,60 @@ object Spatial {
       .filter(col("dist_km") <= radiusKm)
       .drop("__latb", "__lonb")
   }
+
+  /** Point-in-polygon join: every (point, polygon) pair where the point
+    * lies inside the polygon — the geofence / admin-region tagging
+    * primitive. Membership is the crossing-number test (count edges a
+    * rightward ray from the point crosses; odd = inside), evaluated in
+    * EXACT INTEGER arithmetic: coordinates are integers (e.g.
+    * deci-degrees), the "ray crosses edge" predicate is the
+    * cross-multiplied form of `px < x1 + (x2−x1)(py−y1)/(y2−y1)` with
+    * the inequality direction carried by the edge's y-orientation, so
+    * no division, no floats, bit-identical on every engine. The
+    * half-open rule (lower endpoint in, upper out) means shared
+    * vertices and horizontal edges are counted exactly once — the
+    * standard simulation-of-simplicity convention.
+    *
+    * Scale shape: the polygon side is dimension-scale (regions,
+    * geofences — bounded), so candidates come from a BROADCAST
+    * bounding-box join (each point tests only polygons whose bbox
+    * contains it; the O(rows) side never shuffles), and the exact test
+    * is a per-row codegen fold over the vertex array — O(edges) per
+    * candidate, no explode, nothing leaves the row. For a polygon set
+    * too big to broadcast, tile bboxes to grid cells and equi-join on
+    * the cell key ([[gridRadiusJoin]]'s method) before the same fold.
+    *
+    * `vertsCol`: array of {x,y} integer structs, in boundary order
+    * (either winding), implicitly closed (last→first edge), no repeated
+    * closing vertex. Output: all point columns + all polygon columns,
+    * candidates filtered to members.
+    */
+  def pointInPolygonJoin(points: DataFrame, xCol: String, yCol: String,
+                         polys: DataFrame, vertsCol: String): DataFrame = {
+    val v = col(vertsCol)
+    def vx(p: Column) = p.getField("x")
+    def vy(p: Column) = p.getField("y")
+    val bboxed = polys
+      .withColumn("__xmin", array_min(transform(v, vx(_))))
+      .withColumn("__xmax", array_max(transform(v, vx(_))))
+      .withColumn("__ymin", array_min(transform(v, vy(_))))
+      .withColumn("__ymax", array_max(transform(v, vy(_))))
+    val px = col(xCol)
+    val py = col(yCol)
+    val cand = points.join(broadcast(bboxed),
+      px >= col("__xmin") && px <= col("__xmax") &&
+        py >= col("__ymin") && py <= col("__ymax"))
+    val crossings = aggregate(
+      transform(v, (p, i) => {
+        val q = element_at(v, pmod(i + 1, size(v)) + 1)
+        val lhs = (px - vx(p)) * (vy(q) - vy(p))
+        val rhs = (vx(q) - vx(p)) * (py - vy(p))
+        when(vy(p) <= py && vy(q) > py && lhs < rhs, 1)
+          .when(vy(p) > py && vy(q) <= py && lhs > rhs, 1)
+          .otherwise(0)
+      }),
+      lit(0), (acc, x) => acc + x)
+    cand.filter(crossings % 2 === 1)
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+  }
 }

@@ -38,6 +38,12 @@ object GeoQ extends QueryPack {
   private val natLonSql = "CAST((n_nationkey * 37) % 360 AS DOUBLE) - 179.5"
   private val natLatSql = "CAST((n_nationkey * 23) % 160 AS DOUBLE) - 79.5"
 
+  /** g08's hexagon offsets (unit shape, scaled per nation): convex,
+    * integer, implicitly closed. Shared Spark + SQL.
+    */
+  private val PolyOffX = Seq(2, 1, -1, -2, -1, 1)
+  private val PolyOffY = Seq(0, 2, 2, 0, -2, -2)
+
   /** DuckDB haversine with the exact operation order of functions.geo. */
   private def havKmSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
     val dLat = s"radians(($lat2) - ($lat1))/2"
@@ -160,6 +166,33 @@ object GeoQ extends QueryPack {
         .radialSimplify(pts, "l_orderkey", "seq", "lon", "lat",
           tolKm = 5000.0)
         .orderBy(col("l_orderkey"), col("seq"))
+    },
+
+    // Point-in-polygon geofence tagging: customers (integer deci-degree
+    // points) against per-nation hexagons (integer vertices; size keyed
+    // off the nation id) — broadcast bbox candidates + the exact
+    // integer crossing-number fold (Spatial.pointInPolygonJoin doc).
+    // The oracle runs the definitional edge-unnested crossing sum.
+    "g08_point_in_polygon" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pts = t.customer.select(col("c_custkey"),
+        (col("c_custkey") % 3600 - 1800).cast("long").as("px"),
+        ((col("c_custkey") * 7) % 1700 - 850).cast("long").as("py"))
+      val hx = PolyOffX.zip(PolyOffY)
+      val polys = t.nation.select(col("n_nationkey"),
+          (((col("n_nationkey") * 37) % 360) * 10 - 1795).cast("long")
+            .as("cx"),
+          (((col("n_nationkey") * 23) % 160) * 10 - 795).cast("long")
+            .as("cy"),
+          (lit(40) + (col("n_nationkey") % 4) * 15).cast("long").as("s"))
+        .select(col("n_nationkey"), array(hx.map { case (ox, oy) =>
+          struct((col("cx") + lit(ox) * col("s")).as("x"),
+            (col("cy") + lit(oy) * col("s")).as("y"))
+        }: _*).as("verts"))
+      graft.operators.Spatial
+        .pointInPolygonJoin(pts, "px", "py", polys, "verts")
+        .select(col("c_custkey"), col("n_nationkey"))
+        .orderBy(col("c_custkey"), col("n_nationkey"))
     },
 
     // Grid radius join (the 2-D sibling of e09's binned interval join):
@@ -293,6 +326,39 @@ object GeoQ extends QueryPack {
          | round(${havKmSql("lon", "lat", "cl", "ct")}, 4) AS dist_km
          |FROM p, s
          |WHERE round(${havKmSql("lon", "lat", "cl", "ct")}, 4) <= 1000
+         |ORDER BY c_custkey, n_nationkey""".stripMargin,
+
+    // definitional crossing-number: unnest the 6 directed hexagon
+    // edges, sum the integer-exact ray-crossing indicator, odd = inside
+    "g08_point_in_polygon" -> {
+      val ox = PolyOffX.mkString("[", ", ", "]")
+      val oy = PolyOffY.mkString("[", ", ", "]")
+      s"""WITH poly AS (
+         |  SELECT n_nationkey,
+         |    CAST((n_nationkey*37) % 360 AS BIGINT)*10 - 1795 AS cx,
+         |    CAST((n_nationkey*23) % 160 AS BIGINT)*10 - 795 AS cy,
+         |    CAST(40 + (n_nationkey % 4)*15 AS BIGINT) AS s
+         |  FROM nation),
+         |e AS (
+         |  SELECT n_nationkey,
+         |    cx + $ox[i]*s AS x1, cy + $oy[i]*s AS y1,
+         |    cx + $ox[(i % 6) + 1]*s AS x2, cy + $oy[(i % 6) + 1]*s AS y2
+         |  FROM poly, unnest(generate_series(1, 6)) t(i)),
+         |pts AS (
+         |  SELECT c_custkey,
+         |    CAST(c_custkey % 3600 AS BIGINT) - 1800 AS px,
+         |    CAST((c_custkey*7) % 1700 AS BIGINT) - 850 AS py
+         |  FROM customer)
+         |SELECT c_custkey, n_nationkey
+         |FROM pts p, e
+         |GROUP BY c_custkey, n_nationkey
+         |HAVING SUM(CASE
+         |  WHEN y1 <= py AND y2 > py
+         |   AND (px - x1)*(y2 - y1) < (x2 - x1)*(py - y1) THEN 1
+         |  WHEN y1 > py AND y2 <= py
+         |   AND (px - x1)*(y2 - y1) > (x2 - x1)*(py - y1) THEN 1
+         |  ELSE 0 END) % 2 = 1
          |ORDER BY c_custkey, n_nationkey""".stripMargin
+    }
   )
 }

@@ -63,4 +63,52 @@ class SpatialSpec extends SparkTestBase {
     // ~220 km of latitude away — both inside 400 km, each exactly once
     assert(out.sorted == Seq((1L, 7L), (2L, 7L)))
   }
+
+  test("pointInPolygonJoin: serial crossing-number parity on a grid, " +
+    "concave polygon, half-open boundary rule") {
+    // concave "arrow" polygon (notch at the right side) with integer
+    // vertices; probe every point of a covering grid
+    val verts = Seq((0L, 0L), (8L, 0L), (4L, 3L), (8L, 6L), (0L, 6L))
+    val polys = Seq((1L, verts)).toDF("poly_id", "raw")
+      .select(col("poly_id"), expr(
+        "transform(raw, r -> struct(r._1 AS x, r._2 AS y))").as("verts"))
+    val pts = (for (x <- -1L to 9L; y <- -1L to 7L) yield (x, y))
+      .toDF("px", "py")
+    val got = Spatial.pointInPolygonJoin(pts, "px", "py", polys, "verts")
+      .select("px", "py").as[(Long, Long)].collect().toSet
+    def serialInside(px: Long, py: Long): Boolean = {
+      val n = verts.size
+      var c = 0
+      for (i <- 0 until n) {
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % n)
+        val lhs = (px - x1) * (y2 - y1); val rhs = (x2 - x1) * (py - y1)
+        if ((y1 <= py && y2 > py && lhs < rhs) ||
+          (y1 > py && y2 <= py && lhs > rhs)) c += 1
+      }
+      c % 2 == 1
+    }
+    val want = (for (x <- -1L to 9L; y <- -1L to 7L if serialInside(x, y))
+      yield (x, y)).toSet
+    assert(got == want)
+    // the notch tip region (x between 5 and 7 at y=3) is OUTSIDE —
+    // concavity is honored, a bbox test alone would get this wrong
+    assert(!got.contains((6L, 3L)) && got.contains((3L, 3L)))
+    // half-open: bottom edge in, top edge out (no double counting)
+    assert(got.contains((2L, 0L)) && !got.contains((2L, 6L)))
+  }
+
+  test("pointInPolygonJoin plans a broadcast join, no shuffle on points") {
+    val polys = Seq((1L, Seq((0L, 0L), (4L, 0L), (4L, 4L), (0L, 4L))))
+      .toDF("poly_id", "raw")
+      .select(col("poly_id"), expr(
+        "transform(raw, r -> struct(r._1 AS x, r._2 AS y))").as("verts"))
+    val pts = (1L to 100L).map(i => (i % 10, i / 10)).toDF("px", "py")
+    val plan = Spatial.pointInPolygonJoin(pts, "px", "py", polys, "verts")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"polygon side not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"point side shuffled:\n$plan")
+  }
 }
