@@ -134,6 +134,60 @@ object Contamination {
           .as("dup_frac"))
   }
 
+  /** Frequent-span SCRUB — the rewriting form of [[sharedSpanStats]]
+    * (the "remove any substring occurring in ≥ minDf documents" pass of
+    * exact-substring training-data dedup, Lee et al. 2022,
+    * arXiv:2107.06499, realized over word n-grams): every token
+    * position covered by AT LEAST ONE occurrence of a corpus-frequent
+    * n-gram is deleted, and each document is reassembled from its
+    * surviving tokens in order. Output: (id, scrubbed, n_kept) for
+    * EVERY input document — a fully-boilerplate doc comes back with
+    * scrubbed = '' and n_kept = 0, which is exactly the "drop it"
+    * signal downstream hygiene uses.
+    *
+    * Scale shape: gram document-frequencies are one map-side-combined
+    * aggregate on the gram key; the frequent set (df ≥ minDf) is a
+    * vocabulary-scale frame that joins back against the gram stream on
+    * the gram key (AQE broadcasts it when small — the common case: the
+    * frequent tail of a corpus is tiny relative to the corpus). Covered
+    * positions explode only FREQUENT occurrences (n rows each, not
+    * every gram), dedup on (doc, pos), and the reassembly is one
+    * aggregate on the doc key with an in-row sort — tokens of one doc
+    * meet in one place, order restored by position, never by shuffle
+    * arrival. Three keyed exchanges total (gram, doc·pos, doc), all
+    * row-scale, none quadratic.
+    */
+  def scrubFrequentSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would scrub every gram")
+    val toks = docs
+      .select(col(idCol), posexplode(text.tokens(col(textCol))))
+      .toDF(idCol, "pos", "tok")
+      .filter(col("tok") =!= "")
+    val grams = docs
+      .select(col(idCol), posexplode(text.shingles(col(textCol), n)))
+      .toDF(idCol, "start", "g")
+    val freq = grams.select(col(idCol), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"))
+    val covered = grams.join(freq, Seq("g"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("scrubbed"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Gopher-style repetition signals per document over word n-grams:
     * total grams, distinct grams, duplicate-gram ratio
     * (1 − distinct/total) and the share of the single most frequent gram

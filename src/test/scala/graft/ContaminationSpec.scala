@@ -199,4 +199,45 @@ class ContaminationSpec extends SparkTestBase {
     val enKept = a.count(id => langOf(id) == "en")
     assert(enKept < en / 2)
   }
+
+  test("scrubFrequentSpans: serial parity, overlap union, full-scrub row") {
+    import graft.operators.Contamination
+    // docs 1 and 2 share "alpha beta gamma delta" (df=2 → scrubbed);
+    // doc 2 also overlaps it with "gamma delta alpha beta" via doc 3 —
+    // covered positions are the UNION of occurrences; doc 4 is ENTIRELY
+    // one frequent gram (comes back empty); doc 5 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta keep one"),
+      (2L, "x alpha beta gamma delta alpha beta tail"),
+      (3L, "y gamma delta alpha beta z"),
+      (4L, "alpha beta gamma delta"),
+      (5L, "totally unrelated words here")).toDF("doc_id", "text")
+    val got = Contamination
+      .scrubFrequentSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    // serial reference
+    val toks = Seq(
+      1L -> "alpha beta gamma delta keep one",
+      2L -> "x alpha beta gamma delta alpha beta tail",
+      3L -> "y gamma delta alpha beta z",
+      4L -> "alpha beta gamma delta",
+      5L -> "totally unrelated words here")
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val gramsOf = toks.map { case (id, w) =>
+      id -> (0 to w.size - 4).map(i => (i, w.slice(i, i + 4).mkString(" ")))
+    }
+    val df = gramsOf.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+      .distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val want = toks.map { case (id, w) =>
+      val cov = gramsOf.toMap.apply(id)
+        .filter(g => df(g._2) >= 2)
+        .flatMap(g => g._1 until g._1 + 4).toSet
+      val kept = w.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      (id, kept.mkString(" "), kept.size.toLong)
+    }
+    assert(got == want)
+    assert(got.find(_._1 == 4L).get._2 == "") // fully scrubbed, still emitted
+    assert(got.find(_._1 == 5L).get._3 == 4L) // untouched
+  }
 }
