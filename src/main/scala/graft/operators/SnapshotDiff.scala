@@ -45,4 +45,48 @@ object SnapshotDiff {
           .when(col("o_fp") =!= col("n_fp"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Changelog APPLY — the MERGE/upsert primitive of every lakehouse
+    * table format (Delta/Iceberg/Hudi merge-on-read, Kimball type-1):
+    * fold a CDC changelog into a snapshot. Per key, the changelog row
+    * with the highest `seqCol` wins: op `U` upserts the changelog's
+    * payload (replacing a snapshot row or inserting a new key), op `D`
+    * deletes the key; keys the changelog never touches keep their
+    * snapshot payload unchanged. The same-key/same-seq case must not
+    * exist (a changelog with a non-deterministic winner is corrupt) —
+    * enforced cheaply by the row_number tiebreak on op so reruns are
+    * at least stable.
+    *
+    * `payloadCols` name the columns shared by snapshot and changelog;
+    * output is (key, payloadCols*) — the next snapshot.
+    *
+    * Scale shape: the changelog compacts FIRST (per-key top-1 window —
+    * one shuffle of the changelog, which is increment-sized, not
+    * table-sized), then ONE full-outer equi-join against the snapshot
+    * on the key. The snapshot's only movement is that join; against a
+    * key-bucketed at-rest snapshot (sources/Warehouse) the exchange
+    * elides and apply streams as a co-located sort-merge — the
+    * merge-on-read compaction pass exactly. Nothing is quadratic,
+    * nothing touches the driver.
+    */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
+                     keyCol: String, seqCol: String, opCol: String,
+                     payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol))
+    val latest = changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((col(keyCol).as("__ck") +: col(opCol).as("__op") +:
+        payloadCols.map(c => col(c).as(s"__c_$c"))): _*)
+    snapshot
+      .join(latest, col(keyCol) === col("__ck"), "full_outer")
+      .filter(col("__op").isNull || col("__op") === "U")
+      .select(coalesce(col(keyCol), col("__ck")).as(keyCol) +:
+        payloadCols.map(c =>
+          when(col("__op") === "U", col(s"__c_$c"))
+            .otherwise(col(c)).as(c)): _*)
+  }
 }

@@ -193,6 +193,30 @@ object ScaleQ extends QueryPack {
         .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("bin_rows"),
           min(col("mon")).as("first_mon"), max(col("mon")).as("last_mon"))
         .orderBy(col("flag"), col("bin"))
+    },
+
+    // Lakehouse MERGE: fold an orders-derived CDC changelog (13-multiple
+    // orderkeys insert NEW customer keys, 11-multiples delete, highest
+    // orderkey per key wins) into the customer snapshot
+    // (SnapshotDiff.applyChangelog doc: compact the increment first,
+    // then one full-outer key join — snapshot moves once, or not at all
+    // when key-bucketed at rest).
+    "s06_changelog_apply" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val snap = t.customer.select(col("c_custkey").as("k"),
+        cents(col("c_acctbal")).as("acct_cents"),
+        col("c_mktsegment").as("segment"))
+      val cl = t.orders.select(
+        when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+        cents(col("o_totalprice")).as("acct_cents"),
+        col("o_orderpriority").as("segment"))
+      graft.operators.SnapshotDiff
+        .applyChangelog(snap, cl, "k", "seq", "op",
+          Seq("acct_cents", "segment"))
+        .orderBy(col("k"))
     }
   )
 
@@ -259,6 +283,33 @@ object ScaleQ extends QueryPack {
         |SELECT flag, seq AS bin, COUNT(*) AS n_files,
         | CAST(SUM(nr) AS BIGINT) AS bin_rows,
         | MIN(mon) AS first_mon, MAX(mon) AS last_mon
-        |FROM walk GROUP BY flag, seq ORDER BY flag, bin""".stripMargin
+        |FROM walk GROUP BY flag, seq ORDER BY flag, bin""".stripMargin,
+
+    "s06_changelog_apply" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders),
+        |latest AS (
+        |  SELECT k, op, acct_cents, segment FROM (
+        |    SELECT cl.*, row_number() OVER (PARTITION BY k
+        |      ORDER BY seq DESC, op) AS rn FROM cl)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(s.k, l.k) AS k,
+        |  CASE WHEN l.op = 'U' THEN l.acct_cents
+        |       ELSE s.acct_cents END AS acct_cents,
+        |  CASE WHEN l.op = 'U' THEN l.segment ELSE s.segment END AS segment
+        |FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
+        |WHERE l.op IS NULL OR l.op = 'U'
+        |ORDER BY k""".stripMargin
   )
 }

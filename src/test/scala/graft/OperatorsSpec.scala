@@ -96,6 +96,23 @@ class OperatorsSpec extends SparkTestBase {
       4L -> "unchanged", 5L -> "added"))
   }
 
+  test("applyChangelog: upsert, delete, insert, untouched, latest-wins, " +
+    "delete-then-reinsert, delete of unknown key") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val cl = Seq(
+      (1L, 10L, "U", "a2"), (1L, 11L, "U", "a3"), // latest (seq 11) wins
+      (2L, 10L, "D", "-"),                        // delete
+      (3L, 10L, "D", "-"), (3L, 12L, "U", "c2"),  // delete then re-upsert
+      (5L, 10L, "U", "e"),                        // insert new key
+      (9L, 10L, "D", "-"))                        // delete of absent key
+      .toDF("k", "seq", "op", "v")
+    val got = graft.operators.SnapshotDiff
+      .applyChangelog(snap, cl, "k", "seq", "op", Seq("v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "a3", 3L -> "c2", 4L -> "d", 5L -> "e"))
+  }
+
   test("cluster-keyed split: no near-dup pair crosses splits (naive does)") {
     val t = Tables(spark, sfSmoke)
     val pairs = Dedup.minhashLshPairs(t.documents, "doc_id", "text",
