@@ -172,6 +172,38 @@ object EventsQ extends QueryPack {
         .transitionMatrix(Tables(s, dir).events, "user_id", "event_type",
           Seq("ts", "event_id"))
         .orderBy(col("from_state"), col("to_state"))
+    },
+
+    // Robust outlier counts via MAD (median absolute deviation) — the
+    // heavy-tail-safe complement of e08's mean/σ z-test (one fat order
+    // can't move a median). Exact integer cents; two dependent
+    // percentile_disc aggregates (median, then median of deviations),
+    // each a map-side-combinable agg with the keys-scale medians frame
+    // BROADCAST back — the value stream shuffles on event_type once per
+    // phase and never sorts globally. The 3·MAD cut is the standard
+    // robust z (k·1.4826·MAD ≈ kσ under normality) kept in exact
+    // integer form.
+    "e13_mad_outliers" -> { (s, dir) =>
+      val ev = Tables(s, dir).events.select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("v"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) " +
+          "AS BIGINT)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("v") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) " +
+            "AS BIGINT)").as("mad"),
+          count(lit(1)).as("n"))
+      dev.select(col("event_type"), col("dev"))
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          max(col("n")).as("n"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -365,6 +397,27 @@ object EventsQ extends QueryPack {
         |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_state)
         |       AS BIGINT) AS rate_bp
-        |FROM c ORDER BY from_state, to_state""".stripMargin
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    "e13_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_disc(v, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, med, abs(v - med) AS dev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, MAX(med) AS med,
+        |         quantile_disc(dev, 0.5) AS mad, COUNT(*) AS n
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(MAX(md.med) AS BIGINT) AS med,
+        |  CAST(MAX(md.mad) AS BIGINT) AS mad, MAX(md.n) AS n,
+        |  CAST(SUM(CASE WHEN d.dev > md.mad*3 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 }
