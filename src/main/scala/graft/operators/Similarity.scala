@@ -33,6 +33,53 @@ object Similarity {
       .orderBy(col("cos4").desc, col(idCol))
       .limit(k)
 
+  /** k-NN majority-vote labeling — the semi-supervised propagation step
+    * that bootstraps a quality/topic classifier from a small labeled
+    * pool (kNN classification over embeddings; the label-transfer pass
+    * of dataset distillation pipelines): for every query vector, take
+    * its k nearest LABELED neighbors by rounded cosine and emit the
+    * plurality label. Ties break deterministically everywhere: neighbor
+    * rank by (cos4 desc, id), vote by (n_votes desc, label) — so the
+    * assigned label is a pure function of the data on any engine.
+    *
+    * Output: (qid, label, n_votes, best_cos4) per query — n_votes the
+    * winning label's share of k, best_cos4 the winner's closest
+    * neighbor (a confidence pair downstream thresholds use).
+    *
+    * Scale shape: the query panel BROADCASTS (it is the small labeled
+    * probe set by construction); the corpus side is scanned once with a
+    * per-row codegen cosine and never shuffles until the per-query
+    * top-k, which moves |C|·|Q| scored ids-only rows keyed by qid.
+    * This is the EXACT brute-force face — at corpus scale, shortlist
+    * first ([[ivfProbeCells]] / [[ivfPqTopK]], the v09 composition) and
+    * run the identical vote on the shortlist; the vote itself is
+    * keys-scale whatever produced the candidates.
+    */
+  def knnVoteLabel(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(idCol).as("qid"),
+      vectors.asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("__cid"),
+      col(labelCol).as("label"), vectors.asDouble(col(vecCol)).as("__cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("__cid"), col("label"),
+        round(vectors.cosine(col("__cv"), col("__qv")), 4).as("cos4"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos4").desc, col("__cid"))
+    val votes = scored
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("n_votes"), max(col("cos4")).as("best_cos4"))
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("__vr", row_number().over(wVote))
+      .filter(col("__vr") === 1)
+      .select(col("qid"), col("label"), col("n_votes"), col("best_cos4"))
+  }
+
   /** Maximal Marginal Relevance re-rank: greedily pick `k` results from
     * a relevance shortlist, each step maximizing
     * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard

@@ -278,6 +278,52 @@ object Splits {
     * driver-bounded (a sample, not a split — use [[keepByWeightBp]]
     * when the draw itself must be row-scale).
     */
+  /** Temperature-scaled mixture rates, α = 1/2 — the multilingual
+    * rebalance of mT5/XLM-R (Xue et al. 2021 §3.3; Conneau & Lample
+    * 2019 §3): sampling shares proportional to n^α instead of n, so
+    * head languages shrink and tail languages grow without any group
+    * being dropped. Everything after the integer square root is exact
+    * integer arithmetic: share_bp = ⌊isqrt·10⁴ / Σ isqrt⌋, rate_bp =
+    * min(10⁴, ⌊budgetRows·share_bp / n⌋), and the draw itself is the
+    * [[keepByWeightBp]] per-row hash predicate at rate_bp. isqrt =
+    * ⌊√n⌋ is itself engine-exact: IEEE sqrt is correctly rounded and an
+    * exact integer's true root is never within an ulp of the next
+    * integer (squares are ≥ 2√n+1 apart), so the floor agrees
+    * everywhere.
+    *
+    * Output: one row per group — (group, n, share_bp, rate_bp, n_kept)
+    * where n_kept counts the rows the predicate admits (the realized
+    * mixture; expectation budgetRows·share_bp/10⁴, binomial jitter).
+    *
+    * Scale shape: one map-side-combined count per group; the rate table
+    * is keys-scale (compute it with a single-partition window — it
+    * holds one row per language/source, not per document) and
+    * BROADCASTS back for the admission count, which is a second
+    * map-side-combined aggregate. The corpus is scanned twice and
+    * shuffled never; the admission predicate is the same
+    * partition-independent hash as every Splits draw, so the kept SET
+    * is identical under any partitioning and extends monotonically if
+    * the budget rises.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         budgetRows: Long, salt: Int = 0): DataFrame = {
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("isqrt", floor(sqrt(col("n"))).cast("bigint"))
+      .withColumn("share_bp",
+        expr("isqrt * 10000 div sum(isqrt) over ()"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr(s"($budgetRows * share_bp) div n")))
+      .drop("isqrt")
+    val kept = df
+      .join(broadcast(rates.select(col(groupCol), col("rate_bp"))),
+        Seq(groupCol))
+      .filter(keepByWeightBp(col(idCol), col("rate_bp"), salt))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(groupCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
   def weightedSampleNoReplacement(df: DataFrame, idCol: String,
                                   weightCol: String, k: Int,
                                   salt: Int = 0): DataFrame = {

@@ -133,6 +133,40 @@ object MediaQ extends QueryPack {
       graft.operators.Dedup
         .hamming64Pairs(ph, "doc_id", "afp64", maxHamming = 6)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Scene segmentation — the video shot-boundary pass: per-frame
+    // "energy" (md5-derived 16-bit surrogate for the histogram energy a
+    // real decoder would emit), a boundary wherever successive frames'
+    // energies jump > 40000, scenes = prefix sum of boundaries. Chunk +
+    // hash are per-row codegen expressions; the ONLY shuffle keys frame
+    // rows by doc (a video's frames colocate for the lag/cumsum
+    // window — per-video sequential is inherent to shot detection);
+    // the scene rollups are two map-side-combined aggregates.
+    "m06_scene_segments" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val fr = withBlob(s, dir)
+        .filter(octet_length(col("blob")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, cast(ceil(octet_length(blob) / 16.0) AS int)), " +
+            "i -> substring(blob, (i - 1) * 16 + 1, 16))")))
+        .toDF("doc_id", "pos", "f")
+        .withColumn("e",
+          conv(substring(md5(lower(hex(col("f")))), 1, 4), 16, 10)
+            .cast("long"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      fr.withColumn("brk",
+          when(abs(col("e") - lag(col("e"), 1).over(w)) > 40000, 1L)
+            .otherwise(0L))
+        .withColumn("scene", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("scene"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("len")).as("n_frames"),
+          count(lit(1)).as("n_scenes"),
+          max(col("len")).as("max_scene_len"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -322,6 +356,33 @@ object MediaQ extends QueryPack {
         |       AND l.doc_id < r.doc_id)
         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cands WHERE bit_count(xor(sa, sb)) <= 6
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "m06_scene_segments" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(substr(h, (i-1)*32 + 1, 32)), 1, 4))::BIGINT
+        |      AS e
+        |  FROM b, unnest(generate_series(1, CAST(ceil(n / 16.0) AS INT)))
+        |       t(i)),
+        |sc AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN abs(e - lag(e) OVER (PARTITION BY doc_id
+        |                                   ORDER BY pos)) > 40000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM fr),
+        |s2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS scene
+        |  FROM sc),
+        |g AS (
+        |  SELECT doc_id, scene, COUNT(*) AS len FROM s2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+        |  COUNT(*) AS n_scenes, CAST(MAX(len) AS BIGINT) AS max_scene_len
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

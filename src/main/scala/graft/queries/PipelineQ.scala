@@ -372,6 +372,16 @@ object PipelineQ extends QueryPack {
           Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", k = 50, salt = 7)
         .orderBy(col("samp_key").desc, col("doc_id"))
+    },
+
+    // α=1/2 temperature rebalance across sources (the mT5 multilingual
+    // mixture; Splits.temperatureMixture doc has the exact-integer
+    // derivation and the two-scan zero-shuffle shape).
+    "p17_temperature_mixture" -> { (s, dir) =>
+      Splits.temperatureMixture(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "source", "doc_id", budgetRows = 300L)
+        .orderBy(col("source"))
     }
   )
 
@@ -697,6 +707,33 @@ object PipelineQ extends QueryPack {
          |SELECT doc_id, n_chars,
          |  CAST(lnu_nano AS DOUBLE) / CAST(n_chars AS DOUBLE) AS samp_key
          |FROM kk ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    "p17_temperature_mixture" -> {
+      val h = saltedHash32Sql("CAST(doc_id AS VARCHAR)", 0)
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |i AS (
+         |  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS isq
+         |  FROM c),
+         |r AS (
+         |  SELECT source, n,
+         |    CAST(isq * 10000 // (SELECT SUM(isq) FROM i) AS BIGINT)
+         |      AS share_bp
+         |  FROM i),
+         |r2 AS (
+         |  SELECT source, n, share_bp,
+         |    LEAST(10000, 300 * share_bp // n) AS rate_bp
+         |  FROM r),
+         |k AS (
+         |  SELECT d.source, COUNT(*) AS n_kept
+         |  FROM documents d JOIN r2 USING (source)
+         |  WHERE ($h) % 10000 < rate_bp
+         |  GROUP BY 1)
+         |SELECT r2.source, r2.n, r2.share_bp,
+         |  CAST(r2.rate_bp AS BIGINT) AS rate_bp,
+         |  COALESCE(k.n_kept, 0) AS n_kept
+         |FROM r2 LEFT JOIN k USING (source) ORDER BY source""".stripMargin
     }
   )
 }

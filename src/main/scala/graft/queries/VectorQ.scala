@@ -367,6 +367,19 @@ object VectorQ extends QueryPack {
         .orderBy(col("qid"))
     },
 
+    // Semi-supervised label transfer: every 50th vector plays the
+    // unlabeled query, its 10 nearest labeled neighbors vote
+    // (Similarity.knnVoteLabel doc: broadcast panel, deterministic
+    // rank/vote tiebreaks, IVF-shortlist composition at corpus scale).
+    "v19_knn_vote_label" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.knnVoteLabel(
+          e.filter(col("vec_id") % 50 =!= 0),
+          e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("qid"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -805,6 +818,33 @@ object VectorQ extends QueryPack {
          |      FROM scored WHERE rn = 1)
          |SELECT a.vec_id, a.cell, round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
          |FROM a, q, qcell WHERE a.cell = qcell.qc
-         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin
+         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin,
+
+    "v19_knn_vote_label" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (
+         |  SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id % 50 <> 0),
+         |s AS (
+         |  SELECT qid, cid, label,
+         |    round(${cosineSql("cv", "qv")}, 4) AS cos4
+         |  FROM c, q),
+         |t AS (
+         |  SELECT qid, cid, label, cos4,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos4 DESC, cid) AS rn
+         |  FROM s),
+         |v AS (
+         |  SELECT qid, label, COUNT(*) AS n_votes, MAX(cos4) AS best_cos4
+         |  FROM t WHERE rn <= 10 GROUP BY 1, 2),
+         |w AS (
+         |  SELECT qid, label, n_votes, best_cos4,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY n_votes DESC, label) AS vr
+         |  FROM v)
+         |SELECT qid, label, CAST(n_votes AS BIGINT) AS n_votes, best_cos4
+         |FROM w WHERE vr = 1 ORDER BY qid""".stripMargin
   )
 }
