@@ -380,6 +380,36 @@ object VectorQ extends QueryPack {
         .orderBy(col("qid"))
     },
 
+    // BATCH IVF serving: a query PANEL probes in one equi-join on the
+    // cell key — each corpus row meets only the queries assigned to
+    // ITS cell (vs v01's every-query brute force); the panel
+    // broadcasts with precomputed cells, per-query top-5 by window.
+    // Against the v11 cell-partitioned at-rest corpus the scan prunes
+    // to the union of panel cells at planning time — this is the
+    // online-serving shape of the v04 single-query probe.
+    "v20_ivf_batch_probe" -> { (s, dir) =>
+      import graft.functions.vectors
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"),
+          vectors.asDouble(col("embedding")).as("__qv"),
+          Similarity.ivfCell(col("embedding"), cb).as("cell")))
+      val c = e.filter(col("vec_id") % 50 =!= 0)
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), cb))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+      c.join(q, Seq("cell"))
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), col("__qv")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), col("cell"), col("cos4"),
+          col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -845,6 +875,40 @@ object VectorQ extends QueryPack {
          |      ORDER BY n_votes DESC, label) AS vr
          |  FROM v)
          |SELECT qid, label, CAST(n_votes AS BIGINT) AS n_votes, best_cos4
-         |FROM w WHERE vr = 1 ORDER BY qid""".stripMargin
+         |FROM w WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "v20_ivf_batch_probe" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |q0 AS (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |qc AS (
+         |  SELECT qid, qv, CAST(cid AS INT) AS cell FROM (
+         |    SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(${cosineSql("qv", "ce")}, 4) DESC, cid) AS rn
+         |    FROM q0 CROSS JOIN c)
+         |  WHERE rn = 1),
+         |a AS (
+         |  SELECT vec_id, ee, CAST(cid AS INT) AS cell FROM (
+         |    SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")},
+         |                       4) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c
+         |    WHERE e.vec_id % 50 <> 0)
+         |  WHERE rn = 1),
+         |s AS (
+         |  SELECT qc.qid, a.vec_id, a.cell,
+         |    round(${cosineSql("a.ee", "qc.qv")}, 4) AS cos4
+         |  FROM a JOIN qc USING (cell)),
+         |r AS (
+         |  SELECT qid, vec_id, cell, cos4,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos4 DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT qid, vec_id, cell, cos4, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   )
 }
