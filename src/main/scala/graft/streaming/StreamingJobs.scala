@@ -157,6 +157,52 @@ object StreamingJobs {
       }
   }
 
+  final case class TEv(user_id: Long, ts_us: Long, event_id: Long,
+                       event_type: String)
+  final case class Transition(user_id: Long, from_state: String,
+                              to_state: String, at_us: Long)
+  final case class TransState(ts: Long, eid: Long, st: String)
+
+  /** Streaming face of [[graft.operators.Markov.transitionMatrix]]'s
+    * extraction step: emit a (from, to) transition row for every event
+    * after a user's first, with per-user keyed state carrying only the
+    * LAST event seen — O(users) state, not O(events). Downstream, a
+    * plain streaming groupBy over (from_state, to_state) maintains the
+    * live transition counts the batch operator computes at rest.
+    *
+    * Ordering semantics, stated plainly: WITHIN a micro-batch events
+    * sort by (ts, event_id) — the batch operator's exact order — and
+    * ACROSS batches transitions follow arrival order (an event arriving
+    * in a later batch chains onto the stored last event even if its
+    * event time precedes it). That is the standard streaming trade: the
+    * state store holds one tuple per user, so there is no buffer to
+    * re-order late arrivals into; when strict event-time order matters,
+    * replay through the batch operator (same code path the I1
+    * AvailableNow restart uses). No timeout is set — a user's last
+    * event is a legitimate chain head forever; bound state with a
+    * ProcessingTimeTimeout if the key universe is unbounded.
+    */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TEv]):
+      org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TEv], state: GroupState[TransState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += Transition(uid, l.st, e.event_type, e.ts_us))
+            last = Some(TransState(e.ts_us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming ingest prefilter: drop stream rows whose key is (very
     * probably) already in the static corpus — the Bloom face of
     * [[graft.operators.Dedup.dedupAgainstCorpus]] for CONTINUOUS

@@ -284,4 +284,42 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingJobs.contentHash(nullLeft) !=
       StreamingJobs.contentHash(nullRight))
   }
+
+  test("transitionStream chains across batches; in-batch event-time order; " +
+    "counts equal the batch matrix on an in-order replay") {
+    import StreamingJobs.{TEv, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TEv]
+    val q = StreamingJobs.transitionStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: u1 a→b (the c arrives out of order IN-BATCH and must
+    // sort between them? no — c is ts 50, BEFORE a: in-batch sort puts
+    // it first, so c→a→b); u2 single event = no transition yet
+    mem.addData(TEv(1, 100, 1, "a"), TEv(1, 200, 2, "b"),
+      TEv(1, 50, 3, "c"), TEv(2, 100, 4, "x"))
+    q.processAllAvailable()
+    // batch 2: u1 chains b→d off stored state; u2 chains x→y
+    mem.addData(TEv(1, 300, 5, "d"), TEv(2, 400, 6, "y"))
+    q.processAllAvailable()
+    val got = spark.table("trans").as[Transition].collect().toSeq
+    q.stop()
+    assert(got.toSet == Set(
+      Transition(1, "c", "a", 100), Transition(1, "a", "b", 200),
+      Transition(1, "b", "d", 300), Transition(2, "x", "y", 400)))
+    // the streamed transition multiset equals the batch operator's
+    // pair extraction on the same events (arrival order here IS
+    // event-time order across batches)
+    val batch = graft.operators.Markov.transitionMatrix(
+        Seq((1L, 50L, 3L, "c"), (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"),
+          (1L, 300L, 5L, "d"), (2L, 100L, 4L, "x"), (2L, 400L, 6L, "y"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", Seq("ts", "event_id"))
+      .select("from_state", "to_state", "n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => (f, t) -> n }.toMap
+    val streamed = got.groupBy(tr => (tr.from_state, tr.to_state))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamed == batch)
+  }
 }
