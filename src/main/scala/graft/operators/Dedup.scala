@@ -672,4 +672,90 @@ object Dedup {
       Seq("n0", "n1", "n2", "n3"), Seq(12, 8, 4, 0), 0xfL,
       maxHamming, maxBucketSize)
   }
+
+  /** At-rest MinHash-LSH index — [[graft.operators.Similarity
+    * .writeIvfIndex]]'s doctrine applied to text dedup: the corpus's
+    * band-bucket rows (one per doc per band, carrying the doc's distinct
+    * shingle set for in-index confirmation) written PARTITIONED by
+    * (band, bucket-prefix), so an online "is this doc a near-dup of
+    * anything we have?" lookup prunes to `bands` directories at
+    * PLANNING time instead of scanning the corpus. This is the serving
+    * face of [[minhashLshPairs]] (which answers the all-pairs batch
+    * question): ingest gates, crawl frontier dedup, and interactive
+    * "find my copies" all probe; only index builds pay the O(corpus)
+    * pass, once.
+    *
+    * `bp` (first hex char of the md5 bucket) keeps the directory count
+    * at bands·16 — partition dirs must stay bounded (a dir per bucket
+    * would be one per DOC); the residual bucket equality is an ordinary
+    * pushed row filter inside the pruned directories.
+    */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                    table: String, k: Int = 8, bands: Int = 2,
+                    shingleN: Int = 3): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val ms = graft.plans.MinHashShingles
+      .minhashShingles(text.normText(col(textCol)), k, shingleN)
+    val per = docs.select(col(idCol), ms.as("__ms"))
+      .filter(col("__ms").isNotNull)
+    val longForm = (0 until bands).map { b =>
+      val cols = (b * r + 1 to (b + 1) * r)
+        .map(j => col("__ms.mins").getItem(j - 1))
+      per.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws(",", cols: _*)).as("bucket"),
+        col("__ms.sh").as("sh"))
+    }.reduce(_ unionByName _)
+      .withColumn("bp", substring(col("bucket"), 1, 1))
+    graft.sources.Warehouse.writePartitioned(longForm, table,
+      Seq("band", "bp"))
+  }
+
+  /** Probe [[writeLshIndex]]'s table with one query text: returns every
+    * indexed doc sharing a band bucket with the query, with its exact
+    * shingle Jaccard (confirmed in-index — the stored shingle sets make
+    * the lookup self-contained). The query's signature is one bounded
+    * kernel evaluation (collected like every 1-row query vector in
+    * queries.VectorQ); the scan then touches exactly the query's
+    * (band, bp) directories — partition pruning is the storage
+    * property, PlanSpec-style pinned in OperatorsSpec.
+    */
+  def lshIndexLookup(spark: org.apache.spark.sql.SparkSession,
+                     table: String, idCol: String, queryText: String,
+                     k: Int = 8, bands: Int = 2,
+                     shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    import spark.implicits._
+    val ms = graft.plans.MinHashShingles
+      .minhashShingles(text.normText(col("text")), k, shingleN)
+    val qRow = Seq(queryText).toDF("text")
+      .select(ms.as("__ms"))
+      .select(col("__ms.sh").as("sh") +: (0 until bands).map { b =>
+        val cols = (b * r + 1 to (b + 1) * r)
+          .map(j => col("__ms.mins").getItem(j - 1))
+        md5(concat_ws(",", cols: _*)).as(s"band$b")
+      }: _*)
+      .collect()(0)
+    val qsh = qRow.getSeq[String](0)
+    val buckets = (0 until bands).map(b => qRow.getString(1 + b))
+    // the partition predicate references ONLY partition columns so the
+    // planner can prune directories; the residual bucket equality (a
+    // data column) stays a separate conjunct — folding them into one OR
+    // would make the whole predicate non-extractable and kill pruning
+    val partPred = (0 until bands).map(b =>
+      col("band") === b && col("bp") === buckets(b).substring(0, 1))
+      .reduce(_ || _)
+    val rowPred = (0 until bands).map(b =>
+      col("band") === b && col("bucket") === buckets(b))
+      .reduce(_ || _)
+    graft.sources.Warehouse.read(spark, table)
+      .filter(partPred && rowPred)
+      .dropDuplicates(Seq(idCol))
+      .withColumn("__inter",
+        size(array_intersect(col("sh"), typedLit(qsh))))
+      .select(col(idCol),
+        round(col("__inter").cast("double") /
+          (size(col("sh")) + qsh.size - col("__inter")), 4).as("jaccard"))
+  }
 }

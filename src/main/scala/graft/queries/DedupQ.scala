@@ -170,6 +170,23 @@ object DedupQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // At-rest LSH serving: index the whole corpus partitioned by
+    // (band, bucket-prefix), then answer "find doc 0's near-dups" by
+    // probing exactly the query's band directories (planning-time
+    // pruning — Dedup.writeLshIndex/lshIndexLookup docs; OperatorsSpec pins
+    // the partition count). Doc 0 stays IN the index, so the lookup
+    // provably returns its self-match at jaccard 1 plus any band-mates.
+    "d17_lsh_index_lookup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val qText = docs.filter(col("doc_id") === 0)
+        .select(col("text")).collect()(0).getString(0)
+      graft.operators.Dedup.writeLshIndex(docs, "doc_id", "text",
+        "graft_lsh_idx")
+      graft.operators.Dedup
+        .lshIndexLookup(s, "graft_lsh_idx", "doc_id", qText)
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding near-dup blocking WITHOUT labels — the raw-crawl shape
     // (d05's label column doesn't exist at 100 TB): candidates collide
     // on either of two 4-bit sign-hyperplane bands (v02's signBucket
@@ -255,7 +272,10 @@ object DedupQ extends QueryPack {
   /** Full MinHash-LSH candidate chain up to `j` (pairs + set sizes) —
     * shared by d02 (jaccard output) and d06 (cluster output).
     */
-  private[queries] val lshCtes: String = {
+  /** Through the per-doc band hashes (shared by d02's pair chain and
+    * d17's index lookup).
+    */
+  private[queries] val bandedCtes: String = {
     val sigCols = (1 to 8).map { j =>
       s"list_min([${saltedHash32Sql("x", j)} FOR x IN sh]) AS m$j"
     }.mkString(",\n  ")
@@ -263,7 +283,11 @@ object DedupQ extends QueryPack {
        |sig AS (SELECT doc_id, sh, $sigCols FROM sh),
        |banded AS (SELECT doc_id, sh,
        |  md5(concat_ws(',', m1, m2, m3, m4)) AS band0,
-       |  md5(concat_ws(',', m5, m6, m7, m8)) AS band1 FROM sig),
+       |  md5(concat_ws(',', m5, m6, m7, m8)) AS band1 FROM sig)""".stripMargin
+  }
+
+  private[queries] val lshCtes: String = {
+    s"""$bandedCtes,
        |cands AS (
        | SELECT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
        | FROM banded l JOIN banded r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
@@ -346,6 +370,25 @@ object DedupQ extends QueryPack {
          |SELECT a, b,
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |FROM j ORDER BY a, b""".stripMargin,
+
+    // the index detour must equal the definitional band-mate query:
+    // every doc (incl. 0 itself) sharing a band hash with doc 0, with
+    // exact distinct-shingle jaccard against doc 0
+    "d17_lsh_index_lookup" ->
+      s"""$bandedCtes,
+         |q AS (SELECT sh AS qsh, band0 AS qb0, band1 AS qb1
+         |      FROM banded WHERE doc_id = 0),
+         |c AS (SELECT b.doc_id, b.sh FROM banded b, q
+         |      WHERE b.band0 = q.qb0 OR b.band1 = q.qb1),
+         |j AS (
+         | SELECT doc_id,
+         |  len(list_filter(list_distinct(sh),
+         |      x -> list_contains(list_distinct(qsh), x))) AS inter,
+         |  len(list_distinct(sh)) AS l, len(list_distinct(qsh)) AS lq
+         | FROM c, q)
+         |SELECT doc_id,
+         | round(CAST(inter AS DOUBLE) / (l + lq - inter), 4) AS jaccard
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     // connected components over the candidate pairs via a recursive CTE:
     // each node reaches out along (undirected) pair edges; its cluster is

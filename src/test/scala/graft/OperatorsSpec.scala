@@ -926,6 +926,55 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("d17 LSH index lookup: scan prunes to the query's band dirs, " +
+    "self-match at jaccard 1, equals in-memory band-mate computation") {
+    val docs = Tables(spark, sfSmoke).documents
+    val qText = docs.filter(col("doc_id") === 0)
+      .select(col("text")).collect()(0).getString(0)
+    Dedup.writeLshIndex(docs, "doc_id", "text", "graft_lsh_idx_spec")
+    val got = Dedup.lshIndexLookup(spark, "graft_lsh_idx_spec",
+      "doc_id", qText)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows(0L) == 1.0, s"self-match missing or not 1.0: $rows")
+    // planning-time pruning: the scan touches at most bands·(band,bp)
+    // dirs of the bands·16 the table holds (exactly 2 when the two
+    // band prefixes differ, 1-per-band dirs either way)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      (p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }) ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }).flatMap(allScans)
+    val scans = allScans(got.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "[]") != "[]")
+    assert(scans.nonEmpty, "no partition-filtered scan found")
+    val partsRead = scans.map(_.metrics("numPartitions").value).max
+    val total = spark.table("graft_lsh_idx_spec")
+      .select("band", "bp").distinct().count()
+    assert(partsRead <= 2 && partsRead < total,
+      s"probe read $partsRead of $total partitions, want <= 2")
+    // in-memory band-mate reference over the same kernel outputs
+    val per = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .withColumn("b0", md5(concat_ws(",",
+        col("m1"), col("m2"), col("m3"), col("m4"))))
+      .withColumn("b1", md5(concat_ws(",",
+        col("m5"), col("m6"), col("m7"), col("m8"))))
+      .select("doc_id", "b0", "b1")
+      .as[(Long, String, String)].collect()
+    val q = per.find(_._1 == 0L).get
+    val want = per.filter(p => p._2 == q._2 || p._3 == q._3)
+      .map(_._1).toSet
+    assert(rows.keySet == want, s"band mates ${rows.keySet} != $want")
+    spark.sql("DROP TABLE IF EXISTS graft_lsh_idx_spec")
+  }
+
   test("Markov.transitionMatrix: hand-built sequences, rates sum ≤ 10000") {
     import graft.operators.Markov
     // user 1: a→b→a→c ; user 2: a→b ; transitions from a: b,c,b → b=2 c=1
