@@ -114,10 +114,28 @@ object Spatial {
       .withColumn("__ymax", array_max(transform(v, vy(_))))
     val px = col(xCol)
     val py = col(yCol)
-    val cand = points.join(broadcast(bboxed),
-      px >= col("__xmin") && px <= col("__xmax") &&
-        py >= col("__ymin") && py <= col("__ymax"))
-    val crossings = aggregate(
+    // the membership test is the native codegen kernel, NOT a HOF fold:
+    // the optimizer merges this filter into the broadcast join's
+    // condition, where an interpreted fold as the first conjunct ran on
+    // every (point × polygon) pair before the bbox conjuncts could
+    // prune (graft.plans.PointInPolygon doc; measured 1.74 s → bbox
+    // cost at sf0.1)
+    points.join(broadcast(bboxed),
+        px >= col("__xmin") && px <= col("__xmax") &&
+          py >= col("__ymin") && py <= col("__ymax"))
+      .filter(graft.plans.PointInPolygon.pointInPolygon(px, py, v))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+  }
+
+  /** The HOF fold [[pointInPolygonJoin]]'s kernel replaced — kept
+    * (test-only) as the parity oracle for the PointInPolygon kernel
+    * (SpatialSpec), the IvfCell pattern.
+    */
+  private[graft] def crossingsHof(px: Column, py: Column,
+                                  v: Column): Column = {
+    def vx(p: Column) = p.getField("x")
+    def vy(p: Column) = p.getField("y")
+    val cnt = aggregate(
       transform(v, (p, i) => {
         val q = element_at(v, pmod(i + 1, size(v)) + 1)
         val lhs = (px - vx(p)) * (vy(q) - vy(p))
@@ -127,7 +145,6 @@ object Spatial {
           .otherwise(0)
       }),
       lit(0), (acc, x) => acc + x)
-    cand.filter(crossings % 2 === 1)
-      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+    cnt % 2 === 1
   }
 }

