@@ -71,7 +71,22 @@ def main():
         f" FROM read_parquet('{src}/orders.parquet')" for c in range(n))
     con.execute(f"COPY ({orders}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
 
-    for t in ("documents", "lineitem", "orders"):
+    # customer (g08's point table): key shift relocates each copy's
+    # derived deci-degree coordinates (1e7 % 3600 != 0) so copies spread
+    # over the grid instead of stacking on identical points
+    cust = " UNION ALL ".join(
+        f"SELECT c_custkey + {c * OFF} AS c_custkey, c_nationkey,"
+        f" c_acctbal, c_mktsegment"
+        f" FROM read_parquet('{src}/customer.parquet')" for c in range(n))
+    con.execute(f"COPY ({cust}) TO '{out}/customer.parquet' (FORMAT PARQUET)")
+
+    # dimension tables pass through unscaled (g08 needs nation)
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    for t in ("documents", "lineitem", "orders", "customer"):
         r = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')")
         print(t, r.fetchone()[0])
 
