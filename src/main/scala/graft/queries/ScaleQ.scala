@@ -73,6 +73,27 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  /** Build-once guard for s07's bloom-skipped layout (same pattern as
+    * [[ensureBucketed]]): lineitem in ship-month "files" with per-file
+    * membership bitmaps over the orderkey — the point-lookup key that
+    * is UNCORRELATED with the month layout, which is exactly the case
+    * zone maps cannot prune and blooms exist for.
+    */
+  @volatile private var bloomSkipFor: String = null
+  private def ensureBloomSkip(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (bloomSkipFor != dir) {
+        graft.sources.BloomSkip.writeWithBlooms(
+          Tables(s, dir).lineitem.select(
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast("long").as("ship_mon"),
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            cents(col("l_extendedprice")).as("price_cents")),
+          "graft_wh_lineitem_bs", "ship_mon", "l_orderkey")
+        bloomSkipFor = dir
+      }
+    }
+
   /** Build-once guard for s03's z-ordered lineitem slice (same pattern
     * as [[ensureBucketed]]).
     */
@@ -195,6 +216,24 @@ object ScaleQ extends QueryPack {
         .orderBy(col("flag"), col("bin"))
     },
 
+    // Bloom-at-rest point lookup (sources/BloomSkip doc): fetch one
+    // order's line items from month-partitioned files by consulting
+    // per-file membership bitmaps — the key is layout-independent, so
+    // s05's zone maps would prune nothing here. Probe key = MIN
+    // orderkey (one metadata-scale action; exists at every SF). The
+    // oracle is the raw-table mirror: pruning is a plan property
+    // (WarehouseSpec-style pin in ZoneMapSpec), never a result change.
+    "s07_bloom_point_lookup" -> { (s, dir) =>
+      ensureBloomSkip(s, dir)
+      val key = Tables(s, dir).lineitem
+        .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+      graft.sources.BloomSkip.readPoint(s, "graft_wh_lineitem_bs",
+          "ship_mon", "l_orderkey", lit(key))
+        .select(col("l_orderkey"), col("ship_mon"), col("l_linenumber"),
+          col("l_returnflag"), col("price_cents"))
+        .orderBy(col("l_linenumber"))
+    },
+
     // Lakehouse MERGE: fold an orders-derived CDC changelog (13-multiple
     // orderkeys insert NEW customer keys, 11-multiples delete, highest
     // orderkey per key wins) into the customer snapshot
@@ -284,6 +323,16 @@ object ScaleQ extends QueryPack {
         | CAST(SUM(nr) AS BIGINT) AS bin_rows,
         | MIN(mon) AS first_mon, MAX(mon) AS last_mon
         |FROM walk GROUP BY flag, seq ORDER BY flag, bin""".stripMargin,
+
+    "s07_bloom_point_lookup" ->
+      """SELECT l_orderkey,
+        | CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT)
+        |   AS ship_mon,
+        | l_linenumber, l_returnflag,
+        | CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
 
     "s06_changelog_apply" ->
       """WITH snap AS (
