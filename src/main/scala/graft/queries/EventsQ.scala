@@ -174,6 +174,30 @@ object EventsQ extends QueryPack {
         .orderBy(col("from_state"), col("to_state"))
     },
 
+    // Conversion-lag distribution: per user, first view → first
+    // purchase AT-OR-AFTER it, exact integer seconds, discrete
+    // median/p90 over converters — the funnel-timing rollup (e06 tells
+    // you WHO converts; this tells you HOW LONG it takes). Two keyed
+    // aggregates + one user join; the lag frame is user-scale.
+    "e14_conversion_lag" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val lag = v.join(p, Seq("user_id"))
+        .filter(col("p_us") >= col("v_us"))
+        .groupBy(col("user_id"), col("v_us"))
+        .agg(min(col("p_us")).as("p_us"))
+        .select(expr("(p_us - v_us) div 1000000").as("lag_s"))
+      lag.agg(count(lit(1)).as("n_converted"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) " +
+          "AS BIGINT)").as("median_lag_s"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) " +
+          "AS BIGINT)").as("p90_lag_s"))
+    },
+
     // Robust outlier counts via MAD (median absolute deviation) — the
     // heavy-tail-safe complement of e08's mean/σ z-test (one fat order
     // can't move a median). Exact integer cents; two dependent
@@ -398,6 +422,23 @@ object EventsQ extends QueryPack {
         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_state)
         |       AS BIGINT) AS rate_bp
         |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    "e14_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |fp AS (
+        |  SELECT v.user_id, v.v_us, MIN(p.p_us) AS p_us
+        |  FROM v JOIN p ON p.user_id = v.user_id AND p.p_us >= v.v_us
+        |  GROUP BY 1, 2),
+        |l AS (SELECT (p_us - v_us) // 1000000 AS lag_s FROM fp)
+        |SELECT COUNT(*) AS n_converted,
+        |  CAST(quantile_disc(lag_s, 0.5) AS BIGINT) AS median_lag_s,
+        |  CAST(quantile_disc(lag_s, 0.9) AS BIGINT) AS p90_lag_s
+        |FROM l""".stripMargin,
 
     "e13_mad_outliers" ->
       """WITH e AS (
