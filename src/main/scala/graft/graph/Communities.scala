@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (LPA,
+  * Raghavan et al. 2007) over a FIXED round count: every node starts
+  * as its own label; each round it adopts the most frequent label among
+  * its neighbors, ties to the smallest label. In a curation pipeline
+  * this is the domain/community clustering of the link graph — the
+  * coarse partition crawl quotas and mixture budgets hang off.
+  *
+  * Determinism, stated plainly: classic LPA (random order, random
+  * ties, run to convergence) is not reproducible, and synchronous LPA
+  * can oscillate between two colorings forever on bipartite structure.
+  * This operator therefore runs a FIXED number of synchronous rounds
+  * with a total tiebreak (count desc, then smallest label) — the
+  * result is a pure function of (graph, rounds), identical on every
+  * engine/partitioning/rerun, which is what lets a DuckDB oracle
+  * replay it round for round. `rounds` is the caller's contract, like
+  * PageRank's iteration count (r06-r08's doctrine).
+  *
+  * Scale shape per round: one equi-join of the edge frame against the
+  * keys-scale label frame (edges pre-hash-partitioned on dst — the
+  * join key — so the label side is the only mover; against a
+  * dst-bucketed at-rest edge table even that elides, the r08
+  * doctrine), then TWO map-side-combined aggregates: (src, label)
+  * counts, and the per-src argmax as `min(struct(-count, label))` — an
+  * ordinary reducible aggregate, NO window, so the argmax combines on
+  * the map side instead of sorting each src's candidates. Labels are
+  * materialized per round through the shared Iteration materializer
+  * (lineage stays flat; reliable checkpoint in cluster mode).
+  *
+  * `edges` must be SYMMETRIC and duplicate-free (the [[Cores]]
+  * contract); labels weight each neighbor once.
+  */
+object Communities {
+
+  /** (node, label) after `rounds` synchronous rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpointDir: Option[String] = None,
+                       prePartitionEdges: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val eSel = edges.select(col("src"), col("dst"))
+    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("dst")) else eSel)
+    var labels = ckpt(e.select(col("dst").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to rounds) {
+      val next = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("src").as("node"), col("m.l").as("label"))
+      labels = ckpt(next)
+    }
+    labels
+  }
+}

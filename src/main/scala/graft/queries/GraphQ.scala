@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.{Cores, Projection, Ranking, Routing, Triangles}
+import graft.graph.{Communities, Cores, Projection, Ranking, Routing, Triangles}
 import SqlMacros._
 
 /** Graph/routing operators (SURVEY §2.10) over a deterministic synthetic
@@ -212,6 +212,19 @@ object GraphQ extends QueryPack {
       Cores.kCore(sym, k = 7,
           checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
         .orderBy(col("node"))
+    },
+
+    // Community detection: 4 synchronous LPA rounds over the full
+    // trade graph (~600k directed edges at sf0.1), reported as
+    // community sizes (Communities.labelPropagation doc: fixed rounds
+    // + total tiebreak = engine-replayable determinism; per-round
+    // argmax is a reducible min(struct) aggregate, no window).
+    "r13_lpa_communities" -> { (s, dir) =>
+      Communities.labelPropagation(tradeEdges(s, dir), rounds = 4,
+          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("label"))
     },
 
     // Bipartite projection: the supplier co-purchase graph — supplier
@@ -431,6 +444,31 @@ object GraphQ extends QueryPack {
         |  WHERE w.hops < 10)
         |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "r13_lpa_communities" -> {
+      // 4 non-recursive chained rounds, each the definitional
+      // count-then-argmax (row_number form); l0 = every node labels
+      // itself
+      val rounds = (1 to 4).map { i =>
+        s"""n$i AS (
+           |  SELECT pe.src, l${i - 1}.label, COUNT(*) AS c
+           |  FROM pe JOIN l${i - 1} ON l${i - 1}.node = pe.dst
+           |  GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label, row_number() OVER (PARTITION BY src
+           |      ORDER BY c DESC, label) AS rn FROM n$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |pe AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |l0 AS (SELECT DISTINCT dst AS node, dst AS label FROM pe),
+         |$rounds
+         |SELECT label, COUNT(*) AS n_members FROM l4
+         |GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "r12_copurchase_projection" ->
       """WITH e AS (

@@ -72,4 +72,32 @@ class CoresSpec extends SparkTestBase {
       .as[Int].collect().sorted
     assert(got.toSeq == adj.keys.toSeq.sorted)
   }
+
+  test("labelPropagation: two cliques with a bridge resolve to two " +
+    "communities; serial replay parity on the hashed graph") {
+    import graft.graph.Communities
+    // K4 on 1-4 and K4 on 11-14, bridged 4-11: labels converge to the
+    // min member of each clique; fixed 4 rounds are enough here
+    val k4a = for (a <- 1 to 4; b <- 1 to 4 if a != b) yield (a, b)
+    val k4b = for (a <- 11 to 14; b <- 11 to 14 if a != b) yield (a, b)
+    val e = (k4a ++ k4b ++ Seq((4, 11), (11, 4)))
+      .map { case (a, b) => (a.toString, b.toString) }.toDF("src", "dst")
+    val got = Communities.labelPropagation(e, rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(Seq("1", "2", "3").forall(n => got(n) == got("1")))
+    assert(Seq("11", "12", "13", "14").forall(n => got(n) == got("11")))
+    assert(got("1") != got("11"))
+    // serial synchronous replay with the exact tiebreak
+    val adj = (k4a ++ k4b ++ Seq((4, 11), (11, 4)))
+      .map { case (a, b) => (a.toString, b.toString) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.map { case (n, ns) =>
+        val cnt = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        n -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got == lab)
+  }
 }
