@@ -174,6 +174,31 @@ object EventsQ extends QueryPack {
         .orderBy(col("from_state"), col("to_state"))
     },
 
+    // Per-user activity features — the feature-extraction shape of a
+    // churn/engagement model: event count, active-day count, first/last
+    // day, and the activity TREND as the exact-integer OLS slope over
+    // (day, daily count) pairs kept as a rational
+    // (num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² — translation-invariant,
+    // so absolute epoch days are safe in long arithmetic; downstream
+    // divides, engines never do). Two map-side-combined aggregates
+    // keyed (user, day) then (user); nothing else moves.
+    "e15_user_features" -> { (s, dir) =>
+      val daily = Tables(s, dir).events
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("user_id"))
+        .agg(sum(col("y")).as("n_events"),
+          count(lit(1)).as("active_days"),
+          min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"),
+          (count(lit(1)) * sum(col("day") * col("y")) -
+            sum(col("day")) * sum(col("y"))).as("slope_num"),
+          (count(lit(1)) * sum(col("day") * col("day")) -
+            sum(col("day")) * sum(col("day"))).as("slope_den"))
+        .orderBy(col("user_id"))
+    },
+
     // Conversion-lag distribution: per user, first view → first
     // purchase AT-OR-AFTER it, exact integer seconds, discrete
     // median/p90 over converters — the funnel-timing rollup (e06 tells
@@ -422,6 +447,21 @@ object EventsQ extends QueryPack {
         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_state)
         |       AS BIGINT) AS rate_bp
         |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    "e15_user_features" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(SUM(y) AS BIGINT) AS n_events,
+        |  COUNT(*) AS active_days,
+        |  MIN(day) AS first_day, MAX(day) AS last_day,
+        |  CAST(COUNT(*) * SUM(day * y) - SUM(day) * SUM(y) AS BIGINT)
+        |    AS slope_num,
+        |  CAST(COUNT(*) * SUM(day * day) - SUM(day) * SUM(day) AS BIGINT)
+        |    AS slope_den
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e14_conversion_lag" ->
       """WITH v AS (
