@@ -183,4 +183,61 @@ class PropertySpec extends SparkTestBase {
       .count() == 0)
     out.unpersist()
   }
+
+  test("weightedSampleNoReplacement: exact k from the population, " +
+    "nested panels as k grows (A-Res keys are per-row constants)") {
+    import graft.operators.Splits
+    val rows = samples(Gen.chooseNum(1L, 5000L), 300).distinct
+      .map(id => (id, 1L + id % 97))
+    val df = rows.toDF("id", "w")
+    val panels = Seq(10, 40, 80).map { k =>
+      k -> Splits.weightedSampleNoReplacement(df, "id", "w", k, salt = 5)
+        .select("id").as[Long].collect().toSet
+    }
+    panels.foreach { case (k, p) =>
+      assert(p.size == k && p.subsetOf(rows.map(_._1).toSet))
+    }
+    // a larger draw EXTENDS a smaller one — the keys are fixed per row,
+    // so top-10 ⊆ top-40 ⊆ top-80 (the resample-stability property that
+    // makes panel growth cheap)
+    assert(panels(0)._2.subsetOf(panels(1)._2) &&
+      panels(1)._2.subsetOf(panels(2)._2))
+  }
+
+  test("PointInPolygon: membership is invariant under starting-vertex " +
+    "rotation and winding reversal") {
+    // a polygon is the same region whatever vertex the array starts at
+    // and whichever way it winds — the crossing test must agree
+    val verts = Seq((0L, 0L), (9L, 2L), (12L, 8L), (5L, 11L), (-2L, 6L))
+    def df(vs: Seq[(Long, Long)]) = Seq((1L, vs)).toDF("id", "raw")
+      .select(expr("transform(raw, r -> struct(r._1 AS x, r._2 AS y))")
+        .as("verts"))
+    val pts = (for (x <- -3L to 13L; y <- -1L to 12L) yield (x, y))
+      .toDF("px", "py")
+    def members(vs: Seq[(Long, Long)]): Set[(Long, Long)] =
+      pts.crossJoin(df(vs))
+        .filter(graft.plans.PointInPolygon
+          .pointInPolygon(col("px"), col("py"), col("verts")))
+        .select("px", "py").as[(Long, Long)].collect().toSet
+    val base = members(verts)
+    assert(base.nonEmpty)
+    // rotation keeps every directed edge → exact equality incl. boundary
+    for (r <- 1 until verts.size) {
+      assert(members(verts.drop(r) ++ verts.take(r)) == base,
+        s"rotation by $r changed membership")
+    }
+    // reversal flips edge directions: the half-open rule may legally
+    // reassign points ON the boundary, so compare away from it
+    def onEdge(p: (Long, Long)): Boolean =
+      verts.indices.exists { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.size)
+        val (px, py) = p
+        (x2 - x1) * (py - y1) == (y2 - y1) * (px - x1) &&
+          px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+          py >= math.min(y1, y2) && py <= math.max(y1, y2)
+      }
+    val rev = members(verts.reverse)
+    assert(rev.filterNot(onEdge) == base.filterNot(onEdge),
+      "winding reversal changed interior membership")
+  }
 }
