@@ -673,6 +673,63 @@ object Dedup {
       maxHamming, maxBucketSize)
   }
 
+  /** Cross-corpus near-dup join — the batch face between
+    * [[dedupAgainstCorpus]] (EXACT key, misses paraphrases) and
+    * [[lshIndexLookup]] (one query at a time): every (increment doc,
+    * corpus doc) pair sharing a MinHash band, confirmed with exact
+    * distinct-shingle Jaccard ≥ `thetaNum/thetaDen` (cross-multiplied
+    * integers — no float boundary). The "is today's crawl already in
+    * the lake, NEAR-duplicate-wise" question every ingest gate asks.
+    *
+    * Scale shape: one kernel pass per side; the band join carries ids +
+    * band hashes only and is an equi-join per band on the band value —
+    * increment×corpus, never corpus×corpus, so the big side shuffles
+    * once per band at ids-width and the quadratic term is bounded by
+    * same-bucket CROSS-corpus collisions (cap hot buckets upstream with
+    * [[capBuckets]] on the band column if the corpus carries megadup
+    * boilerplate). Shingle sets re-join BY ID for the confirm —
+    * [[minhashLshPairs]]' documented slim-shuffle shape.
+    * Output: (inc_id, corp_id, jaccard 4dp), pairs clearing θ.
+    */
+  def crossCorpusNearDups(increment: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 8, bands: Int = 2, shingleN: Int = 3,
+                          thetaNum: Int = 1, thetaDen: Int = 2): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"need 0 < thetaNum/thetaDen <= 1, got $thetaNum/$thetaDen")
+    val r = k / bands
+    def per(df: DataFrame) = {
+      val ms = graft.plans.MinHashShingles
+        .minhashShingles(text.normText(col(textCol)), k, shingleN)
+      df.select(col(idCol), ms.as("__ms"))
+        .filter(col("__ms").isNotNull)
+        .select(col(idCol) +: col("__ms.sh").as("sh") +:
+          (0 until bands).map { b =>
+            val cols = (b * r + 1 to (b + 1) * r)
+              .map(j => col("__ms.mins").getItem(j - 1))
+            md5(concat_ws(",", cols: _*)).as(s"band$b")
+          }: _*)
+        .localCheckpoint()
+    }
+    val inc = per(increment)
+    val corp = per(corpus)
+    val cands = (0 until bands).map { b =>
+      inc.select(col(idCol).as("ia"), col(s"band$b").as("k"))
+        .join(corp.select(col(idCol).as("ib"), col(s"band$b").as("rk")),
+          col("k") === col("rk"))
+        .select(col("ia"), col("ib"))
+    }.reduce(_ unionByName _).dropDuplicates("ia", "ib")
+    cands
+      .join(inc.select(col(idCol).as("ia"), col("sh").as("da")), Seq("ia"))
+      .join(corp.select(col(idCol).as("ib"), col("sh").as("db")), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("da"), col("db"))))
+      .withColumn("uni", size(col("da")) + size(col("db")) - col("inter"))
+      .filter(col("inter") * thetaDen >= col("uni") * thetaNum)
+      .select(col("ia").as("inc_id"), col("ib").as("corp_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
   /** At-rest MinHash-LSH index — [[graft.operators.Similarity
     * .writeIvfIndex]]'s doctrine applied to text dedup: the corpus's
     * band-bucket rows (one per doc per band, carrying the doc's distinct

@@ -184,6 +184,21 @@ object DedupQ extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-corpus near-dup gate: today's increment (doc_id%10==3 —
+    // d10's slice) LSH-banded against the REST of the corpus, exact
+    // jaccard >= 3/5 confirm (Dedup.crossCorpusNearDups doc: inc×corp
+    // band equi-joins, ids-only shuffles, shingles re-joined by id) —
+    // the near-duplicate complement of d10's exact-key subtraction.
+    "d18_crosscorpus_neardup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documentsKernelParallel
+      Dedup.crossCorpusNearDups(
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 =!= 3),
+          "doc_id", "text", k = 8, bands = 2, shingleN = 3,
+          thetaNum = 3, thetaDen = 5)
+        .orderBy(col("inc_id"), col("corp_id"))
+    },
+
     // At-rest LSH serving: index the whole corpus partitioned by
     // (band, bucket-prefix), then answer "find doc 0's near-dups" by
     // probing exactly the query's band directories (planning-time
@@ -387,6 +402,27 @@ object DedupQ extends QueryPack {
          |SELECT a, b,
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |FROM j ORDER BY a, b""".stripMargin,
+
+    "d18_crosscorpus_neardup" ->
+      s"""$bandedCtes,
+         |inc AS (SELECT * FROM banded WHERE doc_id % 10 = 3),
+         |corp AS (SELECT * FROM banded WHERE doc_id % 10 <> 3),
+         |cands AS (
+         | SELECT i.doc_id AS ia, c.doc_id AS ib, i.sh AS sha, c.sh AS shb
+         | FROM inc i JOIN corp c ON i.band0 = c.band0
+         | UNION
+         | SELECT i.doc_id, c.doc_id, i.sh, c.sh
+         | FROM inc i JOIN corp c ON i.band1 = c.band1),
+         |j AS (
+         | SELECT ia, ib,
+         |  len(list_filter(list_distinct(sha),
+         |      x -> list_contains(list_distinct(shb), x))) AS inter,
+         |  len(list_distinct(sha)) AS la, len(list_distinct(shb)) AS lb
+         | FROM cands)
+         |SELECT ia AS inc_id, ib AS corp_id,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |FROM j WHERE inter * 5 >= (la + lb - inter) * 3
+         |ORDER BY inc_id, corp_id""".stripMargin,
 
     // the index detour must equal the definitional band-mate query:
     // every doc (incl. 0 itself) sharing a band hash with doc 0, with
