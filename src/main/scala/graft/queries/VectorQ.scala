@@ -410,6 +410,31 @@ object VectorQ extends QueryPack {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // FILTERED vector search — the hybrid metadata+ANN serving shape
+    // (the "where label = X" predicate every production vector store
+    // composes with the index): v06's 2-cell multiprobe with the label
+    // filter applied BEFORE scoring, so only in-cell in-label rows pay
+    // the cosine; against the v11 at-rest layout the cell prunes
+    // partitions and the label filter pushes into the pruned scan.
+    "v21_filtered_ann" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val q = e.filter(col("vec_id") === 0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec"),
+        Similarity.ivfProbeCells(col("embedding"), cb, 2).as("qcells")))
+      e.filter(col("vec_id") =!= 0 && col("label") === 3)
+        .withColumn("cell", Similarity.ivfCell(col("embedding"), cb))
+        .crossJoin(qb)
+        .filter(array_contains(col("qcells"), col("cell")))
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")),
+          vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("label"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     "v04_ivf_probe" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
@@ -876,6 +901,28 @@ object VectorQ extends QueryPack {
          |  FROM v)
          |SELECT qid, label, CAST(n_votes AS BIGINT) AS n_votes, best_cos4
          |FROM w WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "v21_filtered_ann" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+         |      WHERE vec_id = 0),
+         |qcells AS (SELECT cid AS qc FROM c, q
+         |           ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid
+         |           LIMIT 2),
+         |scored AS (
+         | SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4)
+         |            DESC, c.cid) AS rn
+         | FROM embeddings e CROSS JOIN c
+         | WHERE e.vec_id <> 0 AND e.label = 3),
+         |a AS (SELECT vec_id, label, ee, CAST(cid AS INT) AS cell
+         |      FROM scored WHERE rn = 1)
+         |SELECT a.vec_id, a.label, a.cell,
+         | round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
+         |FROM a, q WHERE a.cell IN (SELECT qc FROM qcells)
+         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin,
 
     "v20_ivf_batch_probe" ->
       s"""WITH c AS (
