@@ -94,6 +94,36 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  /** s08's evolved layout: lineitem history month-partitioned, rows
+    * from CUTOVER month 1996-01 on week-partitioned (sources/Evolution
+    * doc — the Iceberg partition-evolution semantics: history is never
+    * rewritten). Probe range spans the cutover so BOTH generations
+    * prune and contribute.
+    */
+  private val EvCutoverMon = 199601L
+  private val EvLo = java.time.LocalDate.of(1995, 11, 15).toEpochDay
+  private val EvHi = java.time.LocalDate.of(1996, 2, 15).toEpochDay
+
+  /** Build-once guard for s08 (same pattern as [[ensureBucketed]]). */
+  @volatile private var evolvedFor: String = null
+  private def ensureEvolved(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (evolvedFor != dir) {
+        graft.sources.Evolution.writeEvolved(
+          Tables(s, dir).lineitem.select(
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast("long").as("ship_mon"),
+            expr("CAST(datediff(to_date(l_shipdate), '1970-01-01') AS LONG)" +
+              " div 7").as("ship_week"),
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long").as("ship_day"),
+            col("l_returnflag"), col("l_extendedprice"), col("l_discount")),
+          "graft_wh_lineitem_ev", "ship_mon", "ship_week",
+          cutoverCoarse = EvCutoverMon)
+        evolvedFor = dir
+      }
+    }
+
   /** Build-once guard for s03's z-ordered lineitem slice (same pattern
     * as [[ensureBucketed]]).
     */
@@ -216,6 +246,30 @@ object ScaleQ extends QueryPack {
         .orderBy(col("flag"), col("bin"))
     },
 
+    // Partition-evolution read (sources/Evolution doc): a day-range
+    // revenue probe spanning the 1996-01 cutover — months prune the
+    // history generation, weeks prune the new one, both at planning
+    // time (ZoneMapSpec-style pin), and the union carries the exact
+    // residual. The oracle is the raw-table mirror: generation routing
+    // is a plan property, never a result change.
+    "s08_evolved_range_revenue" -> { (s, dir) =>
+      ensureEvolved(s, dir)
+      def monOf(day: Long) = {
+        val d = java.time.LocalDate.ofEpochDay(day)
+        d.getYear * 100L + d.getMonthValue
+      }
+      graft.sources.Evolution.readRange(s, "graft_wh_lineitem_ev",
+          "ship_mon", "ship_week", "ship_day", EvLo, EvHi,
+          coarseLo = monOf(EvLo), coarseHi = monOf(EvHi),
+          fineLo = EvLo / 7, fineHi = EvHi / 7)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice")) *
+            (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Bloom-at-rest point lookup (sources/BloomSkip doc): fetch one
     // order's line items from month-partitioned files by consulting
     // per-file membership bitmaps — the key is layout-independent, so
@@ -323,6 +377,16 @@ object ScaleQ extends QueryPack {
         | CAST(SUM(nr) AS BIGINT) AS bin_rows,
         | MIN(mon) AS first_mon, MAX(mon) AS last_mon
         |FROM walk GROUP BY flag, seq ORDER BY flag, bin""".stripMargin,
+
+    "s08_evolved_range_revenue" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+         |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000
+         |   AS revenue
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+         |      BETWEEN $EvLo AND $EvHi
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "s07_bloom_point_lookup" ->
       """SELECT l_orderkey,

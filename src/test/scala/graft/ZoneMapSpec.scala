@@ -133,4 +133,65 @@ class ZoneMapSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS ${BloomSkip.sketchTable("bs_spec_li")}")
     }
   }
+
+  test("partition evolution: cross-cutover probe equals raw filter, " +
+    "each generation prunes on its own key, both contribute") {
+    import graft.sources.Evolution
+    val li = Tables(spark, sfSmoke).lineitem.select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("mon"),
+      expr("CAST(datediff(to_date(l_shipdate), '1970-01-01') AS LONG)" +
+        " div 7").as("wk"),
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("day"),
+      col("l_quantity"))
+    val cutover = 199601L
+    Evolution.writeEvolved(li, "ev_spec_li", "mon", "wk", cutover)
+    try {
+      val lo = java.time.LocalDate.of(1995, 11, 15).toEpochDay
+      val hi = java.time.LocalDate.of(1996, 2, 15).toEpochDay
+      val q = Evolution.readRange(spark, "ev_spec_li", "mon", "wk",
+        "day", lo, hi, coarseLo = 199511L, coarseHi = 199602L,
+        fineLo = lo / 7, fineHi = hi / 7)
+      val got = q.agg(count(lit(1)), sum(col("l_quantity"))).head()
+      val want = li.filter(col("day").between(lo, hi))
+        .agg(count(lit(1)), sum(col("l_quantity"))).head()
+      assert(got == want && got.getLong(0) > 0)
+      // both generations contribute rows (the range spans the cutover)
+      assert(q.filter(col("mon") < cutover).count() > 0)
+      assert(q.filter(col("mon") >= cutover).count() > 0)
+      // planning-time pruning per generation: the history scan reads
+      // only the 2 in-range months; the new-data scan reads only the
+      // in-range weeks — both far below their tables' partition counts
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        (p match {
+          case s: FileSourceScanExec => Seq(s)
+          case _ => Nil
+        }) ++ (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case other => other.children
+        }).flatMap(allScans)
+      val scans = allScans(q.queryExecution.executedPlan)
+        .filter(_.metadata.getOrElse("PartitionFilters", "[]") != "[]")
+      assert(scans.size == 2, s"want both generation scans, got $scans")
+      val counts = scans.map(_.selectedPartitions.partitionCount).sorted
+      val g0Total = spark.table("ev_spec_li_g0")
+        .select("mon").distinct().count()
+      val g1Total = spark.table("ev_spec_li_g1")
+        .select("wk").distinct().count()
+      assert(counts.head == 2, // Nov + Dec 1995
+        s"history generation read ${counts.head} months, want 2")
+      assert(counts.last <= 8 && counts.last < g1Total,
+        s"new generation read ${counts.last} of $g1Total weeks")
+      assert(counts.head < g0Total)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_spec_li_g0")
+      spark.sql("DROP TABLE IF EXISTS ev_spec_li_g1")
+    }
+  }
 }
