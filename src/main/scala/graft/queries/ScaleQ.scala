@@ -285,7 +285,8 @@ object ScaleQ extends QueryPack {
           "ship_mon", "l_orderkey", lit(key))
         .select(col("l_orderkey"), col("ship_mon"), col("l_linenumber"),
           col("l_returnflag"), col("price_cents"))
-        .orderBy(col("l_linenumber"))
+        .orderBy(col("ship_mon"), col("l_linenumber"), col("l_returnflag"),
+          col("price_cents"))
     },
 
     // Lakehouse MERGE: fold an orders-derived CDC changelog (13-multiple
@@ -396,7 +397,8 @@ object ScaleQ extends QueryPack {
         | CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
         |FROM lineitem
         |WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)
-        |ORDER BY l_linenumber""".stripMargin,
+        |ORDER BY ship_mon, l_linenumber, l_returnflag, price_cents"""
+      .stripMargin,
 
     "s06_changelog_apply" ->
       """WITH snap AS (
