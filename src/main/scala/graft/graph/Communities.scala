@@ -36,10 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object Communities {
 
-  /** (node, label) after `rounds` synchronous rounds. */
+  /** (node, label) after `rounds` synchronous rounds.
+    *
+    * `broadcastLabels`: the label frame is V-scale (node + label ids) —
+    * when V is dim-table-bounded (the r07 broadcast-ranks contract) the
+    * per-round join broadcasts it and the O(E) side never exchanges;
+    * leave false when V outgrows the broadcast budget (the join then
+    * shuffles labels to the dst-partitioned edges).
+    */
   def labelPropagation(edges: DataFrame, rounds: Int,
                        checkpointDir: Option[String] = None,
-                       prePartitionEdges: Boolean = true): DataFrame = {
+                       prePartitionEdges: Boolean = true,
+                       broadcastLabels: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
@@ -48,8 +56,9 @@ object Communities {
     var labels = ckpt(e.select(col("dst").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
+      val lSide = labels.select(col("node").as("dst"), col("label"))
       val next = e
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .join(if (broadcastLabels) broadcast(lSide) else lSide, Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("src"))

@@ -221,7 +221,8 @@ object GraphQ extends QueryPack {
     // argmax is a reducible min(struct) aggregate, no window).
     "r13_lpa_communities" -> { (s, dir) =>
       Communities.labelPropagation(tradeEdges(s, dir), rounds = 4,
-          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
+          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"),
+          broadcastLabels = true) // V bounded by dim tables, see r07
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("label"))
