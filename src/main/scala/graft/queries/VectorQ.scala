@@ -410,6 +410,50 @@ object VectorQ extends QueryPack {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // Quantization ABLATION — the "what does int8 cost in recall"
+    // eval every quantized deployment runs before committing to codes
+    // at rest (v13/v14): rank the corpus per panel query by exact
+    // rounded cosine AND by the exact-integer SQ8 dot (both sides
+    // encoded with the half-away kernel rounding), then recall@10 of
+    // the quantized ranking against the exact one. One scored frame,
+    // two in-partition rankings (the v18 two-row_number shape — one
+    // exchange, no second scan). The generic zip_with dot here is the
+    // EVAL harness; serving uses the fused Sq8Dot kernel (v13).
+    "v22_quant_ablation" -> { (s, dir) =>
+      import graft.functions.vectors
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).embeddings
+      val scale = Similarity.sq8MaxAbs(e, "embedding")
+      val qids = RecallQueryIds
+      def codes(c: org.apache.spark.sql.Column) =
+        graft.plans.Sq8Dot.sq8Encode(vectors.asDouble(c), scale)
+      val panel = broadcast(e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"),
+          vectors.asDouble(col("embedding")).as("__qv"),
+          codes(col("embedding")).as("__qc")))
+      val scored = e.filter(!col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), vectors.asDouble(col("embedding")).as("__v"),
+          codes(col("embedding")).as("__c"))
+        .crossJoin(panel)
+        .select(col("qid"), col("vec_id"),
+          round(vectors.cosine(col("__v"), col("__qv")), 4).as("cos4"),
+          aggregate(zip_with(col("__c"), col("__qc"),
+            (a, b) => a.cast("long") * b.cast("long")),
+            lit(0L), (acc, x) => acc + x).as("qscore"))
+      val wq = Window.partitionBy(col("qid"))
+      val exact = wq.orderBy(col("cos4").desc, col("vec_id"))
+      val quant = wq.orderBy(col("qscore").desc, col("vec_id"))
+      scored
+        .withColumn("rkf", row_number().over(exact))
+        .withColumn("rkq", row_number().over(quant))
+        .filter(col("rkf") <= 10 || col("rkq") <= 10)
+        .groupBy(col("qid"))
+        .agg(sum(when(col("rkf") <= 10 && col("rkq") <= 10, 1L)
+          .otherwise(0L)).cast("bigint").as("n_hit"))
+        .withColumn("recall_bp", col("n_hit") * 1000)
+        .orderBy(col("qid"))
+    },
+
     // FILTERED vector search — the hybrid metadata+ANN serving shape
     // (the "where label = X" predicate every production vector store
     // composes with the index): v06's 2-cell multiprobe with the label
@@ -901,6 +945,38 @@ object VectorQ extends QueryPack {
          |  FROM v)
          |SELECT qid, label, CAST(n_votes AS BIGINT) AS n_votes, best_cos4
          |FROM w WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "v22_quant_ablation" -> {
+      val ids = RecallQueryIds.mkString(", ")
+      s"""WITH s AS (
+         |  SELECT MAX(list_max([abs(x) FOR x IN embedding::DOUBLE[]])) AS s
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id IN ($ids)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+         |      FROM embeddings WHERE vec_id NOT IN ($ids)),
+         |sc AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(${cosineSql("e.ev", "q.qv")}, 4) AS cos4,
+         |    CAST(list_sum([CAST(round(e.ev[i] * 127 / s.s) AS BIGINT)
+         |                   * CAST(round(q.qv[i] * 127 / s.s) AS BIGINT)
+         |                   FOR i IN generate_series(1, 64)]) AS BIGINT)
+         |      AS qscore
+         |  FROM e, q, s),
+         |r AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos4 DESC, vec_id) AS rkf,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY qscore DESC, vec_id) AS rkq
+         |  FROM sc)
+         |SELECT qid,
+         |  CAST(SUM(CASE WHEN rkf <= 10 AND rkq <= 10 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN rkf <= 10 AND rkq <= 10 THEN 1 ELSE 0 END)
+         |       * 1000 AS BIGINT) AS recall_bp
+         |FROM r GROUP BY qid ORDER BY qid""".stripMargin
+    },
 
     "v21_filtered_ann" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
