@@ -174,6 +174,35 @@ object EventsQ extends QueryPack {
         .orderBy(col("from_state"), col("to_state"))
     },
 
+    // Time-series regularization: resample each series to its full
+    // daily grid and FORWARD-FILL gaps with the last observation — the
+    // pre-step of every downstream window model (a sliding stat over
+    // an irregular series silently weights by observation density).
+    // Grid = per-series min..max day via one keys-scale aggregate +
+    // sequence explode (day-scale rows, not event-scale); the fill is
+    // last(ignoreNulls) over the series window — one exchange on the
+    // series key; `is_observed` keeps the imputation auditable.
+    "e16_gap_fill_ffill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir).events
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(round(col("value") * 100).cast("bigint"))
+          .as("close_cents"))
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          last(col("close_cents"), ignoreNulls = true).over(w)
+            .as("filled_cents"),
+          col("close_cents").isNotNull.as("is_observed"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // Per-user activity features — the feature-extraction shape of a
     // churn/engagement model: event count, active-day count, first/last
     // day, and the activity TREND as the exact-integer OLS slope over
@@ -447,6 +476,26 @@ object EventsQ extends QueryPack {
         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_state)
         |       AS BIGINT) AS rate_bp
         |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    "e16_gap_fill_ffill" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         MAX(CAST(round(value*100) AS BIGINT)) AS close_cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
+        |      FROM b),
+        |j AS (
+        |  SELECT g.event_type, g.day, d.close_cents
+        |  FROM g LEFT JOIN d USING (event_type, day))
+        |SELECT event_type, day,
+        |  last_value(close_cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_cents,
+        |  close_cents IS NOT NULL AS is_observed
+        |FROM j ORDER BY event_type, day""".stripMargin,
 
     "e15_user_features" ->
       """WITH d AS (
