@@ -289,6 +289,43 @@ class PlanSpec extends SparkTestBase {
     assert(scans <= 2, s"recall legs re-scan the corpus ($scans scans):\n$plan")
   }
 
+  test("v20: panel broadcasts; the corpus side sees no exchange before " +
+    "the cell join") {
+    val plan = formattedPlan("v20_ivf_batch_probe")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // the ONLY hash exchange allowed is the per-query top-k window's
+    // qid partitioning (post-join); a second one would mean the corpus
+    // shuffled on its way INTO the cell join
+    val hashEx = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"corpus shuffled before the cell join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("d18: band joins are equi-joins, no corpus-squared nested loop") {
+    val plan = formattedPlan("d18_crosscorpus_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi candidate generation:\n$plan")
+  }
+
+  test("e16: the fill window partitions by series — no global window") {
+    val plan = formattedPlan("e16_gap_fill_ffill")
+    assert(plan.contains("Window"), s"no window:\n$plan")
+    // an unpartitioned window would plan Exchange SinglePartition
+    // directly feeding the Window
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"fill window funnels to one partition:\n$plan")
+  }
+
+  test("t20: sensitivity sweep is one aggregate pass — no join, one scan") {
+    val plan = formattedPlan("t20_dedup_sensitivity")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    val scans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"sweep re-scans the corpus ($scans):\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 scan-filter-aggregate path") {
     // codegen explain can't see through a pre-execution AdaptiveSparkPlan
     // wrapper, so inspect the plan with AQE off (codegen behavior is the
