@@ -113,6 +113,34 @@ object Ranking {
     * equality); RankingSpec also pins the plan property: with broadcast
     * disabled, a round has exchanges ONLY on the V-sized frames.
     */
+  /** WEIGHTED PageRank: contributions proportional to edge weight over
+    * the source's total out-weight — rank flows where the volume flows
+    * (trade value, link count), the form crawl/domain weighting
+    * actually uses. Same exact-integer fixed point as [[pageRank]]
+    * (per-edge contribution = (r·w) div Σw — products bounded by
+    * scale·V·maxW, well inside long range at dim-bounded V), same
+    * shuffle shape: out-weights attach to edges once, each round is
+    * one edge⋈rank join + one receiver aggregate. `edges` needs
+    * (src, dst, w) with integer w ≥ 1.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+                       scale: Long = 1000000L,
+                       checkpointDir: Option[String] = None,
+                       broadcastRanks: Boolean = false): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = edges.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e0 = ckpt(edges.select(col("src"), col("dst"), col("w")))
+    val ws = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ew = ckpt(e0.join(ws, Seq("src")))
+    val nodes = ckpt(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .distinct())
+    iterate(ew, nodes, iters, scale, broadcastRanks, ckpt,
+      contrib = "(r * w) div wsum")
+  }
+
   def pageRankOnTable(spark: org.apache.spark.sql.SparkSession,
                       table: String, iters: Int, scale: Long = 1000000L,
                       checkpointDir: Option[String] = None): DataFrame = {
@@ -151,11 +179,12 @@ object Ranking {
     */
   private def iterate(ew: DataFrame, nodes: DataFrame, iters: Int,
                       scale: Long, bcastRanks: Boolean,
-                      ckpt: DataFrame => DataFrame): DataFrame = {
+                      ckpt: DataFrame => DataFrame,
+                      contrib: String = "r div od"): DataFrame = {
     var r = ckpt(nodes.withColumn("r", lit(scale)))
     var i = 0
     while (i < iters) {
-      r = ckpt(rankRound(ew, nodes, r, scale, bcastRanks))
+      r = ckpt(rankRound(ew, nodes, r, scale, bcastRanks, contrib))
       i += 1
     }
     r
@@ -168,11 +197,12 @@ object Ranking {
     */
   private[graft] def rankRound(ew: DataFrame, nodes: DataFrame,
                                r: DataFrame, scale: Long,
-                               bcastRanks: Boolean = false): DataFrame = {
+                               bcastRanks: Boolean = false,
+                               contrib: String = "r div od"): DataFrame = {
     val base = 15L * scale / 100
     val rSide = if (bcastRanks) broadcast(r) else r
     val inflow = ew.join(rSide, ew("src") === r("node"))
-      .select(col("dst").as("node"), expr("r div od").as("c"))
+      .select(col("dst").as("node"), expr(contrib).as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
     // the left join re-attaches nodes that received nothing this round
     nodes

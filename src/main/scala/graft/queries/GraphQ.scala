@@ -214,6 +214,24 @@ object GraphQ extends QueryPack {
         .orderBy(col("node"))
     },
 
+    // WEIGHTED PageRank on the trade graph: edge weight = line items
+    // traded between the pair, so rank follows trade VOLUME, not mere
+    // adjacency (Ranking.pageRankWeighted doc — same exact-integer
+    // fixed point and shuffle shape as r07, contributions (r·w)/Σw).
+    "r14_weighted_pagerank" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val p = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val sym = p.unionByName(p.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      Ranking.pageRankWeighted(sym, iters = 5, broadcastRanks = true)
+        .orderBy(col("node"))
+    },
+
     // Community detection: 4 synchronous LPA rounds over the full
     // trade graph (~600k directed edges at sf0.1), reported as
     // community sizes (Communities.labelPropagation doc: fixed rounds
@@ -288,7 +306,42 @@ object GraphQ extends QueryPack {
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Weighted variant of [[pageRankSql]]: contributions (r·w)//Σw. */
+  private def pageRankWeightedSql(preCtes: String, iters: Int,
+                                  scale: Long = 1000000L): String = {
+    val base = 15L * scale / 100
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST($base AS BIGINT) + (85 * COALESCE(f.inflow, 0)) // 100 AS r
+         |  FROM (SELECT node FROM r0) n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM((p.r * e.w) // ws.wsum) AS BIGINT) AS inflow
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |           JOIN ws ON ws.src = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $preCtes,
+       |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e
+       |       GROUP BY src),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS r
+       |       FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |$rounds
+       |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "r14_weighted_pagerank" -> pageRankWeightedSql(
+      """p AS (
+        |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+        |         COUNT(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM p
+        |      UNION ALL SELECT dst, src, w FROM p)""".stripMargin,
+      iters = 5),
+
     "r06_pagerank" -> pageRankSql(
       """e AS (
         |  SELECT CAST(n_nationkey AS VARCHAR) AS src,

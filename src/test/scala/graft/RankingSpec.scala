@@ -106,6 +106,35 @@ class RankingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pageRankWeighted: uniform weights equal the unweighted ranks; " +
+    "a dominant edge pulls rank to its target") {
+    // uniform weights must reproduce pageRank exactly — the integer
+    // contribution (r·w) div (Σw) with w=c equals r div od only when
+    // the division is the same exact floor, i.e. (r·c) div (od·c);
+    // that identity is what this pins
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val want = Ranking.pageRank(e, iters = 8)
+      .as[(String, Long)].collect().toSortedRanks
+    val gotUniform = Ranking
+      .pageRankWeighted(e.withColumn("w", lit(7L)), iters = 8)
+      .as[(String, Long)].collect().toSortedRanks
+    assert(gotUniform == want)
+    // skewed: a splits 99:1 between b and c, both of which only return
+    // mass to a — under uniform weights b and c tie exactly; under the
+    // skew b must dominate c
+    val e2 = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val flat = Ranking.pageRankWeighted(e2.withColumn("w", lit(1L)),
+      iters = 8).as[(String, Long)].collect().toMap
+    assert(flat("b") == flat("c"), s"fixture: uniform must tie: $flat")
+    val wts = Seq(("a", "b", 99L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val skew = Ranking.pageRankWeighted(wts, iters = 8)
+      .as[(String, Long)].collect().toMap
+    assert(skew("b") > skew("c"), s"weighting ignored: $skew")
+  }
+
   private implicit class RankOps(rows: Array[(String, Long)]) {
     def toSortedRanks: Seq[(String, Long)] = rows.sortBy(_._1).toSeq
   }
