@@ -71,4 +71,54 @@ object RadialSimplify {
       }
       .toDF(trackCol, seqCol, lonCol, latCol)
   }
+
+  /** Stay-point detection — the complement of [[radialSimplify]]: where
+    * the decimation KEEPS the points that moved, this reports where the
+    * track LINGERED. A stay is a maximal run of consecutive points all
+    * within `tolKm` of the run's ANCHOR (its first point — the same
+    * last-kept-anchor walk as the simplify fold, so the two operators
+    * partition every track identically); runs of at least `minPts`
+    * points are reported as (track, anchor_seq, anchor lon/lat, n_pts).
+    * The GPS dwell/visit extraction primitive (Li et al. 2008's
+    * stay-point shape, distance-only form).
+    *
+    * Scale shape: the identical one-streaming-pass fold as
+    * [[radialSimplify]] (partition by track, spill-backed sort, carried
+    * anchor state) emitting each point's anchor, then one
+    * map-side-combined rollup on (track, anchor) — run lengths
+    * aggregate without any group materialization.
+    */
+  def stayPoints(df: DataFrame, trackCol: String, seqCol: String,
+                 lonCol: String, latCol: String, tolKm: Double,
+                 minPts: Int): DataFrame = {
+    require(tolKm > 0, s"tolKm must be positive, got $tolKm")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(trackCol).cast("long"), col(seqCol).cast("long"),
+        col(lonCol).cast("double"), col(latCol).cast("double"))
+      .as[(Long, Long, Double, Double)]
+      .repartition(col(trackCol))
+      .sortWithinPartitions(col(trackCol), col(seqCol))
+      .mapPartitions { it =>
+        var curTrack = 0L
+        var aSeq = 0L
+        var aLon = 0.0
+        var aLat = 0.0
+        var started = false
+        it.map { case (trk, seq, lon, lat) =>
+          if (!started || trk != curTrack ||
+            r4(havKm(aLon, aLat, lon, lat)) >= tolKm) {
+            started = true; curTrack = trk
+            aSeq = seq; aLon = lon; aLat = lat
+          }
+          (trk, aSeq, aLon, aLat)
+        }
+      }
+      .toDF(trackCol, "anchor_seq", "anchor_lon", "anchor_lat")
+      .groupBy(col(trackCol), col("anchor_seq"), col("anchor_lon"),
+        col("anchor_lat"))
+      .agg(count(lit(1)).as("n_pts"))
+      .filter(col("n_pts") >= minPts)
+  }
 }

@@ -168,6 +168,25 @@ object GeoQ extends QueryPack {
         .orderBy(col("l_orderkey"), col("seq"))
     },
 
+    // Stay-point extraction on the same tracks as g07 — where did each
+    // track LINGER: maximal runs of ≥3 consecutive points within
+    // 5000 km of the run's anchor (RadialSimplify.stayPoints doc: the
+    // identical anchor walk as the decimation fold, then one rollup).
+    "g09_stay_points" -> { (s, dir) =>
+      val pts = Tables(s, dir).lineitem.select(
+        col("l_orderkey"),
+        (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L +
+          col("l_suppkey")).as("seq"),
+        liLon.as("lon"), liLat.as("lat"))
+      graft.operators.RadialSimplify
+        .stayPoints(pts, "l_orderkey", "seq", "lon", "lat",
+          tolKm = 5000.0, minPts = 3)
+        .select(col("l_orderkey"), col("anchor_seq"),
+          round(col("anchor_lon"), 4).as("anchor_lon"),
+          round(col("anchor_lat"), 4).as("anchor_lat"), col("n_pts"))
+        .orderBy(col("l_orderkey"), col("anchor_seq"))
+    },
+
     // Point-in-polygon geofence tagging: customers (integer deci-degree
     // points) against per-nation hexagons (integer vertices; size keyed
     // off the nation id) — broadcast bbox candidates + the exact
@@ -314,6 +333,34 @@ object GeoQ extends QueryPack {
          |  FROM walk w JOIN p ON p.trk = w.trk AND p.rn = w.rn + 1)
          |SELECT trk AS l_orderkey, seq, lon, lat FROM walk WHERE kept
          |ORDER BY l_orderkey, seq""".stripMargin
+    },
+
+    // the same anchor walk carrying the anchor's seq, rolled up per run
+    "g09_stay_points" -> {
+      val hav = havKmSql("w.klon", "w.klat", "p.lon", "p.lat")
+      s"""WITH RECURSIVE p AS (
+         |  SELECT l_orderkey AS trk,
+         |    l_linenumber*10000000000 + l_partkey*100000 + l_suppkey AS seq,
+         |    $liLonSql AS lon, $liLatSql AS lat,
+         |    row_number() OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+         |  FROM lineitem),
+         |walk(trk, rn, seq, lon, lat, kseq, klon, klat) AS (
+         |  SELECT trk, rn, seq, lon, lat, seq, lon, lat FROM p WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.trk, p.rn, p.seq, p.lon, p.lat,
+         |    CASE WHEN round($hav, 4) >= 5000
+         |         THEN p.seq ELSE w.kseq END,
+         |    CASE WHEN round($hav, 4) >= 5000
+         |         THEN p.lon ELSE w.klon END,
+         |    CASE WHEN round($hav, 4) >= 5000
+         |         THEN p.lat ELSE w.klat END
+         |  FROM walk w JOIN p ON p.trk = w.trk AND p.rn = w.rn + 1)
+         |SELECT trk AS l_orderkey, kseq AS anchor_seq,
+         |  round(klon, 4) AS anchor_lon, round(klat, 4) AS anchor_lat,
+         |  COUNT(*) AS n_pts
+         |FROM walk GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3
+         |ORDER BY l_orderkey, anchor_seq""".stripMargin
     },
 
     // the naive cross-join radius filter the engine's grid join must equal

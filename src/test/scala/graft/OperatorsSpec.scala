@@ -882,6 +882,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("stayPoints: anchors are exactly the kept points, run lengths " +
+    "partition each track, minPts cuts short runs") {
+    import graft.operators.RadialSimplify
+    // equator track: 0° (anchor), +two lingering points, jump to 20°
+    // (anchor) with ONE companion — first run stays (3 pts), second is
+    // cut by minPts = 3
+    val df = Seq((1L, 1L, 0.0, 0.0), (1L, 2L, 1.0, 0.0), (1L, 3L, 2.0, 0.0),
+      (1L, 4L, 20.0, 0.0), (1L, 5L, 21.0, 0.0),
+      (2L, 1L, 0.0, 0.0), (2L, 2L, 0.5, 0.0), (2L, 3L, 1.0, 0.0))
+      .toDF("trk", "seq", "lon", "lat")
+    val got = RadialSimplify
+      .stayPoints(df, "trk", "seq", "lon", "lat", tolKm = 1000.0,
+        minPts = 3)
+      .select("trk", "anchor_seq", "n_pts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L)))
+    // partition identity vs the decimation on real tracks: minPts=1
+    // stays anchor at exactly radialSimplify's kept points and the run
+    // lengths sum to each track's point count
+    val pts = Tables(spark, sfSmoke).lineitem.select(
+      col("l_orderkey").as("trk"),
+      (col("l_linenumber") * 10000000000L + col("l_partkey") * 100000L +
+        col("l_suppkey")).as("seq"),
+      ((col("l_partkey") % 3600).cast("double") / 10 - 180).as("lon"),
+      (((col("l_suppkey") * 13) % 1700).cast("double") / 10 - 85).as("lat"))
+    val stays = RadialSimplify
+      .stayPoints(pts, "trk", "seq", "lon", "lat", 5000.0, minPts = 1)
+      .select("trk", "anchor_seq", "n_pts")
+      .as[(Long, Long, Long)].collect()
+    val kept = RadialSimplify
+      .radialSimplify(pts, "trk", "seq", "lon", "lat", 5000.0)
+      .select("trk", "seq").as[(Long, Long)].collect().toSet
+    assert(stays.map(s2 => (s2._1, s2._2)).toSet == kept)
+    val perTrack = stays.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val sizes = pts.groupBy("trk").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perTrack.forall { case (t, n) => sizes(t) == n })
+  }
+
   test("radialSimplify resets state at track boundaries; matches serial fold") {
     import graft.operators.RadialSimplify
     val pts = Tables(spark, sfSmoke).lineitem.select(
