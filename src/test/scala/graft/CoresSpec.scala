@@ -73,6 +73,19 @@ class CoresSpec extends SparkTestBase {
     assert(got.toSeq == adj.keys.toSeq.sorted)
   }
 
+  test("kCore fallback: a zero broadcast budget (every round takes the " +
+    "mass-round equi-join path) changes nothing") {
+    // the same graphs as above, forced down the non-broadcast branch
+    val e1 = sym((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+    assert(Cores.kCore(e1, k = 2, broadcastRemovedMax = 0L)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    val e2 = sym((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (3, 5), (4, 5))
+    assert(Cores.kCore(e2, k = 3, broadcastRemovedMax = 0L)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(Cores.kCore(e2, k = 4, broadcastRemovedMax = 0L).count() == 0)
+  }
+
   test("labelPropagation: two cliques with a bridge resolve to two " +
     "communities; serial replay parity on the hashed graph") {
     import graft.graph.Communities
