@@ -130,7 +130,16 @@ object Ranking {
     require(iters >= 0, "iters must be non-negative")
     val spark = edges.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
-    val e0 = ckpt(edges.select(col("src"), col("dst"), col("w")))
+    // the "integer w ≥ 1" contract is ENFORCED, not just documented: a
+    // w = 0 edge can zero wsum and turn (r*w) div wsum null (silently
+    // dropped from the inflow sum — rank corruption, while the oracle
+    // errors), and negative w corrupts ranks outright. The check rides
+    // the one-time e0 materialization pass, so the per-round loop never
+    // re-pays it.
+    val e0 = ckpt(edges.select(col("src"), col("dst"),
+      when(col("w") >= 1, col("w")).otherwise(raise_error(concat(
+        lit("pageRankWeighted: edge weight must be >= 1, got "),
+        col("w").cast("string")))).as("w")))
     val ws = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val ew = ckpt(e0.join(ws, Seq("src")))
     val nodes = ckpt(

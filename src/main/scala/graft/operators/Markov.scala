@@ -38,7 +38,12 @@ object Markov {
         col(stateCol).as("to_state"))
       .agg(count(lit(1)).as("n"))
     val tot = Window.partitionBy(col("from_state"))
-    pairs.withColumn("rate_bp",
-      floor(col("n") * 10000 / sum(col("n")).over(tot)).cast("bigint"))
+    // exact integer division (`div`), not floor(double /): for from-state
+    // totals ≥ ~1e14 the correctly-rounded double quotient can land ON the
+    // next integer and floor one high — `div` keeps the cross-engine
+    // bit-identity the doc promises (matches the oracle's `//`).
+    pairs.withColumn("__tot", sum(col("n")).over(tot))
+      .withColumn("rate_bp", expr("n * 10000 div __tot"))
+      .drop("__tot")
   }
 }

@@ -253,31 +253,6 @@ object Splits {
         .cast("bigint"))
   }
 
-  /** Weighted sampling WITHOUT replacement — exactly `k` rows, each
-    * row's inclusion odds proportional to its weight, deterministic
-    * (Efraimidis–Spirakis A-Res, Inf. Proc. Letters 2006): give every
-    * row a reproducible uniform u ∈ (0,1] from its salted id hash, rank
-    * by u^(1/w), keep the k largest. Unlike [[keepByWeightBp]] (a
-    * Bernoulli rate per row, sample SIZE varies), this draws an exact-k
-    * panel — the "pick 10k docs, long docs proportionally likelier" shape
-    * of eval-set and seed-corpus construction.
-    *
-    * Cross-engine determinism, stated as invariants: u is the exact
-    * dyadic rational (hash+1)/2³² (both engines compute the identical
-    * double); its log is rounded ONCE to integer NANOS — a 10⁻⁹
-    * quantum, ~10⁷ coarser than the engines' libm disagreement (~1 ulp
-    * of ≤22) — and the rank key is the IEEE quotient of that exact
-    * integer by the weight, so every comparison both engines make is
-    * between bit-identical doubles (ln(u)/w orders identically to
-    * u^(1/w) and cannot overflow). Ties break on id.
-    *
-    * Scale shape: a per-row codegen key followed by a global top-k —
-    * Spark plans orderBy+limit as TakeOrderedAndProject: each partition
-    * keeps its local k in a bounded heap and only k-row heads travel,
-    * no full sort, no shuffle of the corpus. k is presumed
-    * driver-bounded (a sample, not a split — use [[keepByWeightBp]]
-    * when the draw itself must be row-scale).
-    */
   /** Temperature-scaled mixture rates, α = 1/2 — the multilingual
     * rebalance of mT5/XLM-R (Xue et al. 2021 §3.3; Conneau & Lample
     * 2019 §3): sampling shares proportional to n^α instead of n, so
@@ -324,6 +299,36 @@ object Splits {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
+  /** Weighted sampling WITHOUT replacement — exactly `k` rows, each
+    * row's inclusion odds proportional to its weight, deterministic
+    * (Efraimidis–Spirakis A-Res, Inf. Proc. Letters 2006): give every
+    * row a reproducible uniform u ∈ (0,1] from its salted id hash, rank
+    * by u^(1/w), keep the k largest. Unlike [[keepByWeightBp]] (a
+    * Bernoulli rate per row, sample SIZE varies), this draws an exact-k
+    * panel — the "pick 10k docs, long docs proportionally likelier" shape
+    * of eval-set and seed-corpus construction.
+    *
+    * Weight contract: `weightCol` must be strictly positive — w = 0
+    * yields a -Inf key and a w < 0 row flips the key's sign and always
+    * wins the draw, so non-positive weights are rejected per row
+    * (raise_error), not silently sampled.
+    *
+    * Cross-engine determinism, stated as invariants: u is the exact
+    * dyadic rational (hash+1)/2³² (both engines compute the identical
+    * double); its log is rounded ONCE to integer NANOS — a 10⁻⁹
+    * quantum, ~10⁷ coarser than the engines' libm disagreement (~1 ulp
+    * of ≤22) — and the rank key is the IEEE quotient of that exact
+    * integer by the weight, so every comparison both engines make is
+    * between bit-identical doubles (ln(u)/w orders identically to
+    * u^(1/w) and cannot overflow). Ties break on id.
+    *
+    * Scale shape: a per-row codegen key followed by a global top-k —
+    * Spark plans orderBy+limit as TakeOrderedAndProject: each partition
+    * keeps its local k in a bounded heap and only k-row heads travel,
+    * no full sort, no shuffle of the corpus. k is presumed
+    * driver-bounded (a sample, not a split — use [[keepByWeightBp]]
+    * when the draw itself must be row-scale).
+    */
   def weightedSampleNoReplacement(df: DataFrame, idCol: String,
                                   weightCol: String, k: Int,
                                   salt: Int = 0): DataFrame = {
@@ -331,8 +336,11 @@ object Splits {
     val h = graft.functions.text.saltedHash32(col(idCol).cast("string"), salt)
     val u = (h + 1).cast("double") / lit(4294967296.0)
     val lnuNano = round(log(u) * 1e9).cast("bigint")
-    df.withColumn("samp_key",
-        lnuNano.cast("double") / col(weightCol).cast("double"))
+    val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSampleNoReplacement: weight must be > 0, got "),
+        col(weightCol).cast("string"))))
+    df.withColumn("samp_key", lnuNano.cast("double") / w)
       .orderBy(col("samp_key").desc, col(idCol))
       .limit(k)
   }

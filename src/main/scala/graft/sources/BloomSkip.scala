@@ -58,8 +58,15 @@ object BloomSkip {
     */
   def readPoint(spark: SparkSession, table: String, fileKeyCol: String,
                 keyCol: String, value: Column): DataFrame = {
+    // xxhash64 is TYPE-sensitive (an int and a bigint of the same value
+    // hash differently), and writeWithBlooms hashed the table column's
+    // own type — so the probe literal must be cast to the stored keyCol
+    // type before hashing, or a type-mismatched probe lands in the wrong
+    // bucket and silently prunes away the correct files.
+    val keyType = Warehouse.read(spark, table).schema(keyCol).dataType
+    val typedValue = value.cast(keyType)
     val b = spark.range(1)
-      .select(pmod(xxhash64(value), lit(Buckets)).as("b"))
+      .select(pmod(xxhash64(typedValue), lit(Buckets)).as("b"))
       .collect()(0).getLong(0)
     val keep = Warehouse.read(spark, sketchTable(table))
       .filter(col("word") === b / 64 &&
@@ -67,6 +74,6 @@ object BloomSkip {
       .select(col(fileKeyCol)).collect().map(_.get(0)).toSeq
     Warehouse.read(spark, table)
       .filter(col(fileKeyCol).isin(keep: _*))
-      .filter(col(keyCol) === value)
+      .filter(col(keyCol) === typedValue)
   }
 }
