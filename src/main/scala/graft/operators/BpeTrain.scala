@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.text
@@ -20,14 +20,11 @@ import graft.functions.text
   *
   * Pair counting weights EVERY adjacent position by the word's corpus
   * frequency (Sennrich's get_stats — overlapping runs count each
-  * position). The merge pass is expressed as two sequential
-  * whole-string `replace` calls over the space-joined symbol string
-  * padded with sentinels: one replace fuses left-to-right skipping
-  * boundary-sharing occurrences, and those skipped occurrences are
-  * isolated from each other by a fused neighbor, so the second pass
-  * finishes exactly the left-to-right fold — textually mirrorable in
-  * any engine with a non-regex replace (the DuckDB oracle runs the
-  * SAME two replaces).
+  * position). The merge pass is the EXACT left-to-right non-overlapping
+  * fold over the symbol array ([[graft.plans.BpeApply]] — a native
+  * codegen kernel; see its doc for why the earlier two-pass `replace`
+  * form misfuses self-pair runs ≥ 5), mirrored in the DuckDB oracle by
+  * the same fold as a list comprehension (SqlMacros.bpeFuseSql).
   *
   * Scale shape: the ONLY corpus-sized pass is the word-frequency
   * aggregation (map-side combined; at 100 TB the distinct-word table is
@@ -81,11 +78,8 @@ object BpeTrain {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(rank, l, r, cnt)
-        val pat = lit(s" $l $r ")
-        val rep = lit(s" $l$r ")
-        val padded = concat(lit(" "), col("sym"), lit(" "))
         syms = syms
-          .select(trim(replace(replace(padded, pat, rep), pat, rep))
+          .select(graft.plans.BpeApply.bpeApply(col("sym"), Seq((l, r)))
             .as("sym"), col("freq"))
           .localCheckpoint()
       }
@@ -93,4 +87,66 @@ object BpeTrain {
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)
   }
+
+  /** Collect a [[learnMerges]] result to the driver-held merge table the
+    * encode side applies — (lhs, rhs) in rank order. The merge table IS
+    * the trained tokenizer (k rows, a model artifact like an IVF
+    * codebook), so a driver collect here is the point, not a bottleneck.
+    */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Replay a learned merge table over a space-joined symbol string, in
+    * rank order — each merge the SAME exact left-to-right fold the
+    * training fuse runs ([[graft.plans.BpeApply]], one codegen kernel
+    * call applying all k merges in a single pass), so encode and train
+    * cannot disagree on fuse semantics. No UDF, no join, no shuffle —
+    * tokenization distributes with the row.
+    */
+  def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.BpeApply.bpeApply(sym, merges)
+
+  /** Word-separator symbol for whole-document encode: normText output is
+    * [a-z0-9 ]-only, and merges are learned word-level, so '|' can never
+    * be (part of) a learned symbol — fuses cannot cross it.
+    */
+  private val WordSep = "|"
+
+  /** BPE-ENCODE a raw text column with a learned merge table: normalize
+    * ([[text.normText]] — the training-side normalization, so encode sees
+    * the distribution the merges were learned on), symbolize the WHOLE
+    * document to characters with word boundaries as the unmergeable
+    * [[WordSep]] symbol, replay the merges in rank order (one
+    * [[graft.plans.BpeApply]] kernel call — no per-word higher-order
+    * lambda, which would fall out of codegen), and return the flat token
+    * array in word-major, left-to-right order (separators dropped). The
+    * train-but-not-apply gap closer: token accounting that previously
+    * ran on the [[text.bpeTokenCount]] regex approximation can run on
+    * the REAL learned vocabulary.
+    *
+    * Scale shape: per-row kernel only (the merge table rides into
+    * codegen as an `addReferenceObj` constant) — encoding 100 TB is
+    * embarrassingly parallel with zero exchanges; any downstream
+    * count/groupBy pays the usual map-side-combined aggregate, nothing
+    * more. For corpora with heavy word repetition an encode-distinct-
+    * words-then-rejoin variant would trade this scan for a vocab-sized
+    * shuffle; per-row wins while the per-row cost is k bounded folds.
+    */
+  def encode(textCol: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall(m =>
+      !m._1.contains(WordSep) && !m._2.contains(WordSep)),
+      s"merge symbols must not contain the '$WordSep' word separator")
+    val sym = concat_ws(" ",
+      split(replace(text.normText(textCol), lit(" "), lit(WordSep)), ""))
+    val toks = split(applyMerges(sym, merges), " ")
+    filter(toks, t => t =!= WordSep && t =!= "")
+  }
+
+  /** Token count under [[encode]] — the real-token-budget accounting
+    * column (p05's input). Empty/whitespace-only text counts 0.
+    */
+  def encodeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
+    size(encode(textCol, merges)).cast("bigint")
 }

@@ -67,11 +67,18 @@ object PipelineQ extends QueryPack {
     // Token-budget source mixing: cap each source at 30k tokens,
     // admitting docs in deterministic md5-bucket order (greedy — the doc
     // that crosses the budget is kept). Checked as per-source kept-doc /
-    // kept-token counts.
+    // kept-token counts. Token accounting runs on REAL learned-BPE
+    // counts (BpeTrain.encode with the in-session k=8 merge table, the
+    // t21 encoder), not the regex approximation — budget math sees the
+    // tokens a trained tokenizer would actually emit.
     "p05_source_token_budget" -> { (s, dir) =>
-      val withTok = Tables(s, dir).documents
+      import graft.operators.BpeTrain
+      val docs = Tables(s, dir).documents
+      val merges = BpeTrain.collectMerges(
+        BpeTrain.learnMerges(docs, "text", k = 8))
+      val withTok = docs
         .select(col("doc_id"), col("source"),
-          text.tokenCount(col("text")).as("n_tok"))
+          BpeTrain.encodeTokenCount(col("text"), merges).as("n_tok"))
       Splits.capTokensPerGroup(withTok, "source", "doc_id", "n_tok",
           budget = 30000L, salt = 5)
         .groupBy(col("source"))
@@ -411,12 +418,25 @@ object PipelineQ extends QueryPack {
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
 
-    "p05_source_token_budget" ->
-      s"""WITH n AS (SELECT doc_id, source, $normSql AS norm FROM documents),
-         |tk AS (SELECT doc_id, source,
-         |        CASE WHEN norm = '' THEN 0 ELSE len(${wordsSql()}) END AS n_tok,
-         |        ${saltedHash32Sql("CAST(doc_id AS VARCHAR)", 5)} % 100 AS b
-         |       FROM n),
+    // n_tok = REAL learned-BPE token count: the shared t15/t21 training
+    // stages learn b1..b8, the encode stages replay them over every word
+    // occurrence, and the per-doc symbol counts feed the same greedy
+    // budget window as before (empty-norm docs join back as 0 tokens).
+    "p05_source_token_budget" -> {
+      val k = 8
+      s"""WITH ${bpeTrainStagesSql(k)},
+         |dn AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |dw AS (SELECT doc_id, unnest(${wordsSql()}) AS word FROM dn),
+         |e0 AS (SELECT doc_id,
+         |         array_to_string(string_split(word, ''), ' ') AS sym
+         |       FROM dw WHERE word <> ''),
+         |${bpeEncodeStagesSql(k, "doc_id")},
+         |tkc AS (SELECT doc_id,
+         |          CAST(SUM(len(string_split(sym, ' '))) AS BIGINT) AS n_tok
+         |        FROM e$k GROUP BY doc_id),
+         |tk AS (SELECT d.doc_id, d.source, COALESCE(t.n_tok, 0) AS n_tok,
+         |        ${saltedHash32Sql("CAST(d.doc_id AS VARCHAR)", 5)} % 100 AS b
+         |       FROM documents d LEFT JOIN tkc t ON d.doc_id = t.doc_id),
          |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
          |        ORDER BY b, doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -424,7 +444,8 @@ object PipelineQ extends QueryPack {
          |SELECT source, COUNT(*) AS n_docs_kept,
          | CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
          |FROM c WHERE cum - n_tok < 30000
-         |GROUP BY source ORDER BY source""".stripMargin,
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "p06_weighted_sample" ->
       s"""SELECT doc_id, n_chars FROM documents

@@ -3,20 +3,34 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.BpeTrain
 
-/** BPE merge induction pinned against an independent serial
+/** BPE merge induction AND encode pinned against an independent serial
   * implementation of the classic algorithm (word-freq collapse →
   * weighted adjacent-pair counts at every position → argmax with
   * count-then-lexicographic tie-break → left-to-right non-overlapping
-  * fuse), including the overlapping-run words where the operator's
-  * two-pass-replace fuse could plausibly diverge from the fold.
+  * fuse), including the self-pair run words (runs of 5/7/9 of one
+  * character) where the original two-pass-replace fuse DID diverge from
+  * the fold — the cases that forced the BpeApply kernel rewrite.
   */
 class BpeTrainSpec extends SparkTestBase {
   import spark.implicits._
 
+  private def norm(s: String): String = s.toLowerCase
+    .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+
+  /** One serial left-to-right non-overlapping fuse of (l, r) in v. */
+  private def fuse(v: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < v.length) {
+      if (i < v.length - 1 && v(i) == l && v(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += v(i); i += 1 }
+    }
+    b.result()
+  }
+
   /** Reference implementation: the textbook serial form. */
   private def serialBpe(docs: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
-    def norm(s: String): String = s.toLowerCase
-      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
     val wf = docs.map(norm).flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
     var syms: Map[String, (Vector[String], Long)] =
@@ -32,16 +46,7 @@ class BpeTrainSpec extends SparkTestBase {
       else {
         val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         out += ((rank, l, r, cnt))
-        syms = syms.map { case (w, (v, f)) =>
-          val b = Vector.newBuilder[String]
-          var i = 0
-          while (i < v.length) {
-            if (i < v.length - 1 && v(i) == l && v(i + 1) == r) {
-              b += (l + r); i += 2
-            } else { b += v(i); i += 1 }
-          }
-          w -> (b.result(), f)
-        }
+        syms = syms.map { case (w, (v, f)) => w -> (fuse(v, l, r), f) }
         rank += 1
       }
     }
@@ -59,11 +64,19 @@ class BpeTrainSpec extends SparkTestBase {
     assert(learned(docs, 10) == serialBpe(docs, 10))
   }
 
-  test("overlapping runs: two-pass replace equals the left-to-right fold") {
+  test("overlapping runs: kernel fuse equals the left-to-right fold") {
     // 'aaaa' must fuse to 'aa aa', 'aaa' to 'aa a'; then rounds over
     // the aa symbols keep exercising runs of a multi-char symbol
     val docs = Seq("aaaa aaa baaab aaaa aaaa", "aa aaaa caac")
     assert(learned(docs, 6) == serialBpe(docs, 6))
+  }
+
+  test("self-pair runs of 5/7/9: training fuse pairs from the left " +
+    "(the two-pass-replace divergence class)") {
+    // a 9-run under (a,a) must yield 4×aa + a (the replace form produced
+    // 3×aa + 3×a — wrong multiset, wrong next-round pair counts)
+    val docs = Seq("aaaaa aaaaaaa aaaaaaaaa", "aaaaaaaaa aaaaaaaaa bb")
+    assert(learned(docs, 8) == serialBpe(docs, 8))
   }
 
   test("vocabulary exhaustion stops early with fewer than k rows") {
@@ -77,5 +90,59 @@ class BpeTrainSpec extends SparkTestBase {
     val texts = Tables(spark, sfSmoke).documents
       .select("text").as[String].collect().toSeq
     assert(learned(texts, 6) == serialBpe(texts, 6))
+  }
+
+  /** Serial reference ENCODE: merges replayed in rank order, each the
+    * same left-to-right non-overlapping fuse as training — the contract
+    * BpeTrain.encode's kernel pass must reproduce.
+    */
+  private def serialEncode(doc: String,
+                           merges: Seq[(String, String)]): Seq[String] =
+    norm(doc).split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (v, (l, r)) => fuse(v, l, r)
+      }
+    }
+
+  private def encoded(docs: Seq[String],
+                      merges: Seq[(String, String)]): Seq[Seq[String]] =
+    docs.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .select($"id", BpeTrain.encode($"text", merges).as("toks"))
+      .orderBy("id")
+      .as[(Int, Seq[String])].collect().toSeq.map(_._2)
+
+  test("encode: full token sequences match serial on the textbook docs") {
+    val docs = Seq("low low low low low", "lower lower newest newest",
+      "newest newest newest newest", "widest widest widest",
+      "Lowest, NEWest; widest!")
+    val merges = serialBpe(docs, 10).map(m => (m._2, m._3))
+    assert(encoded(docs, merges) == docs.map(serialEncode(_, merges)))
+  }
+
+  test("encode: overlapping and self-pair runs equal the fold") {
+    val docs = Seq("aaaa aaa baaab aaaa aaaa", "aa aaaa caac",
+      "aaaaaaa a", "aaaaaaaaa aaaaa")
+    val merges = serialBpe(docs, 6).map(m => (m._2, m._3))
+    assert(encoded(docs, merges) == docs.map(serialEncode(_, merges)))
+  }
+
+  test("encode: matches serial on the real documents corpus, and " +
+    "encodeTokenCount agrees with the sequence length") {
+    val texts = Tables(spark, sfSmoke).documents
+      .select("text").as[String].collect().toSeq
+    val merges = serialBpe(texts, 8).map(m => (m._2, m._3))
+    assert(encoded(texts, merges) == texts.map(serialEncode(_, merges)))
+    val counts = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .select($"id", BpeTrain.encodeTokenCount($"text", merges).as("n"))
+      .orderBy("id").as[(Int, Long)].collect().toSeq.map(_._2)
+    assert(counts == texts.map(serialEncode(_, merges).size.toLong))
+  }
+
+  test("encode: empty and punctuation-only text yields zero tokens") {
+    val merges = Seq(("a", "b"))
+    val got = encoded(Seq("", "  ", "?!... ---"), merges)
+    assert(got == Seq(Seq(), Seq(), Seq()))
   }
 }
