@@ -200,6 +200,44 @@ object Similarity {
         (col("qsum").cast("double") / (col("n_members") * lit(1e6)))
           .as("mean_val"))
 
+  /** Full Lloyd k-means TRAINING ([[kmeansStep]] is one iteration):
+    * iterate assignment + centroid recompute a FIXED `rounds` times from
+    * `init` and return the trained codebook. Fixed rounds, not a
+    * convergence probe — deterministic and oracle-replayable (the same
+    * doctrine as the PageRank loops), and each round's K·dim long-form
+    * means collect to the driver: the codebook IS the model artifact (a
+    * bounded constant, like a BPE merge table), so a driver-sized
+    * result per round is the point, not a bottleneck. A cell that loses
+    * every member keeps its previous centroid (the standard empty-cell
+    * rule; the oracle replays it as a LEFT JOIN + COALESCE).
+    *
+    * Scale shape per round: one corpus pass — per-row codegen cell
+    * assignment ([[ivfCell]], no join) into ONE map-side-combined
+    * (cell, idx) aggregate — then a K·dim collect. Nothing else touches
+    * the driver; at 100 TB each round is a single shuffle of K·dim
+    * partial sums. Centroid means stay bit-identical across engines
+    * (kmeansStep's 1e-6 integer quantization), so round n+1's rounded-
+    * cosine assignment sees identical centroids everywhere.
+    */
+  def kmeansTrain(df: DataFrame, vecCol: String,
+                  init: Seq[(Int, Array[Double])],
+                  rounds: Int): Seq[(Int, Array[Double])] = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    var cb = init
+    for (_ <- 1 to rounds) {
+      val means: Map[Int, Array[Double]] = kmeansStep(df, vecCol, cb)
+        .select(col("cell"), col("idx"), col("mean_val"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.map(r => (r.getInt(1), r.getDouble(2)))
+            .sortBy(_._1).map(_._2)
+        }
+      cb = cb.map { case (cid, ctr) => cid -> means.getOrElse(cid, ctr) }
+    }
+    cb
+  }
+
   /** Product-quantization codes: the vector is split into `m` equal
     * subvectors; each is assigned the id of the L2-nearest codeword slice
     * — the compression step of PQ-based ANN (Jégou et al., TPAMI'11): at

@@ -495,11 +495,32 @@ object VectorQ extends QueryPack {
         .select(col("vec_id"), col("cell"), col("cos4"))
         .orderBy(col("cos4").desc, col("vec_id"))
         .limit(5)
+    },
+
+    // Full Lloyd k-means TRAINING (v05 is a single step): 2 rounds of
+    // assignment + quantized-mean recompute from the fixed init (ids
+    // 1..CodebookSize, empty cells keep their centroid), then the
+    // ROUND-3 assignment stats over the trained codebook are the
+    // checked output — so the oracle replays every round, not just the
+    // last. Per round: one corpus pass (per-row kernel assignment into
+    // one map-side-combined aggregate) + a K·dim driver collect (the
+    // codebook is the model artifact). This trained codebook is what
+    // the IVF/PQ paths (v09/v11) consume; recall@10 delta vs the
+    // untrained init is measured in KmeansTrainSpec.
+    "v23_kmeans_train" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val trained = Similarity.kmeansTrain(e, "embedding", codebook(e),
+        rounds = KmeansTrainRounds)
+      Similarity.kmeansStep(e, "embedding", trained)
+        .orderBy(col("cell"), col("idx"))
     }
   )
 
   /** Codebook size for v04/v05 (centroids = vec_id 1..CodebookSize). */
   val CodebookSize: Int = 8
+
+  /** Lloyd training rounds for v23 (fixed — oracle-unrolled). */
+  val KmeansTrainRounds: Int = 2
 
   /** v17's recall query panel — held out of the corpus on both sides. */
   val RecallQueryIds: Seq[Long] = Seq(0L, 9L, 10L, 11L, 12L)
@@ -646,6 +667,44 @@ object VectorQ extends QueryPack {
          | CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
          |   / (COUNT(*) * 1000000.0) AS mean_val
          |FROM x GROUP BY cell, i ORDER BY cell, idx""".stripMargin,
+
+    // Every Lloyd round unrolled: round i assigns with centroid table
+    // c(i-1) (same rounded-cosine argmax as v05), recomputes quantized
+    // means, and rebuilds c(i) with the empty-cell COALESCE; the final
+    // pass emits the round-(rounds+1) assignment stats.
+    "v23_kmeans_train" -> {
+      def roundCtes(i: Int): String =
+        s"""s$i AS (
+           | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cell,
+           |  row_number() OVER (PARTITION BY e.vec_id
+           |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+           |            c.cell) AS rn
+           | FROM embeddings e CROSS JOIN c${i - 1} c),
+           |a$i AS (SELECT vec_id, ee, cell FROM s$i WHERE rn = 1),
+           |x$i AS (SELECT cell,
+           |       unnest([{'i': i, 'x': ee[i]}
+           |               FOR i IN range(1, len(ee)+1)], recursive := true)
+           |      FROM a$i),
+           |m$i AS (SELECT cell, CAST(i AS INT) AS idx, COUNT(*) AS n_members,
+           |       CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
+           |         / (COUNT(*) * 1000000.0) AS mean_val
+           |      FROM x$i GROUP BY cell, i)""".stripMargin
+      def updateCtes(i: Int): String =
+        s"""n$i AS (SELECT cell, list(mean_val ORDER BY idx) AS ce
+           |        FROM m$i GROUP BY cell),
+           |c$i AS (SELECT p.cell, COALESCE(n$i.ce, p.ce) AS ce
+           |        FROM c${i - 1} p LEFT JOIN n$i USING (cell))""".stripMargin
+      val trainRounds = (1 to KmeansTrainRounds)
+        .map(i => roundCtes(i) + ",\n" + updateCtes(i)).mkString(",\n")
+      val last = KmeansTrainRounds + 1
+      s"""WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+         |              embedding::DOUBLE[] AS ce
+         |            FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |$trainRounds,
+         |${roundCtes(last)}
+         |SELECT cell, idx, n_members, mean_val
+         |FROM m$last ORDER BY cell, idx""".stripMargin
+    },
 
     "v07_pq_codes" -> {
       val sub = 64 / PqSubspaces
