@@ -45,6 +45,60 @@ object Dedup {
       .drop("complete")
   }
 
+  /** EXACT substring dedup — maximal repeated spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove
+    * any ≥ k-token span that appears twice anywhere in the corpus).
+    * Their serial tool builds a suffix array; the distributed
+    * reformulation bounds the suffix comparison at k tokens: a token
+    * position is duplicated iff it lies inside some k-token window whose
+    * content occurs ≥ 2 times corpus-wide (a second doc OR a second
+    * position of the same doc), and the per-doc union of duplicated
+    * windows, merged into maximal intervals, is EXACTLY the set of
+    * maximal repeated spans of length ≥ k (a repeated span [s, e]
+    * duplicates all its window starts s..e-k+1, whose [p, p+k-1]
+    * intervals merge back to [s, e]; nothing shorter than k can mark a
+    * position). Detection output — the removal action is a trivial
+    * downstream slice (cut [span_start, span_end] from the token
+    * stream, or keep the min-(doc, pos) occurrence for Lee et al.'s
+    * keep-one policy).
+    *
+    * Scale shape: [[shingleRows]]'s one doc-keyed window builds the
+    * k-gram rows; duplicate marking is one map-side-combined count on
+    * the gram key plus one gram-keyed join back (ids-only); interval
+    * merging is a second doc-keyed window (gaps-and-islands — all
+    * intervals have length k, so the running end is `lag(pos) + k - 1`
+    * and a new island starts iff `pos > lag(pos) + k`). Everything is
+    * row-scale keyed exchanges, no driver state, no all-pairs. At
+    * extreme scale the gram JOIN key would be a 64-bit hash (8-byte
+    * shuffle rows, ~n²/2⁶⁴ collision odds); kept as the exact string
+    * here — this is the one operator whose name promises exactness.
+    *
+    * Output: (idCol, span_start, span_end, n_tokens) in 1-based
+    * inclusive token positions of the normalized text, one row per
+    * maximal repeated span.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val grams = shingleRows(docs, idCol, textCol, k)
+    val dup = grams.groupBy(col("s")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("s"))
+    val occ = grams.join(dup, Seq("s"))
+      .select(col(idCol), (col("pos") + 1).cast("bigint").as("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    occ
+      .withColumn("__brk",
+        when(prev.isNull || col("pos") > prev + k, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** Distinct n-word shingles per doc as an array column; docs with none
     * are dropped.
     */

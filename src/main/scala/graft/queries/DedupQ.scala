@@ -199,6 +199,18 @@ object DedupQ extends QueryPack {
         .orderBy(col("inc_id"), col("corp_id"))
     },
 
+    // EXACT substring dedup (Lee et al. deduplicate-text-datasets
+    // semantics, k-bounded): every maximal span of >= 5 tokens whose
+    // content appears >= 2 times anywhere in the corpus, as merged
+    // 1-based token intervals per doc (Dedup.repeatedSpans doc: one
+    // gram count + one gram join + gaps-and-islands window — row-scale
+    // keyed exchanges only).
+    "d19_repeated_spans" -> { (s, dir) =>
+      Dedup.repeatedSpans(Tables(s, dir).documentsKernelParallel,
+          "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // At-rest LSH serving: index the whole corpus partitioned by
     // (band, bucket-prefix), then answer "find doc 0's near-dups" by
     // probing exactly the query's band directories (planning-time
@@ -423,6 +435,38 @@ object DedupQ extends QueryPack {
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |FROM j WHERE inter * 5 >= (la + lb - inter) * 3
          |ORDER BY inc_id, corp_id""".stripMargin,
+
+    // position-explicit mirror (the t19 pattern): per-position k-grams
+    // via 1-based list slices, duplicated grams by corpus-wide count,
+    // then the same lag-window islands merge
+    "d19_repeated_spans" -> {
+      val k = 5
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+         |g AS (SELECT doc_id, unnest([{'pos': i,
+         |         'gram': array_to_string(w[i:i+${k - 1}], ' ')}
+         |         FOR i IN generate_series(1, len(w) - ${k - 1})],
+         |       recursive := true)
+         |      FROM w WHERE len(w) >= $k),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |o AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+         |      FROM g JOIN d USING (gram)),
+         |i AS (SELECT doc_id, pos,
+         |       CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              IS NULL
+         |            OR pos > LAG(pos) OVER (PARTITION BY doc_id
+         |                                    ORDER BY pos) + $k
+         |            THEN 1 ELSE 0 END AS brk
+         |      FROM o),
+         |s AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+         |        ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM i)
+         |SELECT doc_id, MIN(pos) AS span_start,
+         | MAX(pos) + ${k - 1} AS span_end,
+         | MAX(pos) + ${k - 1} - MIN(pos) + 1 AS n_tokens
+         |FROM s GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
 
     // the index detour must equal the definitional band-mate query:
     // every doc (incl. 0 itself) sharing a band hash with doc 0, with

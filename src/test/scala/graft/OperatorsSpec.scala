@@ -1057,4 +1057,71 @@ class OperatorsSpec extends SparkTestBase {
     val meanGot = rows.filter(r => got(r._1)).map(_._2).sum.toDouble / 60
     assert(meanGot > meanAll, s"panel mean $meanGot vs corpus $meanAll")
   }
+
+  /** Serial reference for Dedup.repeatedSpans: Lee et al.'s k-bounded
+    * repeated-span semantics, computed the obvious slow way.
+    */
+  private def serialRepeatedSpans(docs: Seq[(Long, String)],
+                                  k: Int): Seq[(Long, Long, Long, Long)] = {
+    def norm(s: String): String = s.toLowerCase
+      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val grams = for {
+      (id, t) <- docs
+      w = norm(t).split(" ").filter(_.nonEmpty)
+      i <- 0 to w.length - k
+    } yield (id, i + 1L, w.slice(i, i + k).mkString(" "))
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (id, occ) =>
+        val ps = occ.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long)]
+        for (p <- ps) {
+          if (spans.nonEmpty && p <= spans.last._2 + 1)
+            spans(spans.size - 1) = (spans.last._1,
+              math.max(spans.last._2, p + k - 1))
+          else spans += ((p, p + k - 1))
+        }
+        spans.map { case (s, e) => (id, s, e, e - s + 1) }
+      }
+  }
+
+  test("Dedup.repeatedSpans: hand-built cross-doc and within-doc " +
+    "repeats, merged maximal intervals") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a quick brown fox jumps over the lazy dog sleeps"),
+      (3L, "completely unrelated words here nothing repeats at all"),
+      // within-doc repeat of a 6-token span (k = 5 → both copies marked)
+      (4L, "one two three four five six gap one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1 tokens 2..9 = "quick brown fox jumps over the lazy dog"
+    // (8 tokens, windows 2..5 all duplicated in doc2 at 2..9) — spans
+    // merge to one maximal interval per doc; doc4 marks both copies
+    assert(got == Seq(
+      (1L, 2L, 9L, 8L), (2L, 2L, 9L, 8L),
+      (4L, 1L, 6L, 6L), (4L, 8L, 13L, 6L)))
+    assert(got == serialRepeatedSpans(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a quick brown fox jumps over the lazy dog sleeps"),
+      (3L, "completely unrelated words here nothing repeats at all"),
+      (4L, "one two three four five six gap one two three four five six")),
+      5))
+  }
+
+  test("Dedup.repeatedSpans: serial parity on the real sf0.001 corpus") {
+    val docs = Tables(spark, sfSmoke).documents
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = serialRepeatedSpans(rows, 5)
+    assert(got.size == want.size, s"${got.size} vs ${want.size} spans")
+    assert(got == want)
+  }
 }
