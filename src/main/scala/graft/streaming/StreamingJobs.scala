@@ -177,8 +177,9 @@ object StreamingJobs {
     * event time precedes it). That is the standard streaming trade: the
     * state store holds one tuple per user, so there is no buffer to
     * re-order late arrivals into; when strict event-time order matters,
-    * replay through the batch operator (same code path the I1
-    * AvailableNow restart uses). No timeout is set — a user's last
+    * use [[transitionStreamEventTime]] (the watermarked buffering
+    * variant) or replay through the batch operator (same code path the
+    * I1 AvailableNow restart uses). No timeout is set — a user's last
     * event is a legitimate chain head forever; bound state with a
     * ProcessingTimeTimeout if the key universe is unbounded.
     */
@@ -199,6 +200,65 @@ object StreamingJobs {
             last = Some(TransState(e.ts_us, e.event_id, e.event_type))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  final case class TEvT(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, event_type: String)
+  final case class TransEtState(last: Option[TransState],
+                                buf: Seq[TransState])
+
+  /** EVENT-TIME STRICT face of [[transitionStream]]: transitions chain
+    * in (event time, event id) order across micro-batches, not arrival
+    * order — the watermark variant the arrival-order doc points to.
+    * Per-user state buffers events still inside the watermark horizon;
+    * once the watermark passes an event, no earlier event can be
+    * admitted, so the buffered prefix is emitted in event-time order,
+    * chaining off the last emitted event. Events arriving AFTER the
+    * watermark passed their timestamp are dropped (the funnelStream
+    * contract: the stream is a lower bound of a batch replay — equality
+    * on in-watermark data is spec-pinned, and the batch operator
+    * remains the replay path for exact recovery of dropped rows). An
+    * EventTimeTimeout at the earliest buffered event flushes users that
+    * receive no further input.
+    *
+    * State per user is O(events inside the watermark horizon), not
+    * O(1) like the arrival-order face — the price of re-ordering; the
+    * delay knob bounds it.
+    */
+  def transitionStreamEventTime(events: org.apache.spark.sql.Dataset[TEvT],
+                                delay: String = "10 seconds"):
+      org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransEtState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TEvT], state: GroupState[TransEtState]) =>
+          val wmMs = state.getCurrentWatermarkMs
+          val wmUs = wmMs * 1000L
+          val prev = state.getOption.getOrElse(TransEtState(None, Nil))
+          // beyond-watermark arrivals: dropped, never chained (strict)
+          val incoming = it
+            .map(e => TransState(e.ts.getTime * 1000L, e.event_id,
+              e.event_type))
+            .filter(_.ts >= wmUs).toSeq
+          val all = (prev.buf ++ incoming).sortBy(e => (e.ts, e.eid))
+          // watermark promise: nothing earlier than wm can arrive, so
+          // the < wm prefix is final and safe to chain
+          val (ripe, hold) = all.partition(_.ts < wmUs)
+          val out = Seq.newBuilder[Transition]
+          var last = prev.last
+          ripe.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.st, e.st, e.ts))
+            last = Some(e)
+          }
+          state.update(TransEtState(last, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.ts).min / 1000L, wmMs + 1))
           out.result().iterator
       }
   }

@@ -240,4 +240,44 @@ class PropertySpec extends SparkTestBase {
     assert(rev.filterNot(onEdge) == base.filterNot(onEdge),
       "winding reversal changed interior membership")
   }
+
+  test("q15 sketch bounds: approx_count_distinct within 3·rsd and " +
+    "percentile_approx within its 1/accuracy rank guarantee vs exact") {
+    // q15 is rows-only in CORRECTNESS by design (sketch internals are
+    // engine-specific) — but the sketches' PUBLISHED error bounds are
+    // assertable against the exact answers on the same data: HLL++ with
+    // rsd = 0.02 (3σ relative error), ApproximatePercentile with
+    // accuracy = 1000 (rank error ≤ N/1000, ±1 rank boundary slack).
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q15_approx_stats")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val li = Tables(spark, dir).lineitem
+    val exactDistinct = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prices = li.select(col("l_returnflag"),
+        col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((flag, (aParts, p50, p99)) <- approx) {
+      val ex = exactDistinct(flag)
+      assert(math.abs(aParts - ex) <= math.max(3 * 0.02 * ex, 1.0),
+        s"$flag: approx distinct $aParts vs exact $ex beyond 3·rsd")
+      val vs = prices(flag)
+      val n = vs.length
+      val eps = n / 1000.0
+      def rankOk(v: Double, p: Double): Unit = {
+        val lo = vs.count(_ < v) + 1 // smallest rank v could hold
+        val hi = vs.count(_ <= v)    // largest rank v could hold
+        val lb = p * n - eps - 1
+        val ub = p * n + eps + 1
+        assert(hi >= lb && lo <= ub,
+          s"$flag p$p: value $v holds ranks [$lo,$hi], " +
+            s"outside [$lb,$ub] of n=$n")
+      }
+      rankOk(p50, 0.5)
+      rankOk(p99, 0.99)
+    }
+  }
 }

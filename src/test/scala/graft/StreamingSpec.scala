@@ -322,4 +322,50 @@ class StreamingSpec extends SparkTestBase {
       .map { case (k, v) => k -> v.size.toLong }
     assert(streamed == batch)
   }
+
+  test("transitionStreamEventTime: event-time chaining across batches, " +
+    "beyond-watermark arrivals dropped, timeout flush — equals the " +
+    "batch operator on the admitted rows") {
+    import StreamingJobs.{TEvT, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[TEvT]
+    val q = StreamingJobs.transitionStreamEventTime(mem.toDS(),
+        delay = "5 seconds")
+      .writeStream.format("memory").queryName("trans_et")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: a@10, b@20 — watermark still 0, everything buffers
+    mem.addData(TEvT(1, ts(10), 1, "a"), TEvT(1, ts(20), 2, "b"))
+    q.processAllAvailable()
+    // batch 2: wm = 20 - 5 = 15s. d@40 buffers; c@5 is BEYOND the
+    // watermark → dropped (the arrival-order face would chain it);
+    // e@16 is late-but-inside and must sort BETWEEN a and b even
+    // though b arrived a batch earlier — the strict reordering the
+    // arrival-order face cannot do. a@10 < wm flushes (chain head).
+    mem.addData(TEvT(1, ts(5), 3, "c"), TEvT(1, ts(16), 5, "e"),
+      TEvT(1, ts(40), 4, "d"))
+    q.processAllAvailable()
+    // batch 3: u2's z@100 advances wm to 95s; u1's timeout fires and
+    // flushes e@16, b@20, d@40 in event-time order
+    mem.addData(TEvT(2, ts(100), 6, "z"))
+    q.processAllAvailable()
+    val got = spark.table("trans_et").as[Transition].collect().toSeq
+    q.stop()
+    assert(got.toSet == Set(
+      Transition(1, "a", "e", 16000000L),
+      Transition(1, "e", "b", 20000000L),
+      Transition(1, "b", "d", 40000000L)))
+    // equality with the batch operator on the admitted rows (c dropped)
+    val batch = graft.operators.Markov.transitionMatrix(
+        Seq((1L, 10L, 1L, "a"), (1L, 16L, 5L, "e"), (1L, 20L, 2L, "b"),
+          (1L, 40L, 4L, "d"), (2L, 100L, 6L, "z"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", Seq("ts", "event_id"))
+      .select("from_state", "to_state", "n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => (f, t) -> n }.toMap
+    val streamed = got.groupBy(tr => (tr.from_state, tr.to_state))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamed == batch)
+  }
 }
