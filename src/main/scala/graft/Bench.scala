@@ -24,9 +24,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors))
+    // SPARK_GRAFT_SHUFFLE decouples shuffle partitions from cpus for
+    // loop-floor tuning experiments (echoed in knobs; driver never sets)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // round-robin interleaving runs ~59 queries between two passes of
@@ -82,7 +85,8 @@ object Bench {
       case c => c.toString
     }
     val knobs = Seq("SPARK_GRAFT_ONLY", "SPARK_GRAFT_PASSES",
-        "SPARK_GRAFT_AQE", "SPARK_GRAFT_DOCS_REPART", "SPARK_GRAFT_CPUS")
+        "SPARK_GRAFT_AQE", "SPARK_GRAFT_DOCS_REPART", "SPARK_GRAFT_CPUS",
+        "SPARK_GRAFT_SHUFFLE")
       .flatMap(k => sys.env.get(k).map(v => s""""$k":"${jesc(v)}""""))
     val knobsJson =
       if (knobs.isEmpty) "" else knobs.mkString(""","knobs":{""", ",", "}")
@@ -137,19 +141,31 @@ object Bench {
     }.toMap
 
     // The reference-parity GTFS pipeline is the headline capability;
-    // run it end-to-end once per round (full-suite runs only, so subset
+    // run it end-to-end per round (full-suite runs only, so subset
     // tuning loops stay fast) and track its wall-clock in BENCH_DETAIL.
+    // Warmed 3-pass solo MIN (one untimed warmup, then `passes` timed
+    // runs, fresh output dir each): the committed number used to be a
+    // single suite-tail run, which swung 8.5–15 s with host noise
+    // (documented band since r7) — this is the same adjudication
+    // protocol BENCH_NOTES applies by hand, now in the artifact.
     // Never in the stdout line: the driver-parsed tail is char-budgeted
     // and the app is not a per-query metric.
     val gtfsSec: Option[Double] =
       if (subset.nonEmpty) None
       else try {
         val root = sys.env.getOrElse("SPARK_GRAFT_GTFS_ROOT", "/root/reference")
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-bench-gtfs").toString
-        val t0 = System.nanoTime()
-        graft.gtfs.GtfsApp.run(spark, root, out)
-        Some((System.nanoTime() - t0) / 1e9)
+        def onePass(): Double = {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-bench-gtfs").toString
+          val t0 = System.nanoTime()
+          graft.gtfs.GtfsApp.run(spark, root, out)
+          (System.nanoTime() - t0) / 1e9
+        }
+        onePass() // untimed warmup
+        spark.catalog.clearCache()
+        Some((1 to passes).map { _ =>
+          val dt = onePass(); spark.catalog.clearCache(); dt
+        }.min)
       } catch {
         case e: Throwable =>
           // class + message FIRST (a char-budgeted tail truncates stack

@@ -53,20 +53,25 @@ object Communities {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val eSel = edges.select(col("src"), col("dst"))
     val e = ckpt(if (prePartitionEdges) eSel.repartition(col("dst")) else eSel)
-    var labels = ckpt(e.select(col("dst").as("node")).distinct()
-      .select(col("node"), col("node").as("label")))
-    for (_ <- 1 to rounds) {
-      val lSide = labels.select(col("node").as("dst"), col("label"))
-      val next = e
-        .join(if (broadcastLabels) broadcast(lSide) else lSide, Seq("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
-          .as("m"))
-        .select(col("src").as("node"), col("m.l").as("label"))
-      labels = ckpt(next)
+    // rounds plan under an edge-count-derived partition count (e is
+    // materialized; Iteration.roundPartitions has the measured numbers)
+    val parts = graft.operators.Iteration.roundPartitions(spark, e.count())
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var labels = ckpt(e.select(col("dst").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+      for (_ <- 1 to rounds) {
+        val lSide = labels.select(col("node").as("dst"), col("label"))
+        val next = e
+          .join(if (broadcastLabels) broadcast(lSide) else lSide, Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+            .as("m"))
+          .select(col("src").as("node"), col("m.l").as("label"))
+        labels = ckpt(next)
+      }
+      labels
     }
-    labels
   }
 }

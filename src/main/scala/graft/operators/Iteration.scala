@@ -40,6 +40,43 @@ private[graft] object Iteration {
       case None => df => df.localCheckpoint()
     }
 
+  /** Loop-round shuffle sizing (measured round-10 adjudication,
+    * BENCH_NOTES): an iterative operator's per-round frames are usually
+    * far smaller than what the session's `shuffle.partitions` was sized
+    * for, so every round schedules full-width stages over near-empty
+    * partitions — the per-job floor that dominates the loop family at
+    * local[32]/sf0.1 (r14 5.03 → 3.33 s, r07 4.46 → 3.52 s, r13
+    * 4.05 → 3.40 s at 8 round partitions vs 32; 1 partition loses the
+    * edge-join parallelism again — r13 8.2 s — so the count must track
+    * the loop's LARGEST frame). The count is derived from the
+    * MATERIALIZED loop input's rows at ~128k rows/task — per-task
+    * overhead is ~10 ms against ~10 ns/row on these narrow loop rows,
+    * so meaningfully smaller tasks are floor-dominated (8k rows/task
+    * measured as a no-op: every sf0.1 edge frame clamped right back to
+    * full width) — and CLAMPED to the session setting, so a
+    * cluster-scale edge frame keeps its full parallelism: the knob
+    * only ever shrinks empty-partition scheduling, never caps real
+    * width below what the session planned for.
+    */
+  def roundPartitions(spark: org.apache.spark.sql.SparkSession,
+                      rows: Long): Int = {
+    val cur = spark.sessionState.conf.numShufflePartitions
+    math.max(1, math.min(cur, (rows / 131072L + 1).toInt))
+  }
+
+  /** Run `body` (a loop's rounds) under `n` shuffle partitions, then
+    * restore the session setting. The loop's E-scale INPUT
+    * materialization must happen before entering (at full width); only
+    * the rounds plan under `n`.
+    */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                               n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** The frontier is localCheckpoint'd at every call site, so the
     * emptiness probe is cheap.
     */
