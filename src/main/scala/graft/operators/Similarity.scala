@@ -238,6 +238,85 @@ object Similarity {
     cb
   }
 
+  /** One distributed Lloyd iteration in EVERY PQ SUBSPACE at once: each
+    * vector's m subvectors are assigned to their exact-integer-L2-nearest
+    * codeword slices (ONE [[graft.plans.PqEncode]] kernel call per row —
+    * the identical assignment [[pqCodes]] ships, so training and encoding
+    * can never disagree), then per-(subspace, codeword) component means
+    * are recomputed. Long-form output (j 1-based subspace, cell, idx
+    * 1-based component within the subspace, n_members, mean_val).
+    *
+    * Scale shape: one corpus pass — per-row codegen assignment, explode
+    * to m·sub (j, cell, idx) component rows, ONE map-side-combined
+    * aggregate; the result is m·K·sub rows (model-sized, not
+    * corpus-sized). Means use [[kmeansStep]]'s 1e-6 integer quantization,
+    * so they are bit-identical on any engine and partitioning.
+    */
+  def pqStep(df: DataFrame, vecCol: String,
+             codebook: Seq[(Int, Array[Double])], m: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val ev = vectors.asDouble(col(vecCol))
+    val perJ = (1 to m).map { j =>
+      struct(lit(j).as("j"), col("__pq_codes").getItem(j - 1).as("cell"),
+        slice(ev, (j - 1) * sub + 1, sub).as("sv"))
+    }
+    df.withColumn("__pq_codes",
+        graft.plans.PqEncode.pqEncode(ev, codebook, m))
+      .select(explode(array(perJ: _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.cell").as("cell"),
+        posexplode(col("s.sv")).as(Seq("idx0", "x")))
+      .groupBy(col("j"), col("cell"), (col("idx0") + 1).as("idx"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x") * 1e6).cast("bigint")).as("qsum"))
+      .select(col("j"), col("cell"), col("idx"), col("n_members"),
+        (col("qsum").cast("double") / (col("n_members") * lit(1e6)))
+          .as("mean_val"))
+  }
+
+  /** PQ codebook TRAINING (Jégou et al. §III: independent k-means per
+    * subspace): iterate [[pqStep]] a FIXED `rounds` times from `init`
+    * (each subspace's init = the slice of the full-dim init codebook)
+    * and return the trained codebook in [[pqCodes]]' full-dim layout —
+    * codeword cid's vector is the concatenation of its m trained
+    * sub-codewords. Fixed rounds, not a convergence probe —
+    * deterministic and oracle-replayable ([[kmeansTrain]]'s doctrine);
+    * a (subspace, codeword) pair that loses every member keeps its
+    * previous slice (the empty-cell rule, per subspace).
+    *
+    * Scale shape per round: one corpus pass into one map-side-combined
+    * aggregate, then an m·K·sub driver collect — the codebook IS the
+    * model artifact, a bounded constant like the BPE merge table.
+    */
+  def pqTrain(df: DataFrame, vecCol: String,
+              init: Seq[(Int, Array[Double])], m: Int,
+              rounds: Int): Seq[(Int, Array[Double])] = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val dim = init.head._2.length
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    var cb = init
+    for (_ <- 1 to rounds) {
+      val means: Map[(Int, Int), Array[Double]] =
+        pqStep(df, vecCol, cb, m)
+          .select(col("j"), col("cell"), col("idx"), col("mean_val"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.map(r => (r.getInt(2), r.getDouble(3)))
+              .sortBy(_._1).map(_._2)
+          }
+      cb = cb.map { case (cid, ctr) =>
+        cid -> (0 until m).flatMap { j0 =>
+          means.getOrElse((j0 + 1, cid),
+            ctr.slice(j0 * sub, (j0 + 1) * sub)).toSeq
+        }.toArray
+      }
+    }
+    cb
+  }
+
   /** Product-quantization codes: the vector is split into `m` equal
     * subvectors; each is assigned the id of the L2-nearest codeword slice
     * — the compression step of PQ-based ANN (Jégou et al., TPAMI'11): at

@@ -513,6 +513,23 @@ object VectorQ extends QueryPack {
         rounds = KmeansTrainRounds)
       Similarity.kmeansStep(e, "embedding", trained)
         .orderBy(col("cell"), col("idx"))
+    },
+
+    // PQ codebook TRAINING (v07/v08/v09 encode against FIXED init
+    // slices): 2 rounds of independent per-subspace Lloyd — assignment
+    // by the SAME exact-integer-L2 PqEncode kernel the encoder ships,
+    // 1e-6-quantized sub-codeword means, empty (subspace, codeword)
+    // pairs keep their slice — then the ROUND-3 per-subspace assignment
+    // stats over the trained codebook are the checked output, so the
+    // oracle replays every round (v23's doctrine, per subspace).
+    // Quantization-error delta vs the untrained init is measured in
+    // PqTrainSpec.
+    "v24_pq_train" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val trained = Similarity.pqTrain(e, "embedding", codebook(e),
+        PqSubspaces, KmeansTrainRounds)
+      Similarity.pqStep(e, "embedding", trained, PqSubspaces)
+        .orderBy(col("j"), col("cell"), col("idx"))
     }
   )
 
@@ -704,6 +721,52 @@ object VectorQ extends QueryPack {
          |${roundCtes(last)}
          |SELECT cell, idx, n_members, mean_val
          |FROM m$last ORDER BY cell, idx""".stripMargin
+    },
+
+    "v24_pq_train" -> {
+      val sub = 64 / PqSubspaces
+      // exact-integer L2 of subvector j against sub-codeword ce (length
+      // sub) — the same 1e-6 delta quantization as v07, but ce is the
+      // EVOLVING per-subspace codeword, not a fixed full-dim slice
+      def qd = s"(CAST(round((e.ee[(c.j-1)*$sub + i] - c.ce[i]) * 1000000) AS BIGINT))"
+      def roundCtes(i: Int): String =
+        s"""d$i AS (SELECT e.vec_id, c.j, c.cid,
+           |        CAST(list_sum([$qd * $qd
+           |         FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
+           |       FROM e CROSS JOIN c${i - 1} c),
+           |a$i AS (SELECT vec_id, j, cid,
+           |        row_number() OVER (PARTITION BY vec_id, j
+           |                           ORDER BY d, cid) AS rn
+           |       FROM d$i),
+           |x$i AS (SELECT a.j, a.cid AS cell,
+           |        unnest([{'i': i, 'x': e.ee[(a.j-1)*$sub + i]}
+           |                FOR i IN range(1, $sub + 1)], recursive := true)
+           |       FROM a$i a JOIN e USING (vec_id) WHERE a.rn = 1),
+           |m$i AS (SELECT j, cell, CAST(i AS INT) AS idx,
+           |        COUNT(*) AS n_members,
+           |        CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
+           |          / (COUNT(*) * 1000000.0) AS mean_val
+           |       FROM x$i GROUP BY j, cell, i)""".stripMargin
+      def updateCtes(i: Int): String =
+        s"""n$i AS (SELECT j, cell, list(mean_val ORDER BY idx) AS ce
+           |        FROM m$i GROUP BY j, cell),
+           |c$i AS (SELECT p.j, p.cid, COALESCE(n.ce, p.ce) AS ce
+           |        FROM c${i - 1} p LEFT JOIN n$i n
+           |          ON n.j = p.j AND n.cell = p.cid)""".stripMargin
+      val trainRounds = (1 to KmeansTrainRounds)
+        .map(i => roundCtes(i) + ",\n" + updateCtes(i)).mkString(",\n")
+      val last = KmeansTrainRounds + 1
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |           FROM embeddings),
+         |jj AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
+         |c0 AS (SELECT jj.j, CAST(e.vec_id AS INT) AS cid,
+         |        [e.ee[(jj.j-1)*$sub + i] FOR i IN range(1, $sub + 1)] AS ce
+         |       FROM e CROSS JOIN jj
+         |       WHERE e.vec_id BETWEEN 1 AND $CodebookSize),
+         |$trainRounds,
+         |${roundCtes(last)}
+         |SELECT j, cell, idx, n_members, mean_val
+         |FROM m$last ORDER BY j, cell, idx""".stripMargin
     },
 
     "v07_pq_codes" -> {
