@@ -67,7 +67,21 @@ object Routing {
     // rationale and the measured r03/r04 numbers; same loop shape here.
     val eSel = edges.select(col("src"), col("dst"), col("route_id"),
       col("weight_m").cast("double"))
-    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    val e0 = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    // rounds plan under an edge-count-derived partition count (e0 is
+    // materialized, so the count is one cheap job); in broadcast-frontier
+    // mode the per-round width is e0's RDD partition count, so the frame
+    // also narrows by zero-copy coalesce — the same lever (and measured
+    // adjudication) as Ranking.loop / Communities; see
+    // Iteration.roundPartitions.
+    // prePartitionEdges = false is the caller's one-partition-graph
+    // signal (see bfsHops doc) — skip the count job there: the lever
+    // would derive parts = 1 for a frame that already plans tiny.
+    val parts =
+      if (prePartitionEdges)
+        graft.operators.Iteration.roundPartitions(spark, e0.count())
+      else spark.sessionState.conf.numShufflePartitions
+    val e = if (parts < e0.rdd.getNumPartitions) e0.coalesce(parts) else e0
     // Delta/frontier iteration: each round relaxes only edges out of nodes
     // improved in the previous round, not the whole settled set — at scale
     // the frontier is a vanishing fraction of V once the wave passes, and
@@ -98,6 +112,7 @@ object Routing {
     //     shuffle volume, which outweighs the saved merge+checkpoint
     //     whenever the frontier join carries real data — and shuffle
     //     volume, not round count, dominates at 100 TB.
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
     var dist = ckpt(
       Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
         .toDF("node", "dist_m", "prev", "prev_route")
@@ -132,6 +147,7 @@ object Routing {
     graft.operators.Iteration.warnIfTruncated("sssp", frontier, i, maxIter,
       warnOnTruncation)
     dist.drop("__new")
+    }
   }
 
   /** G4 path rows, fully distributed: backtrack the predecessor chain from
@@ -228,7 +244,16 @@ object Routing {
     // (r01/r02's 25-node synthetic: the layout's per-round task fan-out
     // costs more than every frontier join combined — r02 0.95→1.33 s).
     val eSel = edges.select(col("src"), col("dst"))
-    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    val e0 = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    // edge-count-derived round partitions + zero-copy narrow — see sssp
+    // prePartitionEdges = false is the caller's one-partition-graph
+    // signal (see bfsHops doc) — skip the count job there: the lever
+    // would derive parts = 1 for a frame that already plans tiny.
+    val parts =
+      if (prePartitionEdges)
+        graft.operators.Iteration.roundPartitions(spark, e0.count())
+      else spark.sessionState.conf.numShufflePartitions
+    val e = if (parts < e0.rdd.getNumPartitions) e0.coalesce(parts) else e0
     // Frontier BFS: in an unweighted graph a node's first discovery is its
     // final hop count, so each round only expands last round's discoveries.
     // Empty frontier = convergence. Per-round shuffle is
@@ -237,6 +262,7 @@ object Routing {
     // no anti-join is needed) and is checkpointed once per round — the
     // frontier is a filter over that checkpoint, not a second
     // materialization (see sssp).
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
     var dist = ckpt(Seq((sourceId, 0)).toDF("node", "hops")
       .withColumn("__new", lit(true)))
     var frontier = dist.filter(col("__new"))
@@ -257,6 +283,7 @@ object Routing {
     graft.operators.Iteration.warnIfTruncated("bfsHops", frontier, i, maxIter,
       warnOnTruncation)
     dist.drop("__new")
+    }
   }
 
   /** Multi-source frontier BFS in ONE loop: hop counts from EVERY seed in
@@ -285,7 +312,20 @@ object Routing {
     import spark.implicits._
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val eSel = edges.select(col("src"), col("dst"))
-    val e = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    val e0 = ckpt(if (prePartitionEdges) eSel.repartition(col("src")) else eSel)
+    // edge-count-derived round partitions + zero-copy narrow — see sssp.
+    // The per-round frames here are |seeds|× the single-source case, but
+    // |seeds| is a bounded panel, so the edge frame stays the loop's
+    // largest and still sets the width.
+    // prePartitionEdges = false is the caller's one-partition-graph
+    // signal (see bfsHops doc) — skip the count job there: the lever
+    // would derive parts = 1 for a frame that already plans tiny.
+    val parts =
+      if (prePartitionEdges)
+        graft.operators.Iteration.roundPartitions(spark, e0.count())
+      else spark.sessionState.conf.numShufflePartitions
+    val e = if (parts < e0.rdd.getNumPartitions) e0.coalesce(parts) else e0
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
     var dist = ckpt(seeds.map(s => (s, s, 0)).toDF("seed", "node", "hops")
       .withColumn("__new", lit(true)))
     var frontier = dist.filter(col("__new"))
@@ -306,5 +346,6 @@ object Routing {
     graft.operators.Iteration.warnIfTruncated("multiSourceBfsHops", frontier,
       i, maxIter, warnOnTruncation)
     dist.drop("__new")
+    }
   }
 }

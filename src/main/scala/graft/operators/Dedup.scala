@@ -358,7 +358,13 @@ object Dedup {
     // alternative, and when to pass `prePartitionEdges = false`
     // (one-partition graphs).
     val eSym = if (pairsCanonical) sym else sym.distinct()
-    val e = ckpt(if (prePartitionEdges) eSym.repartition(col("src")) else eSym)
+    val e0 = ckpt(if (prePartitionEdges) eSym.repartition(col("src")) else eSym)
+    // edge-count-derived round partitions + zero-copy narrow — the same
+    // lever (and measured adjudication) as Ranking.loop / Routing.sssp;
+    // see Iteration.roundPartitions. The symmetrize/distinct INPUT
+    // derivation above already ran at full session width.
+    val parts = Iteration.roundPartitions(spark, e0.count())
+    val e = if (parts < e0.rdd.getNumPartitions) e0.coalesce(parts) else e0
     // One checkpoint per round: the label set absorbs this round's
     // improvements through a single full-outer merge (same shape as
     // Routing.sssp — the previous lazy anti-join chain re-executed every
@@ -378,6 +384,7 @@ object Dedup {
     // join + groupBy + merge — one round (and its checkpoint) gone.
     // Every node appears as a src (edges are symmetric), so the seed
     // covers the full node set.
+    Iteration.withShufflePartitions(spark, parts) {
     var labels = ckpt(e.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
@@ -403,6 +410,7 @@ object Dedup {
     }
     Iteration.warnIfTruncated("dupClusters", frontier, i, maxIter)
     labels.select(col("node").as("member"), col("label").as("cluster"))
+    }
   }
 
   /** INCREMENTAL corpus dedup: drop `increment` rows whose `keyCol` value
@@ -516,6 +524,10 @@ object Dedup {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
     var edges = ckpt(pairs.select(col("a").as("u"), col("b").as("v")))
+    // edge-count-derived round partitions (Iteration.roundPartitions) —
+    // sized from the INITIAL edge set; star rounds only ever shrink it
+    val parts = Iteration.roundPartitions(spark, edges.count())
+    Iteration.withShufflePartitions(spark, parts) {
     var prev = checksum(edges)
     var converged = false
     var i = 0
@@ -534,6 +546,7 @@ object Dedup {
     edges.select(col("u").as("member"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("member"), col("v").as("cluster")))
       .distinct()
+    }
   }
 
   /** 16-bit SimHash per document: bit b is the majority vote of bit b over
