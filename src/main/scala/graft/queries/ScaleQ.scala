@@ -140,6 +140,26 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  /** Build-once guard for s09's compacted layout (same pattern as
+    * [[ensureBucketed]]): lineitem rewritten key-range-contiguous +
+    * sorted + row-bounded on the ship day — the EXECUTION of the
+    * maintenance pass s04 plans. ~100k-row target at sf0.1 → ~6 files.
+    */
+  @volatile private var compactedFor: String = null
+  private def ensureCompacted(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (compactedFor != dir) {
+        graft.sources.Compaction.compactSorted(
+          Tables(s, dir).lineitem.select(
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long").as("ship_day"),
+            col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice")),
+          "graft_wh_lineitem_compact", "ship_day", targetRows = 100000L)
+        compactedFor = dir
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skew.saltedJoin over lineitem ⋈ supplier (supplier is small but the
     // point is the rewrite, not the size): per-supplier-nation revenue.
@@ -311,6 +331,29 @@ object ScaleQ extends QueryPack {
         .applyChangelog(snap, cl, "k", "seq", "op",
           Seq("acct_cents", "segment"))
         .orderBy(col("k"))
+    },
+
+    // Compaction EXECUTION (sources/Compaction doc) — s04 plans the
+    // bins; this rewrites the table (range-contiguous + sorted +
+    // row-bounded files) and PROVES the rewrite lossless: an
+    // order-free content checksum per returnflag over the COMPACTED
+    // table, mirrored by the oracle over the RAW table — equality
+    // means the multiset survived the rewrite. The layout contracts
+    // (per-file row bound, non-overlapping sorted ranges, tight
+    // row-group stats) are CompactionSpec's to pin; a checksum term
+    // is (cents % 9973)·(orderkey % 997 + 1): content-sensitive,
+    // commutative, and bounded so the sum stays in long range at any
+    // SF under ANSI mode.
+    "s09_compaction_exec" -> { (s, dir) =>
+      ensureCompacted(s, dir)
+      Warehouse.read(s, "graft_wh_lineitem_compact")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((cents(col("l_extendedprice")) % 9973) *
+            (col("l_orderkey") % 997 + 1)).as("checksum"),
+          min(col("ship_day")).as("first_day"),
+          max(col("ship_day")).as("last_day"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -425,6 +468,17 @@ object ScaleQ extends QueryPack {
         |  CASE WHEN l.op = 'U' THEN l.segment ELSE s.segment END AS segment
         |FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
         |WHERE l.op IS NULL OR l.op = 'U'
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // raw-table mirror of the compacted-table checksum rollup: equality
+    // proves the compaction rewrite preserved the multiset
+    "s09_compaction_exec" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | CAST(SUM((CAST(round(l_extendedprice*100) AS BIGINT) % 9973)
+        |   * (l_orderkey % 997 + 1)) AS BIGINT) AS checksum,
+        | MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS first_day,
+        | MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS last_day
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
