@@ -530,6 +530,26 @@ object VectorQ extends QueryPack {
         PqSubspaces, KmeansTrainRounds)
       Similarity.pqStep(e, "embedding", trained, PqSubspaces)
         .orderBy(col("j"), col("cell"), col("idx"))
+    },
+
+    // TRAINED end-to-end ANN: v23's full-Lloyd training feeds the
+    // composed v09 search path (IVF probe → PQ-ADC shortlist → exact
+    // re-rank) — the oracle replays BOTH the training rounds and the
+    // whole search chain over the trained centroids, so "the index the
+    // model trained is the index the query uses" is hash-checked, not
+    // just spec-asserted (IvfPqTrainedSpec holds the measured recall
+    // delta: 5 → 14 hits over the v17 panel).
+    "v25_trained_ivf_pq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val trained = Similarity.kmeansTrain(e, "embedding", codebook(e),
+        KmeansTrainRounds)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", trained, qvec, m = PqSubspaces, k = 5,
+          nprobe = 2, shortlist = 20)
+        .select(col("vec_id"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
     }
   )
 
@@ -631,6 +651,38 @@ object VectorQ extends QueryPack {
       s"(CASE WHEN embedding[$p] > 0 THEN ${1 << (BucketPositions.size - 1 - i)} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** One full-Lloyd assignment+means round as DuckDB CTEs (cell, ce
+    * evolve as c$i) — shared by the v23 oracle (which checks the
+    * round-(k+1) stats) and the v25 oracle (which feeds the trained c$k
+    * into the v09 search chain).
+    */
+  private def lloydRoundCtes(i: Int): String =
+    s"""s$i AS (
+       | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cell,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
+       |            c.cell) AS rn
+       | FROM embeddings e CROSS JOIN c${i - 1} c),
+       |a$i AS (SELECT vec_id, ee, cell FROM s$i WHERE rn = 1),
+       |x$i AS (SELECT cell,
+       |       unnest([{'i': i, 'x': ee[i]}
+       |               FOR i IN range(1, len(ee)+1)], recursive := true)
+       |      FROM a$i),
+       |m$i AS (SELECT cell, CAST(i AS INT) AS idx, COUNT(*) AS n_members,
+       |       CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
+       |         / (COUNT(*) * 1000000.0) AS mean_val
+       |      FROM x$i GROUP BY cell, i)""".stripMargin
+
+  private def lloydUpdateCtes(i: Int): String =
+    s"""n$i AS (SELECT cell, list(mean_val ORDER BY idx) AS ce
+       |        FROM m$i GROUP BY cell),
+       |c$i AS (SELECT p.cell, COALESCE(n$i.ce, p.ce) AS ce
+       |        FROM c${i - 1} p LEFT JOIN n$i USING (cell))""".stripMargin
+
+  /** Rounds 1..KmeansTrainRounds chained (c0 → c$KmeansTrainRounds). */
+  private def lloydTrainChain: String = (1 to KmeansTrainRounds)
+    .map(i => lloydRoundCtes(i) + ",\n" + lloydUpdateCtes(i)).mkString(",\n")
+
   def oracle: Map[String, String] = Map(
     "v01_knn_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -690,29 +742,9 @@ object VectorQ extends QueryPack {
     // means, and rebuilds c(i) with the empty-cell COALESCE; the final
     // pass emits the round-(rounds+1) assignment stats.
     "v23_kmeans_train" -> {
-      def roundCtes(i: Int): String =
-        s"""s$i AS (
-           | SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, c.cell,
-           |  row_number() OVER (PARTITION BY e.vec_id
-           |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
-           |            c.cell) AS rn
-           | FROM embeddings e CROSS JOIN c${i - 1} c),
-           |a$i AS (SELECT vec_id, ee, cell FROM s$i WHERE rn = 1),
-           |x$i AS (SELECT cell,
-           |       unnest([{'i': i, 'x': ee[i]}
-           |               FOR i IN range(1, len(ee)+1)], recursive := true)
-           |      FROM a$i),
-           |m$i AS (SELECT cell, CAST(i AS INT) AS idx, COUNT(*) AS n_members,
-           |       CAST(SUM(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)
-           |         / (COUNT(*) * 1000000.0) AS mean_val
-           |      FROM x$i GROUP BY cell, i)""".stripMargin
-      def updateCtes(i: Int): String =
-        s"""n$i AS (SELECT cell, list(mean_val ORDER BY idx) AS ce
-           |        FROM m$i GROUP BY cell),
-           |c$i AS (SELECT p.cell, COALESCE(n$i.ce, p.ce) AS ce
-           |        FROM c${i - 1} p LEFT JOIN n$i USING (cell))""".stripMargin
-      val trainRounds = (1 to KmeansTrainRounds)
-        .map(i => roundCtes(i) + ",\n" + updateCtes(i)).mkString(",\n")
+      def roundCtes(i: Int): String = lloydRoundCtes(i)
+      def updateCtes(i: Int): String = lloydUpdateCtes(i)
+      val trainRounds = lloydTrainChain
       val last = KmeansTrainRounds + 1
       s"""WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell,
          |              embedding::DOUBLE[] AS ce
@@ -767,6 +799,54 @@ object VectorQ extends QueryPack {
          |${roundCtes(last)}
          |SELECT j, cell, idx, n_members, mean_val
          |FROM m$last ORDER BY j, cell, idx""".stripMargin
+    },
+
+    // v23's train chain (c0 → c$K) then v09's ENTIRE search chain with
+    // the trained centroids as the codebook — training and search
+    // replayed in one statement
+    "v25_trained_ivf_pq" -> {
+      val k = KmeansTrainRounds
+      val sub = 64 / PqSubspaces
+      def qd(vec: String) =
+        s"(CAST(round(($vec[(j.j-1)*$sub + i] - c.ce[(j.j-1)*$sub + i]) * 1000000) AS BIGINT))"
+      val ed = qd("p.ee")
+      val ld = qd("q.qe")
+      s"""WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+         |              embedding::DOUBLE[] AS ce
+         |            FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
+         |$lloydTrainChain,
+         |c AS (SELECT cell AS cid, ce FROM c$k),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+         |      FROM embeddings WHERE vec_id <> 0),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT cid AS qc FROM c, q
+         |           ORDER BY round(${cosineSql("qe", "ce")}, 4) DESC, cid LIMIT 2),
+         |scored AS (
+         | SELECT e.vec_id, e.ee, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY round(${cosineSql("e.ee", "c.ce")}, 4) DESC, c.cid) AS rn
+         | FROM e CROSS JOIN c),
+         |p AS (SELECT vec_id, ee FROM scored
+         |      WHERE rn = 1 AND CAST(cid AS INT) IN (SELECT qc FROM qcells)),
+         |j AS (SELECT unnest(generate_series(1, $PqSubspaces)) AS j),
+         |d AS (SELECT p.vec_id, j.j, c.cid,
+         |       CAST(list_sum([$ed * $ed
+         |        FOR i IN generate_series(1, $sub)]) AS BIGINT) AS d
+         |      FROM p CROSS JOIN c CROSS JOIN j),
+         |asn AS (SELECT vec_id, j, cid,
+         |       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |      FROM d),
+         |lut AS (SELECT j.j, c.cid,
+         |        CAST(list_sum([$ld * $ld
+         |         FOR i IN generate_series(1, $sub)]) AS BIGINT) AS ld
+         |        FROM c CROSS JOIN j CROSS JOIN q),
+         |adc AS (SELECT asn.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc
+         |        FROM asn JOIN lut l ON asn.j = l.j AND asn.cid = l.cid
+         |        WHERE asn.rn = 1 GROUP BY asn.vec_id),
+         |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 20)
+         |SELECT e.vec_id, round(${cosineSql("e.ee", "q.qe")}, 4) AS cos4
+         |FROM e JOIN short USING (vec_id), q
+         |ORDER BY cos4 DESC, e.vec_id LIMIT 5""".stripMargin
     },
 
     "v07_pq_codes" -> {
