@@ -23,7 +23,12 @@ object GeoKernels {
     val dLam = (b._1 - a._1) * math.Pi / 180
     val s = math.sin(dPhi / 2) * math.sin(dPhi / 2) +
       math.cos(phi1) * math.cos(phi2) * math.sin(dLam / 2) * math.sin(dLam / 2)
-    R * 2 * math.atan2(math.sqrt(s), math.sqrt(1 - s))
+    // s can exceed 1 by an ulp for near-antipodal pairs; without the
+    // clamp sqrt(1-s) is NaN, which silently poisons every comparison
+    // downstream (a NaN distance LOSES a < argmin, so the segment is
+    // skipped instead of measured). Clamped, the result is the correct
+    // antipodal limit π·R. SQL mirrors clamp the same way (GREATEST).
+    R * 2 * math.atan2(math.sqrt(s), math.sqrt(math.max(0.0, 1 - s)))
   }
 
   /** X13 (update-routes.js:106-108). */

@@ -38,6 +38,32 @@ object GeoQ extends QueryPack {
   private val natLonSql = "CAST((n_nationkey * 37) % 360 AS DOUBLE) - 179.5"
   private val natLatSql = "CAST((n_nationkey * 23) % 160 AS DOUBLE) - 79.5"
 
+  private def suppLon = ((col("s_suppkey") * 31) % 3600).cast("double") / 10 - 180
+  private def suppLat = ((col("s_suppkey") * 17) % 1700).cast("double") / 10 - 85
+  private val suppLonSql = "CAST((s_suppkey * 31) % 3600 AS DOUBLE)/10 - 180"
+  private val suppLatSql = "CAST((s_suppkey * 17) % 1700 AS DOUBLE)/10 - 85"
+
+  /** DuckDB haversine METERS mirroring GeoKernels.haversineM's atan2
+    * variant (the [[graft.plans.ProjectToLine]] kernel's distance) —
+    * distinct from [[havKmSql]]'s asin-km form.
+    */
+  private def havMSql(lon1: String, lat1: String,
+                      lon2: String, lat2: String): String = {
+    val s = s"(sin(radians(($lat2) - ($lat1))/2)*sin(radians(($lat2) - ($lat1))/2) + " +
+      s"cos(radians($lat1))*cos(radians($lat2))*" +
+      s"sin(radians(($lon2) - ($lon1))/2)*sin(radians(($lon2) - ($lon1))/2))"
+    // GREATEST clamp mirrors GeoKernels.haversineM's ulp guard: s > 1
+    // for near-antipodal pairs must give the antipodal limit, not an
+    // engine error (DuckDB) or a NaN that silently loses argmins (JVM)
+    s"(6371000.0 * 2 * atan2(sqrt($s), sqrt(GREATEST(1 - $s, 0))))"
+  }
+
+  /** g10's polyline length cap: first 21 points (20 segments) per route
+    * — the polylines stay a BOUNDED driver constant at every SF (the
+    * codebook doctrine), so per-point matching is a pure row expression.
+    */
+  private val G10MaxPts = 21
+
   /** g08's hexagon offsets (unit shape, scaled per nation): convex,
     * integer, implicitly closed. Shared Spark + SQL.
     */
@@ -220,6 +246,58 @@ object GeoQ extends QueryPack {
     // points to their one cell, antimeridian wrap via modular lon bins)
     // before the exact rounded-haversine residual. The oracle runs the
     // naive cross-join filter — the grid is a pure plan rewrite.
+    // G10 map-matching (J5/J6 composed into the classic transit
+    // analytics op): snap every GPS point of every trace to its nearest
+    // route polyline, then attribute each trace to the route most of
+    // its points snapped to. Routes = 5 bounded supplier polylines (a
+    // driver-held constant — the codebook doctrine; routes with < 2
+    // points carry no segments and are excluded on BOTH sides); the
+    // per-point nearest-route argmin is a pure row expression (one
+    // native ProjectToLine kernel call per candidate route, distance
+    // rounded to whole meters BEFORE the argmin, route-id tiebreak), so
+    // the corpus never joins — two map-side-combinable vote aggregates
+    // finish the attribution. At 100 TB: polylines broadcast-ship in
+    // codegen, one corpus pass + two key-bounded exchanges.
+    "g10_map_match" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val wr = Window.partitionBy(col("route")).orderBy(col("s_suppkey"))
+      val routeRows = t.supplier
+        .select((col("s_nationkey") % 5).cast("int").as("route"),
+          col("s_suppkey"), suppLon.as("lon"), suppLat.as("lat"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= G10MaxPts)
+        .select(col("route"), col("rn"), col("lon"), col("lat"))
+        .collect()
+      val routes: Seq[(Int, Seq[Seq[Double]])] = routeRows
+        .groupBy(_.getInt(0))
+        .map { case (rid, rows) =>
+          rid -> rows.sortBy(_.getInt(1))
+            .map(r => Seq(r.getDouble(2), r.getDouble(3))).toSeq
+        }
+        .filter(_._2.size >= 2)
+        .toSeq.sortBy(_._1)
+      val cand = routes.map { case (rid, line) =>
+        struct(
+          round(graft.plans.ProjectToLine
+            .projectToLine(col("p"), typedLit(line))
+            .getField("dist_m")).cast("bigint").as("d"),
+          lit(rid).as("r"))
+      }
+      t.lineitem
+        .select(col("l_orderkey").as("trace"), array(liLon, liLat).as("p"))
+        .select(col("trace"), array_min(array(cand: _*)).as("b"))
+        .select(col("trace"), col("b.r").as("route"))
+        .groupBy(col("trace"), col("route"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("trace"))
+        .agg(min(struct((-col("n")).as("nn"), col("route").as("r"))).as("m"))
+        .select(col("trace"), col("m.r").as("route"))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n_traces"),
+          sum(col("trace") % 9973).as("trace_checksum"))
+        .orderBy(col("route"))
+    },
+
     "g06_grid_radius_join" -> { (s, dir) =>
       val t = Tables(s, dir)
       val pts = t.customer.select(col("c_custkey"),
@@ -361,6 +439,61 @@ object GeoQ extends QueryPack {
          |  COUNT(*) AS n_pts
          |FROM walk GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3
          |ORDER BY l_orderkey, anchor_seq""".stripMargin
+    },
+
+    // the whole match replayed: segment table from the same capped
+    // supplier polylines, exact projection/clamp math per (point, seg),
+    // per-route MIN of the raw distance, meter-rounded argmin with the
+    // route tiebreak, then the two vote rollups. The per-point best
+    // depends only on the coords, so it is computed per DISTINCT
+    // (px, py) and joined back — identical multiset to Spark's per-row
+    // evaluation.
+    "g10_map_match" -> {
+      val dxy = "(s.x2 - s.x1)"
+      val dyy = "(s.y2 - s.y1)"
+      val lenSq = s"($dxy*$dxy + $dyy*$dyy)"
+      val t = s"LEAST(GREATEST(((p.px - s.x1)*$dxy + (p.py - s.y1)*$dyy) / $lenSq, 0), 1)"
+      val projx = s"(s.x1 + $t*$dxy)"
+      val projy = s"(s.y1 + $t*$dyy)"
+      s"""WITH sp AS (
+         | SELECT CAST(s_nationkey % 5 AS INT) AS route, s_suppkey,
+         |  $suppLonSql AS lon, $suppLatSql AS lat,
+         |  row_number() OVER (PARTITION BY s_nationkey % 5
+         |                     ORDER BY s_suppkey) AS rn
+         | FROM supplier),
+         |pl AS (SELECT * FROM sp WHERE rn <= $G10MaxPts),
+         |segs AS (
+         | SELECT a.route, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+         | FROM pl a JOIN pl b ON b.route = a.route AND b.rn = a.rn + 1),
+         |pts AS (
+         | SELECT l_orderkey AS trace, $liLonSql AS px, $liLatSql AS py
+         | FROM lineitem),
+         |d AS (
+         | SELECT p.px, p.py, s.route,
+         |  CASE WHEN $lenSq = 0
+         |       THEN ${havMSql("p.px", "p.py", "s.x1", "s.y1")}
+         |       ELSE ${havMSql("p.px", "p.py", projx, projy)} END AS dm
+         | FROM (SELECT DISTINCT px, py FROM pts) p CROSS JOIN segs s),
+         |perroute AS (
+         | SELECT px, py, route, CAST(round(MIN(dm)) AS BIGINT) AS d_m
+         | FROM d GROUP BY px, py, route),
+         |bp AS (
+         | SELECT px, py, route FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY px, py
+         |                               ORDER BY d_m, route) AS rn
+         |  FROM perroute) WHERE rn = 1),
+         |votes AS (
+         | SELECT p.trace, b.route, COUNT(*) AS n
+         | FROM pts p JOIN bp b ON p.px = b.px AND p.py = b.py
+         | GROUP BY p.trace, b.route),
+         |m AS (
+         | SELECT trace, route,
+         |  row_number() OVER (PARTITION BY trace
+         |                     ORDER BY n DESC, route) AS rn
+         | FROM votes)
+         |SELECT route, COUNT(*) AS n_traces,
+         | CAST(SUM(trace % 9973) AS BIGINT) AS trace_checksum
+         |FROM m WHERE rn = 1 GROUP BY route ORDER BY route""".stripMargin
     },
 
     // the naive cross-join radius filter the engine's grid join must equal
