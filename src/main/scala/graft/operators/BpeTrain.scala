@@ -149,4 +149,27 @@ object BpeTrain {
     */
   def encodeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
     size(encode(textCol, merges)).cast("bigint")
+
+  /** [[encode]] RETAINING the word-separator tokens — the lossless
+    * tokenization [[decode]] inverts ([[encode]], the budget/model
+    * view, is exactly this minus the separators). Same kernel, same
+    * merges, one fewer filter.
+    */
+  def encodeKeepSeps(textCol: Column,
+                     merges: Seq[(String, String)]): Column = {
+    require(merges.forall(m =>
+      !m._1.contains(WordSep) && !m._2.contains(WordSep)),
+      s"merge symbols must not contain the '$WordSep' word separator")
+    val sym = concat_ws(" ",
+      split(replace(text.normText(textCol), lit(" "), lit(WordSep)), ""))
+    filter(split(applyMerges(sym, merges), " "), t => t =!= "")
+  }
+
+  /** Detokenize: the inverse of [[encodeKeepSeps]] — concatenate the
+    * symbols and restore the spaces the separators stand for. Pure
+    * per-row string work; `decode(encodeKeepSeps(x)) == normText(x)`
+    * for every merge table (BpeTrainSpec round-trip property).
+    */
+  def decode(tokens: Column): Column =
+    replace(array_join(tokens, ""), lit(WordSep), lit(" "))
 }

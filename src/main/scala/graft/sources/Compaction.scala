@@ -38,7 +38,11 @@ object Compaction {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     val spark = df.sparkSession
     val rows = df.count()
-    val n = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+    // clamped: repartitionByRange takes an Int, and a pathological
+    // rows/targetRows ratio (tiny target on a huge table) must not
+    // overflow into a negative partition count
+    val n = math.min(Int.MaxValue.toLong,
+      math.max(1L, (rows + targetRows - 1) / targetRows)).toInt
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

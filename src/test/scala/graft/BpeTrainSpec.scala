@@ -145,4 +145,26 @@ class BpeTrainSpec extends SparkTestBase {
     val got = encoded(Seq("", "  ", "?!... ---"), merges)
     assert(got == Seq(Seq(), Seq(), Seq()))
   }
+
+  test("decode(encodeKeepSeps(x)) == normText(x) on the real corpus — " +
+    "the tokenizer round-trip is lossless for any merge table") {
+    val docs = Tables(spark, sfSmoke).documents.select("text")
+    val texts = docs.as[String].collect().toSeq
+    val merges = serialBpe(texts, 8).map(m => (m._2, m._3))
+    val rows = docs.select(
+        graft.functions.text.normText($"text").as("want"),
+        BpeTrain.decode(BpeTrain.encodeKeepSeps($"text", merges)).as("got"))
+      .as[(String, String)].collect()
+    rows.foreach { case (want, got) =>
+      assert(got == want, s"round-trip diverged: got '$got' want '$want'")
+    }
+    // and the budget view is exactly the lossless view minus separators
+    val nBudget = docs
+      .select(BpeTrain.encodeTokenCount($"text", merges)).as[Long].collect()
+    val nKeep = docs
+      .select(org.apache.spark.sql.functions.size(
+        BpeTrain.encodeKeepSeps($"text", merges)).cast("long"))
+      .as[Long].collect()
+    assert(nBudget.zip(nKeep).forall { case (b, k) => b <= k })
+  }
 }
