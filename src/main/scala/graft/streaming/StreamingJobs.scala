@@ -362,6 +362,58 @@ object StreamingJobs {
       .select(col("user_id"), col("event_id"), col("ref_id"), col("p_ts"))
   }
 
+  final case class Ping(trace_id: Long, lon: Double, lat: Double)
+  final case class RouteMatch(trace_id: Long, route: Int, n_points: Long)
+  final case class MatchVotes(votes: Map[Int, Long], current: Int)
+
+  /** Streaming face of g10 map-matching: GPS pings arrive per trace
+    * (vehicle), each ping snaps to its nearest route via the SAME fused
+    * [[graft.plans.MapMatch]] kernel the batch query uses (stateless,
+    * codegen'd, before any state), and per-trace state keeps the route
+    * vote counts — a row is emitted whenever a trace's MODAL route
+    * changes (first ping always emits), carrying the votes seen so far.
+    * The modal tiebreak (max count, then smallest route id) is the
+    * batch g10 argmax, so once all pings have arrived the last emitted
+    * route per trace equals the batch attribution on the same data
+    * (spec-pinned); intermediate emissions depend on batch boundaries,
+    * the documented arrival-order contract shared with
+    * [[transitionStream]].
+    *
+    * Scale shape: state per trace is O(|routes|) — a bounded panel, the
+    * codebook doctrine — and lives in the state store keyed by trace;
+    * the kernel's polylines ride into codegen as constants. No timeout
+    * is set — a parked vehicle is a legitimate open trace; bound state
+    * with a ProcessingTimeTimeout if the trace universe is unbounded.
+    */
+  def mapMatchStream(pings: org.apache.spark.sql.Dataset[Ping],
+                     routes: Seq[(Int, Seq[Seq[Double]])]):
+      org.apache.spark.sql.Dataset[RouteMatch] = {
+    import pings.sparkSession.implicits._
+    pings
+      .select(col("trace_id"),
+        graft.plans.MapMatch.mapMatch(array(col("lon"), col("lat")), routes)
+          .getField("r").as("route"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MatchVotes, RouteMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (trace: Long, it: Iterator[(Long, Int)],
+         state: GroupState[MatchVotes]) =>
+          val s = state.getOption.getOrElse(MatchVotes(Map.empty, -1))
+          var votes = s.votes
+          it.foreach { case (_, r) =>
+            votes = votes.updated(r, votes.getOrElse(r, 0L) + 1L)
+          }
+          val modal =
+            if (votes.isEmpty) s.current
+            else votes.toSeq.minBy { case (r, n) => (-n, r) }._1
+          state.update(MatchVotes(votes, modal))
+          if (modal != s.current)
+            Iterator.single(RouteMatch(trace, modal, votes.values.sum))
+          else Iterator.empty
+      }
+  }
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

@@ -368,4 +368,46 @@ class StreamingSpec extends SparkTestBase {
       .map { case (k, v) => k -> v.size.toLong }
     assert(streamed == batch)
   }
+
+  test("mapMatchStream: modal route emits on change across batches and " +
+    "ends at the batch attribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingJobs.{Ping, RouteMatch}
+    // two simple routes: A (id 1) along the equator near lon 10,
+    // B (id 4) along lon 20 — points near each snap unambiguously
+    val routes: Seq[(Int, Seq[Seq[Double]])] = Seq(
+      1 -> Seq(Seq(10.0, 0.0), Seq(10.0, 1.0)),
+      4 -> Seq(Seq(20.0, 0.0), Seq(20.0, 1.0)))
+    val mem = MemoryStream[Ping]
+    val q = StreamingJobs.mapMatchStream(mem.toDS(), routes)
+      .writeStream.format("memory").queryName("mm_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: trace 7 pings near route A twice -> emits (7, 1, 2)
+    mem.addData(Ping(7, 10.01, 0.2), Ping(7, 10.02, 0.5))
+    q.processAllAvailable()
+    // batch 2: three pings near B flip the majority -> emits (7, 4, 5)
+    mem.addData(Ping(7, 19.99, 0.1), Ping(7, 20.01, 0.4),
+      Ping(7, 20.0, 0.7))
+    q.processAllAvailable()
+    // batch 3: one more B ping reinforces the modal route -> no emission
+    mem.addData(Ping(7, 20.02, 0.9))
+    q.processAllAvailable()
+    val got = spark.table("mm_out").as[RouteMatch].collect().toSeq
+      .sortBy(_.n_points)
+    q.stop()
+    assert(got == Seq(RouteMatch(7, 1, 2), RouteMatch(7, 4, 5)),
+      s"got $got")
+    // the last emitted route equals the batch g10-style attribution
+    // (vote argmax with the same kernel) over all six pings
+    val allPings = Seq((7L, 10.01, 0.2), (7L, 10.02, 0.5), (7L, 19.99, 0.1),
+      (7L, 20.01, 0.4), (7L, 20.0, 0.7), (7L, 20.02, 0.9))
+      .toDF("trace_id", "lon", "lat")
+    val batchModal = allPings
+      .select(graft.plans.MapMatch
+        .mapMatch(array(col("lon"), col("lat")), routes)
+        .getField("r").as("r"))
+      .groupBy(col("r")).count()
+      .orderBy(col("count").desc, col("r")).head().getInt(0)
+    assert(got.last.route == batchModal)
+  }
 }
