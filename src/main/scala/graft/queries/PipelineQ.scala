@@ -389,6 +389,64 @@ object PipelineQ extends QueryPack {
           Tables(s, dir).documents.select(col("doc_id"), col("source")),
           "source", "doc_id", budgetRows = 300L)
         .orderBy(col("source"))
+    },
+
+    // Removal AUDIT over p07's exact curation chain: instead of
+    // filtering, every document is attributed to the FIRST stage that
+    // removes it (dedup loser → holdout → contaminated → repetitive →
+    // empty → low-quality → kept, the chain's own order) — the
+    // "why was this doc dropped" lineage view every production
+    // curation pass needs. Same components, same thresholds, same
+    // exact-integer quality; output is the bounded per-stage rollup
+    // with an id checksum, so the oracle proves the attribution of
+    // EVERY doc, not just the survivor set.
+    "p18_removal_audit" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+          t.documentsKernelParallel, "doc_id", "text", k = 8, bands = 2,
+          shingleN = 3)
+        .select(col("a"), col("b"))
+      val clusters = graft.operators.Dedup.dupClusters(pairs,
+        pairsCanonical = true)
+      val bench = docs.filter(col("doc_id") % 10 === 7)
+      val contaminated = graft.operators.Contamination.contaminatedDocs(
+          docs.filter(col("doc_id") % 10 =!= 7), bench, "doc_id", "text",
+          n = 8)
+        .select(col("doc_id")).withColumn("is_cont", lit(true))
+      val st = graft.plans.ShingleStats
+        .shingleStats(text.normText(col("text")), 3)
+      docs
+        .join(clusters, docs("doc_id") === clusters("member"), "left")
+        .join(broadcast(contaminated), Seq("doc_id"), "left")
+        .withColumn("__st", st)
+        .withColumn("n_tok", text.tokenCount(col("text")))
+        .withColumn("stops", text.markerHits(col("text"), TextQ.StopWords))
+        .withColumn("punct", size(regexp_extract_all(col("text"),
+          lit("[^a-zA-Z0-9 ]"), lit(0))))
+        .withColumn("ltok", col("n_tok").cast("long"))
+        // bp guarded by the CASE: its branch only evaluates when
+        // ltok > 0, so the exact-integer division never sees a zero
+        // denominator (p07 reaches the same safety by filtering first)
+        .withColumn("stage",
+          when(col("cluster").isNotNull && col("cluster") =!= col("doc_id"),
+            "dedup_loser")
+          .when(col("doc_id") % 10 === 7, "holdout")
+          .when(col("is_cont").isNotNull, "contaminated")
+          .when(col("__st").isNotNull &&
+            col("__st.n_distinct") * 10 < col("__st.n_grams") * 8,
+            "repetitive")
+          .when(col("ltok") === 0, "empty")
+          .when(expr("""(2 * (40 * least(ltok, 100) * ltok * n_chars
+                + 3000 * (ltok - stops) * n_chars
+                + 3000 * (n_chars - punct) * ltok)
+                + ltok * n_chars) div (2 * ltok * n_chars)""") < 4000,
+            "low_quality")
+          .otherwise("kept"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id") % 9973).as("id_checksum"))
+        .orderBy(col("stage"))
     }
   )
 
@@ -755,6 +813,65 @@ object PipelineQ extends QueryPack {
          |  CAST(r2.rate_bp AS BIGINT) AS rate_bp,
          |  COALESCE(k.n_kept, 0) AS n_kept
          |FROM r2 LEFT JOIN k USING (source) ORDER BY source""".stripMargin
-    }
+    },
+
+    // p07's mirror chain, attributing instead of filtering: the same
+    // lab/cont/rep CTEs, the same exact-integer bp (zero-denominator
+    // guarded by the CASE order), one CASE in the chain's own stage
+    // order, rolled up per stage
+    "p18_removal_audit" ->
+      s"""${DedupQ.lshCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pe AS (SELECT a AS src, b AS dst FROM j UNION SELECT b, a FROM j),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, reach.r FROM reach JOIN pe ON pe.src = reach.node),
+         |lab AS (SELECT node AS member, MIN(r) AS cluster
+         |        FROM reach GROUP BY node),
+         |sh8 AS (SELECT doc_id, ${shinglesNSql("w", 8)} AS s8 FROM w
+         |        WHERE len(w) >= 8),
+         |tok8 AS (SELECT DISTINCT doc_id, t
+         |         FROM (SELECT doc_id, unnest(s8) AS t FROM sh8)
+         |         WHERE t <> ''),
+         |bg AS (SELECT DISTINCT t FROM tok8 WHERE doc_id % 10 = 7),
+         |cont AS (SELECT DISTINCT c.doc_id FROM tok8 c JOIN bg USING (t)
+         |         WHERE c.doc_id % 10 <> 7),
+         |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |         COUNT(*) AS n_distinct
+         |        FROM (SELECT doc_id, s, COUNT(*) AS c
+         |              FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |              WHERE s <> '' GROUP BY doc_id, s)
+         |        GROUP BY doc_id),
+         |qn AS (SELECT d.doc_id, d.n_chars,
+         |        len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]')) AS punct,
+         |        CASE WHEN n.norm = '' THEN 0 ELSE len(w.w) END AS n_tok,
+         |        ${markerHitsSql("w.w", TextQ.StopWords)} AS stops
+         |       FROM documents d
+         |       JOIN n ON n.doc_id = d.doc_id
+         |       JOIN w ON w.doc_id = d.doc_id),
+         |base AS (
+         | SELECT q.doc_id,
+         |  CASE WHEN lab.member IS NOT NULL AND lab.cluster <> q.doc_id
+         |        THEN 'dedup_loser'
+         |       WHEN q.doc_id % 10 = 7 THEN 'holdout'
+         |       WHEN q.doc_id IN (SELECT doc_id FROM cont)
+         |        THEN 'contaminated'
+         |       WHEN rep.doc_id IS NOT NULL
+         |            AND rep.n_distinct * 10 < rep.n_grams * 8
+         |        THEN 'repetitive'
+         |       WHEN q.n_tok = 0 THEN 'empty'
+         |       WHEN (2 * (40 * least(q.n_tok, 100) * q.n_tok * q.n_chars
+         |              + 3000 * (q.n_tok - q.stops) * q.n_chars
+         |              + 3000 * (q.n_chars - q.punct) * q.n_tok)
+         |             + q.n_tok * q.n_chars)
+         |            // (2 * q.n_tok * q.n_chars) < 4000
+         |        THEN 'low_quality'
+         |       ELSE 'kept' END AS stage
+         | FROM qn q
+         | LEFT JOIN lab ON lab.member = q.doc_id
+         | LEFT JOIN rep ON rep.doc_id = q.doc_id)
+         |SELECT stage, COUNT(*) AS n_docs,
+         | CAST(SUM(doc_id % 9973) AS BIGINT) AS id_checksum
+         |FROM base GROUP BY stage ORDER BY stage""".stripMargin
   )
 }
