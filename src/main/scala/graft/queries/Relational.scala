@@ -90,12 +90,23 @@ object Relational extends QueryPack {
       val ord = t.orders.join(broadcast(cust),
         col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"), col("r_name"), col("n_name"))
-      t.lineitem.join(ord, col("o_orderkey") === col("l_orderkey"))
+      // Pre-aggregate the fact by its join key BEFORE the fact-dim SMJ:
+      // lineitem rows for one order are adjacent in the file, so map-side
+      // combine collapses the ~4 items/order locally and the shuffle
+      // carries one row per order instead of one per item (4x volume cut
+      // — the lever that matters at cluster scale). The agg's hash
+      // partitioning on l_orderkey is exactly the join's requirement, so
+      // the join adds no second exchange on the fact side. Revenue is
+      // exact integer cents, so sum-of-partials == flat sum bit-for-bit.
+      val factByOrder = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("rev_c"),
+          count(lit(1)).as("items"))
+      factByOrder.join(ord, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(
-          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
-            .cast("double") / 10000).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"),
+          sum(col("items")).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
