@@ -139,7 +139,8 @@ object Ranking {
     val e0 = ckpt(edges.select(col("src"), col("dst"),
       when(col("w") >= 1, col("w")).otherwise(raise_error(concat(
         lit("pageRankWeighted: edge weight must be >= 1, got "),
-        col("w").cast("string")))).as("w")))
+        // coalesce: a NULL w must not null the diagnostic itself
+        coalesce(col("w").cast("string"), lit("NULL"))))).as("w")))
     val ws = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val ew = ckpt(e0.join(ws, Seq("src")))
     val nodes = ckpt(

@@ -113,6 +113,46 @@ object Routing {
     //     whenever the frontier join carries real data — and shuffle
     //     volume, not round count, dominates at 100 TB.
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      ssspLoop(e, sourceId, maxIter, warnOnTruncation, ckpt, broadcastFrontier)
+    }
+  }
+
+  /** One un-materialized SSSP round: best candidate per node (smallest
+    * dist, deterministic tiebreak) full-outer-merged into the settled
+    * set. Package-visible so plan properties (exchange counts over a
+    * bucketed vs plain edge frame) can be asserted on exactly the frame
+    * the loop materializes — the RankingSpec.rankRound pattern.
+    */
+  private[graft] def ssspRound(e: DataFrame, dist: DataFrame,
+                               frontier: DataFrame,
+                               broadcastFrontier: Boolean = false): DataFrame = {
+    val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
+    val cand = fSide.join(e, frontier("node") === e("src"))
+      .select(e("dst").as("node"), (col("dist_m") + col("weight_m")).as("cand_m"),
+        frontier("node").as("cand_prev"), e("route_id").as("cand_route"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("cand_m"), col("cand_prev"), col("cand_route"))))
+      .filter(col("rn") === 1).drop("rn")
+    // full-outer merge: keep the settled row unless the candidate
+    // strictly improves it; unmatched candidates are new discoveries
+    val improved = col("cand_m").isNotNull &&
+      (col("dist_m").isNull || col("cand_m") < col("dist_m"))
+    dist.drop("__new")
+      .join(cand, Seq("node"), "full")
+      .select(col("node"),
+        when(improved, col("cand_m")).otherwise(col("dist_m")).as("dist_m"),
+        when(improved, col("cand_prev")).otherwise(col("prev")).as("prev"),
+        when(improved, col("cand_route")).otherwise(col("prev_route")).as("prev_route"),
+        improved.as("__new"))
+  }
+
+  private def ssspLoop(e: DataFrame, sourceId: String, maxIter: Int,
+                       warnOnTruncation: Boolean,
+                       ckpt: DataFrame => DataFrame,
+                       broadcastFrontier: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     var dist = ckpt(
       Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
         .toDF("node", "dist_m", "prev", "prev_route")
@@ -120,33 +160,46 @@ object Routing {
     var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      // best candidate per node this round (smallest dist; deterministic
-      // (prev, prev_route) tiebreak so results don't depend on plan order)
-      val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
-      val cand = fSide.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), (col("dist_m") + col("weight_m")).as("cand_m"),
-          frontier("node").as("cand_prev"), e("route_id").as("cand_route"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node"))
-            .orderBy(col("cand_m"), col("cand_prev"), col("cand_route"))))
-        .filter(col("rn") === 1).drop("rn")
-      // full-outer merge: keep the settled row unless the candidate
-      // strictly improves it; unmatched candidates are new discoveries
-      val improved = col("cand_m").isNotNull &&
-        (col("dist_m").isNull || col("cand_m") < col("dist_m"))
-      dist = ckpt(dist.drop("__new")
-        .join(cand, Seq("node"), "full")
-        .select(col("node"),
-          when(improved, col("cand_m")).otherwise(col("dist_m")).as("dist_m"),
-          when(improved, col("cand_prev")).otherwise(col("prev")).as("prev"),
-          when(improved, col("cand_route")).otherwise(col("prev_route")).as("prev_route"),
-          improved.as("__new")))
+      dist = ckpt(ssspRound(e, dist, frontier, broadcastFrontier))
       frontier = dist.filter(col("__new"))
       i += 1
     }
     graft.operators.Iteration.warnIfTruncated("sssp", frontier, i, maxIter,
       warnOnTruncation)
     dist.drop("__new")
+  }
+
+  /** Stage an edge frame as a src-BUCKETED (and src-sorted) managed
+    * table — the cluster deployment layout for the frontier loops
+    * ([[bfsHopsOnTable]]/[[ssspOnTable]]; the Ranking.pageRankOnTable
+    * doctrine). Columns are written as given: (src, dst) suffices for
+    * BFS; SSSP also needs route_id and weight_m.
+    */
+  def stageEdgesTable(edges: DataFrame, table: String, buckets: Int): Unit =
+    graft.sources.Warehouse.writeBucketed(edges, table, "src", buckets)
+
+  /** [[sssp]] over a src-bucketed edge table ([[stageEdgesTable]]): the
+    * O(E) side of every round's expansion join reads the bucket layout
+    * straight from the metastore and NEVER shuffles, round after round,
+    * no matter how large V grows — a checkpoint cannot promise that (AQE
+    * checkpoints drop outputPartitioning; PlanSpec pins it) and the
+    * broadcast-frontier mode buys the same elision only under a
+    * V-fits-in-memory contract. Rounds plan AT the bucket width: a
+    * smaller count would re-exchange the frontier side against the fixed
+    * bucket partitioning every round (the r08 lesson), and coalescing
+    * the table would strip the layout. Identical semantics to [[sssp]]
+    * (RoutingSpec pins the equality).
+    */
+  def ssspOnTable(spark: SparkSession, table: String, sourceId: String,
+                  maxIter: Int = 50, warnOnTruncation: Boolean = true,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e = spark.table(table).select(col("src"), col("dst"),
+      col("route_id"), col("weight_m").cast("double"))
+    val parts = e.rdd.getNumPartitions
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      ssspLoop(e, sourceId, maxIter, warnOnTruncation, ckpt,
+        broadcastFrontier = false)
     }
   }
 
@@ -238,8 +291,9 @@ object Routing {
     // round's join still plans its own exchanges — but the hash-grouped,
     // evenly spread blocks keep every round's shuffle map stage balanced.
     // True per-round exchange elision at cluster scale comes from writing
-    // the edge frame src-bucketed (sources/Warehouse) and letting
-    // bucketed SMJ pin the O(E) side — then only the frontier shuffles.
+    // the edge frame src-bucketed and letting bucketed SMJ pin the O(E)
+    // side — then only the frontier shuffles: that mode EXISTS as
+    // [[stageEdgesTable]] + [[bfsHopsOnTable]]/[[ssspOnTable]] (r15).
     // `prePartitionEdges = false` is for graphs that fit in one partition
     // (r01/r02's 25-node synthetic: the layout's per-round task fan-out
     // costs more than every frontier join combined — r02 0.95→1.33 s).
@@ -263,26 +317,62 @@ object Routing {
     // frontier is a filter over that checkpoint, not a second
     // materialization (see sssp).
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      bfsLoop(e, sourceId, maxIter, warnOnTruncation, ckpt, broadcastFrontier)
+    }
+  }
+
+  /** One un-materialized BFS round — package-visible for plan pins (see
+    * [[ssspRound]]).
+    */
+  private[graft] def bfsRound(e: DataFrame, dist: DataFrame,
+                              frontier: DataFrame,
+                              broadcastFrontier: Boolean = false): DataFrame = {
+    val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
+    val next = fSide.join(e, frontier("node") === e("src"))
+      .select(e("dst").as("node"), (col("hops") + 1).as("cand_hops"))
+      .groupBy("node").agg(min("cand_hops").as("cand_hops"))
+    dist.drop("__new")
+      .join(next, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("hops"), col("cand_hops")).as("hops"),
+        col("hops").isNull.as("__new"))
+  }
+
+  private def bfsLoop(e: DataFrame, sourceId: String, maxIter: Int,
+                      warnOnTruncation: Boolean,
+                      ckpt: DataFrame => DataFrame,
+                      broadcastFrontier: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     var dist = ckpt(Seq((sourceId, 0)).toDF("node", "hops")
       .withColumn("__new", lit(true)))
     var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
-      val next = fSide.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), (col("hops") + 1).as("cand_hops"))
-        .groupBy("node").agg(min("cand_hops").as("cand_hops"))
-      dist = ckpt(dist.drop("__new")
-        .join(next, Seq("node"), "full")
-        .select(col("node"),
-          coalesce(col("hops"), col("cand_hops")).as("hops"),
-          col("hops").isNull.as("__new")))
+      dist = ckpt(bfsRound(e, dist, frontier, broadcastFrontier))
       frontier = dist.filter(col("__new"))
       i += 1
     }
     graft.operators.Iteration.warnIfTruncated("bfsHops", frontier, i, maxIter,
       warnOnTruncation)
     dist.drop("__new")
+  }
+
+  /** [[bfsHops]] over a src-bucketed edge table ([[stageEdgesTable]]) —
+    * the O(E) expansion side never shuffles per round; only the frontier
+    * does. See [[ssspOnTable]] for the full contract (bucket-width
+    * planning, why neither a checkpoint nor broadcast-frontier
+    * substitutes at unbounded V).
+    */
+  def bfsHopsOnTable(spark: SparkSession, table: String, sourceId: String,
+                     maxIter: Int, warnOnTruncation: Boolean = true,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e = spark.table(table).select(col("src"), col("dst"))
+    val parts = e.rdd.getNumPartitions
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      bfsLoop(e, sourceId, maxIter, warnOnTruncation, ckpt,
+        broadcastFrontier = false)
     }
   }
 

@@ -53,14 +53,18 @@ object Dedup {
     * position is duplicated iff it lies inside some k-token window whose
     * content occurs ≥ 2 times corpus-wide (a second doc OR a second
     * position of the same doc), and the per-doc union of duplicated
-    * windows, merged into maximal intervals, is EXACTLY the set of
-    * maximal repeated spans of length ≥ k (a repeated span [s, e]
-    * duplicates all its window starts s..e-k+1, whose [p, p+k-1]
-    * intervals merge back to [s, e]; nothing shorter than k can mark a
-    * position). Detection output — the removal action is a trivial
-    * downstream slice (cut [span_start, span_end] from the token
-    * stream, or keep the min-(doc, pos) occurrence for Lee et al.'s
-    * keep-one policy).
+    * windows, merged, is the union of all repeated spans of length ≥ k,
+    * reported as maximal duplicated-POSITION intervals (a repeated span
+    * [s, e] duplicates all its window starts s..e-k+1, whose [p, p+k-1]
+    * intervals merge back to cover [s, e]; nothing shorter than k can
+    * mark a position). Note a merged interval need not itself be ONE
+    * repeated span: two abutting distinct repeated spans merge into a
+    * single interval whose concatenation may be unrepeated — so a
+    * keep-one-occurrence policy must operate on the underlying windows,
+    * not the merged intervals; the cut action (drop every duplicated
+    * position, Lee et al.'s removal mode) is sound on the intervals
+    * directly. Detection output — the removal action is a trivial
+    * downstream slice over [span_start, span_end].
     *
     * Scale shape: [[shingleRows]]'s one doc-keyed window builds the
     * k-gram rows; duplicate marking is one map-side-combined count on
@@ -385,6 +389,34 @@ object Dedup {
     // Every node appears as a src (edges are symmetric), so the seed
     // covers the full node set.
     Iteration.withShufflePartitions(spark, parts) {
+      ccLoop(e, maxIter, ckpt, broadcastFrontier)
+    }
+  }
+
+  /** One un-materialized min-label round — package-visible for plan pins
+    * (the Routing.bfsRound / Ranking.rankRound pattern).
+    */
+  private[graft] def ccRound(e: DataFrame, labels: DataFrame,
+                             frontier: DataFrame,
+                             broadcastFrontier: Boolean = false): DataFrame = {
+    val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
+    val cand = fSide.join(e, frontier("node") === e("src"))
+      .select(e("dst").as("node"), col("label").as("cand_label"))
+      .groupBy("node").agg(min("cand_label").as("cand_label"))
+    // every candidate node already carries a label (edges are
+    // symmetric, so each dst seeded itself in round 0)
+    val improved = col("cand_label").isNotNull &&
+      col("cand_label") < col("label")
+    labels.drop("__new")
+      .join(cand, Seq("node"), "full")
+      .select(col("node"),
+        when(improved, col("cand_label")).otherwise(col("label")).as("label"),
+        improved.as("__new"))
+  }
+
+  private def ccLoop(e: DataFrame, maxIter: Int,
+                     ckpt: DataFrame => DataFrame,
+                     broadcastFrontier: Boolean): DataFrame = {
     var labels = ckpt(e.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
@@ -392,24 +424,43 @@ object Dedup {
     var frontier = labels.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      val fSide = if (broadcastFrontier) broadcast(frontier) else frontier
-      val cand = fSide.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), col("label").as("cand_label"))
-        .groupBy("node").agg(min("cand_label").as("cand_label"))
-      // every candidate node already carries a label (edges are
-      // symmetric, so each dst seeded itself in round 0)
-      val improved = col("cand_label").isNotNull &&
-        col("cand_label") < col("label")
-      labels = ckpt(labels.drop("__new")
-        .join(cand, Seq("node"), "full")
-        .select(col("node"),
-          when(improved, col("cand_label")).otherwise(col("label")).as("label"),
-          improved.as("__new")))
+      labels = ckpt(ccRound(e, labels, frontier, broadcastFrontier))
       frontier = labels.filter(col("__new"))
       i += 1
     }
     Iteration.warnIfTruncated("dupClusters", frontier, i, maxIter)
     labels.select(col("node").as("member"), col("label").as("cluster"))
+  }
+
+  /** Stage canonical pairs (DISTINCT, a < b) as a SYMMETRIZED src-bucketed
+    * edge table for [[dupClustersOnTable]] — the cluster deployment
+    * layout of the CC loop (Routing.stageEdgesTable doctrine).
+    */
+  def stageSymEdgesTable(pairs: DataFrame, table: String,
+                         buckets: Int): Unit = {
+    val p0 = pairs.select(col("a"), col("b"))
+    graft.sources.Warehouse.writeBucketed(
+      p0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p0.select(col("b").as("src"), col("a").as("dst"))),
+      table, "src", buckets)
+  }
+
+  /** [[dupClusters]] over a symmetric src-bucketed edge table
+    * ([[stageSymEdgesTable]]): the O(E) side of every round's expansion
+    * join reads the bucket layout from the metastore and never shuffles —
+    * the frontier-loop mode with NO V-fits-in-memory contract (contrast
+    * `broadcastFrontier`, whose peak frontier here is the full node
+    * set). Rounds plan AT the bucket width (the r08 lesson); identical
+    * label semantics to [[dupClusters]] (OperatorsSpec pins equality).
+    */
+  def dupClustersOnTable(spark: org.apache.spark.sql.SparkSession,
+                         table: String, maxIter: Int = 50,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Iteration.materializer(spark, checkpointDir)
+    val e = spark.table(table).select(col("src"), col("dst"))
+    val parts = e.rdd.getNumPartitions
+    Iteration.withShufflePartitions(spark, parts) {
+      ccLoop(e, maxIter, ckpt, broadcastFrontier = false)
     }
   }
 

@@ -61,11 +61,25 @@ private[graft] object Iteration {
   def roundPartitions(spark: org.apache.spark.sql.SparkSession,
                       rows: Long): Int = {
     val cur = spark.sessionState.conf.numShufflePartitions
-    math.max(1, math.min(cur, (rows / 131072L + 1).toInt))
+    // clamp in Long BEFORE narrowing: (rows/131072 + 1).toInt overflows
+    // negative past ~2.8e14 rows, which would collapse the min to 1 and
+    // break the "never caps real width below the session setting" promise
+    math.max(1L, math.min(cur.toLong, rows / 131072L + 1)).toInt
   }
 
   /** Run `body` (a loop's rounds) under `n` shuffle partitions, then
-    * restore the session setting. The loop's E-scale INPUT
+    * restore the session setting.
+    *
+    * CONTRACT: the setting is session-global, so the loop must be the
+    * only query planning on this SparkSession while inside the block
+    * (true for the driver-sequential query surface here; a multi-tenant
+    * session would need spark.newSession() per loop). And the knob only
+    * affects work that PLANS inside the block: every call site
+    * materializes each round (the ckpt per round), so the rounds are
+    * covered — but a lazy frame merely RETURNED from the body plans its
+    * shuffles after the conf is restored and silently ignores the
+    * narrowed width; force (checkpoint) such frames inside the block
+    * where the width is intended to apply. The loop's E-scale INPUT
     * materialization must happen before entering (at full width); only
     * the rounds plan under `n`.
     */

@@ -339,7 +339,9 @@ object Splits {
     val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
       .otherwise(raise_error(concat(
         lit("weightedSampleNoReplacement: weight must be > 0, got "),
-        col(weightCol).cast("string"))))
+        // a NULL weight would null the whole concat and raise an opaque
+        // message — coalesce keeps the diagnostic readable
+        coalesce(col(weightCol).cast("string"), lit("NULL")))))
     df.withColumn("samp_key", lnuNano.cast("double") / w)
       .orderBy(col("samp_key").desc, col(idCol))
       .limit(k)

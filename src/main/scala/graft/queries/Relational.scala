@@ -87,7 +87,13 @@ object Relational extends QueryPack {
         .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
       val cust = t.customer.join(broadcast(dims),
         col("n_nationkey") === col("c_nationkey"))
-      val ord = t.orders.join(broadcast(cust),
+      // NO broadcast hint on cust: customer⋈dims is ENTITY-scale
+      // (O(customers)), and a mandatory hint is honored regardless of
+      // size — at 100× it OOMs the executors. Dims stay hinted (bounded
+      // lookup tables); the orders⋈customer join is left to AQE, which
+      // broadcasts it while it fits and falls back to SMJ on o_custkey
+      // when it doesn't — the scale-safe default.
+      val ord = t.orders.join(cust,
         col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"), col("r_name"), col("n_name"))
       // Pre-aggregate the fact by its join key BEFORE the fact-dim SMJ:

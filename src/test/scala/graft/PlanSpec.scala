@@ -340,4 +340,49 @@ class PlanSpec extends SparkTestBase {
       assert(m.exists(_.group(1).toInt >= 1), s"no codegen subtree:\n${plan.take(400)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("no broadcast hint pins a bare scan of an SF-scaling table") {
+    // The scale-killer class: a MANDATORY broadcast hint is honored
+    // regardless of size, so a hint whose subtree is a bare (un-bounded)
+    // scan of a table that grows with the scale factor OOMs the executors
+    // at 100× — exactly the q03 broadcast(customer⋈dims) regression. The
+    // legitimate hint classes all bound cardinality between the scan and
+    // the hint: an Aggregate (stats/medians/offsets), a Limit, or a
+    // Filter (key-slice panels: vec_id = 0, isin(qids), contamination
+    // id sets). region/nation are 5/25-row constants at every SF and
+    // are exempt. A fixed-fraction Filter still technically scales —
+    // this pin catches the bare-scan class, which is the one that has
+    // actually regressed; fraction panels are adjudicated per query.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Seq("lineitem", "orders", "customer", "part", "supplier",
+      "events", "documents", "embeddings")
+    def scansScaling(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString.toLowerCase).exists(pp =>
+            scaling.exists(t => pp.contains(s"/$t.parquet")))
+        case _ => false
+      }
+      case _ => false
+    }
+    def boundsCardinality(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Filter => true
+      case j: Join if j.joinType.sql.contains("ANTI") => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hints = fn(spark, sfSmoke).queryExecution.analyzed.collect {
+          case h: ResolvedHint => h
+        }
+        hints.collect {
+          case h if scansScaling(h.child) && !boundsCardinality(h.child) =>
+            s"$name: ${h.child.nodeName} subtree"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded frames under mandatory broadcast hints:\n" +
+        offenders.mkString("\n"))
+  }
 }
