@@ -119,6 +119,26 @@ object GraphQ extends QueryPack {
         .orderBy(col("cluster"))
     },
 
+    // The CLUSTER DEPLOYMENT mode of the frontier-BFS family — r03's
+    // bucketed variant: same hop counts over the same trade graph, but
+    // the edge frame is staged as a src-bucketed table first, so every
+    // round's O(E) expansion side reads the bucket layout straight from
+    // the metastore and NEVER shuffles — only the frontier moves, with
+    // no V-fits-executor-memory contract (contrast r03's
+    // broadcastFrontier). The staging write is part of the query (the
+    // r08 doctrine: a corrupted bucket layout would hash-mismatch the
+    // oracle). Bucket count tracks the measured round-partition lever
+    // (~128k rows/bucket, clamped to session width) — the r08 lesson:
+    // rounds must plan AT bucket width, so the width IS the knob.
+    "r15_bfs_trade_bucketed" -> { (s, dir) =>
+      val e = tradeEdges(s, dir).localCheckpoint()
+      val buckets = graft.operators.Iteration.roundPartitions(s, e.count())
+      Routing.stageEdgesTable(e, "graft_trade_edges", buckets)
+      Routing.bfsHopsOnTable(s, "graft_trade_edges", tradeSource(s, dir),
+          maxIter = 10, warnOnTruncation = false)
+        .orderBy(col("node"))
+    },
+
     "r02_sssp_distances" -> { (s, dir) =>
       // Weighted SSSP — oracled against a hop-bounded recursive-CTE walk
       // with min-dist aggregation (shortest paths are simple, so ≤24 hops
@@ -485,6 +505,21 @@ object GraphQ extends QueryPack {
          |  FROM walk w),
          |final AS (SELECT alive FROM walk ORDER BY len(alive) LIMIT 1)
          |SELECT unnest(alive) AS node FROM final ORDER BY node""".stripMargin,
+
+    // identical recurrence to r03 — the bucketed layout must not change
+    // the answer, only the plan (the r08 pairing)
+    "r15_bfs_trade_bucketed" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ee AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |walk(node, hops) AS (
+        |  SELECT 'c' || (SELECT min(o_custkey) FROM orders), 0
+        |  UNION
+        |  SELECT ee.dst, w.hops + 1 FROM walk w JOIN ee ON ee.src = w.node
+        |  WHERE w.hops < 10)
+        |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "r03_bfs_trade_graph" ->
       """WITH RECURSIVE e AS (

@@ -70,6 +70,48 @@ class RoutingSpec extends SparkTestBase {
     assert(h == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2, "E" -> 2))
   }
 
+  test("bfsHopsOnTable/ssspOnTable equal the in-memory loops; the edge " +
+    "table never shuffles in a round") {
+    // a slightly larger graph so buckets carry >1 row each
+    val e = (1 to 120).map(i => (s"n${i % 17}", s"n${(i * 5 + 2) % 17}",
+      "r1", (i % 4 + 1).toDouble)).toDF("src", "dst", "route_id", "weight_m")
+      .dropDuplicates("src", "dst")
+    Routing.stageEdgesTable(e, "graft_route_edges_spec", buckets = 4)
+    val wantB = Routing.bfsHops(e, "n1", 20).as[(String, Int)].collect().toMap
+    val gotB = Routing.bfsHopsOnTable(spark, "graft_route_edges_spec", "n1",
+      20).as[(String, Int)].collect().toMap
+    assert(gotB == wantB && gotB.nonEmpty)
+    val wantS = Routing.sssp(e, "n1").select("node", "dist_m")
+      .as[(String, Double)].collect().toMap
+    val gotS = Routing.ssspOnTable(spark, "graft_route_edges_spec", "n1")
+      .select("node", "dist_m").as[(String, Double)].collect().toMap
+    assert(gotS == wantS)
+
+    // Plan property (why the variant exists): with broadcast off, a BFS
+    // round over the bucketed table needs one FEWER hash exchange than
+    // the same round over a plain materialized edge frame — the bucket
+    // layout substitutes for the E-side shuffle of the expansion join
+    // (the RankingSpec.rankRound pin, applied to the frontier family).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = spark.table("graft_route_edges_spec")
+        .select(col("src"), col("dst"))
+      val plain = bucketed.localCheckpoint()
+      val dist = Seq(("n1", 0)).toDF("node", "hops")
+        .withColumn("__new", lit(true)).localCheckpoint()
+      def exchanges(ed: org.apache.spark.sql.DataFrame): Int =
+        Routing.bfsRound(ed, dist, dist.filter(col("__new")))
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val (nb, np) = (exchanges(bucketed), exchanges(plain))
+      assert(nb == np - 1,
+        s"bucketed round has $nb exchanges vs plain $np — layout unused")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("edges builds consecutive-stop pairs with haversine weights") {
     val stops = Seq(
       ("r1", 1, "s1", 107.60, -6.90), ("r1", 2, "s2", 107.61, -6.90),
