@@ -51,7 +51,7 @@ object Routing {
     * bounds rounds (graph diameter suffices); convergence is detected via
     * an improvement count so it exits early.
     */
-  def sssp(edges: DataFrame, sourceId: String, maxIter: Int = 50,
+  def sssp(edges: DataFrame, sourceId: Any, maxIter: Int = 50,
            warnOnTruncation: Boolean = true,
            checkpointDir: Option[String] = None,
            prePartitionEdges: Boolean = true,
@@ -147,16 +147,21 @@ object Routing {
         improved.as("__new"))
   }
 
-  private def ssspLoop(e: DataFrame, sourceId: String, maxIter: Int,
+  private def ssspLoop(e: DataFrame, sourceId: Any, maxIter: Int,
                        warnOnTruncation: Boolean,
                        ckpt: DataFrame => DataFrame,
                        broadcastFrontier: Boolean): DataFrame = {
     val spark = e.sparkSession
-    import spark.implicits._
-    var dist = ckpt(
-      Seq((sourceId, 0.0, null.asInstanceOf[String], null.asInstanceOf[String]))
-        .toDF("node", "dist_m", "prev", "prev_route")
-        .withColumn("__new", lit(true)))
+    // node ids are whatever type the caller's edge frame uses (string
+    // route graphs, long-encoded trade graphs — integer keys shuffle and
+    // hash measurably cheaper at fact scale); `prev` must match it, so
+    // its typed null is derived from the source literal itself
+    val nullNode = when(lit(false), lit(sourceId))
+    var dist = ckpt(spark.range(1)
+      .select(lit(sourceId).as("node"), lit(0.0).as("dist_m"),
+        nullNode.as("prev"),
+        lit(null).cast("string").as("prev_route"),
+        lit(true).as("__new")))
     var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
@@ -190,7 +195,7 @@ object Routing {
     * the table would strip the layout. Identical semantics to [[sssp]]
     * (RoutingSpec pins the equality).
     */
-  def ssspOnTable(spark: SparkSession, table: String, sourceId: String,
+  def ssspOnTable(spark: SparkSession, table: String, sourceId: Any,
                   maxIter: Int = 50, warnOnTruncation: Boolean = true,
                   checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
@@ -275,7 +280,7 @@ object Routing {
     * 1.18→1.27 s paired — the broadcast build's extra job costs more
     * than every trivial single-partition join it replaces.
     */
-  def bfsHops(edges: DataFrame, sourceId: String, maxIter: Int,
+  def bfsHops(edges: DataFrame, sourceId: Any, maxIter: Int,
               warnOnTruncation: Boolean = true,
               checkpointDir: Option[String] = None,
               prePartitionEdges: Boolean = true,
@@ -338,14 +343,14 @@ object Routing {
         col("hops").isNull.as("__new"))
   }
 
-  private def bfsLoop(e: DataFrame, sourceId: String, maxIter: Int,
+  private def bfsLoop(e: DataFrame, sourceId: Any, maxIter: Int,
                       warnOnTruncation: Boolean,
                       ckpt: DataFrame => DataFrame,
                       broadcastFrontier: Boolean): DataFrame = {
     val spark = e.sparkSession
-    import spark.implicits._
-    var dist = ckpt(Seq((sourceId, 0)).toDF("node", "hops")
-      .withColumn("__new", lit(true)))
+    var dist = ckpt(spark.range(1)
+      .select(lit(sourceId).as("node"), lit(0).as("hops"),
+        lit(true).as("__new")))
     var frontier = dist.filter(col("__new"))
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
@@ -364,7 +369,7 @@ object Routing {
     * planning, why neither a checkpoint nor broadcast-frontier
     * substitutes at unbounded V).
     */
-  def bfsHopsOnTable(spark: SparkSession, table: String, sourceId: String,
+  def bfsHopsOnTable(spark: SparkSession, table: String, sourceId: Any,
                      maxIter: Int, warnOnTruncation: Boolean = true,
                      checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)

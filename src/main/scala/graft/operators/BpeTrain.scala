@@ -88,6 +88,53 @@ object BpeTrain {
       spark.sparkContext.parallelize(merges.toSeq, 1), outSchema)
   }
 
+  /** Order-insensitive corpus fingerprint for [[learnMergesCached]]:
+    * one map-side-combined aggregate over the text column (sum of
+    * per-row xxhash64 in decimal — the I2 contentHash shape), plus the
+    * row count and `k`. One cheap corpus scan, vs the full train's
+    * word-frequency pass + k merge rounds.
+    */
+  def corpusFingerprint(docs: DataFrame, textCol: String, k: Int): String = {
+    val r = docs
+      .select(xxhash64(col(textCol), col(textCol).isNull).as("h"))
+      .agg(sum(col("h").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    s"${r.get(0)}_${r.getLong(1)}_k$k"
+  }
+
+  /** [[learnMerges]] behind a PERSISTED merge table (the v11 at-rest
+    * doctrine applied to a model artifact): the learned table is written
+    * once to the warehouse stamped with a corpus fingerprint, and every
+    * later call over the same corpus content reads the k rows back
+    * instead of re-training — so t21 (encode) and p05 (token budget)
+    * share ONE training run instead of each re-learning the merges per
+    * query invocation. Staleness is guarded by content, not time: any
+    * change to the text column (or `k`) changes the fingerprint and
+    * forces a re-train + rewrite (the I2 content-hash gate, pointed at
+    * a derived artifact instead of a sink). The fingerprint scan is the
+    * only corpus-sized work on the hit path.
+    */
+  def learnMergesCached(docs: DataFrame, textCol: String, k: Int,
+                        table: String = "graft_bpe_merges"): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = corpusFingerprint(docs, textCol, k)
+    val hit =
+      if (spark.catalog.tableExists(table)) {
+        val t = spark.table(table)
+        t.columns.contains("fp") &&
+          t.select(col("fp")).limit(1).collect()
+            .headOption.exists(_.getString(0) == fp)
+      } else false
+    if (hit)
+      spark.table(table).select("merge_rank", "lhs", "rhs", "cnt")
+    else {
+      val m = learnMerges(docs, textCol, k)
+      graft.sources.Warehouse.writeTable(m.withColumn("fp", lit(fp)), table)
+      spark.table(table).select("merge_rank", "lhs", "rhs", "cnt")
+    }
+  }
+
   /** Collect a [[learnMerges]] result to the driver-held merge table the
     * encode side applies — (lhs, rhs) in rank order. The merge table IS
     * the trained tokenizer (k rows, a model artifact like an IVF

@@ -74,8 +74,10 @@ object PipelineQ extends QueryPack {
     "p05_source_token_budget" -> { (s, dir) =>
       import graft.operators.BpeTrain
       val docs = Tables(s, dir).documents
+      // cached: shares t21's persisted fingerprint-guarded merge table —
+      // the round-10 p05 regression was exactly this re-train per query
       val merges = BpeTrain.collectMerges(
-        BpeTrain.learnMerges(docs, "text", k = 8))
+        BpeTrain.learnMergesCached(docs, "text", k = 8))
       val withTok = docs
         .select(col("doc_id"), col("source"),
           BpeTrain.encodeTokenCount(col("text"), merges).as("n_tok"))

@@ -64,6 +64,40 @@ class BpeTrainSpec extends SparkTestBase {
     assert(learned(docs, 10) == serialBpe(docs, 10))
   }
 
+  test("learnMergesCached: trains once, replays on fingerprint match, " +
+    "retrains on content change") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = "graft_bpe_merges_spec"
+    val d1 = Seq("low low low low low", "lower lower newest newest")
+      .toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_rank").as[(Int, String, String, Long)]
+        .collect().toSeq
+    // miss → trains and equals the direct train
+    val first = rows(BpeTrain.learnMergesCached(d1, "text", 4, table))
+    assert(first == rows(BpeTrain.learnMerges(d1, "text", 4)))
+    // hit is OBSERVABLE: tamper the persisted rows but keep the
+    // fingerprint — a second call must return the tampered rows
+    // (it read the table, not the corpus)
+    val fp = spark.table(table).select("fp").limit(1)
+      .collect()(0).getString(0)
+    graft.sources.Warehouse.writeTable(
+      BpeTrain.learnMerges(d1, "text", 4)
+        .withColumn("lhs", lit("TAMPERED")).withColumn("fp", lit(fp)),
+      table)
+    val replayed = rows(BpeTrain.learnMergesCached(d1, "text", 4, table))
+    assert(replayed.forall(_._2 == "TAMPERED"), s"cache not hit: $replayed")
+    // content change → fingerprint mismatch → retrain overwrites
+    val d2 = Seq("widest widest widest", "newest newest").toDF("text")
+    val retrained = rows(BpeTrain.learnMergesCached(d2, "text", 4, table))
+    assert(retrained == rows(BpeTrain.learnMerges(d2, "text", 4)))
+    assert(retrained.forall(_._2 != "TAMPERED"))
+    // a k change alone also misses (fingerprint carries k)
+    assert(BpeTrain.corpusFingerprint(d2, "text", 4) !=
+      BpeTrain.corpusFingerprint(d2, "text", 5))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("overlapping runs: kernel fuse equals the left-to-right fold") {
     // 'aaaa' must fuse to 'aa aa', 'aaa' to 'aa a'; then rounds over
     // the aa symbols keep exercising runs of a multi-char symbol
