@@ -381,6 +381,87 @@ object Routing {
     }
   }
 
+  /** G6 — in-engine journey planning: RAPTOR-shape EARLIEST ARRIVAL over
+    * a stop_times table (Delling et al. 2012, "Round-Based Public Transit
+    * Routing" — the algorithm OTP-class planners run; the reference
+    * delegates this query to an external OTP server fed by our GTFS
+    * output, this is the engine-native counterpart). Input rows:
+    * (trip, seq, stop, arr, dep) with times as comparable longs
+    * (seconds; [[graft.functions.timecodec.timeToSec]] parses GTFS
+    * strings, >24 h safe) and arr/dep non-decreasing along each trip's
+    * seq. Returns (stop, arr_t): the minimal arrival time at every
+    * reachable stop for a traveler leaving `sourceStop` at `depTime`,
+    * transferring freely at shared stops (zero transfer slack — model
+    * footpaths/slack by pre-expanding stop_times if needed).
+    *
+    * Round shape = the frontier-iteration machinery of [[bfsHops]]
+    * applied to time-dependent edges: a round BOARDS every trip at its
+    * earliest position whose departure is not before the arrival time of
+    * an improved stop (one stop-keyed join + one trip-keyed min — the
+    * RAPTOR "marked stops" optimization falls out of the frontier), RIDES
+    * to every later position (one trip-keyed join), and min-merges the
+    * candidate arrivals into the settled set (the full-outer merge of
+    * every loop in this file). Rounds ≈ transfers used; an empty frontier
+    * is the fixpoint — the unconstrained earliest-arrival labels.
+    *
+    * Scale shape: stop_times is the fact table; each round shuffles on
+    * stop then trip — both real keys, no driver state. The O(stop_times)
+    * side re-joins per round exactly like BFS's edge frame: the same
+    * src-bucketed at-rest remedy applies if rounds dominate (write
+    * stop_times stop-bucketed; [[stageEdgesTable]] doctrine).
+    */
+  def earliestArrival(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
+                      maxRounds: Int = 15, warnOnTruncation: Boolean = true,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = stopTimes.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
+      col("stop"), col("arr").cast("long"), col("dep").cast("long")))
+    val parts = graft.operators.Iteration.roundPartitions(spark, st0.count())
+    val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
+        lit(depTime).as("arr_t"), lit(true).as("__new")))
+      var frontier = state.filter(col("__new"))
+      var i = 0
+      while (i < maxRounds && !frontier.isEmpty) {
+        state = ckpt(raptorRound(st, state, frontier))
+        frontier = state.filter(col("__new"))
+        i += 1
+      }
+      graft.operators.Iteration.warnIfTruncated("earliestArrival", frontier,
+        i, maxRounds, warnOnTruncation)
+      state.drop("__new")
+    }
+  }
+
+  /** One un-materialized RAPTOR round — package-visible for plan pins
+    * (see [[ssspRound]]).
+    */
+  private[graft] def raptorRound(st: DataFrame, state: DataFrame,
+                                 frontier: DataFrame): DataFrame = {
+    // board: per trip, the earliest position reachable in time from an
+    // improved stop (min over feasible seq — boarding earlier dominates:
+    // every later alighting stays available)
+    val board = frontier.join(st, frontier("stop") === st("stop"))
+      .filter(st("dep") >= frontier("arr_t"))
+      .groupBy(st("trip").as("trip"))
+      .agg(min(st("seq")).as("bseq"))
+    // ride: alight at any strictly later position; min arrival per stop
+    val ride = st.select(col("trip"), col("seq").as("aseq"),
+      col("stop"), col("arr"))
+    val cand = board.join(ride, Seq("trip"))
+      .filter(col("aseq") > col("bseq"))
+      .groupBy(col("stop")).agg(min(col("arr")).as("cand_t"))
+    val improved = col("cand_t").isNotNull &&
+      (col("arr_t").isNull || col("cand_t") < col("arr_t"))
+    state.drop("__new")
+      .join(cand, Seq("stop"), "full")
+      .select(col("stop"),
+        when(improved, col("cand_t")).otherwise(col("arr_t")).as("arr_t"),
+        improved.as("__new"))
+  }
+
   /** Multi-source frontier BFS in ONE loop: hop counts from EVERY seed in
     * `seeds` simultaneously, state keyed (seed, node). Running
     * [[bfsHops]] per seed costs |seeds| full iterative loops (each with

@@ -106,7 +106,49 @@ object GraphQ extends QueryPack {
       }
     }
 
+  /** Deterministic synthetic TIMETABLE over the 25-stop nation graph —
+    * r16's network. Two trip families per nation key k: "t{k}" rides
+    * k → (7k+3)%25 → (11k+5)%25 departing at 100k with (k%5+1)·10 per
+    * hop; "u{k}" rides the reverse at 100k+50 with (k%3+1)·10 per hop.
+    * Zero dwell (arr = dep); times strictly increase along each trip.
+    */
+  def syntheticStopTimes(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir).nation.select(col("n_nationkey").cast("long").as("k"))
+    val base = n.select(col("k"), explode(expr("sequence(0, 2)")).as("j"))
+    val s0 = col("k"); val s1 = (col("k") * 7 + 3) % 25
+    val s2 = (col("k") * 11 + 5) % 25
+    val fwd = base.select(
+      concat(lit("t"), col("k")).as("trip"), col("j").cast("int").as("seq"),
+      when(col("j") === 0, s0).when(col("j") === 1, s1).otherwise(s2)
+        .cast("string").as("stop"),
+      (col("k") * 100 + col("j") * ((col("k") % 5 + 1) * 10))
+        .cast("long").as("t"))
+    val rev = base.select(
+      concat(lit("u"), col("k")).as("trip"), col("j").cast("int").as("seq"),
+      when(col("j") === 0, s2).when(col("j") === 1, s1).otherwise(s0)
+        .cast("string").as("stop"),
+      (col("k") * 100 + 50 + col("j") * ((col("k") % 3 + 1) * 10))
+        .cast("long").as("t"))
+    fwd.unionByName(rev)
+      .select(col("trip"), col("seq"), col("stop"),
+        col("t").as("arr"), col("t").as("dep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G6 CLOSED IN-ENGINE: RAPTOR-shape earliest arrival with transfers
+    // (Routing.earliestArrival) over the synthetic timetable — the
+    // journey-planning query class the reference delegates to an
+    // external OTP server (start.sh:8-9; our GTFS feed is its input).
+    // Oracle: a time-respecting connection walk (recursive CTE over
+    // consecutive-seq connections, dep >= state time) run to fixpoint —
+    // provably the same labels as the round-based boarding form at
+    // convergence.
+    "r16_earliest_arrival" -> { (s, dir) =>
+      Routing.earliestArrival(syntheticStopTimes(s, dir), "0", 0L,
+          maxRounds = 30)
+        .orderBy(col("stop"))
+    },
+
     "r01_bfs_hops" -> { (s, dir) =>
       // 25-node synthetic graph: fits in one partition, so the Pregel
       // edge layout would only add per-round task fan-out (see bfsHops)
@@ -414,6 +456,33 @@ object GraphQ extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "r16_earliest_arrival" ->
+      """WITH RECURSIVE st AS (
+        |  SELECT 't' || n_nationkey AS trip, j AS seq,
+        |         CAST(CASE WHEN j = 0 THEN n_nationkey
+        |                   WHEN j = 1 THEN (n_nationkey*7+3)%25
+        |                   ELSE (n_nationkey*11+5)%25 END AS VARCHAR) AS stop,
+        |         CAST(n_nationkey*100 + j*((n_nationkey%5+1)*10) AS BIGINT) AS t
+        |  FROM nation, (VALUES (0),(1),(2)) v(j)
+        |  UNION ALL
+        |  SELECT 'u' || n_nationkey, j,
+        |         CAST(CASE WHEN j = 0 THEN (n_nationkey*11+5)%25
+        |                   WHEN j = 1 THEN (n_nationkey*7+3)%25
+        |                   ELSE n_nationkey END AS VARCHAR),
+        |         CAST(n_nationkey*100 + 50 + j*((n_nationkey%3+1)*10) AS BIGINT)
+        |  FROM nation, (VALUES (0),(1),(2)) v(j)),
+        |conn AS (
+        |  SELECT a.trip, a.stop AS from_stop, a.t AS dep,
+        |         b.stop AS to_stop, b.t AS arr
+        |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq = a.seq + 1),
+        |walk(stop, t) AS (
+        |  SELECT '0', CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT c.to_stop, c.arr FROM walk w
+        |  JOIN conn c ON c.from_stop = w.stop AND c.dep >= w.t)
+        |SELECT stop, MIN(t) AS arr_t FROM walk
+        |GROUP BY stop ORDER BY stop""".stripMargin,
+
     "r14_weighted_pagerank" -> pageRankWeightedSql(
       """p AS (
         |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,

@@ -112,6 +112,50 @@ class RoutingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("earliestArrival: hand-computed itineraries on a 3-stop timetable") {
+    // T1: A(dep 0) -> B(10) -> C(20); T2: B(dep 15) -> C(17);
+    // T3: A(dep 5) -> C(30).
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L),
+      ("T3", 0, "A", 5L, 5L), ("T3", 1, "C", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    // leave A at 0: B via T1 = 10; C = min(T1 ride-through 20,
+    // transfer B->T2 = 17, direct T3 = 30) = 17 — the transfer wins
+    val a0 = Routing.earliestArrival(st, "A", 0L)
+      .as[(String, Long)].collect().toMap
+    assert(a0 == Map("A" -> 0L, "B" -> 10L, "C" -> 17L))
+    // leave A at 1: T1's 0-departure is MISSED (dep >= arr_t is strict
+    // time-respect), so only T3 runs: C = 30, B unreachable
+    val a1 = Routing.earliestArrival(st, "A", 1L)
+      .as[(String, Long)].collect().toMap
+    assert(a1 == Map("A" -> 1L, "C" -> 30L))
+    // leave B at 16: T2 missed; nothing departs B later — B only
+    val b16 = Routing.earliestArrival(st, "B", 16L)
+      .as[(String, Long)].collect().toMap
+    assert(b16 == Map("B" -> 16L))
+  }
+
+  test("earliestArrival equals Dijkstra on a zero-wait time expansion") {
+    // one 2-stop trip per (edge, integer departure 0..40) with travel =
+    // 2x the edge weight (integerized): departures are dense enough that
+    // waiting is free along every shortest path, so the earliest arrival
+    // leaving A at 0 must equal 2x the Dijkstra distance — the
+    // single-leg-parity pin tying the time-dependent loop to sssp
+    val edges = fixtureEdges.collect().map(r =>
+      (r.getString(0), r.getString(1), (r.getDouble(3) * 2).toLong))
+    val st = edges.zipWithIndex.flatMap { case ((s, d, w), i) =>
+      (0L to 40L).flatMap(t => Seq(
+        (s"e$i-$t", 0, s, t, t), (s"e$i-$t", 1, d, t + w, t + w)))
+    }.toSeq.toDF("trip", "seq", "stop", "arr", "dep")
+    val got = Routing.earliestArrival(st, "A", 0L)
+      .as[(String, Long)].collect().toMap
+    val want = Routing.sssp(fixtureEdges, "A")
+      .select("node", "dist_m").as[(String, Double)].collect()
+      .map { case (n, d) => n -> (d * 2).toLong }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("edges builds consecutive-stop pairs with haversine weights") {
     val stops = Seq(
       ("r1", 1, "s1", 107.60, -6.90), ("r1", 2, "s2", 107.61, -6.90),
