@@ -59,6 +59,25 @@ object Graft {
     }
   }
 
+  /** Widen a pathologically narrow scan so a per-row-heavy kernel
+    * parallelizes — the g10 row-group lesson, factored for every
+    * kernel-dominated call site (map-match, BPE encode, span scrub,
+    * pHash, minhash/winnowing via Tables.documentsKernelParallel).
+    *
+    * Parquet splits at ROW-GROUP granularity: a single-row-group file
+    * (the local testdata writer's output) gives the scan ONE task no
+    * matter how many cores exist, so per-row kernel cost runs serially
+    * (g10 measured 8.2 s single-task at sf0.1 vs 5.8 s for 10× the rows
+    * over sf1's 49 row groups). The guard widens ONLY when the scan
+    * plans at less than half the session's parallelism — on real
+    * multi-file cluster data the gate is false and NO shuffle is added;
+    * the unconditional form would shuffle the whole corpus for nothing.
+    */
+  def kernelParallel(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
+
   /** Build a local session with scale-appropriate defaults. On a cluster the
     * same settings apply except master/memory come from spark-submit.
     */
@@ -145,11 +164,6 @@ final case class Tables(spark: SparkSession, dir: String) {
     * buys there (measured +0.1–0.2 s each, net loss on the 16-query doc
     * subset).
     */
-  def documentsKernelParallel: DataFrame = {
-    val docs = documents
-    val target = spark.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target)
-    else docs
-  }
+  def documentsKernelParallel: DataFrame = Graft.kernelParallel(documents)
   def embeddings: DataFrame = table("embeddings")
 }

@@ -281,15 +281,10 @@ object GeoQ extends QueryPack {
       // semantics (MapMatchSpec parity)
       val pts0 = t.lineitem
         .select(col("l_orderkey").as("trace"), array(liLon, liLat).as("p"))
-      // parquet splits at row-group granularity; a single-row-group file
-      // (the testdata writer's sf0.1 lineitem) would run this per-row-
-      // heavy kernel ONE-wide (measured: 8.2 s single-task vs 5.8 s for
-      // 10× the rows at sf1's 49 row groups). Widen only when the scan
-      // is pathologically narrower than the session — on real multi-file
-      // data this is a no-op, so no shuffle is added at cluster scale.
-      val cores = s.sparkContext.defaultParallelism
-      val pts = if (pts0.rdd.getNumPartitions * 2 < cores)
-        pts0.repartition(cores) else pts0
+      // single-row-group scans run per-row-heavy kernels one-wide;
+      // widen only when pathologically narrow (no-op on multi-file
+      // data — graft.Graft.kernelParallel has the measured history)
+      val pts = graft.Graft.kernelParallel(pts0)
       pts
         .select(col("trace"),
           graft.plans.MapMatch.mapMatch(col("p"), routes)

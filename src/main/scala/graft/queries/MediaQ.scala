@@ -89,6 +89,12 @@ object MediaQ extends QueryPack {
       // cache, not localCheckpoint: InMemoryRelation is equally a
       // project-collapse barrier but is LAZY — the banding core's own
       // checkpoint job materializes it, so no extra job is spent
+      // MEASURED AND REJECTED: Graft.kernelParallel here (0.91→1.37 s
+      // at sf0.1, paired 5-pass mins) — the repartition shuffles the
+      // 256-char hex blobs, and the banding core downstream of the
+      // cache already parallelizes; the widen guard belongs on scans
+      // whose per-row kernel IS the query cost (t21/t19/g10), not
+      // before a cache another operator fans out from.
       val hexed = Tables(s, dir).documents
         .select(col("doc_id"),
           lower(hex(encode(planted, "utf-8"))).as("h"),

@@ -78,7 +78,9 @@ object PipelineQ extends QueryPack {
       // the round-10 p05 regression was exactly this re-train per query
       val merges = BpeTrain.collectMerges(
         BpeTrain.learnMergesCached(docs, "text", k = 8))
-      val withTok = docs
+      // token counting is the same kernel-dominated encode pass as t21 —
+      // widen the single-row-group local scan (Graft.kernelParallel)
+      val withTok = Tables(s, dir).documentsKernelParallel
         .select(col("doc_id"), col("source"),
           BpeTrain.encodeTokenCount(col("text"), merges).as("n_tok"))
       Splits.capTokensPerGroup(withTok, "source", "doc_id", "n_tok",

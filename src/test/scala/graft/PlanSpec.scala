@@ -341,6 +341,27 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("kernelParallel: widens a one-partition scan, EXACT no-op on " +
+    "multi-file data") {
+    // the g10 row-group guard, shared: on cluster-shaped data (file
+    // splits >= half the session cores) the helper must return the very
+    // same frame — zero added shuffle — and only a pathologically
+    // narrow scan gets the repartition
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kp").toString
+    spark.range(0, 1000).toDF("id").repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val multi = spark.read.parquet(dir)
+    assert(multi.rdd.getNumPartitions * 2 >=
+      spark.sparkContext.defaultParallelism, "fixture not multi-file")
+    assert(Graft.kernelParallel(multi) eq multi, "no-op must be identity")
+    val narrow = spark.range(0, 1000).toDF("id").coalesce(1)
+    val widened = Graft.kernelParallel(narrow)
+    assert(widened.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      s"narrow scan not widened: ${widened.rdd.getNumPartitions}")
+  }
+
   test("no broadcast hint pins a bare scan of an SF-scaling table") {
     // The scale-killer class: a MANDATORY broadcast hint is honored
     // regardless of size, so a hint whose subtree is a bare (un-bounded)
