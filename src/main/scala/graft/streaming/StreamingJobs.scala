@@ -414,6 +414,85 @@ object StreamingJobs {
       }
   }
 
+  /** One micro-batch of the streaming lakehouse MERGE
+    * ([[changelogMergeStream]]'s foreachBatch body, exposed for the
+    * batch-parity spec): fold `batch` (CDC rows) into the managed
+    * snapshot table and rewrite it.
+    *
+    * The snapshot carries `seqCol` as an applied-version column, so
+    * out-of-order rows WITHIN the stream are handled in two layers:
+    * inside a batch the highest seq wins (SnapshotDiff.applyChangelog's
+    * window); across batches a row whose seq is ≤ the key's applied seq
+    * is dropped before the merge (the stale-update filter every
+    * merge-on-read format runs). Deletes leave no tombstone — a
+    * deleted key's seq floor is forgotten, so a pre-delete row arriving
+    * in a LATER batch would resurrect the key; the contract is per-key
+    * seq-ordered arrival across files (the Kafka-partition CDC
+    * guarantee), with in-batch disorder handled exactly.
+    *
+    * `compactTargetRows`: route the rewrite through
+    * [[graft.sources.Compaction.compactSorted]] (key-sorted,
+    * row-bounded files) — the s09 maintenance pass riding the same
+    * incremental trigger; None keeps a plain table write.
+    *
+    * Scale shape: the batch compacts first (increment-sized shuffle),
+    * the snapshot moves through ONE full-outer key join + the rewrite —
+    * the merge-on-read compaction cost every lakehouse pays per apply.
+    * The localCheckpoint before the overwrite is correctness, not
+    * tuning: the next frame lazily reads the table being replaced. A
+    * production deployment writes a NEW snapshot version and swaps a
+    * pointer (ACID table formats); a managed-table overwrite is the
+    * single-catalog equivalent.
+    */
+  def changelogMergeBatch(spark: SparkSession, snapshotTable: String,
+                          batch: DataFrame, keyCol: String, seqCol: String,
+                          opCol: String, payloadCols: Seq[String],
+                          compactTargetRows: Option[Long] = None): Unit = {
+    val snap = spark.table(snapshotTable)
+    val fresh = batch
+      .join(snap.select(col(keyCol), col(seqCol).as("__applied")),
+        Seq(keyCol), "left")
+      .filter(col("__applied").isNull || col(seqCol) > col("__applied"))
+      .drop("__applied")
+    // seqCol rides as payload so the snapshot always knows each key's
+    // applied version
+    val next = graft.operators.SnapshotDiff.applyChangelog(
+      snap, fresh, keyCol, seqCol, opCol, payloadCols :+ seqCol)
+      .localCheckpoint()
+    compactTargetRows match {
+      case Some(t) => graft.sources.Compaction
+        .compactSorted(next, snapshotTable, keyCol, t)
+      case None => graft.sources.Warehouse.writeTable(next, snapshotTable)
+    }
+  }
+
+  /** s06/s09's STREAMING face — incremental lakehouse MERGE: CDC parquet
+    * files land under `changelogDir`; each `Trigger.AvailableNow` run
+    * folds exactly the newly-arrived files into `snapshotTable` via
+    * [[changelogMergeBatch]] (foreachBatch), then stops — the same
+    * re-run-on-changed-inputs shape as [[availableNowRollup]] (I1),
+    * pointed at table maintenance instead of aggregation. The initial
+    * snapshot must exist as a managed table carrying `seqCol` (seed it
+    * with lit(0)); StreamingSpec pins cross-batch parity with one batch
+    * applyChangelog over the concatenated changelog.
+    */
+  def changelogMergeStream(spark: SparkSession, changelogDir: String,
+                           schema: String, checkpoint: String,
+                           snapshotTable: String, keyCol: String,
+                           seqCol: String, opCol: String,
+                           payloadCols: Seq[String],
+                           compactTargetRows: Option[Long] = None): Unit =
+    spark.readStream.schema(schema).parquet(changelogDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        changelogMergeBatch(spark, snapshotTable, batch, keyCol, seqCol,
+          opCol, payloadCols, compactTargetRows)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

@@ -260,6 +260,57 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq(("click", 2L, 3.0)))
   }
 
+  test("changelogMergeStream: cross-batch upsert/delete/stale-row parity " +
+    "with one batch applyChangelog; compaction rides the last trigger") {
+    val dir = java.nio.file.Files.createTempDirectory("cl-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cl-ck").toString
+    val table = "graft_merge_stream_spec"
+    val snap0 = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L),
+      (4L, "d", 0L)).toDF("k", "v", "seq")
+    graft.sources.Warehouse.writeTable(snap0, table)
+    val schema = "k LONG, seq LONG, op STRING, v STRING"
+    def land(rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("k", "seq", "op", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    def run(compact: Option[Long] = None): Unit =
+      StreamingJobs.changelogMergeStream(spark, dir, schema, ckpt, table,
+        "k", "seq", "op", Seq("v"), compact)
+    // trigger 1: update k=1, delete k=2, insert k=10
+    land(Seq((1L, 1L, "U", "a1"), (2L, 2L, "D", "b"), (10L, 3L, "U", "x")))
+    run()
+    // trigger 2: a STALE cross-batch row for k=1 (seq 0 — the applied-
+    // seq filter must drop it), k=2 re-inserted after its delete, and
+    // IN-batch disorder for k=10 (seq 6 then seq 4 — window picks 6)
+    land(Seq((1L, 0L, "U", "STALE"), (2L, 5L, "U", "b2"),
+      (10L, 6L, "U", "x2"), (10L, 4L, "U", "old")))
+    run()
+    // trigger 3: delete k=10; this apply also compacts the snapshot
+    land(Seq((10L, 7L, "D", "x2")))
+    run(compact = Some(2L))
+    val got = spark.table(table).select("k", "v", "seq")
+      .as[(Long, String, Long)].collect().toSet
+    // one batch applyChangelog over the concatenated changelog (seq
+    // rides as payload, as the stream face does)
+    val full = Seq((1L, 1L, "U", "a1"), (2L, 2L, "D", "b"),
+      (10L, 3L, "U", "x"), (1L, 0L, "U", "STALE"), (2L, 5L, "U", "b2"),
+      (10L, 6L, "U", "x2"), (10L, 4L, "U", "old"), (10L, 7L, "D", "x2"))
+      .toDF("k", "seq", "op", "v")
+    val want = graft.operators.SnapshotDiff
+      .applyChangelog(snap0, full, "k", "seq", "op", Seq("v", "seq"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want && got == Set((1L, "a1", 1L), (2L, "b2", 5L),
+      (3L, "c", 0L), (4L, "d", 0L)), s"got $got want $want")
+    // the compacted rewrite really happened: key-sorted row-bounded
+    // files (<= 2 rows each over 4 rows → >= 2 data files)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(files.length >= 2, files.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("contentHash is order-insensitive and change-sensitive") {
     val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
     val b = Seq((2, "y"), (1, "x")).toDF("k", "v")
