@@ -269,6 +269,28 @@ object GraphQ extends QueryPack {
         .orderBy(col("node"))
     },
 
+    // r16 at FACT SCALE: the same RAPTOR loop over a lineitem-derived
+    // timetable — trip = orderkey, seq = linenumber (unique, increasing
+    // per order), stop = suppkey mod 500, time = (orderkey mod 1000)·100
+    // + linenumber (strictly increasing along each trip). ~6M stop_time
+    // rows at sf1 — the scale evidence that time-dependent routing
+    // rides the frontier machinery, not a toy network. The oracle's
+    // board→alight hops join seq-pairs DIRECTLY (b.seq > a.seq), so no
+    // gapless-sequence assumption; integer stop ids stay undecoded.
+    "r17_transit_factscale" -> { (s, dir) =>
+      val st = Tables(s, dir).lineitem.select(
+        col("l_orderkey").as("trip"),
+        col("l_linenumber").cast("int").as("seq"),
+        (col("l_suppkey") % 500).cast("long").as("stop"),
+        ((col("l_orderkey") % 1000) * 100 + col("l_linenumber"))
+          .cast("long").as("t"))
+      Routing.earliestArrival(
+          st.select(col("trip"), col("seq"), col("stop"),
+            col("t").as("arr"), col("t").as("dep")),
+          0L, 0L, maxRounds = 60)
+        .orderBy(col("stop"))
+    },
+
     "r02_sssp_distances" -> { (s, dir) =>
       // Weighted SSSP — oracled against a hop-bounded recursive-CTE walk
       // with min-dist aggregation (shortest paths are simple, so ≤24 hops
@@ -388,11 +410,17 @@ object GraphQ extends QueryPack {
     // + total tiebreak = engine-replayable determinism; per-round
     // argmax is a reducible min(struct) aggregate, no window).
     "r13_lpa_communities" -> { (s, dir) =>
-      Communities.labelPropagation(tradeEdges(s, dir), rounds = 4,
+      // tradeEdgesLong with dedup = true (LPA's duplicate-free contract;
+      // numeric tie-break mirrored by the oracle in the same encoding);
+      // labels decode to the reference strings on the output only
+      Communities.labelPropagation(tradeEdgesLong(s, dir, dedup = true),
+          rounds = 4,
           checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"),
           broadcastLabels = true) // V bounded by dim tables, see r07
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
+        .select(decodeTradeNode(col("label")).as("label"),
+          col("n_members"))
         .orderBy(col("label"))
     },
 
@@ -581,6 +609,27 @@ object GraphQ extends QueryPack {
         |SELECT node, round(MIN(d), 6) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
 
+    // board→alight hops over seq-PAIRS (b.seq > a.seq — one hop per
+    // ride segment, no gapless assumption), UNION-deduped walk to
+    // fixpoint, min arrival per stop — the r16 oracle shape on fact data
+    "r17_transit_factscale" ->
+      """WITH RECURSIVE st AS (
+        |  SELECT l_orderkey AS trip, l_linenumber AS seq,
+        |         CAST(l_suppkey % 500 AS BIGINT) AS stop,
+        |         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS t
+        |  FROM lineitem),
+        |conn AS (
+        |  SELECT a.stop AS from_stop, a.t AS dep, b.stop AS to_stop,
+        |         b.t AS arr
+        |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+        |walk(stop, t) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT c.to_stop, c.arr FROM walk w
+        |  JOIN conn c ON c.from_stop = w.stop AND c.dep >= w.t)
+        |SELECT stop, MIN(t) AS arr_t FROM walk
+        |GROUP BY stop ORDER BY stop""".stripMargin,
+
     // Seed-sampled reachability over the FULL trade graph (long-encoded
     // ids): per seed, one unbounded frontier walk (UNION-deduped
     // recursive CTE carrying the seed label, the r11 shape) = its whole
@@ -737,13 +786,15 @@ object GraphQ extends QueryPack {
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (
-         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |pe AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
          |l0 AS (SELECT DISTINCT dst AS node, dst AS label FROM pe),
          |$rounds
-         |SELECT label, COUNT(*) AS n_members FROM l4
-         |GROUP BY label ORDER BY label""".stripMargin
+         |SELECT CASE WHEN label % 2 = 0 THEN 'c' || (label // 2)
+         |            ELSE 's' || (label // 2) END AS label,
+         |       COUNT(*) AS n_members FROM l4
+         |GROUP BY 1 ORDER BY label""".stripMargin
     },
 
     "r12_copurchase_projection" ->
