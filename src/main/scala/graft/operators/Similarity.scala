@@ -185,20 +185,31 @@ object Similarity {
     * BEFORE summing, so the aggregation is order-free exact long
     * arithmetic and the final mean is a single IEEE division — the same
     * bits on any engine and any partitioning. (A double sum's value would
-    * depend on reduction order.) This is also the 100 TB shape: one
-    * shuffle on (cell, idx), map-side partial sums.
+    * depend on reduction order.) This is also the 100 TB shape: ONE
+    * corpus pass with no row expansion — dim sum buffers per cell key
+    * (one `sum` aggregate per component, all map-side combined), so the
+    * shuffle carries K·dim partials per task, never corpus·dim exploded
+    * rows. The long (cell, idx) form is recovered by posexploding the
+    * K aggregated rows — model-sized work.
     */
   def kmeansStep(df: DataFrame, vecCol: String,
-                 codebook: Seq[(Int, Array[Double])]): DataFrame =
+                 codebook: Seq[(Int, Array[Double])]): DataFrame = {
+    val dim = codebook.head._2.length
+    val qsums = (0 until dim).map(i =>
+      sum(round(element_at(col("__v"), i + 1) * 1e6).cast("bigint")))
+    val aggs = count(lit(1)).as("n_members") +:
+      qsums.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
     df.withColumn("cell", ivfCell(col(vecCol), codebook))
-      .select(col("cell"),
-        posexplode(vectors.asDouble(col(vecCol))).as(Seq("idx0", "x")))
-      .groupBy(col("cell"), (col("idx0") + 1).as("idx"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(round(col("x") * 1e6).cast("bigint")).as("qsum"))
-      .select(col("cell"), col("idx"), col("n_members"),
+      .select(col("cell"), vectors.asDouble(col(vecCol)).as("__v"))
+      .groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"), col("n_members"),
+        posexplode(array((0 until dim).map(i => col(s"q$i")): _*))
+          .as(Seq("idx0", "qsum")))
+      .select(col("cell"), (col("idx0") + 1).as("idx"), col("n_members"),
         (col("qsum").cast("double") / (col("n_members") * lit(1e6)))
           .as("mean_val"))
+  }
 
   /** Full Lloyd k-means TRAINING ([[kmeansStep]] is one iteration):
     * iterate assignment + centroid recompute a FIXED `rounds` times from
@@ -247,10 +258,13 @@ object Similarity {
     * 1-based component within the subspace, n_members, mean_val).
     *
     * Scale shape: one corpus pass — per-row codegen assignment, explode
-    * to m·sub (j, cell, idx) component rows, ONE map-side-combined
-    * aggregate; the result is m·K·sub rows (model-sized, not
-    * corpus-sized). Means use [[kmeansStep]]'s 1e-6 integer quantization,
-    * so they are bit-identical on any engine and partitioning.
+    * only to the m (j, cell, subvector) rows (NOT to individual
+    * components: each subspace row carries sub sum buffers, one `sum`
+    * aggregate per component, all map-side combined), ONE aggregate;
+    * the result is m·K·sub rows (model-sized, not corpus-sized)
+    * recovered by posexploding the m·K aggregated rows. Means use
+    * [[kmeansStep]]'s 1e-6 integer quantization, so they are
+    * bit-identical on any engine and partitioning.
     */
   def pqStep(df: DataFrame, vecCol: String,
              codebook: Seq[(Int, Array[Double])], m: Int): DataFrame = {
@@ -262,15 +276,22 @@ object Similarity {
       struct(lit(j).as("j"), col("__pq_codes").getItem(j - 1).as("cell"),
         slice(ev, (j - 1) * sub + 1, sub).as("sv"))
     }
+    val qsums = (0 until sub).map(i =>
+      sum(round(element_at(col("sv"), i + 1) * 1e6).cast("bigint")))
+    val aggs = count(lit(1)).as("n_members") +:
+      qsums.zipWithIndex.map { case (c, i) => c.as(s"q$i") }
     df.withColumn("__pq_codes",
         graft.plans.PqEncode.pqEncode(ev, codebook, m))
       .select(explode(array(perJ: _*)).as("s"))
       .select(col("s.j").as("j"), col("s.cell").as("cell"),
-        posexplode(col("s.sv")).as(Seq("idx0", "x")))
-      .groupBy(col("j"), col("cell"), (col("idx0") + 1).as("idx"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(round(col("x") * 1e6).cast("bigint")).as("qsum"))
-      .select(col("j"), col("cell"), col("idx"), col("n_members"),
+        col("s.sv").as("sv"))
+      .groupBy(col("j"), col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("j"), col("cell"), col("n_members"),
+        posexplode(array((0 until sub).map(i => col(s"q$i")): _*))
+          .as(Seq("idx0", "qsum")))
+      .select(col("j"), col("cell"), (col("idx0") + 1).as("idx"),
+        col("n_members"),
         (col("qsum").cast("double") / (col("n_members") * lit(1e6)))
           .as("mean_val"))
   }
@@ -581,6 +602,90 @@ object Similarity {
                 scale: Double): DataFrame =
     df.select(col(idCol), graft.plans.Sq8Dot.sq8Encode(
       vectors.asDouble(col(vecCol)), scale).as("codes"))
+
+  /** SQ8-encode for RANGE search: (idCol, codes, err) where `err` is the
+    * vector's EXACT angular distortion — angle(x, dequant(codes)) —
+    * computed once at encode time and stored with the codes. The stored
+    * distortion is what makes the codes-only range prefilter *sound*
+    * (see [[sq8RangeSearch]]): no modeled quantization-error bound, the
+    * true per-vector angle, so the triangle inequality applies with no
+    * slack assumptions. Row width is still ~¼ the float vectors
+    * (64 int8 codes + 1 double vs 64 doubles).
+    */
+  /** The codes-only prefilter leg of [[sq8RangeSearch]] (exposed so its
+    * pruning can be measured): ids whose sound angle lower bound admits
+    * cos4 ≥ tau. Reads only (codes, err) — the scan-leg contract.
+    */
+  def sq8RangeCandidates(coded: DataFrame, idCol: String,
+                         query: Array[Double], scale: Double,
+                         tau: Double): DataFrame = {
+    val cq = sq8Quantize(query, scale)
+    val qDeq = cq.map(_ * scale / 127.0).toArray
+    def dCos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val errQ = math.acos(math.max(-1.0, math.min(1.0, dCos(query, qDeq))))
+    val qNorm = math.sqrt(cq.map(x => x.toDouble * x).sum)
+    val tauAng = math.acos(tau - 1e-4) // cos4 HALF_UP rounding slack
+    val approxCos = graft.plans.Sq8Dot.sq8CodesDot(col("codes"), cq)
+      .cast("double") / (sqrt(aggregate(col("codes"), lit(0L),
+        (a, c) => a + c.cast("long") * c.cast("long")).cast("double"))
+        * lit(qNorm))
+    coded
+      .filter(acos(least(lit(1d), greatest(lit(-1d), approxCos)))
+        - col("err") - lit(errQ) <= lit(tauAng + 1e-6))
+      .select(col(idCol))
+  }
+
+  def sq8RangeEncode(df: DataFrame, idCol: String, vecCol: String,
+                     scale: Double): DataFrame =
+    df.select(col(idCol), graft.plans.Sq8Dot.sq8Encode(
+        vectors.asDouble(col(vecCol)), scale).as("codes"),
+        vectors.asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), col("codes"),
+        acos(least(lit(1d), greatest(lit(-1d), vectors.cosine(col("__v"),
+          transform(col("codes"),
+            c => c.cast("double") * scale / 127.0))))).as("err"))
+
+  /** RANGE (radius) search: every id whose exact rounded cosine vs the
+    * query is ≥ `tau`, as (idCol, cos4), via a SOUND codes-only
+    * prefilter + exact re-rank — the scale shape for cosine range
+    * queries over data with no cluster structure (where IVF cell-radius
+    * pruning degenerates: random high-dim corpora have ~90° cells).
+    *
+    * Prefilter soundness (triangle inequality on angles): with q' the
+    * dequantized query and x' the dequantized codes,
+    *   angle(q',x') ≤ angle(q',q) + angle(q,x) + angle(x,x')
+    * so any x with cos4(q,x) ≥ tau — hence angle(q,x) ≤
+    * acos(tau − 1e-4) (the cos4 rounding slack) — satisfies
+    *   angle(q',x') − err(x) − errQ ≤ acos(tau − 1e-4),
+    * where err(x) is the STORED exact distortion and errQ the
+    * driver-computed query distortion. The filter keeps that whole set
+    * plus an ε-margin (1e-6 rad) for the double acos — every true
+    * answer survives, so the final exact cos4 ≥ tau filter makes the
+    * result identical to a brute-force scan.
+    *
+    * Scale shape: the corpus-wide pass reads ONLY the codes table
+    * (int8 + one double per row, enforced by storage like v14); the
+    * full-precision vectors are touched only by the candidate-sized
+    * equi-join re-rank. angle(q',x') comes from the integer code dot
+    * ([[graft.plans.Sq8Dot]] kernel) and integer norms — no float
+    * vector math on the scan leg.
+    */
+  def sq8RangeSearch(full: DataFrame, coded: DataFrame, idCol: String,
+                     vecCol: String, query: Array[Double], scale: Double,
+                     tau: Double): DataFrame = {
+    val cand = sq8RangeCandidates(coded, idCol, query, scale, tau)
+    full.join(cand, idCol)
+      .withColumn("cos4", round(vectors.cosine(
+        vectors.asDouble(col(vecCol)), lit(query)), 4))
+      .filter(col("cos4") >= tau)
+      .select(col(idCol), col("cos4"))
+  }
 
   /** [[sq8TopK]] over a PRE-ENCODED codes table ([[sq8Encode]]'s output):
     * the scan reads only the int8 codes — no vector math, no join, no

@@ -69,6 +69,61 @@ object SnapshotDiff {
     * merge-on-read compaction pass exactly. Nothing is quadratic,
     * nothing touches the driver.
     */
+  /** TIME TRAVEL: reconstruct the table AS OF several versions in ONE
+    * changelog pass. `cuts` are version cutoffs (ascending, distinct)
+    * on `seqCol`; the result is the union of the reconstructed states,
+    * tagged by a `version` column — for each cutoff v, exactly the rows
+    * [[applyChangelog]] would produce if the changelog were filtered to
+    * `seq <= v` (winner per key = max by (seq, op); same-key/same-seq
+    * rows are corrupt input, as there).
+    *
+    * Scale shape — the reason this is an operator and not C filtered
+    * applyChangelog calls: the changelog aggregates ONCE (per-key
+    * max-struct with C conditional buffers — one increment-sized
+    * shuffle, map-side combined, however many versions are read), then
+    * ONE full-outer join moves the snapshot (elidable against a
+    * key-bucketed at-rest snapshot, as in applyChangelog); the C-way
+    * fan-out happens AFTER the join on the merged row — a bounded
+    * model-free explode, no extra exchange. This is the lakehouse
+    * as-of-read / incremental-audit primitive: version counts, replays
+    * and retention checks over one scan of table + changelog.
+    */
+  def statesAt(snapshot: DataFrame, changelog: DataFrame,
+               keyCol: String, seqCol: String, opCol: String,
+               payloadCols: Seq[String], cuts: Seq[Long]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be ascending and distinct, got $cuts")
+    val winners = cuts.zipWithIndex.map { case (cut, i) =>
+      max(when(col(seqCol) <= cut,
+        struct(col(seqCol) +: col(opCol) +: payloadCols.map(col): _*)))
+        .as(s"__w$i")
+    }
+    val latest = changelog.groupBy(col(keyCol).as("__ck"))
+      .agg(winners.head, winners.tail: _*)
+    val merged = snapshot
+      .join(latest, col(keyCol) === col("__ck"), "full_outer")
+    // per cutoff: present iff the winner upserts, or no winner touches
+    // the key and the snapshot has it (keyCol is null on the snapshot
+    // side exactly for changelog-only keys)
+    val states = cuts.zipWithIndex.map { case (cut, i) =>
+      val w = col(s"__w$i")
+      val fields = lit(cut).as("version") +:
+        when(w.isNotNull, w.getField(opCol) === "U")
+          .otherwise(col(keyCol).isNotNull).as("__present") +:
+        payloadCols.map(c =>
+          when(w.isNotNull && w.getField(opCol) === "U", w.getField(c))
+            .otherwise(col(c)).as(c))
+      struct(fields: _*)
+    }
+    merged
+      .select(coalesce(col(keyCol), col("__ck")).as(keyCol),
+        explode(array(states: _*)).as("__s"))
+      .filter(col("__s.__present"))
+      .select(col("__s.version").as("version") +: col(keyCol) +:
+        payloadCols.map(c => col(s"__s.$c").as(c)): _*)
+  }
+
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
                      keyCol: String, seqCol: String, opCol: String,
                      payloadCols: Seq[String]): DataFrame = {

@@ -354,6 +354,38 @@ object ScaleQ extends QueryPack {
           min(col("ship_day")).as("first_day"),
           max(col("ship_day")).as("last_day"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // TIME TRAVEL (SnapshotDiff.statesAt): read the s06 snapshot+
+    // changelog AS OF three versions (¼, ½, full of the max sequence)
+    // in ONE changelog pass + ONE snapshot join — the lakehouse
+    // as-of-read audit (row count + balance total + segment spread per
+    // version). The cutoffs derive from max(o_orderkey) by integer
+    // division on both engines, so they are scale-free scalars, not
+    // baked literals.
+    "s10_time_travel" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val snap = t.customer.select(col("c_custkey").as("k"),
+        cents(col("c_acctbal")).as("acct_cents"),
+        col("c_mktsegment").as("segment"))
+      val cl = t.orders.select(
+        when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+        cents(col("o_totalprice")).as("acct_cents"),
+        col("o_orderpriority").as("segment"))
+      val maxSeq = t.orders.agg(max(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      val cuts = Seq(maxSeq / 4, maxSeq / 2, maxSeq)
+      graft.operators.SnapshotDiff
+        .statesAt(snap, cl, "k", "seq", "op",
+          Seq("acct_cents", "segment"), cuts)
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acct_cents")).as("acct_total_cents"),
+          countDistinct(col("segment")).as("n_segments"))
+        .orderBy(col("version"))
     }
   )
 
@@ -479,6 +511,47 @@ object ScaleQ extends QueryPack {
         | MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS first_day,
         | MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS last_day
         |FROM lineitem
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // s06's snapshot+changelog, reconstructed at three cutoffs: winner
+    // per (version, key) = max by (seq, op) among seq <= v, state =
+    // U-winners ∪ untouched snapshot keys — the statesAt contract
+    "s10_time_travel" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders),
+        |cuts AS (
+        |  SELECT (SELECT MAX(o_orderkey) FROM orders) // 4 AS v
+        |  UNION ALL
+        |  SELECT (SELECT MAX(o_orderkey) FROM orders) // 2
+        |  UNION ALL
+        |  SELECT (SELECT MAX(o_orderkey) FROM orders)),
+        |latest AS (
+        |  SELECT v, k, op, acct_cents, segment FROM (
+        |    SELECT c.v, cl.*, row_number() OVER (PARTITION BY c.v, cl.k
+        |      ORDER BY cl.seq DESC, cl.op DESC) AS rn
+        |    FROM cl JOIN cuts c ON cl.seq <= c.v)
+        |  WHERE rn = 1),
+        |state AS (
+        |  SELECT v, k, acct_cents, segment FROM latest WHERE op = 'U'
+        |  UNION ALL
+        |  SELECT c.v, s.k, s.acct_cents, s.segment
+        |  FROM cuts c, snap s
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                    WHERE l.v = c.v AND l.k = s.k))
+        |SELECT v AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents,
+        |  COUNT(DISTINCT segment) AS n_segments
+        |FROM state GROUP BY v ORDER BY version""".stripMargin
   )
 }

@@ -550,6 +550,34 @@ object VectorQ extends QueryPack {
           nprobe = 2, shortlist = 20)
         .select(col("vec_id"), col("cos4"))
         .orderBy(col("cos4").desc, col("vec_id"))
+    },
+
+    // RANGE (radius) search — every vector with cos4 ≥ 0.2 of the
+    // query, NOT top-k: the retrieval mode top-k ANN can't answer
+    // (how many near-duplicates above a similarity bar? all docs in
+    // a semantic neighborhood?). IVF cell pruning is useless here
+    // (this corpus has no cluster structure — measured ~90° cell
+    // radii), so the scale path is Similarity.sq8RangeSearch: a
+    // codes-only at-rest scan (int8 + the STORED exact per-vector
+    // angular distortion, ~¼ the bytes, vectors physically absent —
+    // the v14 storage-enforcement doctrine) whose triangle-inequality
+    // prefilter is provably sound, then an exact re-rank join that
+    // touches full vectors only for the candidate fraction. The
+    // oracle is the brute-force threshold scan — equality IS the
+    // soundness check, on real data at every SF.
+    "v26_range_search" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val scale = Similarity.sq8MaxAbs(e, "embedding")
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      graft.sources.Warehouse.writeTable(
+        Similarity.sq8RangeEncode(e.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", scale),
+        "graft_sq8_range")
+      Similarity.sq8RangeSearch(e.filter(col("vec_id") =!= 0),
+          graft.sources.Warehouse.read(s, "graft_sq8_range"),
+          "vec_id", "embedding", qvec, scale, tau = 0.2)
+        .orderBy(col("cos4").desc, col("vec_id"))
     }
   )
 
@@ -848,6 +876,17 @@ object VectorQ extends QueryPack {
          |FROM e JOIN short USING (vec_id), q
          |ORDER BY cos4 DESC, e.vec_id LIMIT 5""".stripMargin
     },
+
+    // brute-force threshold scan — equality with the engine's
+    // prefilter+re-rank result IS the prefilter's soundness proof
+    "v26_range_search" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         | round(${cosineSql("embedding::DOUBLE[]", "qe::DOUBLE[]")}, 4) AS cos4
+         |FROM embeddings, q WHERE vec_id <> 0
+         |  AND round(${cosineSql("embedding::DOUBLE[]", "qe::DOUBLE[]")}, 4)
+         |      >= 0.2
+         |ORDER BY cos4 DESC, vec_id""".stripMargin,
 
     "v07_pq_codes" -> {
       val sub = 64 / PqSubspaces

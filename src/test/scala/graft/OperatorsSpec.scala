@@ -113,6 +113,66 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Seq(1L -> "a3", 3L -> "c2", 4L -> "d", 5L -> "e"))
   }
 
+  test("statesAt: three-cutoff time travel == applyChangelog per cutoff") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val cl = Seq(
+      (1L, 10L, "U", "a2"), (1L, 11L, "U", "a3"),
+      (2L, 10L, "D", "-"),
+      (3L, 10L, "D", "-"), (3L, 12L, "U", "c2"),
+      (5L, 10L, "U", "e"),
+      (9L, 10L, "D", "-"))
+      .toDF("k", "seq", "op", "v")
+    val cuts = Seq(10L, 11L, 12L)
+    val got = graft.operators.SnapshotDiff
+      .statesAt(snap, cl, "k", "seq", "op", Seq("v"), cuts)
+      .orderBy("version", "k").as[(Long, Long, String)].collect().toSeq
+    // as-of 10: k1→a2 (seq10), k2/k3 deleted, k4 untouched, k5 inserted
+    // as-of 11: k1→a3; as-of 12: k3 re-upserted to c2
+    assert(got == Seq(
+      (10L, 1L, "a2"), (10L, 4L, "d"), (10L, 5L, "e"),
+      (11L, 1L, "a3"), (11L, 4L, "d"), (11L, 5L, "e"),
+      (12L, 1L, "a3"), (12L, 3L, "c2"), (12L, 4L, "d"), (12L, 5L, "e")))
+    // contract: each version slice == applyChangelog over seq<=cut
+    cuts.foreach { cut =>
+      val slice = got.filter(_._1 == cut).map(t => (t._2, t._3))
+      val replay = graft.operators.SnapshotDiff
+        .applyChangelog(snap, cl.filter(col("seq") <= cut),
+          "k", "seq", "op", Seq("v"))
+        .orderBy("k").as[(Long, String)].collect().toSeq
+      assert(slice == replay, s"as-of $cut")
+    }
+  }
+
+  test("sq8RangeSearch: equals brute force at several taus; prefilter " +
+    "is sound AND actually prunes") {
+    val e = Tables(spark, sfSmoke).embeddings
+    val scale = Similarity.sq8MaxAbs(e, "embedding")
+    val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val coded = Similarity.sq8RangeEncode(corpus, "vec_id", "embedding",
+      scale).cache()
+    val n = corpus.count()
+    for (tau <- Seq(0.1, 0.2, 0.3)) {
+      val got = Similarity.sq8RangeSearch(corpus, coded, "vec_id",
+          "embedding", qvec, scale, tau)
+        .orderBy(col("vec_id")).as[(Long, Double)].collect().toSeq
+      val brute = corpus.select(col("vec_id"),
+          round(graft.functions.vectors.cosine(
+            graft.functions.vectors.asDouble(col("embedding")),
+            lit(qvec)), 4).as("cos4"))
+        .filter(col("cos4") >= tau)
+        .orderBy(col("vec_id")).as[(Long, Double)].collect().toSeq
+      assert(got == brute, s"tau=$tau: ${got.size} vs ${brute.size}")
+      val cands = Similarity.sq8RangeCandidates(coded, "vec_id", qvec,
+        scale, tau).count()
+      assert(cands >= got.size, s"tau=$tau sound: $cands < ${got.size}")
+      assert(cands < n, s"tau=$tau prefilter pruned nothing ($cands of $n)")
+    }
+    coded.unpersist()
+  }
+
   test("cluster-keyed split: no near-dup pair crosses splits (naive does)") {
     val t = Tables(spark, sfSmoke)
     val pairs = Dedup.minhashLshPairs(t.documents, "doc_id", "text",
