@@ -221,7 +221,12 @@ object Bench {
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"${jesc(sfDir)}"${canaryJson(_.toString)}$knobsJson$gtfsJson$staleJson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // Subset tuning loops write elsewhere: BENCH_DETAIL.json is the
+    // committed full-run artifact, and subset runs kept clobbering it
+    // (restored by hand twice in r10/r11 — now impossible by path).
+    val detailPath =
+      if (subset.nonEmpty) "BENCH_SUBSET.json" else "BENCH_DETAIL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch {
       // stderr isn't part of the parsed stdout tail, so a failed detail

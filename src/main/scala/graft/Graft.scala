@@ -166,4 +166,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def documentsKernelParallel: DataFrame = Graft.kernelParallel(documents)
   def embeddings: DataFrame = table("embeddings")
+
+  /** [[embeddings]] behind [[Graft.kernelParallel]] — for the
+    * kernel-dominated corpus passes (Lloyd/PQ rounds, JL projection,
+    * SQ8 encode): the local single-row-group file otherwise pins a
+    * per-row-heavy scan to ONE task (the g10 pathology; v15 measured
+    * 7.2 s single-task at sf1 for work 32 cores finish in well under a
+    * second). Query-vector/codebook lookups should keep the plain
+    * [[embeddings]] — a 1-row filter never amortizes a repartition.
+    */
+  def embeddingsKernelParallel: DataFrame = Graft.kernelParallel(embeddings)
 }

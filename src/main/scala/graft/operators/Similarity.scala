@@ -542,14 +542,30 @@ object Similarity {
     * instead of dim·8, the d13/minhash ids-only doctrine applied to
     * the vector payload itself.
     */
-  def signedProjection(vecCol: Column, signs: Seq[Array[Int]]): Column = {
+  def signedProjection(vecCol: Column, signs: Seq[Array[Int]]): Column =
+    signedProjectionQuantized(quantizeMicro(vecCol), signs)
+
+  /** The µ-quantization [[signedProjection]] applies to each component —
+    * exposed so call sites can materialize it ONCE per row (a
+    * `withColumn` before the projection): the HOF tree is interpreted
+    * (no Catalyst CSE across the k projection rows), so the fused form
+    * re-rounds every component k times — k·dim BigDecimal HALF_UPs per
+    * row where dim suffice.
+    */
+  def quantizeMicro(vecCol: Column): Column =
+    transform(vectors.asDouble(vecCol),
+      x => round(x * 1000000).cast("long"))
+
+  /** [[signedProjection]] over pre-quantized components ([[quantizeMicro]]'s
+    * output): pure ±1 integer sums, no rounding in the per-row loop.
+    */
+  def signedProjectionQuantized(qCol: Column,
+                                signs: Seq[Array[Int]]): Column = {
     require(signs.nonEmpty, "need at least one projection row")
     require(signs.forall(_.length == signs.head.length),
       "sign rows must share the vector dimension")
     array(signs.map { s =>
-      aggregate(
-        zip_with(vectors.asDouble(vecCol), lit(s),
-          (x, sg) => round(x * 1000000).cast("long") * sg),
+      aggregate(zip_with(qCol, lit(s), (x, sg) => x * sg),
         lit(0L), (acc, x) => acc + x)
     }: _*)
   }

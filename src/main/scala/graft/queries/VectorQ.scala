@@ -248,12 +248,19 @@ object VectorQ extends QueryPack {
     "v15_random_projection" -> { (s, dir) =>
       import graft.functions.vectors
       val e = Tables(s, dir).embeddings
-      val proj = Similarity.signedProjection(col("embedding"),
-        Similarity.md5Signs(16, 64))
+      val signs = Similarity.md5Signs(16, 64)
+      val proj = Similarity.signedProjection(col("embedding"), signs)
       val qb = broadcast(e.filter(col("vec_id") === 0)
         .select(proj.as("__qp"), col("embedding").as("__qvec")))
-      e.filter(col("vec_id") =!= 0)
-        .withColumn("p", proj)
+      // corpus leg: widened scan (single-row-group local file — the g10
+      // pathology: 7.2 s single-task at sf1) + quantize-once so the
+      // interpreted HOF tree doesn't re-round each component 16×
+      Tables(s, dir).embeddingsKernelParallel
+        .filter(col("vec_id") =!= 0)
+        .withColumn("__q", Similarity.quantizeMicro(col("embedding")))
+        .withColumn("p",
+          Similarity.signedProjectionQuantized(col("__q"), signs))
+        .drop("__q")
         .crossJoin(qb)
         .withColumn("pscore", Similarity.projectionDot(col("p"), col("__qp")))
         .orderBy(col("pscore").desc, col("vec_id"))
@@ -509,9 +516,12 @@ object VectorQ extends QueryPack {
     // untrained init is measured in KmeansTrainSpec.
     "v23_kmeans_train" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val trained = Similarity.kmeansTrain(e, "embedding", codebook(e),
-        rounds = KmeansTrainRounds)
-      Similarity.kmeansStep(e, "embedding", trained)
+      // training rounds are the kernel-heavy corpus passes — widened
+      // scan (partitioning-free semantics: order-free integer sums)
+      val corpus = Tables(s, dir).embeddingsKernelParallel
+      val trained = Similarity.kmeansTrain(corpus, "embedding",
+        codebook(e), rounds = KmeansTrainRounds)
+      Similarity.kmeansStep(corpus, "embedding", trained)
         .orderBy(col("cell"), col("idx"))
     },
 
@@ -526,9 +536,10 @@ object VectorQ extends QueryPack {
     // PqTrainSpec.
     "v24_pq_train" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val trained = Similarity.pqTrain(e, "embedding", codebook(e),
+      val corpus = Tables(s, dir).embeddingsKernelParallel // v23 doctrine
+      val trained = Similarity.pqTrain(corpus, "embedding", codebook(e),
         PqSubspaces, KmeansTrainRounds)
-      Similarity.pqStep(e, "embedding", trained, PqSubspaces)
+      Similarity.pqStep(corpus, "embedding", trained, PqSubspaces)
         .orderBy(col("j"), col("cell"), col("idx"))
     },
 
@@ -541,11 +552,12 @@ object VectorQ extends QueryPack {
     // delta: 5 → 14 hits over the v17 panel).
     "v25_trained_ivf_pq" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
+      val corpus = Tables(s, dir).embeddingsKernelParallel // v23 doctrine
       val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-      val trained = Similarity.kmeansTrain(e, "embedding", codebook(e),
-        KmeansTrainRounds)
-      Similarity.ivfPqTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+      val trained = Similarity.kmeansTrain(corpus, "embedding",
+        codebook(e), KmeansTrainRounds)
+      Similarity.ivfPqTopK(corpus.filter(col("vec_id") =!= 0), "vec_id",
           "embedding", trained, qvec, m = PqSubspaces, k = 5,
           nprobe = 2, shortlist = 20)
         .select(col("vec_id"), col("cos4"))
@@ -571,7 +583,9 @@ object VectorQ extends QueryPack {
       val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       graft.sources.Warehouse.writeTable(
-        Similarity.sq8RangeEncode(e.filter(col("vec_id") =!= 0),
+        Similarity.sq8RangeEncode(
+          Tables(s, dir).embeddingsKernelParallel
+            .filter(col("vec_id") =!= 0),
           "vec_id", "embedding", scale),
         "graft_sq8_range")
       Similarity.sq8RangeSearch(e.filter(col("vec_id") =!= 0),

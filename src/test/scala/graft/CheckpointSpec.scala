@@ -108,13 +108,16 @@ class CheckpointSpec extends SparkTestBase {
       spark.conf.set("spark.graft.debug.validate", "true")
       spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
       try {
+        // r04's seed-sampled projection: (seed, cluster label, size)
         val reliable = SparkEntry.queries("r04_cc_trade_graph")(spark, sfSmoke)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
         assert(rddCheckpointFiles(dir).nonEmpty,
           "query did not write reliable checkpoints")
         spark.conf.unset("spark.graft.checkpoint.dir")
         val default = SparkEntry.queries("r04_cc_trade_graph")(spark, sfSmoke)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
         assert(reliable == default && reliable.nonEmpty)
       } finally {
         spark.conf.unset("spark.graft.checkpoint.dir")
