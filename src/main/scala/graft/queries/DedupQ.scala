@@ -211,6 +211,21 @@ object DedupQ extends QueryPack {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // TF-IDF-weighted cosine pairs (operators.SparseSim): the WEIGHTED
+    // near-dup generator — integer impact-capped tf × reciprocal-df
+    // idf, decimal-exact dots/norms, df-pruned posting self-join
+    // (boilerplate terms leave the space entirely; per-term join work
+    // bounded by the df cut — never corpus²). τ = 0.95 on a templated
+    // corpus where 57% of ALL pairs clear token-Jaccard 0.6 (d09 note):
+    // weighting is exactly what separates template-mates from true
+    // near-dups here.
+    "d20_tfidf_cosine_pairs" -> { (s, dir) =>
+      graft.operators.SparseSim.tfidfCosinePairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          tauNum = 19, tauDen = 20)
+        .orderBy(col("a"), col("b"))
+    },
+
     // At-rest LSH serving: index the whole corpus partitioned by
     // (band, bucket-prefix), then answer "find doc 0's near-dups" by
     // probing exactly the query's band directories (planning-time
@@ -467,6 +482,41 @@ object DedupQ extends QueryPack {
          |FROM s GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin
     },
+
+    // mirrors SparseSim.tfidfCosinePairs step for step: impact-capped
+    // integer tf, integer centi-idf floor(100·N/df) (identical IEEE
+    // double division both sides), df·10 ≤ N prune, DECIMAL(18,0)
+    // weights so dots/norms are exact and order-free, one final
+    // double sqrt/divide
+    "d20_tfidf_cosine_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |tok AS (SELECT doc_id, t
+         |        FROM (SELECT doc_id, unnest(${wordsSql()}) AS t FROM n)
+         |        WHERE t <> ''),
+         |tf AS (SELECT doc_id, t, LEAST(COUNT(*), 255) AS tf
+         |       FROM tok GROUP BY doc_id, t),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |dfc AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+         |w AS (SELECT doc_id, tf.t, df,
+         |        CAST(tf * CAST(floor(100.0 * n / df) AS BIGINT)
+         |             AS DECIMAL(18,0)) AS w
+         |      FROM tf JOIN dfc USING (t) CROSS JOIN nn
+         |      WHERE df * 10 <= n AND df <= 100000),
+         |nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+         |dots AS (SELECT wa.doc_id AS a, wb.doc_id AS b,
+         |           SUM(wa.w * wb.w) AS dot
+         |         FROM w wa JOIN w wb
+         |           ON wa.t = wb.t AND wa.doc_id < wb.doc_id
+         |         WHERE wa.df >= 2
+         |         GROUP BY wa.doc_id, wb.doc_id),
+         |c AS (SELECT a, b,
+         |        CAST(dot AS DOUBLE) /
+         |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |          AS cos
+         |      FROM dots JOIN nrm na ON na.doc_id = a
+         |                JOIN nrm nb ON nb.doc_id = b)
+         |SELECT a, b, round(cos, 4) AS cos FROM c
+         |WHERE cos >= 19.0 / 20.0 ORDER BY a, b""".stripMargin,
 
     // the index detour must equal the definitional band-mate query:
     // every doc (incl. 0 itself) sharing a band hash with doc 0, with

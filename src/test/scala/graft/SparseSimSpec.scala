@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SparseSim
+
+/** SparseSim.tfidfCosinePairs: serial-reference parity on a crafted
+  * corpus, plus the pruning-space semantics the oracle mirrors (df=1
+  * terms weigh in norms but never join; boilerplate terms vanish from
+  * both).
+  */
+class SparseSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent serial reference: same integer weighting, plain maps. */
+  private def serial(docs: Seq[(Long, String)], maxDfFrac: Int,
+                     tau: Double): Seq[(Long, Long, Double)] = {
+    val n = docs.size
+    val tf = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+        .split(" +").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(v => math.min(v.size, 255)).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def w(id: Long): Map[String, BigInt] = tf(id).collect {
+      case (t, f) if df(t) * maxDfFrac <= n =>
+        t -> BigInt(f) * (100L * n / df(t))
+    }
+    val norms = docs.map { case (id, _) =>
+      id -> w(id).values.map(x => x * x).sum }.toMap
+    for {
+      (a, _) <- docs; (b, _) <- docs if a < b
+      shared = w(a).keySet.intersect(w(b).keySet)
+        .filter(t => df(t) >= 2)
+      if shared.nonEmpty
+      dot = shared.toSeq.map(t => w(a)(t) * w(b)(t)).sum
+      cos = dot.toDouble /
+        (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble))
+      if cos >= tau
+    } yield (a, b, BigDecimal(cos)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private val corpus = Seq(
+    1L -> "alpha beta gamma delta alpha",
+    2L -> "alpha beta gamma delta",
+    3L -> "epsilon zeta eta theta",
+    4L -> "epsilon zeta eta theta iota",
+    5L -> "alpha beta gamma delta alpha",
+    6L -> "unrelated words entirely different",
+    7L -> "kappa lambda", // singleton terms: norm mass, no pairs
+    8L -> "beta gamma delta epsilon zeta")
+
+  test("matches the serial integer reference on a crafted corpus") {
+    val got = SparseSim.tfidfCosinePairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 1, tauDen = 2, maxDfFrac = 1)
+      .orderBy(col("a"), col("b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = serial(corpus, maxDfFrac = 1, tau = 0.5)
+      .sortBy(p => (p._1, p._2))
+    assert(got == want)
+    // identical docs 1 and 5 must score exactly 1.0
+    assert(got.exists { case (a, b, c) => a == 1L && b == 5L && c == 1.0 })
+  }
+
+  test("df=1 terms weigh in norms but never produce pairs") {
+    // doc 7's terms are all df=1: it appears in no pair, and adding a
+    // df=1 term to a doc LOWERS its cosines (norm grows, dots don't)
+    val base = SparseSim.tfidfCosinePairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 100, maxDfFrac = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(!base.exists(p => p._1 == 7L || p._2 == 7L))
+    val padded = corpus.map { case (id, t) =>
+      id -> (if (id == 2L) t + " uniquepad" else t) }
+    val p2 = SparseSim.tfidfCosinePairs(padded.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 100, maxDfFrac = 1)
+      .as[(Long, Long, Double)].collect()
+    val before = base.find(p => p._1 == 1L && p._2 == 2L).get._3
+    val after = p2.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(after < before)
+  }
+
+  test("boilerplate cut drops high-df terms from norms AND dots") {
+    // 'the' in every doc: with maxDfFrac=2 (df·2 ≤ N fails at df=N) it
+    // must not change any score vs the corpus without it
+    val boiler = corpus.map { case (id, t) => id -> s"the $t the" }
+    val cut = SparseSim.tfidfCosinePairs(boiler.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 100, maxDfFrac = 2)
+      .orderBy(col("a"), col("b")).as[(Long, Long, Double)].collect().toSeq
+    val clean = SparseSim.tfidfCosinePairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 100, maxDfFrac = 2)
+      .orderBy(col("a"), col("b")).as[(Long, Long, Double)].collect().toSeq
+    assert(cut == clean)
+  }
+
+  test("absolute maxDfCap bounds postings independent of corpus size") {
+    // cap 2 excludes the df=3 'alpha beta gamma delta' template terms
+    // even though the relative cut would keep them
+    val capped = SparseSim.tfidfCosinePairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 100, maxDfFrac = 1, maxDfCap = 2)
+      .as[(Long, Long, Double)].collect()
+    // 1–5 share only df=3 template terms → the pair must vanish
+    assert(!capped.exists(p => Set(p._1, p._2) == Set(1L, 5L)))
+  }
+}
