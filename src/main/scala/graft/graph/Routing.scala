@@ -435,6 +435,55 @@ object Routing {
     }
   }
 
+  /** The full RAPTOR output [[earliestArrival]] collapses: the PARETO
+    * PROFILE of (trips used, arrival time) per stop — row (stop, k, t)
+    * means "reachable by time t using exactly k boardings, and no
+    * schedule does better with k or fewer". This is the
+    * arrival/transfers trade-off a journey planner actually serves
+    * ("12:40 with 2 transfers, or 13:05 with 1"); RAPTOR computes it
+    * for free because round k's labels ARE the ≤-k-trips optima
+    * (Delling et al. 2012 §3 — the round index is the transfer bound),
+    * so the profile is just each round's strict improvements, kept
+    * instead of overwritten.
+    *
+    * Same loop mechanics and scale shape as [[earliestArrival]] (the
+    * state/frontier frames are identical); the profile accumulates as
+    * per-round filters over the already-checkpointed states — no extra
+    * corpus work, one ≤ maxRounds-way union at the end. Rounds are
+    * boardings: the source departs with 0 boardings; k-th-round
+    * improvements used k trips (k-1 transfers).
+    */
+  def arrivalProfile(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
+                     maxRounds: Int = 15, warnOnTruncation: Boolean = true,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val spark = stopTimes.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
+      col("stop"), col("arr").cast("long"), col("dep").cast("long")))
+    val parts = graft.operators.Iteration.roundPartitions(spark, st0.count())
+    val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
+        lit(depTime).as("arr_t"), lit(true).as("__new")))
+      var frontier = state.filter(col("__new"))
+      val slices = scala.collection.mutable.ListBuffer(
+        state.select(col("stop"), lit(0).as("rounds"), col("arr_t")))
+      var k = 0
+      while (k < maxRounds && !frontier.isEmpty) {
+        state = ckpt(raptorRound(st, state, frontier))
+        frontier = state.filter(col("__new"))
+        k += 1
+        // a narrow filter+project over the checkpointed round state —
+        // recorded lazily, materialized once by the final union
+        slices += frontier
+          .select(col("stop"), lit(k).as("rounds"), col("arr_t"))
+      }
+      graft.operators.Iteration.warnIfTruncated("arrivalProfile", frontier,
+        k, maxRounds, warnOnTruncation)
+      slices.reduce(_ unionByName _)
+    }
+  }
+
   /** One un-materialized RAPTOR round — package-visible for plan pins
     * (see [[ssspRound]]).
     */

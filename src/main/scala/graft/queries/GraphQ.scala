@@ -149,6 +149,19 @@ object GraphQ extends QueryPack {
         .orderBy(col("stop"))
     },
 
+    // The Pareto PROFILE r16 collapses: (stop, boardings k, arrival)
+    // rows for every strict per-round improvement — the
+    // arrival/transfers trade-off a planner serves. Oracle: the same
+    // timetable through an unrolled label-correction chain (one stage
+    // per round over within-trip segments; aggregates can't live in a
+    // recursive term — the pageRankSql doctrine), emitting each
+    // stage's strict improvements.
+    "r18_arrival_profile" -> { (s, dir) =>
+      Routing.arrivalProfile(syntheticStopTimes(s, dir), "0", 0L,
+          maxRounds = 30)
+        .orderBy(col("stop"), col("rounds"))
+    },
+
     "r01_bfs_hops" -> { (s, dir) =>
       // 25-node synthetic graph: fits in one partition, so the Pregel
       // edge layout would only add per-round task fan-out (see bfsHops)
@@ -509,7 +522,67 @@ object GraphQ extends QueryPack {
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** SQL mirror of [[syntheticStopTimes]] — shared by r16/r18. */
+  private val stopTimesSql: String =
+    """st AS (
+      |  SELECT 't' || n_nationkey AS trip, j AS seq,
+      |         CAST(CASE WHEN j = 0 THEN n_nationkey
+      |                   WHEN j = 1 THEN (n_nationkey*7+3)%25
+      |                   ELSE (n_nationkey*11+5)%25 END AS VARCHAR) AS stop,
+      |         CAST(n_nationkey*100 + j*((n_nationkey%5+1)*10) AS BIGINT) AS t
+      |  FROM nation, (VALUES (0),(1),(2)) v(j)
+      |  UNION ALL
+      |  SELECT 'u' || n_nationkey, j,
+      |         CAST(CASE WHEN j = 0 THEN (n_nationkey*11+5)%25
+      |                   WHEN j = 1 THEN (n_nationkey*7+3)%25
+      |                   ELSE n_nationkey END AS VARCHAR),
+      |         CAST(n_nationkey*100 + 50 + j*((n_nationkey%3+1)*10) AS BIGINT)
+      |  FROM nation, (VALUES (0),(1),(2)) v(j))""".stripMargin
+
+  /** Unrolled round-label chain mirroring [[graft.graph.Routing
+    * .arrivalProfile]]: lab_k = min(lab_{k-1}, one boarding from any
+    * lab_{k-1} stop riding to any LATER position of the trip), emitted
+    * as each stage's strict improvements. Segments (seq < seq'), not
+    * consecutive connections: a ride across several positions must
+    * stay ONE boarding per round (the fixpoint walk of r16 may chain
+    * freely — per-round labels may not).
+    */
+  private def arrivalProfileSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""lab$i AS (
+         |  SELECT stop, MIN(t) AS arr FROM (
+         |    SELECT stop, arr AS t FROM lab${i - 1}
+         |    UNION ALL
+         |    SELECT s.ts, s.arr FROM seg s JOIN lab${i - 1} p
+         |      ON s.fs = p.stop AND s.dep >= p.arr
+         |  ) GROUP BY stop),
+         |pk$i AS (
+         |  SELECT k.stop, $i AS rounds, k.arr FROM lab$i k
+         |  LEFT JOIN lab${i - 1} p ON k.stop = p.stop
+         |  WHERE p.stop IS NULL OR k.arr < p.arr)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(i => s"SELECT * FROM pk$i").mkString("\n UNION ALL ")
+    s"""WITH $stopTimesSql,
+       |seg AS (
+       |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+       |  FROM st a JOIN st b ON a.trip = b.trip AND a.seq < b.seq),
+       |lab0 AS (SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr),
+       |$stages
+       |SELECT stop, CAST(rounds AS INT) AS rounds, arr AS arr_t FROM (
+       | SELECT '0' AS stop, 0 AS rounds, CAST(0 AS BIGINT) AS arr
+       | UNION ALL $unions)
+       |ORDER BY stop, rounds""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    // 6 stages = measured fixpoint 4 + 2 margin (round 5 improves nothing;
+    // the 25-stop timetable is nation-derived, identical at every SF).
+    // Stage count is capped because inlined CTE chains re-expand the
+    // scan per reference — 30 stages blew the fd limit; past the
+    // fixpoint extra stages add no rows on either side anyway.
+    "r18_arrival_profile" -> arrivalProfileSql(6),
+
     "r16_earliest_arrival" ->
       """WITH RECURSIVE st AS (
         |  SELECT 't' || n_nationkey AS trip, j AS seq,

@@ -136,6 +136,34 @@ class RoutingSpec extends SparkTestBase {
     assert(b16 == Map("B" -> 16L))
   }
 
+  test("arrivalProfile: Pareto front on the transfer-vs-direct timetable") {
+    // same fixture as above: C is reachable at 30 with ONE boarding
+    // (T3) but at 17 with two (T1→T2) — both are Pareto-optimal; the
+    // T1 ride-through (20, 1 boarding) beats T3 so 30 never surfaces…
+    // no: round 1 C label = min(20 direct-ride T1, 30 T3) = 20, round
+    // 2 improves to 17 via the B transfer
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L),
+      ("T3", 0, "A", 5L, 5L), ("T3", 1, "C", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val prof = Routing.arrivalProfile(st, "A", 0L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(prof == Set(("A", 0, 0L), ("B", 1, 10L),
+      ("C", 1, 20L), ("C", 2, 17L)))
+    // the final (max-round) label per stop must equal earliestArrival
+    val last = prof.groupBy(_._1).view
+      .mapValues(v => v.minBy(_._3)._3).toMap
+    val ea = Routing.earliestArrival(st, "A", 0L)
+      .as[(String, Long)].collect().toMap
+    assert(last == ea)
+    // arrivals strictly decrease along each stop's front
+    prof.groupBy(_._1).values.foreach { pts =>
+      val byRound = pts.toSeq.sortBy(_._2).map(_._3)
+      assert(byRound == byRound.distinct.sorted.reverse)
+    }
+  }
+
   test("earliestArrival equals Dijkstra on a zero-wait time expansion") {
     // one 2-stop trip per (edge, integer departure 0..40) with travel =
     // 2x the edge weight (integerized): departures are dense enough that
