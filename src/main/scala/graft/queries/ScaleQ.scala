@@ -363,6 +363,29 @@ object ScaleQ extends QueryPack {
     // version). The cutoffs derive from max(o_orderkey) by integer
     // division on both engines, so they are scale-free scalars, not
     // baked literals.
+    // RETENTION VACUUM planning (sources/Vacuum): synthetic manifest
+    // from orders (file per order, partitioned by priority; %7 files
+    // removed by a later rewrite at seq+1000), retention cutoff at
+    // maxSeq/2 — per partition, what physical delete reclaims vs what
+    // stays live. The cutoff derives from max(o_orderkey) (integer
+    // division both engines, the s10 scalar doctrine).
+    "s11_vacuum_plan" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val manifest = t.orders.select(
+        col("o_orderkey").as("file_id"),
+        col("o_orderpriority").as("part"),
+        cents(col("o_totalprice")).as("bytes"),
+        col("o_orderkey").as("added_seq"),
+        when(col("o_orderkey") % 7 === 0, col("o_orderkey") + 1000L)
+          .as("removed_seq"))
+      val maxSeq = t.orders.agg(max(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      graft.sources.Vacuum
+        .plan(manifest, "part", "bytes", "removed_seq",
+          retainFrom = maxSeq / 2)
+        .orderBy(col("part"))
+    },
+
     "s10_time_travel" -> { (s, dir) =>
       val t = Tables(s, dir)
       val snap = t.customer.select(col("c_custkey").as("k"),
@@ -512,6 +535,28 @@ object ScaleQ extends QueryPack {
         | MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS last_day
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Vacuum.plan: deletable iff removed_seq <= maxSeq/2
+    // (NULL removed = live in the current snapshot, never deletable)
+    "s11_vacuum_plan" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS part,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS bytes,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey + 1000
+        |         END AS removed_seq
+        |  FROM orders),
+        |cut AS (SELECT MAX(o_orderkey) // 2 AS rf FROM orders)
+        |SELECT part,
+        | CAST(SUM(CASE WHEN removed_seq IS NOT NULL AND removed_seq <= rf
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable,
+        | CAST(SUM(CASE WHEN removed_seq IS NOT NULL AND removed_seq <= rf
+        |               THEN bytes ELSE 0 END) AS BIGINT) AS reclaim_bytes,
+        | CAST(SUM(CASE WHEN removed_seq IS NULL OR removed_seq > rf
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        | CAST(SUM(CASE WHEN removed_seq IS NULL OR removed_seq > rf
+        |               THEN bytes ELSE 0 END) AS BIGINT) AS live_bytes
+        |FROM m CROSS JOIN cut
+        |GROUP BY part ORDER BY part""".stripMargin,
 
     // s06's snapshot+changelog, reconstructed at three cutoffs: winner
     // per (version, key) = max by (seq, op) among seq <= v, state =

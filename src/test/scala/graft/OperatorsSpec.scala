@@ -36,6 +36,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == rows)
   }
 
+  test("Vacuum.plan: removed-before-cutoff deletable, NULL never, " +
+      "whole-lifetime-inside-expired-range still deletable") {
+    // retainFrom = 10: f1 removed@5 → deletable; f2 removed@10 →
+    // deletable (<=); f3 removed@11 → live (a retained snapshot sees
+    // it); f4 never removed → live; f5 added@8 removed@9 (entire
+    // lifetime expired) → deletable even though added close to cutoff
+    val m = Seq(
+      ("f1", "p", 100L, 1L, Some(5L)), ("f2", "p", 10L, 1L, Some(10L)),
+      ("f3", "p", 1L, 1L, Some(11L)), ("f4", "p", 1000L, 2L, None),
+      ("f5", "p", 10000L, 8L, Some(9L)))
+      .toDF("file_id", "part", "bytes", "added_seq", "removed_seq")
+    val got = graft.sources.Vacuum
+      .plan(m, "part", "bytes", "removed_seq", retainFrom = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("p", 3L, 10110L, 2L, 1001L)))
+  }
+
   test("exactGroups keeps smallest id per duplicate text (A2 first-wins)") {
     val docs = Seq((5L, "Hello, World"), (2L, "hello  world!"), (9L, "other text"))
       .toDF("doc_id", "text")
