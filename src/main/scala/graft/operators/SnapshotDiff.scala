@@ -124,6 +124,46 @@ object SnapshotDiff {
         payloadCols.map(c => col(s"__s.$c").as(c)): _*)
   }
 
+  /** SCD TYPE-2 BUILD (Kimball slowly-changing dimension, the Delta/
+    * Iceberg "history table" shape): turn snapshot + CDC changelog into
+    * the full version history — one row per version interval with
+    * (valid_from, valid_to, is_current). Snapshot rows open at
+    * `snapshotSeq` (they ARE the version in force before the changelog
+    * starts, so every changelog seq must be > snapshotSeq); each `U`
+    * opens a version at its seq and closes the key's previous one; a
+    * `D` closes without opening (a later `U` re-opens — gaps are real:
+    * the key did not exist in between). `valid_to` is null while open;
+    * every `U` opens a version even if the payload is unchanged (no-op
+    * collapse is a policy layer, not this operator). Same-key/same-seq
+    * input is corrupt, as in [[applyChangelog]].
+    *
+    * Scale shape: ONE union of two scans + ONE window shuffle on the
+    * key (lead over seq). Nothing else moves; against key-bucketed
+    * at-rest inputs (sources/Warehouse) even that exchange elides. The
+    * output is history-sized (|snapshot| + |U rows|) by construction —
+    * the operator never amplifies beyond its input.
+    */
+  def scd2(snapshot: DataFrame, changelog: DataFrame, keyCol: String,
+           seqCol: String, opCol: String, payloadCols: Seq[String],
+           snapshotSeq: Long = 0L): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    val snapEv = snapshot.select(
+      col(keyCol) +: lit(snapshotSeq).as(seqCol) +: lit("U").as(opCol) +:
+        payloadCols.map(col): _*)
+    val events = snapEv.unionByName(changelog.select(
+      col(keyCol) +: col(seqCol).cast("long") +: col(opCol) +:
+        payloadCols.map(col): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol))
+    events
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) === "U")
+      .select(col(keyCol) +: payloadCols.map(col) :+
+        col(seqCol).cast("long").as("valid_from") :+
+        col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
                      keyCol: String, seqCol: String, opCol: String,
                      payloadCols: Seq[String]): DataFrame = {

@@ -160,6 +160,43 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  /** The shared CDC pair of s06/s10/s12/s13: customer as the snapshot,
+    * orders as the changelog (13-multiple orderkeys insert NEW customer
+    * keys, 11-multiples delete, highest orderkey per key wins).
+    */
+  private def cdcSnap(t: Tables): DataFrame =
+    t.customer.select(col("c_custkey").as("k"),
+      cents(col("c_acctbal")).as("acct_cents"),
+      col("c_mktsegment").as("segment"))
+
+  private def cdcChangelog(t: Tables): DataFrame =
+    t.orders.select(
+      when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("k"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+      cents(col("o_totalprice")).as("acct_cents"),
+      col("o_orderpriority").as("segment"))
+
+  /** Build-once guard for s13's materialized base view (same pattern as
+    * [[ensureBucketed]]): the per-segment (count, balance) aggregate of
+    * the snapshot, stored in the warehouse — what a real deployment
+    * would have published at snapshot time. The timed query then does
+    * ONLY increment work: the base table is probed, never re-aggregated.
+    */
+  @volatile private var ivmBaseFor: String = null
+  private def ensureIvmBase(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (ivmBaseFor != dir) {
+        Warehouse.writeTable(
+          cdcSnap(Tables(s, dir)).groupBy(col("segment"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("acct_cents")).as("acct_total_cents")),
+          "graft_wh_ivm_base_seg")
+        ivmBaseFor = dir
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skew.saltedJoin over lineitem ⋈ supplier (supplier is small but the
     // point is the rewrite, not the size): per-supplier-nation revenue.
@@ -317,18 +354,8 @@ object ScaleQ extends QueryPack {
     // when key-bucketed at rest).
     "s06_changelog_apply" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val snap = t.customer.select(col("c_custkey").as("k"),
-        cents(col("c_acctbal")).as("acct_cents"),
-        col("c_mktsegment").as("segment"))
-      val cl = t.orders.select(
-        when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1000000L)
-          .otherwise(col("o_custkey")).as("k"),
-        col("o_orderkey").as("seq"),
-        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
-        cents(col("o_totalprice")).as("acct_cents"),
-        col("o_orderpriority").as("segment"))
       graft.operators.SnapshotDiff
-        .applyChangelog(snap, cl, "k", "seq", "op",
+        .applyChangelog(cdcSnap(t), cdcChangelog(t), "k", "seq", "op",
           Seq("acct_cents", "segment"))
         .orderBy(col("k"))
     },
@@ -388,27 +415,53 @@ object ScaleQ extends QueryPack {
 
     "s10_time_travel" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val snap = t.customer.select(col("c_custkey").as("k"),
-        cents(col("c_acctbal")).as("acct_cents"),
-        col("c_mktsegment").as("segment"))
-      val cl = t.orders.select(
-        when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1000000L)
-          .otherwise(col("o_custkey")).as("k"),
-        col("o_orderkey").as("seq"),
-        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
-        cents(col("o_totalprice")).as("acct_cents"),
-        col("o_orderpriority").as("segment"))
       val maxSeq = t.orders.agg(max(col("o_orderkey")))
         .collect()(0).getLong(0)
       val cuts = Seq(maxSeq / 4, maxSeq / 2, maxSeq)
       graft.operators.SnapshotDiff
-        .statesAt(snap, cl, "k", "seq", "op",
+        .statesAt(cdcSnap(t), cdcChangelog(t), "k", "seq", "op",
           Seq("acct_cents", "segment"), cuts)
         .groupBy(col("version"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("acct_cents")).as("acct_total_cents"),
           countDistinct(col("segment")).as("n_segments"))
         .orderBy(col("version"))
+    },
+
+    // SCD TYPE-2 (SnapshotDiff.scd2): the full version history of the
+    // s06 CDC pair — every customer version with its validity interval.
+    // valid_to is surfaced as coalesce(-1) and is_current as 0/1 longs
+    // so the cross-engine compare never hinges on null/bool dtype
+    // coercion.
+    "s12_scd2_build" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.SnapshotDiff
+        .scd2(cdcSnap(t), cdcChangelog(t), "k", "seq", "op",
+          Seq("acct_cents", "segment"))
+        .select(col("k"), col("acct_cents"), col("segment"),
+          col("valid_from"), coalesce(col("valid_to"), lit(-1L))
+            .as("valid_to"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy(col("k"), col("valid_from"))
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE (operators/Ivm): refresh the stored
+    // per-segment (count, balance) view under the s06 changelog without
+    // re-aggregating the base table — retraction+insertion deltas from
+    // the compacted increment, merged into the materialized view the
+    // build-once guard published. The oracle recomputes the view from
+    // the FINAL state (apply changelog, then aggregate): hash equality
+    // proves the delta algebra reaches recompute's answer while scanning
+    // only the increment.
+    "s13_ivm_delta" -> { (s, dir) =>
+      ensureIvmBase(s, dir)
+      val t = Tables(s, dir)
+      graft.operators.Ivm
+        .maintainSumCount(Warehouse.read(s, "graft_wh_ivm_base_seg"),
+          cdcSnap(t), cdcChangelog(t), "k", "seq", "op",
+          "segment", "acct_cents",
+          nCol = "n_rows", sumCol = "acct_total_cents")
+        .orderBy(col("segment"))
     }
   )
 
@@ -557,6 +610,71 @@ object ScaleQ extends QueryPack {
         |               THEN bytes ELSE 0 END) AS BIGINT) AS live_bytes
         |FROM m CROSS JOIN cut
         |GROUP BY part ORDER BY part""".stripMargin,
+
+    // mirrors SnapshotDiff.scd2 over the s06 CDC pair: snapshot rows are
+    // seq-0 'U' events; a version's valid_to is the key's next event of
+    // any op; D rows close without opening
+    "s12_scd2_build" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders),
+        |ev AS (
+        |  SELECT k, CAST(0 AS BIGINT) AS seq, 'U' AS op, acct_cents,
+        |    segment FROM snap
+        |  UNION ALL
+        |  SELECT k, seq, op, acct_cents, segment FROM cl),
+        |v AS (
+        |  SELECT k, seq, op, acct_cents, segment,
+        |    LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS vto
+        |  FROM ev)
+        |SELECT k, acct_cents, segment, seq AS valid_from,
+        |  COALESCE(vto, -1) AS valid_to,
+        |  CAST(CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM v WHERE op = 'U' ORDER BY k, valid_from""".stripMargin,
+
+    // recompute-from-final-state mirror of the s13 delta refresh: apply
+    // the changelog (the s06 CTE chain), then aggregate per segment
+    "s13_ivm_delta" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders),
+        |latest AS (
+        |  SELECT k, op, acct_cents, segment FROM (
+        |    SELECT cl.*, row_number() OVER (PARTITION BY k
+        |      ORDER BY seq DESC, op) AS rn FROM cl)
+        |  WHERE rn = 1),
+        |final AS (
+        |  SELECT COALESCE(s.k, l.k) AS k,
+        |    CASE WHEN l.op = 'U' THEN l.acct_cents
+        |         ELSE s.acct_cents END AS acct_cents,
+        |    CASE WHEN l.op = 'U' THEN l.segment ELSE s.segment END
+        |      AS segment
+        |  FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
+        |  WHERE l.op IS NULL OR l.op = 'U')
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents
+        |FROM final GROUP BY segment ORDER BY segment""".stripMargin,
 
     // s06's snapshot+changelog, reconstructed at three cutoffs: winner
     // per (version, key) = max by (seq, op) among seq <= v, state =
