@@ -150,9 +150,19 @@ object SnapshotDiff {
     val snapEv = snapshot.select(
       col(keyCol) +: lit(snapshotSeq).as(seqCol) +: lit("U").as(opCol) +:
         payloadCols.map(col): _*)
-    val events = snapEv.unionByName(changelog.select(
+    scd2Events(snapEv.unionByName(changelog.select(
       col(keyCol) +: col(seqCol).cast("long") +: col(opCol) +:
-        payloadCols.map(col): _*))
+        payloadCols.map(col): _*)),
+      keyCol, seqCol, opCol, payloadCols)
+  }
+
+  /** [[scd2]]'s core on a bare event frame (key, seq, op, payload) —
+    * also the per-micro-batch rebuild step of the streaming face
+    * (StreamingJobs.scd2Stream), where the "snapshot" is each touched
+    * key's current OPEN version re-expressed as its own opening event.
+    */
+  def scd2Events(events: DataFrame, keyCol: String, seqCol: String,
+                 opCol: String, payloadCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(seqCol))
     events

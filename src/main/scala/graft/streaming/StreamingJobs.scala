@@ -493,6 +493,76 @@ object StreamingJobs {
       .start()
       .awaitTermination()
 
+  /** One micro-batch of the streaming SCD2 history build
+    * ([[scd2Stream]]'s foreachBatch body, exposed for the batch-parity
+    * spec): fold `batch` (CDC rows) into the managed HISTORY table —
+    * the s12 operator's shape (key, payload*, valid_from, valid_to,
+    * is_current) — touching only the keys the batch names.
+    *
+    * Closed versions are immutable: only each touched key's OPEN
+    * version can change (it re-enters the rebuild as its own opening
+    * event, gets closed by the first fresh event, and the fresh events
+    * append their versions after it). Stale rows — seq at or below the
+    * key's high-water mark max(valid_to, valid_from) — are dropped
+    * before the rebuild (the cross-batch contract of
+    * [[changelogMergeBatch]]: per-key seq-ordered arrival across files,
+    * in-batch disorder handled exactly by the window).
+    *
+    * Scale shape: the history moves through one semi/anti key-join pair
+    * against the increment's keys (prunable to nothing against a
+    * key-bucketed at-rest history) and only the touched slice — open
+    * rows + fresh events, increment-sized — enters the rebuild window.
+    */
+  def scd2Batch(spark: SparkSession, histTable: String, batch: DataFrame,
+                keyCol: String, seqCol: String, opCol: String,
+                payloadCols: Seq[String]): Unit = {
+    val hist = spark.table(histTable)
+    val keys = batch.select(col(keyCol)).distinct()
+    val touched = hist.join(keys, Seq(keyCol), "left_semi")
+    val untouched = hist.join(keys, Seq(keyCol), "left_anti")
+    val hwm = touched.groupBy(col(keyCol))
+      .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__hwm"))
+    val fresh = batch.join(hwm, Seq(keyCol), "left")
+      .filter(col("__hwm").isNull || col(seqCol) > col("__hwm"))
+      .select(col(keyCol) +: col(seqCol).cast("long") +: col(opCol) +:
+        payloadCols.map(col): _*)
+    val openEv = touched.filter(col("is_current"))
+      .select(col(keyCol) +: col("valid_from").as(seqCol) +:
+        lit("U").as(opCol) +: payloadCols.map(col): _*)
+    val rebuilt = graft.operators.SnapshotDiff.scd2Events(
+      openEv.unionByName(fresh), keyCol, seqCol, opCol, payloadCols)
+    // localCheckpoint before the overwrite: the lazy union still reads
+    // the table being replaced (same correctness note as the MERGE face)
+    val next = untouched
+      .unionByName(touched.filter(!col("is_current")))
+      .unionByName(rebuilt)
+      .localCheckpoint()
+    graft.sources.Warehouse.writeTable(next, histTable)
+  }
+
+  /** s12's STREAMING face — incremental SCD2 maintenance: CDC parquet
+    * files land under `changelogDir`; each `Trigger.AvailableNow` run
+    * folds exactly the newly-arrived files into the history table via
+    * [[scd2Batch]], then stops. Seed the table with the snapshot's open
+    * versions (SnapshotDiff.scd2 over an empty changelog). StreamingSpec
+    * pins cross-batch parity with one batch scd2 over the concatenated
+    * changelog.
+    */
+  def scd2Stream(spark: SparkSession, changelogDir: String, schema: String,
+                 checkpoint: String, histTable: String, keyCol: String,
+                 seqCol: String, opCol: String,
+                 payloadCols: Seq[String]): Unit =
+    spark.readStream.schema(schema).parquet(changelogDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Batch(spark, histTable, batch, keyCol, seqCol, opCol,
+          payloadCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

@@ -311,6 +311,56 @@ class StreamingSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("scd2Stream: cross-batch version history parity with one batch " +
+    "scd2; closed versions immutable, stale rows dropped, gaps survive") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2-ck").toString
+    val table = "graft_scd2_stream_spec"
+    val snap0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val emptyCl = Seq.empty[(Long, Long, String, String)]
+      .toDF("k", "seq", "op", "v")
+    // seed: the snapshot's open versions
+    graft.sources.Warehouse.writeTable(
+      graft.operators.SnapshotDiff.scd2(snap0, emptyCl,
+        "k", "seq", "op", Seq("v")), table)
+    val schema = "k LONG, seq LONG, op STRING, v STRING"
+    def land(rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("k", "seq", "op", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    def run(): Unit = StreamingJobs.scd2Stream(spark, dir, schema, ckpt,
+      table, "k", "seq", "op", Seq("v"))
+    // trigger 1: k1 new version @5, k2 deleted @8
+    land(Seq((1L, 5L, "U", "a1"), (2L, 8L, "D", "b")))
+    run()
+    // trigger 2: k2 re-opens @12 (after a real gap), k3 inserts with
+    // IN-batch disorder (9 before 7 in file order), k1 gets a STALE
+    // cross-batch row (seq 4 <= hwm 5 — must be dropped, not versioned)
+    land(Seq((2L, 12L, "U", "b2"), (3L, 9L, "U", "c9"),
+      (3L, 7L, "U", "c7"), (1L, 4L, "U", "STALE")))
+    run()
+    val got = spark.table(table)
+      .select(col("k"), col("v"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)), col("is_current"))
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    // one batch scd2 over the concatenated changelog MINUS the stale row
+    // (stale-drop is the stream face's cross-batch contract; a single
+    // batch build never sees out-of-order files)
+    val full = Seq((1L, 5L, "U", "a1"), (2L, 8L, "D", "b"),
+      (2L, 12L, "U", "b2"), (3L, 9L, "U", "c9"), (3L, 7L, "U", "c7"))
+      .toDF("k", "seq", "op", "v")
+    val want = graft.operators.SnapshotDiff
+      .scd2(snap0, full, "k", "seq", "op", Seq("v"))
+      .select(col("k"), col("v"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)), col("is_current"))
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(got == want && got == Set(
+      (1L, "a", 0L, 5L, false), (1L, "a1", 5L, -1L, true),
+      (2L, "b", 0L, 8L, false), (2L, "b2", 12L, -1L, true),
+      (3L, "c7", 7L, 9L, false), (3L, "c9", 9L, -1L, true)),
+      s"got $got want $want")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("contentHash is order-insensitive and change-sensitive") {
     val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
     val b = Seq((2, "y"), (1, "x")).toDF("k", "v")
