@@ -203,6 +203,33 @@ object EventsQ extends QueryPack {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Watermark lateness audit (operators/Lateness): synthesize a
+    // deterministic arrival time (event time + a per-event hash-ish
+    // lateness, exact integer math both engines), compute the arrival-
+    // order event-time high-water mark with the two-phase prefix max,
+    // then count what candidate watermark delays {30s, 120s, 600s}
+    // would drop — the number that decides the streaming faces'
+    // withWatermark settings. The 3-way delay fan-out is a bounded
+    // explode AFTER the prefix pass (one data exchange total).
+    "e17_watermark_audit" -> { (s, dir) =>
+      val delays = Seq(30L, 120L, 600L)
+      val ev = Tables(s, dir).events.select(
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        .withColumn("arrival_ms", col("ts_ms") +
+          (col("event_id") % 997) * (col("event_id") % 31) % 600 * 1000L)
+      graft.operators.Lateness
+        .withHighWater(ev, "ts_ms", "arrival_ms", "event_id")
+        .select(explode(array(delays.map(d => struct(
+          lit(d).as("delay_s"),
+          (col("high_water").isNotNull &&
+            col("ts_ms") < col("high_water") - lit(d * 1000L))
+            .cast("long").as("dropped"))): _*)).as("x"))
+        .groupBy(col("x.delay_s").as("delay_s"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("x.dropped")).as("n_dropped"))
+        .orderBy(col("delay_s"))
+    },
+
     // Per-user activity features — the feature-extraction shape of a
     // churn/engagement model: event count, active-day count, first/last
     // day, and the activity TREND as the exact-integer OLS slope over
@@ -496,6 +523,28 @@ object EventsQ extends QueryPack {
         |    AS filled_cents,
         |  close_cents IS NOT NULL AS is_observed
         |FROM j ORDER BY event_type, day""".stripMargin,
+
+    // mirrors Lateness.withHighWater + the delay fan-out: hw = exclusive
+    // running max of event time in (arrival, event_id) order
+    "e17_watermark_audit" ->
+      """WITH ev AS (
+        |  SELECT epoch_ms(ts) AS ts_ms, event_id,
+        |    epoch_ms(ts) + ((event_id % 997) * (event_id % 31)) % 600
+        |      * 1000 AS arrival_ms
+        |  FROM events),
+        |h AS (
+        |  SELECT ts_ms,
+        |    MAX(ts_ms) OVER (ORDER BY arrival_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        |  FROM ev),
+        |d AS (SELECT * FROM (VALUES (30), (120), (600)) AS t(delay_s))
+        |SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN h.hw IS NOT NULL
+        |                 AND h.ts_ms < h.hw - d.delay_s * 1000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM h CROSS JOIN d
+        |GROUP BY d.delay_s ORDER BY delay_s""".stripMargin,
 
     "e15_user_features" ->
       """WITH d AS (

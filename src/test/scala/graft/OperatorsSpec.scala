@@ -53,6 +53,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Seq(("p", 3L, 10110L, 2L, 1001L)))
   }
 
+  test("Lateness.withHighWater: exclusive running max in arrival order, " +
+      "serial parity on real events (cross-partition prefix composition)") {
+    val ev = Tables(spark, sfSmoke).events.select(
+      unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("arrival_ms", col("ts_ms") +
+        (col("event_id") % 997) * (col("event_id") % 31) % 600 * 1000L)
+    val got = graft.operators.Lateness
+      .withHighWater(ev, "ts_ms", "arrival_ms", "event_id")
+      .select(col("event_id"), col("high_water"))
+      .as[(Long, Option[Long])].collect().toMap
+    val rows = ev.as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._3, r._2)) // (arrival, id)
+    var hw = Option.empty[Long]
+    rows.foreach { case (ts, id, _) =>
+      assert(got(id) == hw, s"event $id: got ${got(id)} want $hw")
+      hw = Some(hw.fold(ts)(math.max(_, ts)))
+    }
+    assert(rows.nonEmpty && got.size == rows.length)
+  }
+
   test("SnapshotDiff.scd2: U closes previous version, D closes without " +
       "opening (gap), re-open after delete, absent-key D is a no-op") {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
