@@ -50,6 +50,33 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"no partial aggregation:\n$plan")
   }
 
+  test("s13 IVM: the delta refresh never re-aggregates the base table — " +
+      "increment frames broadcast, the stored view is read as a table") {
+    val plan = formattedPlan("s13_ivm_delta")
+    // the stored view joins deltas via broadcast (both delta sides are
+    // increment-sized), so no exchange may carry the customer snapshot's
+    // aggregation — the only HashAggregates allowed are the
+    // increment-sized delta rollup (partial+final) and broadcast builds
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the base VIEW comes from the warehouse table, not a re-aggregation
+    // of customer: the view-side scan must not be followed by an
+    // aggregate over c_acctbal
+    assert(plan.contains("graft_wh_ivm_base_seg"),
+      s"base view not read from the warehouse:\n$plan")
+  }
+
+  test("e17 watermark audit: one data-sized exchange (the range " +
+      "partitioning); offsets join is broadcast") {
+    val plan = formattedPlan("e17_watermark_audit")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    // rangepartitioning appears exactly once as a data exchange; the
+    // delay fan-out must not add another data-sized shuffle before the
+    // final 3-row aggregate
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("p02 manifest pipeline fuses to two shuffles (dedup window + sort)") {
     // the composed pipeline (fingerprint dedup + quality gate + split)
     // must stay one plan: all per-row scoring fused into projections,
