@@ -814,4 +814,24 @@ object Similarity {
     graft.sources.Warehouse.writePartitioned(
       df.withColumn("cell", ivfCell(col(vecCol), codebook)),
       table, Seq("cell"))
+
+  /** INCREMENTAL IVF maintenance: fold new vectors into an existing
+    * [[writeIvfIndex]] table without touching what's there — assign
+    * cells with the SAME frozen centroids (an index's centroids are its
+    * contract; re-clustering is a rebuild, not an append) and append
+    * into the matching cell directories. Existing files are never
+    * rewritten (O(delta) cost), pruning keeps covering old + new files,
+    * and a probe over the appended index is indistinguishable from one
+    * over an index built from the union — the invariant the v27 oracle
+    * hash-checks and IvfAppendSpec pins as a multiset equality. The
+    * missing piece between "batch-built index" (v11) and "index under a
+    * live corpus" — periodic [[graft.sources.Compaction]] of hot cells
+    * handles the small-file accretion, exactly as for any partitioned
+    * log.
+    */
+  def appendIvfIndex(delta: DataFrame, vecCol: String,
+                     codebook: Seq[(Int, Array[Double])],
+                     table: String): Unit =
+    graft.sources.Warehouse.appendPartitioned(
+      delta.withColumn("cell", ivfCell(col(vecCol), codebook)), table)
 }

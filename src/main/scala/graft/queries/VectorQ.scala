@@ -112,6 +112,38 @@ object VectorQ extends QueryPack {
         .orderBy(col("cell"), col("idx"))
     },
 
+    // INDEX MAINTENANCE (Similarity.appendIvfIndex): build the at-rest
+    // IVF index from 4/5 of the corpus, APPEND the remaining fifth with
+    // the frozen centroids (existing files untouched, O(delta) write),
+    // then run the v06/v11 probe over the appended index. The oracle is
+    // the SAME full-corpus multiprobe mirror as v06/v11: hash equality
+    // proves the append lost no rows, re-assigned no cells, and left
+    // probing indistinguishable from a from-scratch build — the s13 IVM
+    // doctrine applied to a vector index.
+    "v27_ivf_append" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.writeIvfIndex(corpus.filter(col("vec_id") % 5 =!= 3),
+        "embedding", cb, "graft_ivf_idx_inc")
+      Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 3),
+        "embedding", cb, "graft_ivf_idx_inc")
+      val q = e.filter(col("vec_id") === 0)
+      val cells = q.select(
+          Similarity.ivfProbeCells(col("embedding"), cb, 2).as("c"))
+        .collect()(0).getSeq[Int](0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec")))
+      graft.sources.Warehouse.read(s, "graft_ivf_idx_inc")
+        .filter(col("cell").isin(cells: _*))
+        .crossJoin(qb)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     // Product quantization codes (m=4 subspaces over the 64-dim vectors,
     // codewords = the codebook vectors' slices): the 100 TB vector-
     // compression step — 4 small codes replace the vector in candidate
@@ -756,6 +788,12 @@ object VectorQ extends QueryPack {
     // can't see; what it CAN see is any row lost or cell corrupted by
     // the partitioned write, which would break the hash.)
     "v11_ivf_partitioned_probe" -> ivfMultiprobeSql,
+
+    // v27 is v11 with the index built in two generations (base + append)
+    // — same mirror again: the oracle can't see the file layout, but any
+    // row lost/duplicated or cell mis-assigned by the append breaks the
+    // hash
+    "v27_ivf_append" -> ivfMultiprobeSql,
 
     // Mirrors kmeansStep: same cell assignment as v04, then per-cell
     // quantized component means (1e-6 integer sums → one exact division).

@@ -75,5 +75,16 @@ object Warehouse {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** APPEND `df` into an existing partitioned managed table (created by
+    * [[writePartitioned]]): new files land inside the matching partition
+    * directories, untouched partitions stay byte-identical, and
+    * planning-time pruning keeps working over old + new files alike —
+    * the maintenance write of every "write once, probe a sliver" index
+    * (an IVF delta-add, a new day of a date-partitioned log). Nothing
+    * existing is rewritten: append cost is O(increment).
+    */
+  def appendPartitioned(df: DataFrame, table: String): Unit =
+    df.write.mode("append").format("parquet").insertInto(table)
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

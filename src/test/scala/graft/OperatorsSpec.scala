@@ -571,6 +571,49 @@ class OperatorsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_idx")
   }
 
+  test("v27 appendIvfIndex: base+append index is multiset-identical to a " +
+      "from-scratch build; probe over the appended table still prunes") {
+    val e = Tables(spark, sfSmoke).embeddings
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val cb = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
+      .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
+    graft.operators.Similarity.writeIvfIndex(corpus, "embedding",
+      cb, "graft_ivf_full_spec")
+    graft.operators.Similarity.writeIvfIndex(
+      corpus.filter(col("vec_id") % 5 =!= 3), "embedding",
+      cb, "graft_ivf_inc_spec")
+    graft.operators.Similarity.appendIvfIndex(
+      corpus.filter(col("vec_id") % 5 === 3), "embedding",
+      cb, "graft_ivf_inc_spec")
+    def snap(t: String) = spark.table(t).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(snap("graft_ivf_inc_spec") == snap("graft_ivf_full_spec"))
+    // append must not break planning-time pruning: a one-cell probe over
+    // the appended table reads one partition directory
+    val cell0 = spark.table("graft_ivf_inc_spec")
+      .agg(min(col("cell"))).collect()(0).getInt(0)
+    val probe = spark.table("graft_ivf_inc_spec")
+      .filter(col("cell") === cell0).select(col("vec_id"))
+    probe.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      (p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }) ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).flatMap(allScans)
+    val parts = allScans(probe.queryExecution.executedPlan)
+      .map(_.metrics("numPartitions").value).max
+    assert(parts == 1, s"one-cell probe read $parts partitions")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_full_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_inc_spec")
+  }
+
   test("pqEncode: codebook vectors encode to their own id; codes in range") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val codebook = e.filter(col("vec_id").between(1, 8))
