@@ -27,11 +27,29 @@ import graft.functions.text
   * vector space — terms with df > maxDf are dropped from postings AND
   * norms (the d14 winnowing maxDf boilerplate cut: on a templated corpus
   * the boilerplate terms carry no signal and all the join mass). Within
-  * that space the cosine is exact: per-term join work is ≤ maxDf², so
-  * total candidate volume is ≤ maxDf·Σdf — linear in corpus size with a
-  * tunable constant, vs corpus² for the naive form. df=1 terms stay in
-  * the norms (they are signal mass) but skip the join (no pair can
-  * share them).
+  * that space the cosine is exact. df=1 terms stay in the norms (they
+  * are signal mass) but skip the join (no pair can share them).
+  *
+  * Candidate generation is PREFIX-FILTERED (Bayardo/Ma/Srikant 2007
+  * all-pairs, Cauchy–Schwarz form): sort each doc's terms most-common-
+  * first and peel them into the doc's SUFFIX while the peeled norm stays
+  * below τ·‖x‖ — any pair sharing only suffix terms has
+  * cos ≤ ‖x_suffix‖/‖x‖ < τ, so every qualifying pair shares at least
+  * one term of each side's PREFIX (the rare tail) — and because the
+  * peel follows one GLOBAL term order, the ⪯-minimal shared term is in
+  * BOTH prefixes (the PPJoin symmetric-prefix argument), so candidates
+  * come from joining PREFIX postings against PREFIX postings; exact
+  * dots over all shared terms are then recomputed for just those
+  * candidates. The df cuts alone bound nothing at corpus scale
+  * (df ≤ N/maxDfFrac makes per-term join work (N/10)² — measured >900 s
+  * at sf1, where the synthetic corpus's 310-term vocabulary makes every
+  * doc share terms with every other); with the symmetric prefix filter
+  * per-term candidate work is |prefix(t)|², and common terms are peeled
+  * out of prefixes first, so the quadratic lands only on rare tails.
+  * The peel threshold is compared in integers (tauDen²·Σ_suffix w² <
+  * tauNum²·n2, DECIMAL-exact), so the filter is provably lossless, not
+  * heuristic — SparseSimSpec pins equality with the serial all-pairs
+  * reference on real docs.
   */
 object SparseSim {
 
@@ -46,9 +64,17 @@ object SparseSim {
     *
     * Scale shape: one (doc, term) shuffle for tf with map-side combine;
     * one vocabulary-sized df aggregate (broadcast back under AQE); the
-    * posting self-join is an equi-join on term over df-capped postings;
-    * one (a, b) aggregate for dots. The corpus-scalar N rides a
-    * broadcast literal frame (the t12 stats shape). No driver state.
+    * candidate join is prefix-vs-prefix on the term; one (a, b)
+    * aggregate for partial dots, a per-pair bound filter, then the
+    * exact dot over survivors. The corpus-scalar N rides a broadcast
+    * literal frame (the t12 stats shape). No driver state. The postings
+    * and prefix frames are localCheckpoint-staged (the q16/d17
+    * doctrine): both feed several join branches (norms, stats, both
+    * sides of the self-join, both dot legs), and self-join branches
+    * re-plan their exchanges (attribute ids differ, ReuseExchange can't
+    * dedupe them) — unstaged, the whole tokenize→tf→df chain re-runs
+    * per branch, measured >60× the staged cost at sf1. Any production
+    * all-pairs job persists its postings once for the same reason.
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        tauNum: Int, tauDen: Int,
@@ -81,13 +107,98 @@ object SparseSim {
       // cap) in Spark AND DuckDB-class engines whose max width is 38
       .select(col("doc_id"), col("t"), col("df"),
         (col("tf") * idf).cast("decimal(18,0)").as("w"))
+      .localCheckpoint()
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("n2"))
-    val a = w.filter(col("df") >= 2)
-      .select(col("doc_id").as("a"), col("t"), col("w").as("wa"))
-    val b = w.select(col("doc_id").as("b"), col("t"), col("w").as("wb"))
-    val dots = a.join(b, Seq("t"))
+      .localCheckpoint()
+    // prefix classification: peel terms most-common-first (df desc, t
+    // desc — a total order) into the suffix while the peeled norm² stays
+    // under τ²·n2, compared in integers: tauDen²·cum < tauNum²·n2. The
+    // complement (the rare tail, ≥1 term always — τ ≤ 1) is the prefix:
+    // every pair at cos ≥ τ shares a prefix term of EACH side.
+    val peel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").desc, col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // peel cap τ²/3 (not the lossless-minimal τ²): a deeper prefix makes
+    // the candidate bound below decisive — suffix-pair contribution is
+    // then ≤ τ²/3 of ‖x‖‖y‖, so survivors need partial dot ≥ τ − τ²/3
+    // (0.65·‖x‖‖y‖ at τ=0.95) instead of ≥ τ − τ² (0.05). Measured at
+    // sf1 on the dense fixture: 99M membership pairs → 81k survivors.
+    // Each prefix posting CARRIES its doc's √norm² and √suffix-norm² as
+    // DOUBLES (they only feed the pruning bound, which over-admits by an
+    // epsilon and is re-checked exactly); the suffix norm² falls out of
+    // the same window pass (largest suffix-row cum — no extra exchange).
+    val isPre = col("__cum") * lit(3L * tauDen * tauDen) >=
+      col("n2") * lit(tauNum.toLong * tauNum)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefix = w.join(norms, Seq("doc_id"))
+      .withColumn("__cum", sum(col("w") * col("w")).over(peel))
+      .withColumn("__s2", coalesce(
+        max(when(!isPre, col("__cum"))).over(whole), lit(0)))
+      .filter(isPre && col("df") >= 2)
+      .select(col("doc_id"), col("t"), col("w"),
+        sqrt(col("n2").cast("double")).as("sn"),
+        sqrt(col("__s2").cast("double")).as("ss"))
+      .localCheckpoint()
+    // candidates: prefix × prefix with a pair-level Cauchy–Schwarz
+    // bound. Membership is lossless: the peel order (df desc, t desc)
+    // is a GLOBAL total order on terms, so each doc's suffix is a
+    // contiguous tail of that order — for any pair at cos ≥ τ, its
+    // rarest shared term must lie in BOTH prefixes (were it above
+    // either side's cut, that side's whole overlap would sit in the
+    // suffix and cap cos below τ — the PPJoin symmetric-prefix
+    // argument). Membership alone is not enough on a dense corpus (the
+    // sf1 fixture's 310-term vocabulary puts 99M pairs through it), so
+    // pairs aggregate their PARTIAL DOT over shared prefix terms and
+    // survive only if partial + ‖x_S‖·‖y_S‖ ≥ τ·‖x‖·‖y‖ (shared
+    // non-prefix terms live in both suffixes, so they contribute at
+    // most ‖x_S‖·‖y_S‖). The aggregate is deliberately LEAN — one
+    // double sum and two double mins per pair (an earlier five-decimal-
+    // buffer form OOMed the executor at 99M groups) — and lands on an
+    // explicit 256-way (a,b) exchange so each task's hash map stays
+    // ~100 MB regardless of the planner's partition count (AQE may
+    // coalesce; the per-task group count, not the partition count, is
+    // what must stay bounded). The 1e-9 slack inflates the admit side:
+    // over-admission is re-checked exactly below, under-admission
+    // cannot happen.
+    // SALTED self-join (Skew.saltedJoin, the s01 doctrine): the join key
+    // is a TERM — on a small-vocabulary corpus its cardinality can be
+    // tiny (310 at sf1), so a hash exchange by t collapses onto a
+    // handful of reducers and the join strategy degenerates (measured:
+    // the same 120M-product join ran 2.6 s broadcast and 316 s when a
+    // plain exchange-by-t SMJ was picked). Salting spreads every hot
+    // term over `salts` reducers deterministically, independent of
+    // which strategy the planner picks.
+    val cand = Skew.saltedJoin(
+        prefix.select(col("t"), col("doc_id").as("a"), col("w").as("wa"),
+          col("sn").as("__sna"), col("ss").as("__ssa")),
+        prefix.select(col("t"), col("doc_id").as("b"), col("w").as("wb"),
+          col("sn").as("__snb"), col("ss").as("__ssb")),
+        "t", salts = 32)
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (col("wa") * col("wb")).cast("double").as("__p"),
+        (col("__sna") * col("__snb")).as("__snab"),
+        (col("__ssa") * col("__ssb")).as("__ssab"))
+      .repartition(256, col("a"), col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("__p")).as("__dp"),
+        min(col("__snab")).as("__snab"), min(col("__ssab")).as("__ssab"))
+      .filter((col("__dp") + col("__ssab")) * lit(1.0 + 1e-9) >=
+        lit(tauNum.toDouble / tauDen) * col("__snab"))
+      .select(col("a"), col("b"))
+      // survivor-scale pipeline breaker: downstream joins then plan
+      // against the REAL (small) candidate set instead of a 99M-pair
+      // estimate — without it the exact-dot legs were planned as
+      // shuffle joins of the whole pair stream (measured 185 s vs ~4 s)
+      .localCheckpoint()
+    // exact dot over ALL shared terms, recomputed for survivors only
+    val dots = cand
+      .join(w.select(col("doc_id").as("a"), col("t"), col("w").as("wa")),
+        Seq("a"))
+      .join(w.select(col("doc_id").as("b"), col("t"), col("w").as("wb")),
+        Seq("b", "t"))
       .groupBy(col("a"), col("b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
     val cosine = col("dot").cast("double") /

@@ -63,6 +63,26 @@ class SparseSimSpec extends SparkTestBase {
     assert(got.exists { case (a, b, c) => a == 1L && b == 5L && c == 1.0 })
   }
 
+  test("prefix filter is lossless on real docs: equals the serial " +
+      "all-pairs reference at a low threshold (prefixes really prune)") {
+    // τ = 2/5: the suffix may hold up to 96% of each doc's norm², so
+    // prefixes are a small fraction of postings — if the filter dropped
+    // a qualifying candidate, this corpus-scale comparison would miss a
+    // pair the serial reference finds
+    val docs = Tables(spark, sfSmoke).documents
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(300)
+      .as[(Long, String)].collect().toSeq
+    val got = SparseSim.tfidfCosinePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 2, tauDen = 5, maxDfFrac = 10)
+      .orderBy(col("a"), col("b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = serial(docs, maxDfFrac = 10, tau = 0.4)
+      .sortBy(p => (p._1, p._2))
+    assert(got.nonEmpty, "degenerate fixture: no pairs at tau=0.4")
+    assert(got == want)
+  }
+
   test("df=1 terms weigh in norms but never produce pairs") {
     // doc 7's terms are all df=1: it appears in no pair, and adding a
     // df=1 term to a doc LOWERS its cosines (norm grows, dots don't)
