@@ -132,55 +132,76 @@ object SparseSim {
       col("n2") * lit(tauNum.toLong * tauNum)
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
-    val prefix = w.join(norms, Seq("doc_id"))
+    // flagged postings: EVERY posting row, carrying its prefix flag and
+    // its doc's √norm² / √suffix-norm² as doubles (bound-only values;
+    // the suffix norm² falls out of the same window pass — the largest
+    // suffix-row cum — no extra exchange)
+    val flagged = w.join(norms, Seq("doc_id"))
       .withColumn("__cum", sum(col("w") * col("w")).over(peel))
       .withColumn("__s2", coalesce(
         max(when(!isPre, col("__cum"))).over(whole), lit(0)))
-      .filter(isPre && col("df") >= 2)
-      .select(col("doc_id"), col("t"), col("w"),
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("t"), col("w"), isPre.as("pre"),
         sqrt(col("n2").cast("double")).as("sn"),
         sqrt(col("__s2").cast("double")).as("ss"))
       .localCheckpoint()
-    // candidates: prefix × prefix with a pair-level Cauchy–Schwarz
-    // bound. Membership is lossless: the peel order (df desc, t desc)
-    // is a GLOBAL total order on terms, so each doc's suffix is a
-    // contiguous tail of that order — for any pair at cos ≥ τ, its
+    val prefix = flagged.filter(col("pre"))
+    // candidates: FULL postings × PREFIX postings, aggregating the
+    // partial dot over every shared term that touches at least one
+    // side's prefix. Membership is lossless: the peel order (df desc,
+    // t desc) is a GLOBAL total order on terms, so each doc's suffix is
+    // a contiguous tail of that order — for any pair at cos ≥ τ, its
     // rarest shared term must lie in BOTH prefixes (were it above
     // either side's cut, that side's whole overlap would sit in the
     // suffix and cap cos below τ — the PPJoin symmetric-prefix
     // argument). Membership alone is not enough on a dense corpus (the
     // sf1 fixture's 310-term vocabulary puts 99M pairs through it), so
-    // pairs aggregate their PARTIAL DOT over shared prefix terms and
-    // survive only if partial + ‖x_S‖·‖y_S‖ ≥ τ·‖x‖·‖y‖ (shared
-    // non-prefix terms live in both suffixes, so they contribute at
-    // most ‖x_S‖·‖y_S‖). The aggregate is deliberately LEAN — one
-    // double sum and two double mins per pair (an earlier five-decimal-
-    // buffer form OOMed the executor at 99M groups) — and lands on an
-    // explicit 256-way (a,b) exchange so each task's hash map stays
-    // ~100 MB regardless of the planner's partition count (AQE may
-    // coalesce; the per-task group count, not the partition count, is
-    // what must stay bounded). The 1e-9 slack inflates the admit side:
-    // over-admission is re-checked exactly below, under-admission
-    // cannot happen.
-    // SALTED self-join (Skew.saltedJoin, the s01 doctrine): the join key
-    // is a TERM — on a small-vocabulary corpus its cardinality can be
-    // tiny (310 at sf1), so a hash exchange by t collapses onto a
-    // handful of reducers and the join strategy degenerates (measured:
-    // the same 120M-product join ran 2.6 s broadcast and 316 s when a
-    // plain exchange-by-t SMJ was picked). Salting spreads every hot
-    // term over `salts` reducers deterministically, independent of
-    // which strategy the planner picks.
-    val cand = Skew.saltedJoin(
-        prefix.select(col("t"), col("doc_id").as("a"), col("w").as("wa"),
-          col("sn").as("__sna"), col("ss").as("__ssa")),
-        prefix.select(col("t"), col("doc_id").as("b"), col("w").as("wb"),
-          col("sn").as("__snb"), col("ss").as("__ssb")),
+    // pairs are BOUNDED: the aggregate's __dp covers all shared terms
+    // EXCEPT those in both suffixes (the full×prefix join sees every
+    // shared term with t ∈ P_x ∪ P_y; the direction-dedupe below counts
+    // each exactly once), and the unseen remainder lives in S_x ∩ S_y,
+    // so by Cauchy–Schwarz it contributes at most ‖x_S‖·‖y_S‖ — with
+    // the τ²/3 peel that is ≤ τ²/3·‖x‖‖y‖, making the filter decisive
+    // (survivors need partial ≥ τ − τ²/3). A previous prefix×prefix
+    // form bounded the remainder by ‖x_S‖‖y_S‖ while it also contained
+    // P_x∩S_y / S_x∩P_y terms — UNSOUND, caught by the sf1 oracle
+    // mismatch (true pairs whose dot mass rode asymmetric terms were
+    // dropped); this form is the sound repair, and the losslessness
+    // property spec now covers skewed small-vocabulary corpora where
+    // the asymmetric case is common.
+    // The aggregate is deliberately LEAN — one double sum and two
+    // double mins per pair (an earlier five-decimal-buffer form OOMed
+    // the executor at 99M groups) — and lands on an explicit 256-way
+    // (a,b) exchange so each task's hash map stays ~100 MB regardless
+    // of the planner's partition count. The 1e-9 slack inflates the
+    // admit side: over-admission is re-checked exactly below,
+    // under-admission cannot happen.
+    // SALTED join (Skew.saltedJoin, the s01 doctrine): the join key is
+    // a TERM — on a small-vocabulary corpus its cardinality can be tiny
+    // (310 at sf1), so a hash exchange by t collapses onto a handful of
+    // reducers and the join strategy degenerates (measured: the same
+    // ~100M-product join ran 2.6 s broadcast and 316 s when a plain
+    // exchange-by-t SMJ was picked). Salting spreads every hot term
+    // over `salts` reducers deterministically, independent of which
+    // strategy the planner picks.
+    val joined = Skew.saltedJoin(
+        flagged.select(col("t"), col("doc_id").as("__x"),
+          col("w").as("wx"), col("pre").as("preX"),
+          col("sn").as("snx"), col("ss").as("ssx")),
+        prefix.select(col("t"), col("doc_id").as("__y"),
+          col("w").as("wy"), col("sn").as("sny"), col("ss").as("ssy")),
         "t", salts = 32)
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (col("wa") * col("wb")).cast("double").as("__p"),
-        (col("__sna") * col("__snb")).as("__snab"),
-        (col("__ssa") * col("__ssb")).as("__ssab"))
+      .filter(col("__x") =!= col("__y"))
+      // direction dedupe: a shared term in BOTH prefixes matches in
+      // both (x full, y prefix) orientations — keep one; a term in
+      // P_y ∖ P_x matches only with y on the prefix side — keep it
+      .filter(!col("preX") || col("__x") < col("__y"))
+    val cand = joined
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"),
+        (col("wx") * col("wy")).cast("double").as("__p"),
+        (col("snx") * col("sny")).as("__snab"),
+        (col("ssx") * col("ssy")).as("__ssab"))
       .repartition(256, col("a"), col("b"))
       .groupBy(col("a"), col("b"))
       .agg(sum(col("__p")).as("__dp"),

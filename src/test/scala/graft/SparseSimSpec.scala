@@ -83,6 +83,40 @@ class SparseSimSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("prefix+bound filters are lossless on a skewed tiny-vocabulary " +
+      "corpus (asymmetric prefix/suffix shared terms carry real mass)") {
+    // deterministic pseudo-random corpus from an 8-term vocabulary with
+    // Zipf-ish repetition: many shared terms land in one doc's prefix
+    // but the other's suffix — the exact case an earlier suffix-only
+    // bound missed (caught by the sf1 oracle; this pins the repair).
+    // Thresholds span loose to tight so both the membership and the
+    // bound arms are exercised.
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    val docs = (0L until 120L).map { i =>
+      var st = lcg(i + 7)
+      val len = 3 + (math.abs(st) % 9).toInt
+      val words = (0 until len).map { k =>
+        st = lcg(st)
+        // Zipf-ish: low vocab indices repeat more
+        val v = vocab((math.abs(st) % 64 % vocab.size).toInt)
+        val reps = 1 + (math.abs(lcg(st + k)) % 4).toInt
+        Seq.fill(reps)(v).mkString(" ")
+      }
+      i -> words.mkString(" ")
+    }
+    for ((tn, td) <- Seq((1, 2), (3, 4), (19, 20))) {
+      val got = SparseSim.tfidfCosinePairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tauNum = tn, tauDen = td, maxDfFrac = 1)
+        .orderBy(col("a"), col("b"))
+        .as[(Long, Long, Double)].collect().toSeq
+      val want = serial(docs, maxDfFrac = 1, tau = tn.toDouble / td)
+        .sortBy(p => (p._1, p._2))
+      assert(got == want, s"tau=$tn/$td: got ${got.size} want ${want.size}")
+      assert(want.nonEmpty, s"degenerate fixture at tau=$tn/$td")
+    }
+  }
+
   test("df=1 terms weigh in norms but never produce pairs") {
     // doc 7's terms are all df=1: it appears in no pair, and adding a
     // df=1 term to a doc LOWERS its cosines (norm grows, dots don't)
