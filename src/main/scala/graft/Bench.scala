@@ -245,7 +245,19 @@ object Bench {
       "query id prefixes must be unique for the stdout bench line")
     val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${jesc(sfDir)}"${canaryJson(fmt)}$knobsJson$gtfsFailJson}""")
+    // The queries dict comes FIRST and the summary fields LAST: at 169
+    // queries the dict alone (~2.2k chars) overflows the driver's
+    // 2000-char tail window, and in r11 the overflow truncated the
+    // LEADING "total" metric away ("parsed": null). With the totals
+    // trailing the dict, a tail window of any size keeps the summary —
+    // only the oldest per-query entries (fully recorded in
+    // BENCH_DETAIL.json regardless) can fall off the head.
+    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"${jesc(sfDir)}"${canaryJson(fmt)}$knobsJson$gtfsFailJson}""")
+    // ...and a compact summary line LAST (~150 chars — fits ANY tail
+    // window whole, so it always parses even when the full line above
+    // cannot): the totals the driver's "parsed" field needs, with
+    // per-query values delegated to the full line + BENCH_DETAIL.json.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"sf":"${jesc(sfDir)}"${canaryJson(fmt)}$gtfsFailJson}""")
     spark.stop()
   }
 }

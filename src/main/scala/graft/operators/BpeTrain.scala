@@ -122,9 +122,15 @@ object BpeTrain {
     val hit =
       if (spark.catalog.tableExists(table)) {
         val t = spark.table(table)
-        t.columns.contains("fp") &&
-          t.select(col("fp")).limit(1).collect()
-            .headOption.exists(_.getString(0) == fp)
+        // validate EVERY row's fp, not one arbitrary row: a failed /
+        // partial overwrite can leave mixed-fingerprint rows that would
+        // pass a limit(1) probe and replay a torn merge table. The k-row
+        // aggregate is cache-sized, not corpus-sized.
+        t.columns.contains("fp") && {
+          val r = t.agg(count_distinct(col("fp")).as("d"),
+            min(col("fp")).as("f")).collect()(0)
+          r.getLong(0) == 1L && r.getString(1) == fp
+        }
       } else false
     if (hit)
       spark.table(table).select("merge_rank", "lhs", "rhs", "cnt")

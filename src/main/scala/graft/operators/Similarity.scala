@@ -646,14 +646,27 @@ object Similarity {
     }
     val errQ = math.acos(math.max(-1.0, math.min(1.0, dCos(query, qDeq))))
     val qNorm = math.sqrt(cq.map(x => x.toDouble * x).sum)
+    // degenerate QUERY: every |q_i| < scale/254 quantizes to the zero
+    // code, so no code-space angle exists (0/0 = NaN) — the prefilter
+    // has no information and must admit everything; cosine is
+    // norm-invariant, so such a query still has well-defined exact
+    // answers for the re-rank to find
+    if (qNorm == 0.0 || errQ.isNaN) return coded.select(col(idCol))
     val tauAng = math.acos(tau - 1e-4) // cos4 HALF_UP rounding slack
+    val codesNormSq = aggregate(col("codes"), lit(0L),
+      (a, c) => a + c.cast("long") * c.cast("long"))
     val approxCos = graft.plans.Sq8Dot.sq8CodesDot(col("codes"), cq)
-      .cast("double") / (sqrt(aggregate(col("codes"), lit(0L),
-        (a, c) => a + c.cast("long") * c.cast("long")).cast("double"))
-        * lit(qNorm))
+      .cast("double") / (sqrt(codesNormSq.cast("double")) * lit(qNorm))
+    // degenerate ROW (all-zero codes → codes-norm 0 → approxCos and the
+    // stored err are NaN): a NaN never satisfies `<=`, so without the
+    // escape the row would be silently dropped — yet cosine is
+    // norm-invariant, so a vector too small to quantize can still have
+    // exact cos4 ≥ tau. Such rows must fall through to the exact
+    // re-rank for the "identical to brute force" guarantee to hold.
     coded
-      .filter(acos(least(lit(1d), greatest(lit(-1d), approxCos)))
-        - col("err") - lit(errQ) <= lit(tauAng + 1e-6))
+      .filter(codesNormSq === 0 || col("err").isNull || isnan(col("err")) ||
+        acos(least(lit(1d), greatest(lit(-1d), approxCos)))
+          - col("err") - lit(errQ) <= lit(tauAng + 1e-6))
       .select(col(idCol))
   }
 

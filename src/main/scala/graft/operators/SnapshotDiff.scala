@@ -74,8 +74,12 @@ object SnapshotDiff {
     * on `seqCol`; the result is the union of the reconstructed states,
     * tagged by a `version` column — for each cutoff v, exactly the rows
     * [[applyChangelog]] would produce if the changelog were filtered to
-    * `seq <= v` (winner per key = max by (seq, op); same-key/same-seq
-    * rows are corrupt input, as there).
+    * `seq <= v`, PROVIDED the input is tie-free on (key, seq) — the
+    * documented contract (same-key/same-seq rows are corrupt input, as
+    * there). On corrupt tied input the two paths pick different
+    * winners (here max-struct lets 'U' and the payload participate;
+    * applyChangelog's (seq desc, op asc) row_number lets 'D' win), so
+    * the equality claim holds only for valid input.
     *
     * Scale shape — the reason this is an operator and not C filtered
     * applyChangelog calls: the changelog aggregates ONCE (per-key
@@ -150,8 +154,18 @@ object SnapshotDiff {
     val snapEv = snapshot.select(
       col(keyCol) +: lit(snapshotSeq).as(seqCol) +: lit("U").as(opCol) +:
         payloadCols.map(col): _*)
+    // ENFORCE "every changelog seq must be > snapshotSeq" (the corrupt-
+    // input posture applyChangelog documents): a row at seq ==
+    // snapshotSeq would tie the synthetic snapshot opening event and
+    // produce nondeterministic valid_from/valid_to instead of an error.
+    // The check rides the existing scan — no extra pass.
+    val guardedSeq = when(col(seqCol) > snapshotSeq, col(seqCol))
+      .otherwise(raise_error(concat(
+        lit(s"scd2: changelog $seqCol must be > snapshotSeq=$snapshotSeq, got "),
+        // coalesce: a NULL seq must not null the diagnostic itself
+        coalesce(col(seqCol).cast("string"), lit("NULL")))))
     scd2Events(snapEv.unionByName(changelog.select(
-      col(keyCol) +: col(seqCol).cast("long") +: col(opCol) +:
+      col(keyCol) +: guardedSeq.cast("long").as(seqCol) +: col(opCol) +:
         payloadCols.map(col): _*)),
       keyCol, seqCol, opCol, payloadCols)
   }

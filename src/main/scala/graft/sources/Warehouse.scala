@@ -83,8 +83,17 @@ object Warehouse {
     * (an IVF delta-add, a new day of a date-partitioned log). Nothing
     * existing is rewritten: append cost is O(increment).
     */
-  def appendPartitioned(df: DataFrame, table: String): Unit =
-    df.write.mode("append").format("parquet").insertInto(table)
+  def appendPartitioned(df: DataFrame, table: String): Unit = {
+    // insertInto matches by POSITION, and saveAsTable moves partition
+    // columns to the END of the stored schema — a caller whose column
+    // order differs (payload added after the partition column, reordered
+    // select) would silently write values into the wrong columns.
+    // Reorder defensively against the stored schema so order can never
+    // matter; a genuinely missing column fails loudly here instead.
+    val stored = df.sparkSession.table(table).columns
+    df.select(stored.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").format("parquet").insertInto(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -95,6 +95,18 @@ class BpeTrainSpec extends SparkTestBase {
     // a k change alone also misses (fingerprint carries k)
     assert(BpeTrain.corpusFingerprint(d2, "text", 4) !=
       BpeTrain.corpusFingerprint(d2, "text", 5))
+    // TORN table (mixed fingerprints — the residue of a failed partial
+    // overwrite): rows carrying the matching fp alongside stale-fp rows
+    // must read as a MISS and retrain, not replay the torn mixture
+    val fp2 = BpeTrain.corpusFingerprint(d2, "text", 4)
+    graft.sources.Warehouse.writeTable(
+      BpeTrain.learnMerges(d2, "text", 4).withColumn("fp", lit(fp2))
+        .unionByName(BpeTrain.learnMerges(d1, "text", 4)
+          .withColumn("lhs", lit("TORN")).withColumn("fp", lit("stale"))),
+      table)
+    val healed = rows(BpeTrain.learnMergesCached(d2, "text", 4, table))
+    assert(healed == rows(BpeTrain.learnMerges(d2, "text", 4)))
+    assert(healed.forall(_._2 != "TORN"))
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

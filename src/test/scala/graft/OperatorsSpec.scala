@@ -257,6 +257,63 @@ class OperatorsSpec extends SparkTestBase {
     coded.unpersist()
   }
 
+  test("sq8RangeSearch: zero-code (sub-quantization-norm) vectors and " +
+      "zero-code queries still reach the exact re-rank") {
+    // id 2's components are all < scale/254, so every code rounds to 0:
+    // code-norm 0 → approxCos and the stored err are NaN. Cosine is
+    // norm-invariant, so its exact cos vs the query is ~0.9994 — a row
+    // the prefilter MUST NOT drop for the brute-force-parity guarantee.
+    val data = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),      // sets the scale
+      (2L, Seq(0.003, 1e-4, 0.0, 0.0)),   // degenerate: all-zero codes
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0)))     // opposite direction, excluded
+    val corpus = data.toDF("vec_id", "embedding")
+    val scale = Similarity.sq8MaxAbs(corpus, "embedding")
+    assert(data(1)._2.forall(x => math.abs(x) < scale / 254.0),
+      "premise: every component of id 2 must quantize to the zero code")
+    val coded = Similarity.sq8RangeEncode(corpus, "vec_id", "embedding", scale)
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val got = Similarity.sq8RangeSearch(corpus, coded, "vec_id",
+        "embedding", q, scale, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L), s"degenerate row dropped: $got")
+    // degenerate QUERY (all components quantize to 0): the prefilter has
+    // no code-space information, must admit everything, and the exact
+    // re-rank still answers correctly
+    val qTiny = Array(0.001, 0.0, 0.0, 0.0)
+    val gotQ = Similarity.sq8RangeSearch(corpus, coded, "vec_id",
+        "embedding", qTiny, scale, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotQ == Set(1L, 2L), s"degenerate query mishandled: $gotQ")
+  }
+
+  test("scd2: changelog seq <= snapshotSeq is rejected loudly, " +
+      "null-safe diagnostic") {
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val tied = Seq((2L, 0L, "U", "b")).toDF("k", "seq", "op", "v")
+    val e1 = intercept[Throwable] {
+      graft.operators.SnapshotDiff
+        .scd2(snap, tied, "k", "seq", "op", Seq("v")).collect()
+    }
+    assert(messages(e1).exists(_.contains("must be > snapshotSeq")), e1)
+    // NULL seq: the diagnostic itself must stay readable (not nulled)
+    val nullSeq = Seq((2L, Option.empty[Long], "U", "b"))
+      .toDF("k", "seq", "op", "v")
+    val e2 = intercept[Throwable] {
+      graft.operators.SnapshotDiff
+        .scd2(snap, nullSeq, "k", "seq", "op", Seq("v")).collect()
+    }
+    assert(messages(e2).exists(m =>
+      m.contains("must be > snapshotSeq") && m.contains("NULL")), e2)
+    // valid input (every seq > snapshotSeq) is untouched by the guard
+    val ok = Seq((1L, 5L, "U", "a2")).toDF("k", "seq", "op", "v")
+    assert(graft.operators.SnapshotDiff
+      .scd2(snap, ok, "k", "seq", "op", Seq("v")).count() == 2)
+  }
+
   test("cluster-keyed split: no near-dup pair crosses splits (naive does)") {
     val t = Tables(spark, sfSmoke)
     val pairs = Dedup.minhashLshPairs(t.documents, "doc_id", "text",

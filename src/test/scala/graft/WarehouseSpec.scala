@@ -59,4 +59,27 @@ class WarehouseSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS wh_li_part")
     }
   }
+
+  test("appendPartitioned is column-order independent (insertInto is " +
+      "positional; saveAsTable moves partition cols to the end)") {
+    import spark.implicits._
+    Warehouse.writePartitioned(
+      Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "payload", "cell"),
+      "wh_append_reorder", Seq("cell"))
+    try {
+      // append with a DIFFERENT column order than the stored schema —
+      // without the defensive reorder, 'cell' and 'payload' values would
+      // silently land in each other's columns
+      Warehouse.appendPartitioned(
+        Seq((30L, 3L, "z")).toDF("cell", "id", "payload"),
+        "wh_append_reorder")
+      val got = Warehouse.read(spark, "wh_append_reorder")
+        .select("id", "payload", "cell")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L)),
+        got.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wh_append_reorder")
+    }
+  }
 }
