@@ -579,25 +579,32 @@ object Dedup {
     // sized from the INITIAL edge set; star rounds only ever shrink it
     val parts = Iteration.roundPartitions(spark, edges.count())
     Iteration.withShufflePartitions(spark, parts) {
-    var prev = checksum(edges)
-    var converged = false
-    var i = 0
-    while (i < maxIter && !converged) {
-      edges = ckpt(smallStar(largeStar(edges)))
-      val cur = checksum(edges)
-      converged = cur == prev
-      prev = cur
-      i += 1
+      var prev = checksum(edges)
+      var converged = false
+      var i = 0
+      while (i < maxIter && !converged) {
+        edges = ckpt(smallStar(largeStar(edges)))
+        val cur = checksum(edges)
+        converged = cur == prev
+        prev = cur
+        i += 1
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dupClustersStar stopped at maxIter=$maxIter without a stable " +
+            "edge set; results may be partial — raise maxIter")
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dupClustersStar stopped at maxIter=$maxIter without a stable " +
-          "edge set; results may be partial — raise maxIter")
-    // at fixpoint edges are (member, root): add the roots themselves
+    // The output projection sits OUTSIDE the narrowed-width block ON
+    // PURPOSE (the withShufflePartitions laziness contract): a lazy frame
+    // returned from the block would plan its distinct after the conf is
+    // restored anyway, silently ignoring the round width. The final
+    // distinct is the hand-off to the session's downstream plan, so the
+    // SESSION width is the intended width here — rounds (all checksummed
+    // and ckpt'd inside) are the only work the narrow knob targets.
+    // At fixpoint edges are (member, root): add the roots themselves.
     edges.select(col("u").as("member"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("member"), col("v").as("cluster")))
       .distinct()
-    }
   }
 
   /** 16-bit SimHash per document: bit b is the majority vote of bit b over

@@ -9,6 +9,22 @@ import graft.operators.{Dedup, Sessionize, Similarity, Splits}
 class OperatorsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("Iteration.roundPartitions: boundary behavior (no Int overflow " +
+      "at 100 TB-scale row counts)") {
+    import graft.operators.Iteration
+    val cur = spark.sessionState.conf.numShufflePartitions
+    assert(Iteration.roundPartitions(spark, 0L) == 1)
+    assert(Iteration.roundPartitions(spark, 131071L) == 1)
+    assert(Iteration.roundPartitions(spark, 131072L) == math.min(2, cur))
+    // a frame larger than the session plans for keeps full session width
+    assert(Iteration.roundPartitions(spark, 131072L * cur * 10) == cur)
+    // the 100 TB boundary: past ~2.8e14 rows (rows/131072 + 1 overflows
+    // Int if narrowed first) the count must STAY at the session width,
+    // not collapse to a negative/1 — clamp in Long before narrowing
+    assert(Iteration.roundPartitions(spark, Long.MaxValue) == cur)
+    assert(Iteration.roundPartitions(spark, 2.8e14.toLong + 7) == cur)
+  }
+
   test("minSpacingSweep keeps first and enforces gap against last KEPT") {
     // ts: 0, 50, 120, 130, 200 with gap 100:
     // keep 0 (first); drop 50 (<100 after 0); keep 120; drop 130; keep 200? 200-120=80 <100 → drop.
