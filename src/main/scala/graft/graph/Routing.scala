@@ -406,9 +406,10 @@ object Routing {
     *
     * Scale shape: stop_times is the fact table; each round shuffles on
     * stop then trip — both real keys, no driver state. The O(stop_times)
-    * side re-joins per round exactly like BFS's edge frame: the same
-    * src-bucketed at-rest remedy applies if rounds dominate (write
-    * stop_times stop-bucketed; [[stageEdgesTable]] doctrine).
+    * side re-joins per round exactly like BFS's edge frame: when rounds
+    * dominate, use [[stageStopTimesTables]] + [[earliestArrivalOnTables]]
+    * (the at-rest remedy — dual stop-/trip-bucketed layouts, only
+    * round-output-sized frames shuffle per round).
     */
   def earliestArrival(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
                       maxRounds: Int = 15, warnOnTruncation: Boolean = true,
@@ -431,6 +432,69 @@ object Routing {
       }
       graft.operators.Iteration.warnIfTruncated("earliestArrival", frontier,
         i, maxRounds, warnOnTruncation)
+      state.drop("__new")
+    }
+  }
+
+  /** Stage a timetable as TWO bucketed at-rest layouts — stop-bucketed
+    * (the board join's key) and trip-bucketed (the ride join's key) —
+    * for [[earliestArrivalOnTables]]. RAPTOR's serial data structures
+    * are exactly this dual layout (Delling et al. 2012 §4: a
+    * routes-ordered array for riding and a stops-ordered array for
+    * boarding); the distributed counterpart is one fact table stored
+    * twice, each copy bucketed on the key one of the two per-round
+    * joins probes it with. 2× storage is the price, paid ONCE, for a
+    * loop in which the O(stop_times) side never shuffles again — the
+    * [[stageEdgesTable]] doctrine, which needs both layouts here
+    * because the round touches the fact table under two different keys.
+    */
+  def stageStopTimesTables(stopTimes: DataFrame, stopTable: String,
+                           tripTable: String, buckets: Int): Unit = {
+    val st = stopTimes.select(col("trip"), col("seq").cast("int"),
+      col("stop"), col("arr").cast("long"), col("dep").cast("long"))
+    graft.sources.Warehouse.writeBucketed(st, stopTable, "stop", buckets)
+    graft.sources.Warehouse.writeBucketed(
+      st.select(col("trip"), col("seq"), col("stop"), col("arr")),
+      tripTable, "trip", buckets)
+  }
+
+  /** [[earliestArrival]] over the dual bucketed layout
+    * ([[stageStopTimesTables]]): each round's board join reads the
+    * stop-bucketed copy and its ride join the trip-bucketed copy
+    * straight from the metastore, so NEITHER O(stop_times) side ever
+    * shuffles — only the frontier, the boarded-trip minima, and the
+    * candidate arrivals (all round-output-sized) move per round. The
+    * in-memory loop re-exchanges the full timetable TWICE per round
+    * (once on stop, once on trip); at a 100 TB feed with ~60 rounds
+    * that is ~120 fact-table shuffles this variant deletes. Rounds plan
+    * AT the bucket width (the r08 lesson); identical semantics to
+    * [[earliestArrival]] (RoutingSpec pins equality and the per-round
+    * exchange count).
+    */
+  def earliestArrivalOnTables(spark: SparkSession, stopTable: String,
+                              tripTable: String, sourceStop: Any,
+                              depTime: Long, maxRounds: Int = 15,
+                              warnOnTruncation: Boolean = true,
+                              checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val stBoard = spark.table(stopTable)
+      .select(col("trip"), col("seq"), col("stop"), col("arr"), col("dep"))
+    val stRide = spark.table(tripTable)
+      .select(col("trip"), col("seq"), col("stop"), col("arr"))
+    val parts = stBoard.rdd.getNumPartitions
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
+        lit(depTime).as("arr_t"), lit(true).as("__new")))
+      var frontier = state.filter(col("__new"))
+      var i = 0
+      while (i < maxRounds && !frontier.isEmpty) {
+        state = ckpt(raptorRoundOn(stBoard, stRide, state, frontier))
+        frontier = state.filter(col("__new"))
+        i += 1
+      }
+      graft.operators.Iteration.warnIfTruncated("earliestArrivalOnTables",
+        frontier, i, maxRounds, warnOnTruncation)
       state.drop("__new")
     }
   }
@@ -488,16 +552,26 @@ object Routing {
     * (see [[ssspRound]]).
     */
   private[graft] def raptorRound(st: DataFrame, state: DataFrame,
-                                 frontier: DataFrame): DataFrame = {
+                                 frontier: DataFrame): DataFrame =
+    raptorRoundOn(st, st, state, frontier)
+
+  /** One round over a (possibly dual-layout) timetable: `stBoard` is
+    * probed on stop, `stRide` on trip — the in-memory loop passes the
+    * same frame twice; [[earliestArrivalOnTables]] passes the two
+    * bucketed copies so neither probe re-exchanges the fact table.
+    */
+  private[graft] def raptorRoundOn(stBoard: DataFrame, stRide: DataFrame,
+                                   state: DataFrame,
+                                   frontier: DataFrame): DataFrame = {
     // board: per trip, the earliest position reachable in time from an
     // improved stop (min over feasible seq — boarding earlier dominates:
     // every later alighting stays available)
-    val board = frontier.join(st, frontier("stop") === st("stop"))
-      .filter(st("dep") >= frontier("arr_t"))
-      .groupBy(st("trip").as("trip"))
-      .agg(min(st("seq")).as("bseq"))
+    val board = frontier.join(stBoard, frontier("stop") === stBoard("stop"))
+      .filter(stBoard("dep") >= frontier("arr_t"))
+      .groupBy(stBoard("trip").as("trip"))
+      .agg(min(stBoard("seq")).as("bseq"))
     // ride: alight at any strictly later position; min arrival per stop
-    val ride = st.select(col("trip"), col("seq").as("aseq"),
+    val ride = stRide.select(col("trip"), col("seq").as("aseq"),
       col("stop"), col("arr"))
     val cand = board.join(ride, Seq("trip"))
       .filter(col("aseq") > col("bseq"))

@@ -106,6 +106,36 @@ object GraphQ extends QueryPack {
       }
     }
 
+  /** r17/r19's fact-scale timetable: trip = orderkey, seq = linenumber
+    * (unique, increasing per order), stop = suppkey mod 500, time =
+    * (orderkey mod 1000)·100 + linenumber (strictly increasing along
+    * each trip). ~6M stop_time rows at sf1.
+    */
+  private def factStopTimes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.select(
+        col("l_orderkey").as("trip"),
+        col("l_linenumber").cast("int").as("seq"),
+        (col("l_suppkey") % 500).cast("long").as("stop"),
+        ((col("l_orderkey") % 1000) * 100 + col("l_linenumber"))
+          .cast("long").as("t"))
+      .select(col("trip"), col("seq"), col("stop"),
+        col("t").as("arr"), col("t").as("dep"))
+
+  /** Build-once guard for r19's dual bucketed timetable layout (the
+    * [[ensureTradeEdgesTable]] pattern, keyed by sfDir).
+    */
+  @volatile private var stopTimesTablesFor: String = null
+  private def ensureStopTimesTables(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (stopTimesTablesFor != dir) {
+        val st = factStopTimes(s, dir).localCheckpoint()
+        val buckets = graft.operators.Iteration.roundPartitions(s, st.count())
+        Routing.stageStopTimesTables(st, "graft_st_by_stop",
+          "graft_st_by_trip", buckets)
+        stopTimesTablesFor = dir
+      }
+    }
+
   /** Deterministic synthetic TIMETABLE over the 25-stop nation graph —
     * r16's network. Two trip families per nation key k: "t{k}" rides
     * k → (7k+3)%25 → (11k+5)%25 departing at 100k with (k%5+1)·10 per
@@ -291,16 +321,23 @@ object GraphQ extends QueryPack {
     // board→alight hops join seq-pairs DIRECTLY (b.seq > a.seq), so no
     // gapless-sequence assumption; integer stop ids stay undecoded.
     "r17_transit_factscale" -> { (s, dir) =>
-      val st = Tables(s, dir).lineitem.select(
-        col("l_orderkey").as("trip"),
-        col("l_linenumber").cast("int").as("seq"),
-        (col("l_suppkey") % 500).cast("long").as("stop"),
-        ((col("l_orderkey") % 1000) * 100 + col("l_linenumber"))
-          .cast("long").as("t"))
-      Routing.earliestArrival(
-          st.select(col("trip"), col("seq"), col("stop"),
-            col("t").as("arr"), col("t").as("dep")),
-          0L, 0L, maxRounds = 60)
+      Routing.earliestArrival(factStopTimes(s, dir), 0L, 0L, maxRounds = 60)
+        .orderBy(col("stop"))
+    },
+
+    // r17's own named lever (VERDICT r11): the SAME fact-scale RAPTOR
+    // run over the dual stop-/trip-bucketed at-rest layout — the
+    // in-memory loop re-exchanges the ~6M-row timetable twice per round
+    // for ~60 rounds; here neither fact-table side ever shuffles, only
+    // the frontier/board/candidate frames (round-output-sized) move.
+    // Staging sits behind the build-once guard (the r15 pattern: the
+    // timed body measures the LOOP; the one-time dual write amortizes
+    // over every journey query after it) but runs inside the first
+    // call, so a corrupted bucket layout would hash-mismatch the oracle.
+    "r19_transit_bucketed" -> { (s, dir) =>
+      ensureStopTimesTables(s, dir)
+      Routing.earliestArrivalOnTables(s, "graft_st_by_stop",
+          "graft_st_by_trip", 0L, 0L, maxRounds = 60)
         .orderBy(col("stop"))
     },
 
@@ -686,6 +723,27 @@ object GraphQ extends QueryPack {
     // ride segment, no gapless assumption), UNION-deduped walk to
     // fixpoint, min arrival per stop — the r16 oracle shape on fact data
     "r17_transit_factscale" ->
+      """WITH RECURSIVE st AS (
+        |  SELECT l_orderkey AS trip, l_linenumber AS seq,
+        |         CAST(l_suppkey % 500 AS BIGINT) AS stop,
+        |         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS t
+        |  FROM lineitem),
+        |conn AS (
+        |  SELECT a.stop AS from_stop, a.t AS dep, b.stop AS to_stop,
+        |         b.t AS arr
+        |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+        |walk(stop, t) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT c.to_stop, c.arr FROM walk w
+        |  JOIN conn c ON c.from_stop = w.stop AND c.dep >= w.t)
+        |SELECT stop, MIN(t) AS arr_t FROM walk
+        |GROUP BY stop ORDER BY stop""".stripMargin,
+
+    // r19 computes the same labels as r17 over the at-rest layout — the
+    // oracle is the same recursive walk; a corrupted bucket staging
+    // would hash-mismatch here
+    "r19_transit_bucketed" ->
       """WITH RECURSIVE st AS (
         |  SELECT l_orderkey AS trip, l_linenumber AS seq,
         |         CAST(l_suppkey % 500 AS BIGINT) AS stop,

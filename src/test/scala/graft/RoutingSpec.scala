@@ -136,6 +136,60 @@ class RoutingSpec extends SparkTestBase {
     assert(b16 == Map("B" -> 16L))
   }
 
+  test("earliestArrivalOnTables equals the in-memory loop; neither " +
+    "fact-table side shuffles in a round") {
+    // a denser timetable so both bucketed copies carry >1 row per bucket:
+    // 40 trips over 11 stops, increasing times along each trip
+    val st = (0 until 40).flatMap { t =>
+      (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
+        (t * 7 + j * 13).toLong, (t * 7 + j * 13).toLong))
+    }.toDF("trip", "seq", "stop", "arr", "dep")
+    Routing.stageStopTimesTables(st, "graft_st_stop_spec",
+      "graft_st_trip_spec", buckets = 4)
+    val want = Routing.earliestArrival(st, "s0", 0L, maxRounds = 20)
+      .as[(String, Long)].collect().toMap
+    val got = Routing.earliestArrivalOnTables(spark, "graft_st_stop_spec",
+        "graft_st_trip_spec", "s0", 0L, maxRounds = 20)
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.size > 1, s"got=$got want=$want")
+
+    // Plan property (why the dual layout exists): with broadcast off, a
+    // RAPTOR round over the two bucketed copies needs TWO fewer hash
+    // exchanges than the same round over plain materialized frames —
+    // the stop bucketing substitutes for the board join's fact-side
+    // shuffle and the trip bucketing for the ride join's (the
+    // bfsHopsOnTable pin, applied to the two-key round).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bStop = spark.table("graft_st_stop_spec")
+        .select(col("trip"), col("seq"), col("stop"), col("arr"), col("dep"))
+      val bTrip = spark.table("graft_st_trip_spec")
+        .select(col("trip"), col("seq"), col("stop"), col("arr"))
+      val state = Seq(("s0", 0L)).toDF("stop", "arr_t")
+        .withColumn("__new", lit(true)).localCheckpoint()
+      // rounds plan AT the bucket width in the real loop (the r08
+      // lesson) — a mismatched width makes the planner re-exchange the
+      // aggregate side anyway and disable the bucketed scan as useless
+      def exchanges(board: org.apache.spark.sql.DataFrame,
+                    ride: org.apache.spark.sql.DataFrame): Int =
+        graft.operators.Iteration.withShufflePartitions(spark, 4) {
+          Routing.raptorRoundOn(board, ride, state, state.filter(col("__new")))
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+            .linesIterator.count(_.contains("Exchange hashpartitioning"))
+        }
+      val nb = exchanges(bStop, bTrip)
+      val np = exchanges(bStop.localCheckpoint(), bTrip.localCheckpoint())
+      assert(nb == np - 2,
+        s"bucketed round has $nb exchanges vs plain $np — layouts unused")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_st_stop_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_st_trip_spec")
+    }
+  }
+
   test("arrivalProfile: Pareto front on the transfer-vs-direct timetable") {
     // same fixture as above: C is reachable at 30 with ONE boarding
     // (T3) but at 17 with two (T1→T2) — both are Pareto-optimal; the
