@@ -838,9 +838,10 @@ object Similarity {
     * over an index built from the union — the invariant the v27 oracle
     * hash-checks and IvfAppendSpec pins as a multiset equality. The
     * missing piece between "batch-built index" (v11) and "index under a
-    * live corpus" — periodic [[graft.sources.Compaction]] of hot cells
-    * handles the small-file accretion, exactly as for any partitioned
-    * log.
+    * live corpus" — periodic
+    * [[graft.sources.Compaction.compactHotPartitions]] of hot cells
+    * handles the small-file accretion (v28), exactly as for any
+    * partitioned log.
     */
   def appendIvfIndex(delta: DataFrame, vecCol: String,
                      codebook: Seq[(Int, Array[Double])],

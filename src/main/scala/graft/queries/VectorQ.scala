@@ -144,6 +144,43 @@ object VectorQ extends QueryPack {
         .limit(5)
     },
 
+    // INDEX MAINTENANCE, the other half (Compaction.compactHotPartitions
+    // composed with appendIvfIndex — VERDICT r11 #6): v27's append
+    // accretes one file per batch per touched cell; here the index is
+    // built 3/5 + TWO append batches (hot cells now at 3 files), then
+    // hot-cell compacted IN PLACE (only hot dirs rewritten, O(hot) not
+    // O(index)), then probed. Same full-corpus multiprobe mirror: hash
+    // equality proves compaction lost/duplicated nothing and left
+    // pruning + probing indistinguishable; CompactionSpec pins the
+    // file-count and partition-pruning contracts.
+    "v28_ivf_compact" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.writeIvfIndex(corpus.filter(col("vec_id") % 5 < 3),
+        "embedding", cb, "graft_ivf_idx_cmp")
+      Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 3),
+        "embedding", cb, "graft_ivf_idx_cmp")
+      Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 4),
+        "embedding", cb, "graft_ivf_idx_cmp")
+      graft.sources.Compaction.compactHotPartitions(s, "graft_ivf_idx_cmp",
+        "cell", targetRows = 1000000L)
+      val q = e.filter(col("vec_id") === 0)
+      val cells = q.select(
+          Similarity.ivfProbeCells(col("embedding"), cb, 2).as("c"))
+        .collect()(0).getSeq[Int](0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec")))
+      graft.sources.Warehouse.read(s, "graft_ivf_idx_cmp")
+        .filter(col("cell").isin(cells: _*))
+        .crossJoin(qb)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     // Product quantization codes (m=4 subspaces over the 64-dim vectors,
     // codewords = the codebook vectors' slices): the 100 TB vector-
     // compression step — 4 small codes replace the vector in candidate
@@ -794,6 +831,11 @@ object VectorQ extends QueryPack {
     // row lost/duplicated or cell mis-assigned by the append breaks the
     // hash
     "v27_ivf_append" -> ivfMultiprobeSql,
+
+    // v28 is v27 plus an in-place hot-cell compaction before the probe —
+    // same mirror once more: any row lost/duplicated or cell corrupted
+    // by the rewrite breaks the hash
+    "v28_ivf_compact" -> ivfMultiprobeSql,
 
     // Mirrors kmeansStep: same cell assignment as v04, then per-cell
     // quantized component means (1e-6 integer sums → one exact division).

@@ -54,4 +54,75 @@ object Compaction {
       .option("maxRecordsPerFile", targetRows)
       .saveAsTable(table)
   }
+
+  /** Compact only the HOT partitions of a partition-column table
+    * ([[Warehouse.writePartitioned]] layout) — the maintenance pass an
+    * append-accreting table needs (an IVF index under
+    * [[graft.operators.Similarity.appendIvfIndex]], a date-partitioned
+    * log under daily appends): every partition directory holding more
+    * than `maxFiles` data files is rewritten to ⌈rows/targetRows⌉
+    * files; every other partition is left byte-identical. Returns the
+    * compacted partition values (empty = nothing was hot).
+    *
+    * Scale shape: hot-partition discovery is a driver-side FILE-METADATA
+    * listing (bounded by file count — the same class of listing any
+    * lakehouse maintenance planner pays, and exactly what the s04/s11
+    * planners already do); the rewrite reads ONLY the hot partitions
+    * (`partCol IN (…)` is a static partition filter, planning-time
+    * pruned) and replaces ONLY them (dynamic partition overwrite), so
+    * the cost is O(hot data), never O(table). The hot rows are
+    * materialized before the overwrite because Spark (rightly) refuses
+    * to overwrite a path it is still reading from; `checkpointDir`
+    * selects the reliable-checkpoint mode for cluster runs
+    * ([[graft.operators.Iteration.materializer]] contract — the
+    * executor-pinned localCheckpoint default is the single-node mode).
+    *
+    * Probe invariance is the contract: partition directory names,
+    * pruning behavior, and content MULTISET are all unchanged — only
+    * the file count inside hot directories drops (the v28 oracle
+    * hash-checks the probe; CompactionSpec pins the file counts).
+    */
+  def compactHotPartitions(spark: org.apache.spark.sql.SparkSession,
+                           table: String, partCol: String, targetRows: Long,
+                           maxFiles: Int = 1,
+                           checkpointDir: Option[String] = None)
+      : Seq[String] = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hot = fs.listStatus(wh).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(partCol + "="))
+      .flatMap { d =>
+        val files = fs.listStatus(d.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        if (files > maxFiles)
+          Some(d.getPath.getName.stripPrefix(partCol + "="))
+        else None
+      }
+    if (hot.isEmpty) return Nil
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    // partition values compare as strings (they ARE directory names)
+    val hotRows = ckpt(spark.table(table)
+      .filter(col(partCol).cast("string").isin(hot: _*)))
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val fileKey = "spark.sql.files.maxRecordsPerFile"
+    val prevMode = spark.conf.get(modeKey, "static")
+    val prevFile = spark.conf.get(fileKey, "0")
+    spark.conf.set(modeKey, "dynamic")
+    spark.conf.set(fileKey, targetRows.toString)
+    try {
+      // one writing task per hot partition (oversize ones split by
+      // maxRecordsPerFile); insertInto is positional, and
+      // spark.table(table) yields the stored order by construction
+      hotRows.repartition(col(partCol))
+        .write.mode("overwrite").format("parquet").insertInto(table)
+    } finally {
+      spark.conf.set(modeKey, prevMode)
+      spark.conf.set(fileKey, prevFile)
+    }
+    hot
+  }
 }

@@ -77,4 +77,56 @@ class CompactionSpec extends SparkTestBase {
         "ship_day", 0L)
     }
   }
+
+  test("compactHotPartitions: only hot dirs rewritten, probe-invariant, " +
+    "pruning unchanged") {
+    import spark.implicits._
+    import graft.sources.Warehouse
+    val table = "graft_test_hotcompact"
+    def mk(ids: Range, cellOf: Int => Int): DataFrame =
+      ids.map(i => (i.toLong, s"p$i", cellOf(i))).toDF("id", "payload", "cell")
+    try {
+      // base: cells 0..3; appends touch ONLY cells 0 and 1 (twice) —
+      // those become hot (3 files), cells 2/3 stay single-file cold
+      Warehouse.writePartitioned(
+        mk(0 until 400, _ % 4).repartition(1), table, Seq("cell"))
+      Warehouse.appendPartitioned(
+        mk(400 until 500, _ % 2).repartition(1), table)
+      Warehouse.appendPartitioned(
+        mk(500 until 600, _ % 2).repartition(1), table)
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(cell: Int): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(wh, s"cell=$cell"))
+          .toSeq.map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      assert(files(0).size == 3 && files(1).size == 3 &&
+        files(2).size == 1 && files(3).size == 1)
+      val coldBefore = (files(2), files(3))
+      val before = spark.table(table).as[(Long, String, Int)].collect().sorted
+
+      val hot = Compaction.compactHotPartitions(spark, table, "cell",
+        targetRows = 1000000L)
+      assert(hot.toSet == Set("0", "1"), s"hot = $hot")
+
+      // hot dirs compacted to the planned single file; cold dirs are
+      // byte-identical (same file names — never rewritten)
+      assert(files(0).size == 1 && files(1).size == 1)
+      assert((files(2), files(3)) == coldBefore)
+      // content is a multiset fixpoint
+      val after = spark.table(table).as[(Long, String, Int)].collect().sorted
+      assert(after.toSeq == before.toSeq)
+      // partition pruning still reads only the probed directories
+      val probe = spark.table(table).filter(col("cell").isin(0, 2))
+      val scanned = probe.select(input_file_name()).distinct()
+        .as[String].collect()
+      assert(scanned.forall(f => f.contains("cell=0") || f.contains("cell=2")),
+        s"probe read outside its cells: ${scanned.mkString(",")}")
+      assert(probe.count() == before.count(r => r._3 == 0 || r._3 == 2))
+      // a second pass finds nothing hot — idempotent maintenance
+      assert(Compaction.compactHotPartitions(spark, table, "cell",
+        1000000L).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
