@@ -124,6 +124,35 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  private val SeLo = 199511L
+  private val SeHi = 199602L
+
+  /** Build-once guard for s14's two schema generations (same pattern as
+    * [[ensureBucketed]]): history (< cutover month) written under the
+    * ORIGINAL schema, current rows under the evolved one — renamed
+    * price column, added discount column.
+    */
+  @volatile private var schemaEvolvedFor: String = null
+  private def ensureSchemaEvolved(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (schemaEvolvedFor != dir) {
+        val li = Tables(s, dir).lineitem.select(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ship_mon"),
+          col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          round(col("l_discount") * 10000).cast("long").as("disc_bp"))
+        graft.sources.Evolution.writeSchemaGenerations(
+          li.filter(col("ship_mon") < EvCutoverMon)
+            .select(col("ship_mon"), col("l_returnflag"), col("price_cents")),
+          li.filter(col("ship_mon") >= EvCutoverMon)
+            .select(col("ship_mon"), col("l_returnflag"),
+              col("price_cents").as("extended_cents"), col("disc_bp")),
+          "graft_wh_lineitem_se", "ship_mon")
+        schemaEvolvedFor = dir
+      }
+    }
+
   /** Build-once guard for s03's z-ordered lineitem slice (same pattern
     * as [[ensureBucketed]]).
     */
@@ -462,6 +491,28 @@ object ScaleQ extends QueryPack {
           "segment", "acct_cents",
           nCol = "n_rows", sumCol = "acct_total_cents")
         .orderBy(col("segment"))
+    },
+
+    // Schema-evolution read (sources/Evolution.readEvolvedSchema): one
+    // logical lineitem slice across two file generations — history
+    // written pre-evolution (price_cents, no discount column), the
+    // current generation with the column RENAMED (extended_cents) and
+    // one ADDED (disc_bp). The read presents both under the current
+    // schema via the name mapping; added-column values are typed NULLs
+    // for history rows — visible in the hash as NULL sums for
+    // pre-cutover months. The month filter prunes BOTH generations at
+    // planning time (ZoneMapSpec pin); the oracle is the raw-table
+    // mirror with the cutover CASE — schema routing never changes rows.
+    "s14_schema_evolution_read" -> { (s, dir) =>
+      ensureSchemaEvolved(s, dir)
+      graft.sources.Evolution.readEvolvedSchema(s, "graft_wh_lineitem_se",
+          Map("price_cents" -> "extended_cents"))
+        .filter(col("ship_mon").between(SeLo, SeHi))
+        .groupBy(col("ship_mon"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("extended_cents")).as("sum_cents"),
+          sum(col("disc_bp")).as("sum_disc_bp"))
+        .orderBy(col("ship_mon"))
     }
   )
 
@@ -645,6 +696,24 @@ object ScaleQ extends QueryPack {
 
     // recompute-from-final-state mirror of the s13 delta refresh: apply
     // the changelog (the s06 CTE chain), then aggregate per segment
+    // raw two-generation mirror: the discount column is NULL before the
+    // cutover (it didn't exist in the old schema), so pre-cutover months
+    // aggregate to NULL disc sums — the added-column contract, in the hash
+    "s14_schema_evolution_read" ->
+      s"""WITH li AS (
+         |  SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT)
+         |           AS ship_mon,
+         |         CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+         |         CASE WHEN CAST(year(l_shipdate)*100 + month(l_shipdate)
+         |                        AS BIGINT) < $EvCutoverMon THEN NULL
+         |              ELSE CAST(round(l_discount*10000) AS BIGINT) END AS bp
+         |  FROM lineitem)
+         |SELECT ship_mon, COUNT(*) AS n_items,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         |  CAST(SUM(bp) AS BIGINT) AS sum_disc_bp
+         |FROM li WHERE ship_mon BETWEEN $SeLo AND $SeHi
+         |GROUP BY ship_mon ORDER BY ship_mon""".stripMargin,
+
     "s13_ivm_delta" ->
       """WITH snap AS (
         |  SELECT c_custkey AS k,

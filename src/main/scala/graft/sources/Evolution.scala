@@ -60,4 +60,54 @@ object Evolution {
       .filter(col(probeCol).between(lo, hi))
     g0.select(g1.columns.map(col): _*).unionByName(g1)
   }
+
+  /** SCHEMA evolution — the other Iceberg evolution face (spec
+    * §schema-evolution): columns get ADDED, RENAMED, or type-PROMOTED
+    * over a table's life, and history is NEVER rewritten — files written
+    * under the old schema stay as they are, and the read side presents
+    * every generation under the CURRENT schema via a name mapping.
+    * Generations here are physical tables (`_s0` pre-evolution, `_s1`
+    * current), both partitioned on the same key; the name mapping is the
+    * caller-supplied `renames` (old name → current name — the metadata
+    * Iceberg keeps as field-id ↔ name tables).
+    */
+  def writeSchemaGenerations(g0: DataFrame, g1: DataFrame, table: String,
+                             partCol: String): Unit = {
+    Warehouse.writePartitioned(g0, table + "_s0", Seq(partCol))
+    Warehouse.writePartitioned(g1, table + "_s1", Seq(partCol))
+  }
+
+  /** Read a [[writeSchemaGenerations]] table under the CURRENT (`_s1`)
+    * schema: old-generation columns are renamed through the mapping
+    * (a metadata-only projection), columns the evolution ADDED read as
+    * typed NULLs for pre-evolution rows (exactly Iceberg's contract —
+    * an added column has no value in old files), columns whose type was
+    * promoted read back CAST to the current type, and columns the
+    * evolution DROPPED simply aren't selected. All of this is
+    * projection-level, so partition predicates a caller stacks on top
+    * still push past it to BOTH generations' scans and prune at
+    * planning time (ZoneMapSpec pins it) — schema routing, like
+    * generation routing, can only shape the plan, never the rows.
+    */
+  def readEvolvedSchema(spark: SparkSession, table: String,
+                        renames: Map[String, String]): DataFrame = {
+    val g1 = Warehouse.read(spark, table + "_s1")
+    val g0raw = Warehouse.read(spark, table + "_s0")
+    val missing = renames.keys.filterNot(g0raw.columns.contains)
+    require(missing.isEmpty,
+      s"renames name columns absent from ${table}_s0: ${missing.mkString(",")}")
+    val g0named = renames.foldLeft(g0raw) { case (d, (o, n)) =>
+      d.withColumnRenamed(o, n)
+    }
+    // added columns: in the current schema, unknown to the old one
+    val added = g1.schema.filterNot(f => g0named.columns.contains(f.name))
+    val g0full = added.foldLeft(g0named)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // type promotion: the current type wins (Iceberg int→long etc.)
+    val g0cast = g1.schema.foldLeft(g0full)((d, f) =>
+      if (d.schema(f.name).dataType != f.dataType)
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d)
+    g0cast.select(g1.columns.map(col): _*).unionByName(g1)
+  }
 }

@@ -194,4 +194,60 @@ class ZoneMapSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ev_spec_li_g1")
     }
   }
+
+  test("schema evolution: rename/add/promote read under the current " +
+    "schema, typed NULLs for history, both generations prune") {
+    import spark.implicits._
+    import graft.sources.Evolution
+    // old schema: (mon, k, price [INT]); evolved: price renamed to
+    // cents and PROMOTED to LONG, disc added, k dropped
+    val g0 = Seq((1L, 10L, 100), (1L, 11L, 110), (2L, 12L, 120))
+      .toDF("mon", "k", "price")
+    val g1 = Seq((3L, 300L, 30L), (4L, 400L, 40L))
+      .toDF("mon", "cents", "disc")
+    Evolution.writeSchemaGenerations(g0, g1, "se_spec", "mon")
+    try {
+      val r = Evolution.readEvolvedSchema(spark, "se_spec",
+        Map("price" -> "cents"))
+      // current schema wins: columns (stored order — the partitioned
+      // write moves mon last), and promoted types
+      assert(r.columns.toSeq == Seq("cents", "disc", "mon"))
+      assert(r.schema("cents").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val rows = r.select("mon", "cents", "disc")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(rows == Set((1L, 100L, None), (1L, 110L, None),
+        (2L, 120L, None), (3L, 300L, Some(30L)), (4L, 400L, Some(40L))))
+      // a partition predicate stacked on the evolved read still prunes
+      // BOTH generations at planning time (the rename/add projections
+      // are transparent to pushdown)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        (p match {
+          case s: FileSourceScanExec => Seq(s)
+          case _ => Nil
+        }) ++ (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case r2: ReusedExchangeExec => Seq(r2.child)
+          case other => other.children
+        }).flatMap(allScans)
+      val probe = r.filter(col("mon").isin(1L, 3L))
+      assert(probe.count() == 3)
+      val scans = allScans(probe.queryExecution.executedPlan)
+        .filter(_.metadata.getOrElse("PartitionFilters", "[]") != "[]")
+      assert(scans.size == 2, s"want both generation scans pruned: $scans")
+      assert(scans.forall(_.selectedPartitions.partitionCount == 1),
+        scans.map(_.selectedPartitions.partitionCount).toString)
+      // an unknown rename source fails loudly, not silently
+      intercept[IllegalArgumentException] {
+        Evolution.readEvolvedSchema(spark, "se_spec", Map("nope" -> "x"))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS se_spec_s0")
+      spark.sql("DROP TABLE IF EXISTS se_spec_s1")
+    }
+  }
 }
