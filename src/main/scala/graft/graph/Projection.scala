@@ -17,9 +17,21 @@ import org.apache.spark.sql.functions._
   * ([[graft.operators.Dedup]] capBuckets): a left node shared by
   * everyone carries no co-membership signal (its pairs are noise, the
   * bipartite analogue of a stopword), and dropping it bounds the join
-  * at C(maxDeg,2) per left node. The degree filter is one
-  * map-side-combined aggregate; the pair join partitions on the left
-  * key and its output aggregates map-side onto (r1, r2).
+  * at C(maxDeg,2) per left node.
+  *
+  * Exchange economics (the r12 adjudication): every step between the
+  * raw edges and the final pair aggregation is keyed by the LEFT node,
+  * so ONE up-front hash exchange on `__l` serves all of them — the
+  * (l, r) dedup and the degree count are aggregates whose clustering
+  * requirement a hash(l) layout already satisfies (the partitioning
+  * subset rule), and both the degree gate and the quadratic self-join
+  * arrive co-partitioned. The whole operator plans exactly TWO
+  * exchanges: the raw edge exchange in, the (r1, r2) pair aggregation
+  * out (PlanSpec pins the count). The pair exchange is the intrinsic
+  * one — C(deg,2) rows per kept left node is the operator's output
+  * volume, not a plan artifact. Hub safety is unchanged: degree is a
+  * streaming count (no per-group collected buffers), and hubs are gone
+  * before any quadratic work.
   */
 object Projection {
 
@@ -31,16 +43,29 @@ object Projection {
   def bipartiteProject(edges: DataFrame, leftCol: String, rightCol: String,
                        maxDeg: Int): DataFrame = {
     require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
-    val e = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
-      .distinct()
-    val kept = e.join(
-      e.groupBy(col("__l")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") <= maxDeg).select("__l"),
-      "__l")
-    kept.select(col("__l"), col("__r").as("r1"))
-      .join(kept.select(col("__l"), col("__r").as("r2")),
-        Seq("__l"))
-      .filter(col("r1") < col("r2"))
+    import org.apache.spark.sql.expressions.Window
+    val d = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .repartition(col("__l"))
+      .dropDuplicates("__l", "__r")
+    // degree gate as a whole-group window count — no join: the count
+    // rides the hash(__l) layout (one in-partition sort), and WindowExec
+    // spills per group, so a 10⁸-degree hub streams through the COUNT
+    // without any unbounded aggregation buffer and is dropped here,
+    // BEFORE anything quadratic or collected
+    val kept = d.withColumn("__d",
+        count(lit(1)).over(Window.partitionBy(col("__l"))))
+      .filter(col("__d") <= maxDeg)
+    // pairs by explode over the per-left right-set — bounded at maxDeg
+    // elements per group BY the gate above, so the collect_list buffer
+    // is capped by construction; sort_array makes i<j positions emit
+    // r1 < r2 pairs directly. This replaces the classic self-join: no
+    // second sort, no join, the same C(deg,2) output rows generated in
+    // codegen.
+    kept.groupBy(col("__l"))
+      .agg(sort_array(collect_list(col("__r"))).as("__rs"))
+      .select(posexplode(col("__rs")).as(Seq("__i", "r1")), col("__rs"))
+      .select(col("r1"),
+        explode(slice(col("__rs"), col("__i") + lit(2), lit(maxDeg))).as("r2"))
       .groupBy(col("r1"), col("r2"))
       .agg(count(lit(1)).as("weight"))
   }

@@ -34,4 +34,18 @@ class ProjectionSpec extends SparkTestBase {
     val all = Projection.bipartiteProject(e, "l", "r", maxDeg = 5)
     assert(all.count() == 10L) // C(5,2) from the hub; (r1,r2) merges
   }
+
+  test("plan pin: exactly two hash exchanges — the raw edge exchange " +
+    "in, the pair aggregation out") {
+    // the Projection doc's exchange-economics claim: dedup, degree
+    // window, and the per-left set all ride the one hash(__l) layout
+    // (subset rule), and the pair generation is an explode, not a join
+    val e = (1 to 200).map(i => (i.toLong % 37, s"r${i % 11}")).toDF("l", "r")
+    val plan = Projection.bipartiteProject(e, "l", "r", maxDeg = 11)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 2, s"want 2 exchanges, got $n:\n$plan")
+    assert(!plan.contains("Join"), s"pair generation regressed to a join:\n$plan")
+  }
 }
