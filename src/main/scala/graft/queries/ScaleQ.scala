@@ -461,12 +461,15 @@ object ScaleQ extends QueryPack {
     // s06 CDC pair — every customer version with its validity interval.
     // valid_to is surfaced as coalesce(-1) and is_current as 0/1 longs
     // so the cross-engine compare never hinges on null/bool dtype
-    // coercion.
+    // coercion. snapshotSeq = -1: the changelog's seq domain is
+    // o_orderkey, which INCLUDES 0 in the testdata, and the scd2 guard
+    // (round 12) rightly rejects a changelog event tying the synthetic
+    // snapshot opening — the snapshot must predate every event.
     "s12_scd2_build" -> { (s, dir) =>
       val t = Tables(s, dir)
       graft.operators.SnapshotDiff
         .scd2(cdcSnap(t), cdcChangelog(t), "k", "seq", "op",
-          Seq("acct_cents", "segment"))
+          Seq("acct_cents", "segment"), snapshotSeq = -1L)
         .select(col("k"), col("acct_cents"), col("segment"),
           col("valid_from"), coalesce(col("valid_to"), lit(-1L))
             .as("valid_to"),
@@ -680,7 +683,7 @@ object ScaleQ extends QueryPack {
         |    o_orderpriority AS segment
         |  FROM orders),
         |ev AS (
-        |  SELECT k, CAST(0 AS BIGINT) AS seq, 'U' AS op, acct_cents,
+        |  SELECT k, CAST(-1 AS BIGINT) AS seq, 'U' AS op, acct_cents,
         |    segment FROM snap
         |  UNION ALL
         |  SELECT k, seq, op, acct_cents, segment FROM cl),
