@@ -153,6 +153,37 @@ object ScaleQ extends QueryPack {
       }
     }
 
+  /** Build-once guard for s15's merge-on-read pair (same pattern as
+    * [[ensureBucketed]]): base = every customer at seq 0 plus a
+    * re-insert generation (every third key, bumped payload) at seq
+    * 10¹⁰ — AFTER every tombstone; tombstones = one (key, orderkey)
+    * row per ninth order. Both key-bucketed at the same width, the
+    * layout under which the merged read plans zero exchanges.
+    */
+  @volatile private var morFor: String = null
+  private def ensureMergeOnRead(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (morFor != dir) {
+        val t = Tables(s, dir)
+        val gen0 = t.customer.select(col("c_custkey").as("k"),
+          lit(0L).as("seq"), cents(col("c_acctbal")).as("acct_cents"),
+          col("c_mktsegment").as("segment"))
+        val gen1 = t.customer.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"), lit(10000000000L).as("seq"),
+            (cents(col("c_acctbal")) + 1).as("acct_cents"),
+            col("c_mktsegment").as("segment"))
+        val dels = t.orders.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_custkey").as("k"),
+            col("o_orderkey").cast("long").as("seq"))
+        val buckets = graft.operators.Iteration.roundPartitions(
+          s, t.customer.count())
+        graft.sources.MergeOnRead.stageBucketed(
+          gen0.unionByName(gen1), dels,
+          "graft_mor_base", "graft_mor_dels", "k", buckets)
+        morFor = dir
+      }
+    }
+
   /** Build-once guard for s03's z-ordered lineitem slice (same pattern
     * as [[ensureBucketed]]).
     */
@@ -506,6 +537,23 @@ object ScaleQ extends QueryPack {
     // pre-cutover months. The month filter prunes BOTH generations at
     // planning time (ZoneMapSpec pin); the oracle is the raw-table
     // mirror with the cutover CASE — schema routing never changes rows.
+    // Merge-on-read deletes (sources/MergeOnRead doc): tombstone files
+    // applied at read time over a never-rewritten base — the Iceberg v2
+    // equality-delete face, complementing s06's copy-on-write MERGE.
+    // Sequence semantics in the hash: keys deleted by a tombstone
+    // vanish UNLESS re-inserted at a later seq (the gen-10¹⁰ rows).
+    // Both sides key-bucketed → the merged read plans ZERO exchanges
+    // up to the final rollup (MergeOnReadSpec pin).
+    "s15_merge_on_read" -> { (s, dir) =>
+      ensureMergeOnRead(s, dir)
+      graft.sources.MergeOnRead.read(s, "graft_mor_base",
+          "graft_mor_dels", "k", "seq")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("acct_cents")).as("acct_total_cents"))
+        .orderBy(col("segment"))
+    },
+
     "s14_schema_evolution_read" -> { (s, dir) =>
       ensureSchemaEvolved(s, dir)
       graft.sources.Evolution.readEvolvedSchema(s, "graft_wh_lineitem_se",
@@ -699,6 +747,28 @@ object ScaleQ extends QueryPack {
 
     // recompute-from-final-state mirror of the s13 delta refresh: apply
     // the changelog (the s06 CTE chain), then aggregate per segment
+    // raw-table mirror of the merge-on-read semantics: max tombstone per
+    // key, base row survives iff no tombstone or seq strictly greater
+    "s15_merge_on_read" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS seq,
+        |         CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents,
+        |         c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(10000000000 AS BIGINT),
+        |         CAST(round(c_acctbal*100) AS BIGINT) + 1, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |dels AS (
+        |  SELECT o_custkey AS k, CAST(MAX(o_orderkey) AS BIGINT) AS del_seq
+        |  FROM orders WHERE o_orderkey % 9 = 0 GROUP BY o_custkey),
+        |m AS (
+        |  SELECT b.* FROM base b LEFT JOIN dels d ON b.k = d.k
+        |  WHERE d.del_seq IS NULL OR b.seq > d.del_seq)
+        |SELECT segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents
+        |FROM m GROUP BY segment ORDER BY segment""".stripMargin,
+
     // raw two-generation mirror: the discount column is NULL before the
     // cutover (it didn't exist in the old schema), so pre-cutover months
     // aggregate to NULL disc sums — the added-column contract, in the hash
