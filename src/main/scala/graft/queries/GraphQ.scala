@@ -481,11 +481,16 @@ object GraphQ extends QueryPack {
     // stopword; the cap bounds the join at C(35,2) pairs per customer).
     "r12_copurchase_projection" -> { (s, dir) =>
       val t = Tables(s, dir)
+      // suppkeys are 32-bit at any realistic SF (10k·SF) — the int cast
+      // selects the operator's packed-pair aggregation path; results
+      // are cast back to long for the oracle's BIGINT columns
       val edges = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey"))
+        .select(col("o_custkey"), col("l_suppkey").cast("int").as("l_suppkey"))
       Projection.bipartiteProject(edges, "o_custkey", "l_suppkey",
           maxDeg = 35)
+        .select(col("r1").cast("long").as("r1"),
+          col("r2").cast("long").as("r2"), col("weight"))
         .orderBy(col("r1"), col("r2"))
     },
 

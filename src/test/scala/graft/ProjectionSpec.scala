@@ -35,6 +35,32 @@ class ProjectionSpec extends SparkTestBase {
     assert(all.count() == 10L) // C(5,2) from the hub; (r1,r2) merges
   }
 
+  test("32-bit right ids take the packed-pair path and equal the " +
+    "generic path, negatives included") {
+    // same co-memberships under int and string right ids; the int path
+    // packs (r1, r2) into one long for the aggregation and must unpack
+    // losslessly — including sign bits (negative ids)
+    val ids = Seq(5, -7, Int.MaxValue, Int.MinValue + 3, 0, 42)
+    val e = (for { l <- 1 to 6; i <- 0 until l }
+      yield (l.toLong, ids(i))).toDF("l", "r")
+    val eStr = e.select(col("l"), format_string("%011d", col("r")).as("r"))
+    val gotInt = Projection.bipartiteProject(e, "l", "r", maxDeg = 6)
+      .select(format_string("%011d", col("r1")),
+        format_string("%011d", col("r2")), col("weight"))
+      .as[(String, String, Long)].collect().toSet
+    val gotStr = Projection.bipartiteProject(eStr, "l", "r", maxDeg = 6)
+      .as[(String, String, Long)].collect().toSet
+    // format_string %011d zero-pads to fixed width, so string order ==
+    // numeric order only for non-negatives; compare as unordered pair
+    // sets with weights instead
+    def canon(s: Set[(String, String, Long)]) =
+      s.map { case (a, b, w) => (Set(a, b), w) }
+    assert(canon(gotInt) == canon(gotStr) && gotInt.nonEmpty)
+    // the packed output really is int-typed (the input's dtype)
+    assert(Projection.bipartiteProject(e, "l", "r", maxDeg = 6)
+      .schema("r1").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("plan pin: exactly two hash exchanges — the raw edge exchange " +
     "in, the pair aggregation out") {
     // the Projection doc's exchange-economics claim: dedup, degree
