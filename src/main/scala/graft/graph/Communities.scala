@@ -57,21 +57,57 @@ object Communities {
     // materialized; Iteration.roundPartitions has the measured numbers)
     val parts = graft.operators.Iteration.roundPartitions(spark, e.count())
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var labels = ckpt(e.select(col("dst").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
-      for (_ <- 1 to rounds) {
-        val lSide = labels.select(col("node").as("dst"), col("label"))
-        val next = e
-          .join(if (broadcastLabels) broadcast(lSide) else lSide, Seq("dst"))
-          .groupBy(col("src"), col("label"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("src"))
-          .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
-            .as("m"))
-          .select(col("src").as("node"), col("m.l").as("label"))
-        labels = ckpt(next)
-      }
-      labels
+      lpaLoop(e, rounds, ckpt, broadcastLabels)
     }
+  }
+
+  /** One un-materialized synchronous LPA round — package-visible for
+    * plan pins (the Routing.raptorRoundOn pattern).
+    */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame,
+                              broadcastLabels: Boolean = false): DataFrame = {
+    val lSide = labels.select(col("node").as("dst"), col("label"))
+    e.join(if (broadcastLabels) broadcast(lSide) else lSide, Seq("dst"))
+      .groupBy(col("src"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+        .as("m"))
+      .select(col("src").as("node"), col("m.l").as("label"))
+  }
+
+  private def lpaLoop(e: DataFrame, rounds: Int,
+                      ckpt: DataFrame => DataFrame,
+                      broadcastLabels: Boolean): DataFrame = {
+    var labels = ckpt(e.select(col("dst").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to rounds) labels = ckpt(lpaRound(e, labels, broadcastLabels))
+    labels
+  }
+
+  /** [[labelPropagation]] over a dst-BUCKETED edge table
+    * ([[graft.graph.Routing.stageEdgesTable]] with dst as the bucket
+    * key) — the frontier-family at-rest mode (r15/r19 doctrine): the
+    * O(E) side of every round's label join reads the bucket layout from
+    * the metastore and never exchanges, round after round; only the
+    * V-scale label frame and the candidate aggregates move. The scan is
+    * PERSISTED for the loop's lifetime (InMemoryRelation keeps the
+    * bucketed outputPartitioning, so the elision survives caching — the
+    * r19 lesson: without it, `rounds` re-decodes of the edge parquet eat
+    * the win). Rounds plan AT the bucket width; identical labels to
+    * [[labelPropagation]] (CommunitiesSpec pins equality and the
+    * exchange count).
+    */
+  def labelPropagationOnTable(spark: org.apache.spark.sql.SparkSession,
+                              table: String, rounds: Int,
+                              checkpointDir: Option[String] = None)
+      : DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e = spark.table(table).select(col("src"), col("dst")).persist()
+    val parts = e.rdd.getNumPartitions
+    try graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      lpaLoop(e, rounds, ckpt, broadcastLabels = false)
+    } finally e.unpersist(blocking = false)
   }
 }

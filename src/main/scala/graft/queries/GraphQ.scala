@@ -106,6 +106,23 @@ object GraphQ extends QueryPack {
       }
     }
 
+  /** Build-once guard for r20's DST-bucketed symmetric trade edges (the
+    * [[ensureTradeEdgesTable]] pattern — the LPA round joins the edge
+    * frame on dst, so dst is its bucket key; the r19 dual-layout
+    * doctrine, one layout per join key).
+    */
+  @volatile private var lpaEdgesTableFor: String = null
+  private def ensureLpaEdgesTable(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (lpaEdgesTableFor != dir) {
+        val e = tradeEdgesLong(s, dir, dedup = true).localCheckpoint()
+        val buckets = graft.operators.Iteration.roundPartitions(s, e.count())
+        graft.sources.Warehouse.writeBucketed(e, "graft_trade_edges_dst",
+          "dst", buckets)
+        lpaEdgesTableFor = dir
+      }
+    }
+
   /** r17/r19's fact-scale timetable: trip = orderkey, seq = linenumber
     * (unique, increasing per order), stop = suppkey mod 500, time =
     * (orderkey mod 1000)·100 + linenumber (strictly increasing along
@@ -474,6 +491,24 @@ object GraphQ extends QueryPack {
         .orderBy(col("label"))
     },
 
+    // r13's cluster-deployment mode: the SAME 4-round LPA over a
+    // dst-bucketed at-rest edge table (labelPropagationOnTable) — no
+    // V-fits-in-memory contract (contrast r13's broadcastLabels, the
+    // r07 doctrine): the O(E) side of every round's label join reads
+    // the bucket layout from the metastore and never exchanges, at any
+    // V. Same oracle as r13 — identical labels, different plan.
+    "r20_lpa_bucketed" -> { (s, dir) =>
+      ensureLpaEdgesTable(s, dir)
+      Communities.labelPropagationOnTable(s, "graft_trade_edges_dst",
+          rounds = 4,
+          checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(decodeTradeNode(col("label")).as("label"),
+          col("n_members"))
+        .orderBy(col("label"))
+    },
+
     // Bipartite projection: the supplier co-purchase graph — supplier
     // pairs weighted by distinct shared customers, hub customers (> 35
     // distinct suppliers) dropped before the quadratic self-join
@@ -510,6 +545,34 @@ object GraphQ extends QueryPack {
         .orderBy(col("node"))
     }
   )
+
+  /** Shared r13/r20 mirror: 4 non-recursive chained rounds, each the
+    * definitional count-then-argmax (row_number form); l0 = every node
+    * labels itself.
+    */
+  private lazy val lpaOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""n$i AS (
+         |  SELECT pe.src, l${i - 1}.label, COUNT(*) AS c
+         |  FROM pe JOIN l${i - 1} ON l${i - 1}.node = pe.dst
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT src AS node, label FROM (
+         |    SELECT src, label, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, label) AS rn FROM n$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |pe AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |l0 AS (SELECT DISTINCT dst AS node, dst AS label FROM pe),
+       |$rounds
+       |SELECT CASE WHEN label % 2 = 0 THEN 'c' || (label // 2)
+       |            ELSE 's' || (label // 2) END AS label,
+       |       COUNT(*) AS n_members FROM l4
+       |GROUP BY 1 ORDER BY label""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.graph.Ranking.pageRank]]: an unrolled CTE
     * chain (aggregates are not allowed in a recursive term), one CTE per
@@ -906,32 +969,12 @@ object GraphQ extends QueryPack {
         |SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
 
-    "r13_lpa_communities" -> {
-      // 4 non-recursive chained rounds, each the definitional
-      // count-then-argmax (row_number form); l0 = every node labels
-      // itself
-      val rounds = (1 to 4).map { i =>
-        s"""n$i AS (
-           |  SELECT pe.src, l${i - 1}.label, COUNT(*) AS c
-           |  FROM pe JOIN l${i - 1} ON l${i - 1}.node = pe.dst
-           |  GROUP BY 1, 2),
-           |l$i AS (
-           |  SELECT src AS node, label FROM (
-           |    SELECT src, label, row_number() OVER (PARTITION BY src
-           |      ORDER BY c DESC, label) AS rn FROM n$i)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |pe AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-         |l0 AS (SELECT DISTINCT dst AS node, dst AS label FROM pe),
-         |$rounds
-         |SELECT CASE WHEN label % 2 = 0 THEN 'c' || (label // 2)
-         |            ELSE 's' || (label // 2) END AS label,
-         |       COUNT(*) AS n_members FROM l4
-         |GROUP BY 1 ORDER BY label""".stripMargin
-    },
+    "r13_lpa_communities" -> lpaOracleSql,
+
+    // r20 computes the same labels as r13 over the at-rest layout — the
+    // oracle is the same 4-round replay; a corrupted bucket staging
+    // would hash-mismatch here
+    "r20_lpa_bucketed" -> lpaOracleSql,
 
     "r12_copurchase_projection" ->
       """WITH e AS (

@@ -113,4 +113,43 @@ class CoresSpec extends SparkTestBase {
     }
     assert(got == lab)
   }
+
+  test("labelPropagationOnTable equals the in-memory loop; the edge " +
+    "table never exchanges in a round") {
+    import graft.graph.Communities
+    // denser symmetric graph so buckets carry >1 row
+    val half = (1 to 150).map(i => (s"n${i % 23}", s"n${(i * 7 + 3) % 23}"))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (half ++ half.map(_.swap)).distinct
+    val e = sym.toDF("src", "dst")
+    graft.sources.Warehouse.writeBucketed(e, "lpa_spec_edges", "dst", 4)
+    try {
+      val want = Communities.labelPropagation(e, rounds = 4)
+        .as[(String, String)].collect().toMap
+      val got = Communities.labelPropagationOnTable(spark,
+        "lpa_spec_edges", rounds = 4).as[(String, String)].collect().toMap
+      assert(got == want && got.nonEmpty)
+      // plan pin: a round over the dst-bucketed table needs one FEWER
+      // hash exchange than over a plain materialized frame (the
+      // bfsHopsOnTable pin applied to the LPA join)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val bucketed = spark.table("lpa_spec_edges")
+          .select(col("src"), col("dst"))
+        val labels = e.select(col("dst").as("node")).distinct()
+          .select(col("node"), col("node").as("label")).localCheckpoint()
+        def exchanges(ed: org.apache.spark.sql.DataFrame): Int =
+          graft.operators.Iteration.withShufflePartitions(spark, 4) {
+            Communities.lpaRound(ed, labels).queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+              .linesIterator.count(_.contains("Exchange hashpartitioning"))
+          }
+        val (nb, np) = (exchanges(bucketed), exchanges(bucketed.localCheckpoint()))
+        assert(nb == np - 1,
+          s"bucketed round has $nb exchanges vs plain $np — layout unused")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS lpa_spec_edges")
+  }
 }
