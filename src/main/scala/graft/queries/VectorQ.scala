@@ -646,6 +646,32 @@ object VectorQ extends QueryPack {
     // touches full vectors only for the candidate fraction. The
     // oracle is the brute-force threshold scan — equality IS the
     // soundness check, on real data at every SF.
+    // 1-bit BINARY quantization (operators/BinaryQuant): sign-bit codes
+    // packed into 32-bit words — 64× smaller than float32 — hamming
+    // (xor+popcount, no float math) prunes to 64 candidates, exact
+    // cosine re-ranks. Fully deterministic both sides (exact sign
+    // predicate, fixed packing, id tiebreaks), so the candidate set and
+    // the top-5 hash-match the DuckDB bit-for-bit mirror. Top-64 by
+    // (ham, id) is TakeOrdered — per-partition partial top-k, no global
+    // sort.
+    "v29_binary_quant" -> { (s, dir) =>
+      import graft.functions.vectors
+      import graft.operators.BinaryQuant
+      val e = Tables(s, dir).embeddings
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val qvec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val qcode = BinaryQuant.bqCodeLocal(qvec)
+      corpus
+        .withColumn("ham", BinaryQuant.hamming(
+          BinaryQuant.bqCode(col("embedding"), dims = 64), lit(qcode)))
+        .orderBy(col("ham"), col("vec_id")).limit(64)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), lit(qvec)), 4))
+        .select(col("vec_id"), col("ham"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id")).limit(5)
+    },
+
     "v26_range_search" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val scale = Similarity.sq8MaxAbs(e, "embedding")
@@ -836,6 +862,33 @@ object VectorQ extends QueryPack {
     // same mirror once more: any row lost/duplicated or cell corrupted
     // by the rewrite breaks the hash
     "v28_ivf_compact" -> ivfMultiprobeSql,
+
+    // bit-for-bit mirror of BinaryQuant: identical 32-bit-word sign
+    // packing (dim 1 = high bit of word 0), xor+bit_count hamming, same
+    // (ham, id) candidate cut and (cos4 desc, id) final order
+    "v29_binary_quant" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+         |           WHERE vec_id = 0),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+         |      WHERE vec_id <> 0),
+         |qq AS (SELECT [CAST(list_sum([CASE WHEN qe[w*32+j] >= 0
+         |                 THEN (CAST(1 AS BIGINT) << (32-j)) ELSE 0 END
+         |                 FOR j IN range(1, 33)]) AS BIGINT)
+         |               FOR w IN range(0, 2)] AS qcode FROM q),
+         |cc AS (SELECT vec_id, ee,
+         |         [CAST(list_sum([CASE WHEN ee[w*32+j] >= 0
+         |            THEN (CAST(1 AS BIGINT) << (32-j)) ELSE 0 END
+         |            FOR j IN range(1, 33)]) AS BIGINT)
+         |          FOR w IN range(0, 2)] AS code FROM c),
+         |cand AS (
+         |  SELECT vec_id, ee,
+         |    CAST(list_sum([bit_count(xor(code[w], qcode[w]))
+         |                   FOR w IN range(1, 3)]) AS BIGINT) AS ham
+         |  FROM cc CROSS JOIN qq
+         |  ORDER BY ham, vec_id LIMIT 64)
+         |SELECT vec_id, ham, round(${cosineSql("ee", "qe")}, 4) AS cos4
+         |FROM cand CROSS JOIN q
+         |ORDER BY cos4 DESC, vec_id LIMIT 5""".stripMargin,
 
     // Mirrors kmeansStep: same cell assignment as v04, then per-cell
     // quantized component means (1e-6 integer sums → one exact division).
