@@ -156,13 +156,17 @@ object Ranking {
                       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
-    val ew = spark.table(table) // (src, dst, od), bucketed+sorted by src
+    // persisted for the loop — InMemoryRelation keeps the bucketed
+    // outputPartitioning and the rounds stop re-decoding the parquet
+    // (the Routing.earliestArrivalOnTables lesson)
+    val ew = spark.table(table).persist() // (src, dst, od), bucketed by src
     val nodes = ckpt(
       ew.select(col("src").as("node"))
         .unionByName(ew.select(col("dst").as("node")))
         .distinct())
-    iterate(ew, nodes, iters, scale, bcastRanks = false, ckpt,
+    try iterate(ew, nodes, iters, scale, bcastRanks = false, ckpt,
       narrowEdges = false)
+    finally ew.unpersist(blocking = false)
   }
 
   /** Stage the edge side of [[pageRankOnTable]]: out-degree precomputed,

@@ -199,13 +199,14 @@ object Routing {
                   maxIter: Int = 50, warnOnTruncation: Boolean = true,
                   checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    // persisted for the loop — see bfsHopsOnTable (the r19 lesson)
     val e = spark.table(table).select(col("src"), col("dst"),
-      col("route_id"), col("weight_m").cast("double"))
+      col("route_id"), col("weight_m").cast("double")).persist()
     val parts = e.rdd.getNumPartitions
-    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+    try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       ssspLoop(e, sourceId, maxIter, warnOnTruncation, ckpt,
         broadcastFrontier = false)
-    }
+    } finally e.unpersist(blocking = false)
   }
 
   /** G4 path rows, fully distributed: backtrack the predecessor chain from
@@ -373,12 +374,16 @@ object Routing {
                      maxIter: Int, warnOnTruncation: Boolean = true,
                      checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
-    val e = spark.table(table).select(col("src"), col("dst"))
+    // persisted for the loop's lifetime: InMemoryRelation preserves the
+    // bucketed outputPartitioning (elisions survive the cache) and the
+    // loop otherwise re-decodes the edge parquet once per round — the
+    // earliestArrivalOnTables lesson (r19: 10.4 → 6.8 s at sf1)
+    val e = spark.table(table).select(col("src"), col("dst")).persist()
     val parts = e.rdd.getNumPartitions
-    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+    try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       bfsLoop(e, sourceId, maxIter, warnOnTruncation, ckpt,
         broadcastFrontier = false)
-    }
+    } finally e.unpersist(blocking = false)
   }
 
   /** G6 — in-engine journey planning: RAPTOR-shape EARLIEST ARRIVAL over

@@ -457,11 +457,12 @@ object Dedup {
                          table: String, maxIter: Int = 50,
                          checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = Iteration.materializer(spark, checkpointDir)
-    val e = spark.table(table).select(col("src"), col("dst"))
+    // persisted for the loop — see Routing.bfsHopsOnTable (r19 lesson)
+    val e = spark.table(table).select(col("src"), col("dst")).persist()
     val parts = e.rdd.getNumPartitions
-    Iteration.withShufflePartitions(spark, parts) {
+    try Iteration.withShufflePartitions(spark, parts) {
       ccLoop(e, maxIter, ckpt, broadcastFrontier = false)
-    }
+    } finally e.unpersist(blocking = false)
   }
 
   /** INCREMENTAL corpus dedup: drop `increment` rows whose `keyCol` value
