@@ -151,6 +151,42 @@ object Ranking {
       contrib = "(r * w) div wsum")
   }
 
+  /** PERSONALIZED PageRank (random walk with restart): teleport mass
+    * returns to the SEED set instead of spreading uniformly — the
+    * "relevance to these known-good sources" score a crawl/curation
+    * pipeline uses to weight pages near trusted domains (vs
+    * [[pageRank]]'s global importance). Same exact-integer fixed point
+    * and identical per-round shuffle shape; the only changes are the
+    * initial mass (scale on seeds, 0 elsewhere) and the base term
+    * (15%·scale on seeds, 0 elsewhere):
+    *   r0(v)  = scale·1[v∈S]
+    *   r'(v)  = 1[v∈S]·(15·scale div 100) + (85·Σ contrib(·→v)) div 100
+    * `seeds` is a 1-column (node) frame; membership rides the node frame
+    * as an is_seed flag attached ONCE at staging (a V-sized left join),
+    * so rounds pay nothing extra. Nodes unreachable from the seeds in
+    * `iters` hops report rank 0 — correct for the restart semantics.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           scale: Long = 1000000L,
+                           checkpointDir: Option[String] = None,
+                           broadcastRanks: Boolean = false): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = edges.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e0 = ckpt(edges.select(col("src"), col("dst")))
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val ew = ckpt(e0.join(deg, Seq("src")))
+    val nodes = ckpt(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .distinct()
+        .join(seeds.select(col("node")).distinct()
+          .withColumn("is_seed", lit(1)), Seq("node"), "left")
+        .na.fill(0, Seq("is_seed")))
+    iterate(ew, nodes, iters, scale, broadcastRanks, ckpt,
+      personalized = true)
+  }
+
   def pageRankOnTable(spark: org.apache.spark.sql.SparkSession,
                       table: String, iters: Int, scale: Long = 1000000L,
                       checkpointDir: Option[String] = None): DataFrame = {
@@ -196,7 +232,8 @@ object Ranking {
                       scale: Long, bcastRanks: Boolean,
                       ckpt: DataFrame => DataFrame,
                       contrib: String = "r div od",
-                      narrowEdges: Boolean = true): DataFrame = {
+                      narrowEdges: Boolean = true,
+                      personalized: Boolean = false): DataFrame = {
     val spark = ew.sparkSession
     // rounds plan under an edge-count-derived partition count (ew is
     // already materialized, so the count is one cheap job); see
@@ -222,13 +259,20 @@ object Ranking {
     val ewR = if (narrowEdges) narrow(ew) else ew
     val nodesR = narrow(nodes)
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var r = ckpt(nodesR.withColumn("r", lit(scale)))
+      val r0 =
+        if (personalized)
+          nodesR.select(col("node"), col("is_seed"),
+            when(col("is_seed") === 1, lit(scale)).otherwise(lit(0L))
+              .as("r"))
+        else nodesR.withColumn("r", lit(scale))
+      var r = ckpt(r0)
       var i = 0
       while (i < iters) {
-        r = ckpt(rankRound(ewR, nodesR, r, scale, bcastRanks, contrib))
+        r = ckpt(rankRound(ewR, nodesR, r.select(col("node"), col("r")),
+          scale, bcastRanks, contrib, personalized))
         i += 1
       }
-      r
+      r.select(col("node"), col("r"))
     }
   }
 
@@ -240,8 +284,15 @@ object Ranking {
   private[graft] def rankRound(ew: DataFrame, nodes: DataFrame,
                                r: DataFrame, scale: Long,
                                bcastRanks: Boolean = false,
-                               contrib: String = "r div od"): DataFrame = {
+                               contrib: String = "r div od",
+                               personalized: Boolean = false): DataFrame = {
     val base = 15L * scale / 100
+    // personalized: the teleport term lands ONLY on seeds (is_seed rides
+    // the node frame, attached once at staging — no per-round cost)
+    val baseCol =
+      if (personalized) when(col("is_seed") === 1, lit(base))
+        .otherwise(lit(0L))
+      else lit(base)
     val rSide = if (bcastRanks) broadcast(r) else r
     val inflow = ew.join(rSide, ew("src") === r("node"))
       .select(col("dst").as("node"), expr(contrib).as("c"))
@@ -250,7 +301,7 @@ object Ranking {
     nodes
       .join(inflow, Seq("node"), "left")
       .select(col("node"),
-        (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+        (baseCol + expr("(85 * coalesce(inflow, 0L)) div 100"))
           .as("r"))
   }
 }

@@ -823,10 +823,14 @@ object Similarity {
     */
   def writeIvfIndex(df: DataFrame, vecCol: String,
                     codebook: Seq[(Int, Array[Double])],
-                    table: String): Unit =
+                    table: String): Unit = {
+    // a from-scratch rebuild defines a new snapshot: tombstones written
+    // against the previous build must not apply to it
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `${table}__dels`")
     graft.sources.Warehouse.writePartitioned(
       df.withColumn("cell", ivfCell(col(vecCol), codebook)),
       table, Seq("cell"))
+  }
 
   /** INCREMENTAL IVF maintenance: fold new vectors into an existing
     * [[writeIvfIndex]] table without touching what's there — assign
@@ -848,4 +852,53 @@ object Similarity {
                      table: String): Unit =
     graft.sources.Warehouse.appendPartitioned(
       delta.withColumn("cell", ivfCell(col(vecCol), codebook)), table)
+
+  /** ROW-LEVEL DELETES for an at-rest IVF index — the s15 merge-on-read
+    * face applied to a vector index: tombstones are written to a sibling
+    * `<table>__dels` table, CELL-PARTITIONED WITH THE SAME frozen
+    * centroids as the base, and the base files are NEVER rewritten
+    * (O(deleted) cost, the v27 append economics in reverse). Because the
+    * tombstones share the base's partition layout, a probe's `cell IN`
+    * filter prunes BOTH sides at planning time — the anti-join that
+    * applies the deletes only ever sees the probed cells' rows, never
+    * O(deletes). `rows` must carry the deleted vectors' id AND embedding
+    * (delete-by-row: the cell assignment needs the vector; an id-only
+    * equality delete cannot be cell-routed and would force a global
+    * anti-join — callers with ids only should join the base first).
+    * Repeated deletes append more tombstones; duplicates are harmless
+    * (anti-join semantics). IvfDeleteSpec pins base-files-untouched and
+    * probe ≡ rebuild-without-deleted.
+    */
+  def deleteFromIvfIndex(rows: DataFrame, idCol: String, vecCol: String,
+                         codebook: Seq[(Int, Array[Double])],
+                         table: String): Unit = {
+    val dels = rows.select(col(idCol),
+      ivfCell(col(vecCol), codebook).as("cell"))
+    val spark = rows.sparkSession
+    if (spark.catalog.tableExists(table + "__dels"))
+      graft.sources.Warehouse.appendPartitioned(dels, table + "__dels")
+    else
+      graft.sources.Warehouse.writePartitioned(dels, table + "__dels",
+        Seq("cell"))
+  }
+
+  /** Read the probed cells of a [[writeIvfIndex]] table with
+    * [[deleteFromIvfIndex]] tombstones applied. The `cells` literals
+    * reach both scans as static partition filters (planning-time
+    * pruning, the v11 contract); the anti-join is left unhinted — the
+    * tombstone side is unbounded in general and AQE downgrades it to a
+    * broadcast at runtime exactly when it measures small (the q03
+    * no-unbounded-hint invariant).
+    */
+  def readIvfIndexWithDeletes(spark: org.apache.spark.sql.SparkSession,
+                              table: String, idCol: String,
+                              cells: Seq[Int]): DataFrame = {
+    val base = graft.sources.Warehouse.read(spark, table)
+      .filter(col("cell").isin(cells: _*))
+    if (!spark.catalog.tableExists(table + "__dels")) base
+    else base.join(
+      graft.sources.Warehouse.read(spark, table + "__dels")
+        .filter(col("cell").isin(cells: _*)).select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
 }

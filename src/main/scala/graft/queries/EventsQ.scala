@@ -45,6 +45,18 @@ object EventsQ extends QueryPack {
         .orderBy(col("user_id"), col("ts_us"))
     },
 
+    // COMPLEX EVENT PATTERNS (operators/Cep): regex CEP over per-user
+    // symbol sequences — the MATCH_RECOGNIZE capability class. One
+    // exchange on user_id, per-key bounded state, codegen'd regexp_count;
+    // patterns: error bursts (>=3 consecutive), signup-to-first-purchase,
+    // view-then-purchase with only clicks/errors between.
+    "e18_pattern_matches" -> { (s, dir) =>
+      graft.operators.Cep.patternCounts(Tables(s, dir).events,
+        "user_id", "ts", "event_id",
+        symbol = substring(col("event_type"), 1, 1),
+        patterns = Seq("e{3,}", "s[^p]*p", "v[ce]*p"))
+    },
+
     "e04_json_props_rollup" -> { (s, dir) =>
       Tables(s, dir).events
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -427,6 +439,21 @@ object EventsQ extends QueryPack {
         |      >= 9 * (CAST(st.t AS HUGEINT) * st.ss
         |              - CAST(st.s AS HUGEINT) * st.s)
         |ORDER BY event_type, hour_ms""".stripMargin,
+
+    "e18_pattern_matches" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id),
+        |pats AS (SELECT unnest(['e{3,}', 's[^p]*p', 'v[ce]*p']) AS pattern),
+        |m AS (SELECT pattern, len(regexp_extract_all(s, pattern)) AS m
+        |      FROM seq CROSS JOIN pats)
+        |SELECT pattern,
+        |       CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_keys_matched,
+        |       CAST(SUM(m) AS BIGINT) AS total_matches
+        |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin,
 
     "e04_json_props_rollup" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -393,6 +393,21 @@ object GraphQ extends QueryPack {
         .orderBy(col("node"))
     },
 
+    // PERSONALIZED PageRank (Ranking.personalizedPageRank): random walk
+    // with restart from ONE trusted seed (the smallest ordering
+    // customer) over the same fact-scale trade graph as r07 — the
+    // "relevance to known-good sources" weighting a curation pipeline
+    // runs next to global rank. Same per-round shuffle shape as r07
+    // (the is_seed flag rides the staged node frame at zero per-round
+    // cost); nodes outside the seed's 5-hop ball report 0.
+    "r21_ppr_trade" -> { (s, dir) =>
+      val seed = tradeSource(s, dir)
+      Ranking.personalizedPageRank(tradeEdges(s, dir),
+          seeds = s.range(1).select(lit(seed).as("node")),
+          iters = 5, broadcastRanks = true)
+        .orderBy(col("node"))
+    },
+
     // The cluster deployment mode (Ranking.pageRankOnTable): identical
     // integer recurrence over a src-bucketed edge table, where the
     // O(E) side provably never shuffles per round (RankingSpec pins the
@@ -602,6 +617,36 @@ object GraphQ extends QueryPack {
        |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Personalized variant of [[pageRankSql]]: initial mass and teleport
+    * land only on the `seeds` CTE's nodes (expects `seeds(node)` in
+    * preCtes).
+    */
+  private def pprSql(preCtes: String, iters: Int,
+                     scale: Long = 1000000L): String = {
+    val base = 15L * scale / 100
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+         |              THEN $base ELSE 0 END AS BIGINT)
+         |           + (85 * COALESCE(f.inflow, 0)) // 100 AS r
+         |  FROM (SELECT node FROM r0) n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.r // deg.od) AS BIGINT) AS inflow
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |           JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $preCtes,
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |         CAST(CASE WHEN node IN (SELECT node FROM seeds)
+       |              THEN $scale ELSE 0 END AS BIGINT) AS r
+       |       FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |$rounds
+       |SELECT node, r FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Weighted variant of [[pageRankSql]]: contributions (r·w)//Σw. */
   private def pageRankWeightedSql(preCtes: String, iters: Int,
                                   scale: Long = 1000000L): String = {
@@ -739,6 +784,14 @@ object GraphQ extends QueryPack {
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)""".stripMargin,
+      iters = 5),
+
+    "r21_ppr_trade" -> pprSql(
+      """p AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |seeds AS (SELECT 'c' || MIN(o_custkey) AS node FROM orders)""".stripMargin,
       iters = 5),
 
     // same recurrence as r06 — the bucketed layout must not change the

@@ -300,6 +300,31 @@ object Relational extends QueryPack {
         .orderBy(col("gid"), col("returnflag"), col("ship_year"))
     },
 
+    // GROUPING SETS — the general form q14's ROLLUP and q17's CUBE are
+    // sugar over, with a deliberately non-prefix-chain set list
+    // (((flag,status),(status),()) is not expressible as ROLLUP): one
+    // Expand node fans each row into the requested grouping combinations
+    // and ONE hash aggregate consumes them — one scan, one shuffle, for
+    // all three granularities (vs three scans + a union in the naive
+    // formulation). grouping_id disambiguates a real NULL key from a
+    // rolled-up one.
+    "q20_grouping_sets_revenue" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100)
+            .as("sum_price"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_price"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+
     // Sketch-based approximations — the 100 TB substitutes for exact
     // distinct counts and exact quantiles (HLL++ / KLL-style, mergeable
     // map-side, bounded memory). No SQL oracle: sketch implementations
@@ -555,6 +580,18 @@ object Relational extends QueryPack {
         |      FROM lineitem)
         |GROUP BY CUBE (l_returnflag, y)
         |ORDER BY gid, returnflag, ship_year""".stripMargin,
+
+    "q20_grouping_sets_revenue" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        | coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+        |   AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
 
     "q16_exact_percentiles" ->
       """SELECT l_returnflag,

@@ -564,6 +564,58 @@ object ScaleQ extends QueryPack {
           sum(col("extended_cents")).as("sum_cents"),
           sum(col("disc_bp")).as("sum_disc_bp"))
         .orderBy(col("ship_mon"))
+    },
+
+    // WRITE–AUDIT–PUBLISH (sources/Wap): the ingestion data-quality
+    // gate. A base table is staged, then two candidate batches run the
+    // gate: batch 'b' (clean orders slice) passes all expectations and
+    // PUBLISHES; batch 'c' (the same shape with custkeys poisoned NULL
+    // on a 1-in-97 stripe) fails the null-rate expectation and ABORTS
+    // without landing a byte. Output = both audit frames plus a
+    // '__publish' row per batch whose observed value is the table's
+    // row count AFTER that batch's attempt — so the hash proves BOTH
+    // the audit arithmetic and the abort semantics (c's count equals
+    // b's: nothing from c landed). Each expectation is one aggregate
+    // column of a single audit pass; the publish decision reads the
+    // bounded audit frame only.
+    "s16_wap_publish" -> { (s, dir) =>
+      import graft.sources.Wap
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+      Warehouse.writeTable(o.filter(col("o_orderkey") % 10 < 3),
+        "graft_wap_orders")
+      val batchB = o.filter(col("o_orderkey") % 10 === 7)
+      val batchC = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+      val expects = Seq(
+        Wap.Expect("null_custkey",
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), 0L, 0L),
+        Wap.Expect("nonpositive_price",
+          sum(when(col("price_cents") <= 0, 1L).otherwise(0L)), 0L, 0L),
+        Wap.Expect("row_count", count(lit(1)), 1L, Long.MaxValue),
+        Wap.Expect("max_price_cents", max(col("price_cents")),
+          1L, 100000000L))
+      // run sequentially: b publishes, c aborts — c's '__publish'
+      // observed count must equal b's (the abort proof)
+      val ab = Wap.audit(batchB, expects).localCheckpoint()
+      val pubB = Wap.publishIfClean(batchB, ab, "graft_wap_orders")
+      val afterB = Warehouse.read(s, "graft_wap_orders").count()
+      val ac = Wap.audit(batchC, expects).localCheckpoint()
+      val pubC = Wap.publishIfClean(batchC, ac, "graft_wap_orders")
+      val afterC = Warehouse.read(s, "graft_wap_orders").count()
+      def rows(name: String, a: DataFrame, after: Long, pub: Boolean) =
+        a.select(lit(name).as("batch"), col("expectation"),
+            col("observed"), col("lo"), col("hi"), col("passed"))
+          .unionByName(a.sparkSession.range(1).select(
+            lit(name).as("batch"), lit("__publish").as("expectation"),
+            lit(after).as("observed"), lit(0L).as("lo"), lit(0L).as("hi"),
+            lit(if (pub) 1L else 0L).as("passed")))
+      rows("b", ab, afterB, pubB)
+        .unionByName(rows("c", ac, afterC, pubC))
+        .orderBy(col("batch"), col("expectation"))
     }
   )
 
@@ -768,6 +820,68 @@ object ScaleQ extends QueryPack {
         |SELECT segment, COUNT(*) AS n_rows,
         |  CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents
         |FROM m GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "s16_wap_publish" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |           FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 10 < 3),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 10 = 7),
+        |c AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |             ELSE o_custkey END AS o_custkey,
+        |        price_cents
+        |      FROM o WHERE o_orderkey % 10 = 3),
+        |audit_b AS (
+        |  SELECT 'b' AS batch, expectation, observed, lo, hi,
+        |         CAST(CASE WHEN observed IS NOT NULL
+        |              AND observed BETWEEN lo AND hi
+        |              THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  FROM (
+        |   SELECT 'null_custkey' AS expectation,
+        |     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS observed,
+        |     CAST(0 AS BIGINT) AS lo, CAST(0 AS BIGINT) AS hi FROM b
+        |   UNION ALL SELECT 'nonpositive_price',
+        |     CAST(SUM(CASE WHEN price_cents <= 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |     0, 0 FROM b
+        |   UNION ALL SELECT 'row_count', COUNT(*),
+        |     1, CAST(9223372036854775807 AS BIGINT) FROM b
+        |   UNION ALL SELECT 'max_price_cents', MAX(price_cents),
+        |     1, 100000000 FROM b)),
+        |audit_c AS (
+        |  SELECT 'c' AS batch, expectation, observed, lo, hi,
+        |         CAST(CASE WHEN observed IS NOT NULL
+        |              AND observed BETWEEN lo AND hi
+        |              THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  FROM (
+        |   SELECT 'null_custkey' AS expectation,
+        |     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS observed,
+        |     CAST(0 AS BIGINT) AS lo, CAST(0 AS BIGINT) AS hi FROM c
+        |   UNION ALL SELECT 'nonpositive_price',
+        |     CAST(SUM(CASE WHEN price_cents <= 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |     0, 0 FROM c
+        |   UNION ALL SELECT 'row_count', COUNT(*),
+        |     1, CAST(9223372036854775807 AS BIGINT) FROM c
+        |   UNION ALL SELECT 'max_price_cents', MAX(price_cents),
+        |     1, 100000000 FROM c)),
+        |after_b AS (SELECT (SELECT COUNT(*) FROM base)
+        |  + CASE WHEN (SELECT MIN(passed) FROM audit_b) = 1
+        |         THEN (SELECT COUNT(*) FROM b) ELSE 0 END AS n),
+        |after_c AS (SELECT (SELECT n FROM after_b)
+        |  + CASE WHEN (SELECT MIN(passed) FROM audit_c) = 1
+        |         THEN (SELECT COUNT(*) FROM c) ELSE 0 END AS n)
+        |SELECT batch, expectation, observed, lo, hi, passed FROM (
+        |  SELECT * FROM audit_b
+        |  UNION ALL SELECT * FROM audit_c
+        |  UNION ALL SELECT 'b', '__publish', CAST((SELECT n FROM after_b)
+        |    AS BIGINT), 0, 0, (SELECT MIN(passed) FROM audit_b)
+        |  UNION ALL SELECT 'c', '__publish', CAST((SELECT n FROM after_c)
+        |    AS BIGINT), 0, 0, (SELECT MIN(passed) FROM audit_c))
+        |ORDER BY batch, expectation""".stripMargin,
 
     // raw two-generation mirror: the discount column is NULL before the
     // cutover (it didn't exist in the old schema), so pre-cutover months

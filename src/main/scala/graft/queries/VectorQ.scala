@@ -672,6 +672,40 @@ object VectorQ extends QueryPack {
         .orderBy(col("cos4").desc, col("vec_id")).limit(5)
     },
 
+    // INDEX LIFECYCLE, the delete leg (Similarity.deleteFromIvfIndex —
+    // after build v11, append v27, compact v28): every 7th corpus vector
+    // is tombstoned into a cell-partitioned sibling table (base files
+    // NEVER rewritten, O(deleted) write), then the v11 probe runs with
+    // the tombstones anti-joined in — both scans pruned to the probed
+    // cells at planning time, the anti-join unhinted (AQE decides; the
+    // q03 no-unbounded-hint invariant). The oracle is the v06/v11
+    // multiprobe mirror minus the deleted ids: hash equality proves the
+    // merge-on-read delete is indistinguishable from a rebuild without
+    // those rows — s15's doctrine applied to a vector index.
+    "v30_ivf_deletes" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.writeIvfIndex(corpus, "embedding", cb,
+        "graft_ivf_idx_del")
+      Similarity.deleteFromIvfIndex(corpus.filter(col("vec_id") % 7 === 2),
+        "vec_id", "embedding", cb, "graft_ivf_idx_del")
+      val q = e.filter(col("vec_id") === 0)
+      val cells = q.select(
+          Similarity.ivfProbeCells(col("embedding"), cb, 2).as("c"))
+        .collect()(0).getSeq[Int](0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec")))
+      Similarity.readIvfIndexWithDeletes(s, "graft_ivf_idx_del",
+          "vec_id", cells)
+        .crossJoin(qb)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     "v26_range_search" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val scale = Similarity.sq8MaxAbs(e, "embedding")
@@ -764,7 +798,12 @@ object VectorQ extends QueryPack {
        |FROM e, q, s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   /** Shared mirror for v06/v11 (one semantics, two storage paths). */
-  private lazy val ivfMultiprobeSql: String =
+  private lazy val ivfMultiprobeSql: String = ivfMultiprobeSqlWhere("")
+
+  /** [[ivfMultiprobeSql]] with an extra corpus predicate (ANDed into the
+    * scored scan) — the v30 delete mirror excludes the tombstoned ids.
+    */
+  private def ivfMultiprobeSqlWhere(extra: String): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
        |           FROM embeddings WHERE vec_id BETWEEN 1 AND $CodebookSize),
        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
@@ -776,7 +815,7 @@ object VectorQ extends QueryPack {
        |   ORDER BY round(${cosineSql("e.embedding::DOUBLE[]", "c.ce")}, 4) DESC,
        |            c.cid) AS rn
        | FROM embeddings e CROSS JOIN c
-       | WHERE e.vec_id <> 0),
+       | WHERE e.vec_id <> 0$extra),
        |a AS (SELECT vec_id, ee, CAST(cid AS INT) AS cell
        |      FROM scored WHERE rn = 1)
        |SELECT a.vec_id, a.cell, round(${cosineSql("a.ee", "q.qe")}, 4) AS cos4
@@ -862,6 +901,10 @@ object VectorQ extends QueryPack {
     // same mirror once more: any row lost/duplicated or cell corrupted
     // by the rewrite breaks the hash
     "v28_ivf_compact" -> ivfMultiprobeSql,
+
+    // the delete mirror: the same multiprobe over the corpus MINUS the
+    // tombstoned ids — merge-on-read must equal rebuild-without-deleted
+    "v30_ivf_deletes" -> ivfMultiprobeSqlWhere(" AND e.vec_id % 7 <> 2"),
 
     // bit-for-bit mirror of BinaryQuant: identical 32-bit-word sign
     // packing (dim 1 = high bit of word 0), xor+bit_count hamming, same

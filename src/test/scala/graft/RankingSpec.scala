@@ -135,6 +135,36 @@ class RankingSpec extends SparkTestBase {
     assert(skew("b") > skew("c"), s"weighting ignored: $skew")
   }
 
+  test("personalizedPageRank: hand-computed restart recurrence on a chain") {
+    // a→b→c, seed {a}, scale 100 (base 15 on the seed only):
+    //   r0: a=100 b=0  c=0
+    //   r1: a=15  b=85·100 div 100 = 85          c=0
+    //   r2: a=15  b=85·15 div 100  = 12          c=85·85 div 100 = 72
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = Ranking.personalizedPageRank(e, seeds, iters = 2, scale = 100L)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 15L, "b" -> 12L, "c" -> 72L))
+  }
+
+  test("personalizedPageRank: all-nodes seed set equals global pageRank; " +
+    "a node outside the seed's reach stays exactly 0") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("b", "d")).toDF("src", "dst")
+    val all = Seq("a", "b", "c", "d").toDF("node")
+    val ppr = Ranking.personalizedPageRank(e, all, iters = 6)
+      .as[(String, Long)].collect().toSortedRanks
+    val global = Ranking.pageRank(e, iters = 6)
+      .as[(String, Long)].collect().toSortedRanks
+    assert(ppr == global)
+    // z→a only: z never receives mass and is not a seed → rank 0
+    val e2 = Seq(("a", "b"), ("b", "a"), ("z", "a")).toDF("src", "dst")
+    val r2 = Ranking.personalizedPageRank(e2, Seq("a").toDF("node"),
+      iters = 5).as[(String, Long)].collect().toMap
+    assert(r2("z") == 0L)
+    assert(r2("a") > 0L && r2("b") > 0L)
+  }
+
   private implicit class RankOps(rows: Array[(String, Long)]) {
     def toSortedRanks: Seq[(String, Long)] = rows.sortBy(_._1).toSeq
   }
