@@ -290,6 +290,85 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC CONTAINMENT pairs: C(a→b) = |A∩B| / |A| ≥ θ — "most of
+    * a's content appears in b", the quote/excerpt/subset-detection
+    * semantics Jaccard cannot express (a 50-shingle quote inside a
+    * 5000-shingle article has J ≈ 0.01 but C = 1.0). The training-data
+    * use is verbatim-quotation and doc-in-doc dedup: drop or down-weight
+    * documents that are near-subsets of another document.
+    *
+    * Exactness via the asymmetric prefix filter: if |A∩B| ≥ ⌈θ·|A|⌉,
+    * then ANY (|A| − ⌈θ·|A|⌉ + 1)-subset of A intersects B — so probing
+    * with only the contained side's prefix (rarest-first global (df,t)
+    * order, the d09/d20 peel) against the FULL posting list of the
+    * container side loses no qualifying pair. The container side cannot
+    * be prefix-filtered (every superset qualifies regardless of its own
+    * size) — that asymmetry is intrinsic to containment, so the
+    * candidate volume is Σ_t df_prefix(t)·df(t). On Zipfian text the
+    * prefix lands on genuinely rare terms and the sum stays near-linear;
+    * `maxDf` is the explicit 100 TB guard for adversarial densities —
+    * terms hotter than the cap are excluded from CANDIDATE GENERATION
+    * (both sides), so the output is a provable SUBSET of the exact
+    * answer that can only miss pairs whose every shared prefix term
+    * exceeds the cap (boilerplate-only overlap — the pairs quote
+    * detection wants to ignore anyway; ContainmentSpec pins the subset
+    * property). Default None = exact.
+    *
+    * Output: ordered pairs (a, b, containment) with a ≠ b — both
+    * directions are emitted when both qualify (a quote and its source
+    * are NOT symmetric roles).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       thetaNum: Int = 4, thetaDen: Int = 5,
+                       shingleN: Int = 3,
+                       maxDf: Option[Long] = None): DataFrame = {
+    require(thetaNum > 0 && thetaNum <= thetaDen)
+    val items =
+      if (shingleN == 1) array_distinct(text.tokens(col(textCol)))
+      else coalesce(
+        graft.plans.MinHashShingles
+          .minhashShingles(text.normText(col(textCol)), 1, shingleN)
+          .getField("sh"),
+        array().cast("array<string>"))
+    // per-doc distinct-shingle arrays, checkpointed once (the d09
+    // doctrine: |docs| rows, doubles as the verify side)
+    val shing = docs
+      .select(col(idCol), array_remove(coalesce(items,
+        array().cast("array<string>")), "").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val tok = shing.select(col(idCol), size(col("sh")).as("sz"),
+      explode(col("sh")).as("t"))
+    val dfc0 = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val dfc = maxDf.map(cap => dfc0.filter(col("dfc") <= cap))
+      .getOrElse(dfc0)
+    // inner join against the (possibly capped) df table: tokens above
+    // the cap vanish from ranking AND posting — never from the verify
+    // arrays, so surviving pairs still report their EXACT containment
+    val byDoc = Window.partitionBy(col(idCol))
+    val ranked = tok.join(dfc, Seq("t"))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("dfc"), col("t"))))
+    // contained-side prefix: sz − ceil(θ·sz) + 1 (rn counts only
+    // sub-cap tokens; sz is the TRUE set size, so the prefix is at
+    // least as long as the exact filter requires — never shorter)
+    val pref = ranked.filter(col("rn") <=
+      col("sz") - expr(s"(($thetaNum * sz + $thetaDen - 1) div $thetaDen)") + 1)
+    val cands = pref.select(col(idCol).as("a"), col("t"))
+      .join(ranked.select(col(idCol).as("b"), col("t").as("rt")),
+        col("t") === col("rt") && col("a") =!= col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    cands
+      .join(shing.select(col(idCol).as("a"), col("sh").as("ta"))
+        .hint("shuffle_hash"), Seq("a"))
+      .join(shing.select(col(idCol).as("b"), col("sh").as("tb"))
+        .hint("shuffle_hash"), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .filter(col("inter") * thetaDen >= size(col("ta")) * thetaNum)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / size(col("ta")), 4)
+          .as("containment"))
+  }
+
   /** Connected components over near-dup candidate pairs: every member is
     * labeled with the smallest doc id reachable through the pair graph
     * (the canonical "keeper" of its duplicate cluster). Frontier-based

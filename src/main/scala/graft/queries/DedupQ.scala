@@ -83,6 +83,17 @@ object DedupQ extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // ASYMMETRIC containment (Dedup.containmentPairs): |A∩B|/|A| ≥ 3/5 —
+    // quote/excerpt detection, the subset semantics Jaccard can't see.
+    // Ordered pairs, both directions when both qualify; prefix filter on
+    // the contained side only (the container can't be prefix-filtered —
+    // intrinsic to containment).
+    "d21_containment_pairs" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir).documents, "doc_id", "text",
+          thetaNum = 3, thetaDen = 5, shingleN = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
     // Duplicate clusters: connected components over the LSH candidate
     // pairs, labeled by the smallest member id (the keeper).
     "d06_dup_clusters" -> { (s, dir) =>
@@ -553,6 +564,32 @@ object DedupQ extends QueryPack {
 
     // Mirrors prefixJaccardPairs over 3-shingles: same (df, item) global
     // order, same integer prefix length and threshold comparison.
+    "d21_containment_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),
+         |sh AS (SELECT doc_id, ${shingles3Sql()} AS sh FROM w WHERE len(w) >= 3),
+         |tok AS (SELECT DISTINCT doc_id, t
+         |        FROM (SELECT doc_id, unnest(sh) AS t FROM sh) WHERE t <> ''),
+         |dfc AS (SELECT t, COUNT(*) AS dfc FROM tok GROUP BY t),
+         |rk AS (SELECT doc_id, tok.t,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY dfc, t) AS rn,
+         |        COUNT(*) OVER (PARTITION BY doc_id) AS sz
+         |       FROM tok JOIN dfc USING (t)),
+         |pref AS (SELECT doc_id, t FROM rk
+         |         WHERE rn <= sz - ((3 * sz + 4) // 5) + 1),
+         |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |          FROM pref l JOIN rk r
+         |          ON l.t = r.t AND l.doc_id <> r.doc_id),
+         |sets AS (SELECT doc_id, list_sort(list(t)) AS ts FROM tok GROUP BY doc_id),
+         |v AS (SELECT a, b,
+         |       len(list_filter(sa.ts, x -> list_contains(sb.ts, x))) AS inter,
+         |       len(sa.ts) AS la
+         |      FROM cands
+         |      JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
+         |SELECT a, b, round(CAST(inter AS DOUBLE) / la, 4) AS containment
+         |FROM v WHERE inter * 5 >= la * 3
+         |ORDER BY a, b""".stripMargin,
+
     "d09_prefix_jaccard_pairs" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          |w AS (SELECT doc_id, ${wordsSql()} AS w FROM n),

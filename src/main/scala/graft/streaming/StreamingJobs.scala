@@ -157,6 +157,25 @@ object StreamingJobs {
       }
   }
 
+  /** BOUNDED-STATE streaming dedup — the production complement to
+    * [[dedupStream]]: that face keeps every fingerprint's state forever
+    * (exact across the whole stream, O(distinct keys) state — fine for
+    * a corpus, fatal for an unbounded firehose). This face bounds state
+    * by event time: duplicates are suppressed only while they can still
+    * arrive inside the watermark `delay`, after which the key's state is
+    * EVICTED by the engine — O(keys-per-delay-window) state at any
+    * stream length. The trade is explicit: a duplicate arriving later
+    * than `delay` after the kept row re-emits (it is indistinguishable
+    * from a new key once state is gone). This is Spark's
+    * dropDuplicatesWithinWatermark contract, surfaced as the engine's
+    * at-least-once-ingest dedup face (dedup of retried/replayed events
+    * where replays are boundedly late by construction).
+    */
+  def dedupWithinWatermarkStream(events: DataFrame, keyCols: Seq[String],
+                                 tsCol: String, delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class TEv(user_id: Long, ts_us: Long, event_id: Long,
                        event_type: String)
   final case class Transition(user_id: Long, from_state: String,

@@ -249,6 +249,35 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Map("fpA" -> 3L, "fpB" -> 7L, "fpC" -> 9L))
   }
 
+  test("dedupWithinWatermarkStream suppresses in-window duplicates and " +
+    "evicts state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingJobs.dedupWithinWatermarkStream(
+        mem.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: k1 twice inside the window -> one survivor
+    mem.addData(("k1", t("2026-01-01 10:00:00")),
+      ("k1", t("2026-01-01 10:03:00")), ("k2", t("2026-01-01 10:01:00")))
+    q.processAllAvailable()
+    // batch 2: still inside k1's window -> suppressed; watermark advances
+    // far past 10:00 via k3
+    mem.addData(("k1", t("2026-01-01 10:05:00")),
+      ("k3", t("2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 3: k1 again, long after its state was evicted -> re-emits
+    // (the documented bounded-state trade)
+    mem.addData(("k1", t("2026-01-01 11:30:00")))
+    q.processAllAvailable()
+    val got = spark.table("wmdedup")
+      .as[(String, java.sql.Timestamp)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    q.stop()
+    assert(got == Map("k1" -> 2, "k2" -> 1, "k3" -> 1), got.toString)
+  }
+
   test("streaming rollup plan equals the batch plan's results") {
     val batch = Seq(
       (java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
