@@ -325,6 +325,29 @@ object Relational extends QueryPack {
         .orderBy(col("gid"), col("returnflag"), col("linestatus"))
     },
 
+    // RECURSIVE-HIERARCHY rollup (operators/Hierarchy): BOM-explosion
+    // semantics — every part reports its whole subtree's cost and
+    // descendant count over the synthetic parent(k) = k div 7 forest
+    // (roots k < 7). The single-node form is a recursive CTE walking
+    // O(V·depth) closure rows; the engine runs a level-synchronous
+    // fixpoint of depth rounds, each one V-sized join + aggregate. The
+    // round budget derives from the max key on the driver (a bounded
+    // scalar, the s10 cutoff doctrine); overshoot is a fixpoint no-op.
+    "q21_hierarchy_rollup" -> { (s, dir) =>
+      val p = Tables(s, dir).part
+      val maxK = p.agg(max(col("p_partkey"))).collect()(0).getLong(0)
+      var m = maxK; var depth = 0
+      while (m >= 7) { m /= 7; depth += 1 }
+      val nodes = p.select(col("p_partkey").as("k"),
+        when(col("p_partkey") >= 7, expr("p_partkey div 7"))
+          .as("parent"),
+        cents(col("p_retailprice")).as("v"))
+      graft.operators.Hierarchy
+        .subtreeAggregate(nodes, "k", "parent", "v", rounds = depth + 1)
+        .select(col("k"), col("total").as("total_cents"), col("n_desc"))
+        .orderBy(col("k"))
+    },
+
     // Sketch-based approximations — the 100 TB substitutes for exact
     // distinct counts and exact quantiles (HLL++ / KLL-style, mergeable
     // map-side, bounded memory). No SQL oracle: sketch implementations
@@ -580,6 +603,23 @@ object Relational extends QueryPack {
         |      FROM lineitem)
         |GROUP BY CUBE (l_returnflag, y)
         |ORDER BY gid, returnflag, ship_year""".stripMargin,
+
+    "q21_hierarchy_rollup" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT p_partkey AS k,
+        |         CASE WHEN p_partkey >= 7 THEN p_partkey // 7 END AS p,
+        |         CAST(round(p_retailprice*100) AS BIGINT) AS v
+        |  FROM part),
+        |anc AS (
+        |  SELECT k AS anc, k AS node FROM nodes
+        |  UNION ALL
+        |  SELECT n.p, a.node FROM anc a JOIN nodes n ON a.anc = n.k
+        |  WHERE n.p IS NOT NULL)
+        |SELECT a.anc AS k,
+        |       CAST(SUM(n.v) AS BIGINT) AS total_cents,
+        |       CAST(COUNT(*) - 1 AS BIGINT) AS n_desc
+        |FROM anc a JOIN nodes n ON n.k = a.node
+        |GROUP BY a.anc ORDER BY k""".stripMargin,
 
     "q20_grouping_sets_revenue" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
