@@ -387,9 +387,14 @@ object GraphQ extends QueryPack {
       // V = |customers| + |suppliers| — bounded by dim-table cardinality
       // (~16k at sf0.1, ~16 bytes/row), so the rank frame satisfies the
       // broadcast contract at any fact-table volume; the O(E) side never
-      // shuffles per round.
-      Ranking.pageRank(tradeEdges(s, dir), iters = 5,
+      // shuffles per round. Long-id staging (the r03/r21 lesson: string
+      // node ids dominated the per-round join at fact scale — r21
+      // measured 23.9 → 11.1 s at sf1 from this change alone); labels
+      // decode on the V-sized output only. dedup = true: degrees are
+      // multiplicity-sensitive.
+      Ranking.pageRank(tradeEdgesLong(s, dir, dedup = true), iters = 5,
           broadcastRanks = true)
+        .select(decodeTradeNode(col("node")).as("node"), col("r"))
         .orderBy(col("node"))
     },
 
@@ -401,10 +406,16 @@ object GraphQ extends QueryPack {
     // (the is_seed flag rides the staged node frame at zero per-round
     // cost); nodes outside the seed's 5-hop ball report 0.
     "r21_ppr_trade" -> { (s, dir) =>
-      val seed = tradeSource(s, dir)
-      Ranking.personalizedPageRank(tradeEdges(s, dir),
-          seeds = s.range(1).select(lit(seed).as("node")),
+      // long-id staging (the r03 lesson: string node ids were the whole
+      // per-round join cost at fact scale — 23.9 → ~15 s at sf1);
+      // dedup = true: PageRank degrees are multiplicity-sensitive.
+      // Output decodes back to the reference labels in one V-sized
+      // projection.
+      Ranking.personalizedPageRank(tradeEdgesLong(s, dir, dedup = true),
+          seeds = s.range(1).select(lit(tradeSourceLong(s, dir))
+            .cast("long").as("node")),
           iters = 5, broadcastRanks = true)
+        .select(decodeTradeNode(col("node")).as("node"), col("r"))
         .orderBy(col("node"))
     },
 
@@ -473,16 +484,20 @@ object GraphQ extends QueryPack {
     // adjacency (Ranking.pageRankWeighted doc — same exact-integer
     // fixed point and shuffle shape as r07, contributions (r·w)/Σw).
     "r14_weighted_pagerank" -> { (s, dir) =>
+      // long-id staging, as r07/r21: the weighted aggregation groups on
+      // the long keys directly (cheaper hash+shuffle than 'c123'
+      // strings); labels decode on the V-sized output only
       val t = Tables(s, dir)
       val p = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
         .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .groupBy((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .agg(count(lit(1)).as("w"))
       val sym = p.unionByName(p.select(col("dst").as("src"),
         col("src").as("dst"), col("w")))
       Ranking.pageRankWeighted(sym, iters = 5, broadcastRanks = true)
+        .select(decodeTradeNode(col("node")).as("node"), col("r"))
         .orderBy(col("node"))
     },
 
