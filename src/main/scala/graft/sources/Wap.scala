@@ -70,6 +70,14 @@ object Wap {
       val stored = batch.sparkSession.table(table).columns
       batch.select(stored.map(col): _*)
         .write.mode("append").format("parquet").insertInto(table)
+      // appends do NOT drop the catalog entry (unlike writeTable's
+      // DROP+recreate), so any session that already read the table holds
+      // a cached file listing that silently misses the new files — under
+      // foreachBatch the write runs on the micro-batch's CLONED session
+      // while the caller reads from the outer one (found the hard way:
+      // rows on disk, reads stale). refreshTable invalidates the shared
+      // relation cache so every session re-lists.
+      batch.sparkSession.catalog.refreshTable(table)
     }
     clean
   }

@@ -582,6 +582,67 @@ object StreamingJobs {
       .start()
       .awaitTermination()
 
+  /** One micro-batch of the streaming ingestion gate ([[wapStream]]'s
+    * foreachBatch body, exposed for the spec): audit the batch, publish
+    * it into `table` only if every expectation holds, and append the
+    * audit rows — plus a '__publish' row carrying the table's row count
+    * after the attempt — to `auditTable` (the immutable quality log a
+    * pipeline alerts on). A failing batch lands NOTHING in `table`; the
+    * audit log is the only trace. Returns whether the batch published.
+    */
+  def wapBatch(spark: SparkSession, batch: DataFrame,
+               expects: Seq[graft.sources.Wap.Expect], table: String,
+               auditTable: String, batchId: Long): Boolean = {
+    val audit = graft.sources.Wap.audit(batch, expects).localCheckpoint()
+    val ok = graft.sources.Wap.publishIfClean(batch, audit, table)
+    // the publish ran on the MICRO-BATCH's cloned session (batch's
+    // owner); relation caches are per-session, so this outer session's
+    // cached file listing for `table` does not see the appended files
+    // until refreshed (rows were on disk, reads stale — the cache
+    // coherence gotcha of appends under foreachBatch)
+    spark.catalog.refreshTable(table)
+    val after = spark.table(table).count()
+    val rows = audit.select(lit(batchId).as("batch_id"),
+        col("expectation"), col("observed"), col("lo"), col("hi"),
+        col("passed"))
+      .unionByName(spark.range(1).select(lit(batchId).as("batch_id"),
+        lit("__publish").as("expectation"), lit(after).as("observed"),
+        lit(0L).as("lo"), lit(0L).as("hi"),
+        lit(if (ok) 1L else 0L).as("passed")))
+    if (!spark.catalog.tableExists(auditTable))
+      graft.sources.Warehouse.writeTable(rows, auditTable)
+    else {
+      val stored = spark.table(auditTable).columns
+      rows.select(stored.map(col): _*)
+        .write.mode("append").format("parquet").insertInto(auditTable)
+      spark.catalog.refreshTable(auditTable) // same cache-coherence note
+    }
+    ok
+  }
+
+  /** s16's STREAMING face — write–audit–publish as an ingestion stream:
+    * candidate parquet batches land under `inputDir`; each
+    * `Trigger.AvailableNow` run gates exactly the newly-arrived files
+    * through [[wapBatch]] — clean batches append to `table`, poisoned
+    * batches abort (audit-logged, nothing landed), and the stream keeps
+    * going either way (a bad batch must not wedge ingestion). Seed
+    * `table` with the empty/base state first. StreamingSpec pins the
+    * abort/publish semantics across batches.
+    */
+  def wapStream(spark: SparkSession, inputDir: String, schema: String,
+                checkpoint: String,
+                expects: Seq[graft.sources.Wap.Expect],
+                table: String, auditTable: String): Unit =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        wapBatch(spark, batch, expects, table, auditTable, id); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** I2: content-hash change detection — stable hash of a DataFrame's full
     * content (order-insensitive), the engine-side equivalent of the
     * reference's `git diff --quiet` publish gate.

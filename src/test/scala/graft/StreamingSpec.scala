@@ -340,6 +340,44 @@ class StreamingSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("wapStream: clean batches publish, a poisoned batch aborts " +
+    "without landing a byte, ingestion continues after the abort") {
+    import graft.sources.{Wap, Warehouse}
+    val dir = java.nio.file.Files.createTempDirectory("wap-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wap-ck").toString
+    val table = "graft_wap_stream_spec"
+    val auditT = "graft_wap_stream_audit"
+    spark.sql(s"DROP TABLE IF EXISTS $auditT")
+    Warehouse.writeTable(Seq((1L, 10L)).toDF("k", "v"), table)
+    val expects = Seq(
+      Wap.Expect("nulls",
+        sum(when(col("k").isNull, 1L).otherwise(0L)), 0L, 0L),
+      Wap.Expect("rows", count(lit(1)), 1L, Long.MaxValue))
+    val schema = "k LONG, v LONG"
+    def land(rows: Seq[(Option[Long], Long)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    def run(): Unit = StreamingJobs.wapStream(spark, dir, schema, ckpt,
+      expects, table, auditT)
+    land(Seq((Some(2L), 20L), (Some(3L), 30L))) // clean -> publishes
+    run()
+    land(Seq((Option.empty[Long], 99L)))        // poisoned -> aborts
+    run()
+    land(Seq((Some(4L), 40L)))                  // clean again -> publishes
+    run()
+    val pubs = spark.table(auditT)
+      .filter(col("expectation") === "__publish")
+      .select(col("batch_id"), col("observed"), col("passed"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // row counts after each attempt: 3 (published), 3 (aborted), 4
+    assert(pubs.map(p => (p._2, p._3)) == Seq((3L, 1L), (3L, 0L), (4L, 1L)),
+      s"audit: $pubs")
+    val kept = spark.table(table).as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      s"table: $kept") // the poisoned row 99 never landed
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $auditT")
+  }
+
   test("scd2Stream: cross-batch version history parity with one batch " +
     "scd2; closed versions immutable, stale rows dropped, gaps survive") {
     val dir = java.nio.file.Files.createTempDirectory("scd2-in").toString
