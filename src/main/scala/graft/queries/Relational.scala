@@ -338,10 +338,20 @@ object Relational extends QueryPack {
       val maxK = p.agg(max(col("p_partkey"))).collect()(0).getLong(0)
       var m = maxK; var depth = 0
       while (m >= 7) { m /= 7; depth += 1 }
+      // close the forest under the EXISTING key set: a computed parent
+      // key with no part row is a dangling pointer, and the two engines
+      // would disagree on whether it aggregates (the sf1 key-shifted
+      // copies surfaced exactly this) — a node whose parent doesn't
+      // exist is a root, on both sides, by construction
+      val keys = p.select(col("p_partkey").as("__pk"))
       val nodes = p.select(col("p_partkey").as("k"),
-        when(col("p_partkey") >= 7, expr("p_partkey div 7"))
-          .as("parent"),
-        cents(col("p_retailprice")).as("v"))
+          when(col("p_partkey") >= 7, expr("p_partkey div 7"))
+            .as("parent0"),
+          cents(col("p_retailprice")).as("v"))
+        .join(keys, col("parent0") === col("__pk"), "left")
+        .select(col("k"),
+          when(col("__pk").isNotNull, col("parent0")).as("parent"),
+          col("v"))
       graft.operators.Hierarchy
         .subtreeAggregate(nodes, "k", "parent", "v", rounds = depth + 1)
         .select(col("k"), col("total").as("total_cents"), col("n_desc"))
@@ -607,7 +617,9 @@ object Relational extends QueryPack {
     "q21_hierarchy_rollup" ->
       """WITH RECURSIVE nodes AS (
         |  SELECT p_partkey AS k,
-        |         CASE WHEN p_partkey >= 7 THEN p_partkey // 7 END AS p,
+        |         CASE WHEN p_partkey >= 7
+        |              AND (p_partkey // 7) IN (SELECT p_partkey FROM part)
+        |              THEN p_partkey // 7 END AS p,
         |         CAST(round(p_retailprice*100) AS BIGINT) AS v
         |  FROM part),
         |anc AS (
