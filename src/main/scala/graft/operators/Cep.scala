@@ -34,21 +34,36 @@ object Cep {
   /** Per-key symbol sequences: one row per key with the concatenated
     * symbol string (events ordered by `tsCol`, `tieCol`). `symbol` must
     * evaluate to a single-character string per event.
+    *
+    * The cap is enforced BEFORE aggregation by a row_number window over
+    * the same total order — WindowExec sorts and spills per key, so a
+    * pathological mega-key streams through disk and only its first
+    * `maxEventsPerKey` events ever enter the collect_list buffer (a
+    * post-aggregation slice would bound the output string but not the
+    * aggregation buffer — the OOM it claims to prevent; the r12
+    * window-gate doctrine). Same semantics: the kept events are the
+    * leading prefix of the (ts, tie) order.
     */
   def sequences(events: DataFrame, keyCol: String, tsCol: String,
                 tieCol: String, symbol: Column,
-                maxEventsPerKey: Int = 1 << 20): DataFrame =
+                maxEventsPerKey: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__tie"))
     events
       .select(col(keyCol), col(tsCol).as("__ts"), col(tieCol).as("__tie"),
         symbol.as("__sym"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxEventsPerKey)
       .groupBy(col(keyCol))
-      // sort_array on the (ts, tie, sym) struct = total event order;
-      // slice caps the per-key state BEFORE the concat materializes it
-      .agg(array_join(slice(transform(
+      // sort_array on the (ts, tie, sym) struct = total event order
+      // (the window's partial order does not survive the aggregation)
+      .agg(array_join(transform(
           sort_array(collect_list(struct(col("__ts"), col("__tie"),
             col("__sym")))),
-          e => e.getField("__sym")), 1, maxEventsPerKey), "")
+          e => e.getField("__sym")), "")
         .as("seq"))
+  }
 
   /** Count pattern occurrences per key and roll up per pattern:
     * (pattern, n_keys_matched, total_matches), ordered by pattern.
@@ -56,8 +71,10 @@ object Cep {
     */
   def patternCounts(events: DataFrame, keyCol: String, tsCol: String,
                     tieCol: String, symbol: Column,
-                    patterns: Seq[String]): DataFrame = {
-    val seqs = sequences(events, keyCol, tsCol, tieCol, symbol)
+                    patterns: Seq[String],
+                    maxEventsPerKey: Int = 1 << 20): DataFrame = {
+    val seqs = sequences(events, keyCol, tsCol, tieCol, symbol,
+      maxEventsPerKey)
     // the patterns frame is a literal handful of rows — the cross join
     // is a broadcast of a bounded constant, not a data-scale product
     val pats = broadcast(

@@ -221,45 +221,68 @@ object Dedup {
     * clear token-Jaccard 0.6 — a quadratic result no candidate scheme
     * can save). Shingles make near-uniqueness the common case.
     */
-  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         thetaNum: Int = 3, thetaDen: Int = 5,
-                         shingleN: Int = 1): DataFrame = {
+  /** Shared staging of the AllPairs prefix-filter family
+    * ([[prefixJaccardPairs]], [[containmentPairs]]): per-doc distinct
+    * shingle arrays (checkpointed ONCE — |docs| rows, doubling as the
+    * verify side), the exploded posting table ranked on the global
+    * (df, t) peel order, and the θ-prefix. Returns (shing, ranked,
+    * pref).
+    *
+    * Notes that earned their shape (measured, don't re-try):
+    * - per-row MinHashShingles kernel, not the transform/slice HOF
+    *   (CodegenFallback at ~1 ms/doc — 9.3 s → 4 s at sf0.1);
+    * - checkpoint the ARRAYS, not the exploded table (two
+    *   ObjectHashAggregate+Exchange pairs and a 2M-row checkpoint
+    *   serialization gone, ~6.5 → ~2.5 s at sf0.1);
+    * - sz = size(sh) carried through the explode — a free projection
+    *   instead of a second count window pass (2.35 → 2.22 s);
+    * - prefix length sz − ⌈θ·sz⌉ + 1 with exact integer ceil.
+    *
+    * `maxDf`: tokens hotter than the cap leave the df table — they
+    * vanish from ranking AND postings (candidate generation) but never
+    * from the verify arrays. The capped ranking's leading ranks equal
+    * the uncapped ranking's (the removed tokens are the HOTTEST, i.e.
+    * the tail of the rarest-first order), so the prefix can only widen
+    * relative to the exact filter — output remains a provable subset
+    * that misses only pairs whose every shared prefix term exceeds the
+    * cap (ContainmentSpec).
+    */
+  private def stagePrefixRanked(docs: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int,
+                                thetaNum: Int, thetaDen: Int,
+                                maxDf: Option[Long])
+      : (DataFrame, DataFrame, DataFrame) = {
     require(thetaNum > 0 && thetaNum <= thetaDen)
     val items =
       if (shingleN == 1) array_distinct(text.tokens(col(textCol)))
       else coalesce(
-        // per-row codegen kernel (same distinct-shingle set as the HOF
-        // pipeline, TextKernelsSpec): the transform/slice HOF form is
-        // CodegenFallback at ~1 ms/doc — measured 9.3 s → 4 s at sf0.1
         graft.plans.MinHashShingles
           .minhashShingles(text.normText(col(textCol)), 1, shingleN)
           .getField("sh"),
         array().cast("array<string>"))
-    // Checkpoint the per-doc shingle ARRAYS (|docs| rows), not the
-    // exploded token table (|docs|·|shingles| rows): the explode is cheap
-    // to re-run per consumer, while the array frame doubles as the verify
-    // side for free — no collect_list re-aggregation (measured at sf0.1:
-    // two ObjectHashAggregate+Exchange pairs and a 2M-row checkpoint
-    // serialization gone, ~6.5 s → ~2.5 s).
     val shing = docs
       .select(col(idCol), array_remove(coalesce(items,
         array().cast("array<string>")), "").as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    // sz (per-doc distinct-shingle count) is just size(sh) carried
-    // through the explode — a free projection column instead of a second
-    // count(*) window pass over the exploded table (measured at sf0.1:
-    // 2.35 → 2.22 s, 7-pass mins — the ordered rn window still pays the
-    // doc-id shuffle, so only the extra aggregation pass disappears)
     val tok = shing.select(col(idCol), size(col("sh")).as("sz"),
       explode(col("sh")).as("t"))
-    val dfc = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val dfc0 = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val dfc = maxDf.map(cap => dfc0.filter(col("dfc") <= cap))
+      .getOrElse(dfc0)
     val byDoc = Window.partitionBy(col(idCol))
     val ranked = tok.join(dfc, Seq("t"))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("dfc"), col("t"))))
-    // prefix length sz − ceil(θ·sz) + 1, with exact integer ceil
     val pref = ranked.filter(col("rn") <=
       col("sz") - expr(s"(($thetaNum * sz + $thetaDen - 1) div $thetaDen)") + 1)
+    (shing, ranked, pref)
+  }
+
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         thetaNum: Int = 3, thetaDen: Int = 5,
+                         shingleN: Int = 1): DataFrame = {
+    val (shing, _, pref) = stagePrefixRanked(docs, idCol, textCol,
+      shingleN, thetaNum, thetaDen, maxDf = None)
     // AllPairs length filter at candidate time: J(A,B) ≥ θ forces
     // θ·|A| ≤ |B| ≤ |A|/θ, so size-incompatible collisions never enter
     // the (array-shipping) verify join
@@ -322,37 +345,11 @@ object Dedup {
                        thetaNum: Int = 4, thetaDen: Int = 5,
                        shingleN: Int = 3,
                        maxDf: Option[Long] = None): DataFrame = {
-    require(thetaNum > 0 && thetaNum <= thetaDen)
-    val items =
-      if (shingleN == 1) array_distinct(text.tokens(col(textCol)))
-      else coalesce(
-        graft.plans.MinHashShingles
-          .minhashShingles(text.normText(col(textCol)), 1, shingleN)
-          .getField("sh"),
-        array().cast("array<string>"))
-    // per-doc distinct-shingle arrays, checkpointed once (the d09
-    // doctrine: |docs| rows, doubles as the verify side)
-    val shing = docs
-      .select(col(idCol), array_remove(coalesce(items,
-        array().cast("array<string>")), "").as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
-    val tok = shing.select(col(idCol), size(col("sh")).as("sz"),
-      explode(col("sh")).as("t"))
-    val dfc0 = tok.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
-    val dfc = maxDf.map(cap => dfc0.filter(col("dfc") <= cap))
-      .getOrElse(dfc0)
-    // inner join against the (possibly capped) df table: tokens above
-    // the cap vanish from ranking AND posting — never from the verify
-    // arrays, so surviving pairs still report their EXACT containment
-    val byDoc = Window.partitionBy(col(idCol))
-    val ranked = tok.join(dfc, Seq("t"))
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("dfc"), col("t"))))
-    // contained-side prefix: sz − ceil(θ·sz) + 1 (rn counts only
-    // sub-cap tokens; sz is the TRUE set size, so the prefix is at
-    // least as long as the exact filter requires — never shorter)
-    val pref = ranked.filter(col("rn") <=
-      col("sz") - expr(s"(($thetaNum * sz + $thetaDen - 1) div $thetaDen)") + 1)
+    // shared AllPairs staging ([[stagePrefixRanked]] — incl. the maxDf
+    // subset-property argument); the CONTAINED side probes with its
+    // prefix, the container side keeps its full (sub-cap) posting
+    val (shing, ranked, pref) = stagePrefixRanked(docs, idCol, textCol,
+      shingleN, thetaNum, thetaDen, maxDf)
     val cands = pref.select(col(idCol).as("a"), col("t"))
       .join(ranked.select(col(idCol).as("b"), col("t").as("rt")),
         col("t") === col("rt") && col("a") =!= col("b"))

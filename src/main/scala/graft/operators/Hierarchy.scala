@@ -40,26 +40,32 @@ object Hierarchy {
       col(parentCol).as("p"), col(valueCol).cast("long").as("v")))
     val parts = graft.operators.Iteration.roundPartitions(spark, base.count())
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var t = ckpt(base.select(col("k"),
+      // the parent pointer RIDES the loop frame — recovering it with a
+      // per-round t⋈base join would add a V-sized shuffle join per
+      // round for a column the rebuild already has in hand
+      var t = ckpt(base.select(col("k"), col("p"),
         col("v").as("total"), lit(0L).as("n_desc")))
       var i = 0
       while (i < rounds) {
         // children's round-(i-1) totals, grouped to their parent: one
-        // V-sized join + one V-sized aggregate per round — nothing
+        // V-sized aggregate + one V-sized join per round — nothing
         // accumulates across rounds (each round rebuilds from base)
-        val up = t.join(base.select(col("k"), col("p")), Seq("k"))
-          .filter(col("p").isNotNull)
-          .groupBy(col("p"))
+        // the group key is ALIASED to a fresh attribute: t and base
+        // share the `p` attribute lineage, and an un-aliased groupBy
+        // would put the same attribute on both sides of the join
+        // (DetectAmbiguousSelfJoin rejects it)
+        val up = t.filter(col("p").isNotNull)
+          .groupBy(col("p").as("__up_p"))
           .agg(sum(col("total")).as("ct"),
             sum(col("n_desc") + 1L).as("cd"))
         t = ckpt(base
-          .join(up, base("k") === up("p"), "left")
-          .select(base("k"),
+          .join(up, base("k") === up("__up_p"), "left")
+          .select(base("k"), base("p"),
             (col("v") + coalesce(col("ct"), lit(0L))).as("total"),
             coalesce(col("cd"), lit(0L)).as("n_desc")))
         i += 1
       }
-      t
+      t.select(col("k"), col("total"), col("n_desc"))
     }
   }
 }

@@ -849,9 +849,33 @@ object Similarity {
     */
   def appendIvfIndex(delta: DataFrame, vecCol: String,
                      codebook: Seq[(Int, Array[Double])],
-                     table: String): Unit =
+                     table: String): Unit = {
     graft.sources.Warehouse.appendPartitioned(
       delta.withColumn("cell", ivfCell(col(vecCol), codebook)), table)
+    appendResurrects(delta, table)
+  }
+
+  /** A re-APPENDED id must come back: without this, a tombstone from an
+    * earlier [[deleteFromIvfIndex]] would silently swallow the freshly
+    * appended row (the read's anti-join has no sequence axis), breaking
+    * the probe ≡ rebuild-without-deleted contract for
+    * delete-then-re-add. The append therefore rewrites the tombstone
+    * table minus the appended ids — O(tombstones), which the delete
+    * economics already bound (tombstones are the deleted slice, not the
+    * index), and a no-op when no tombstone table exists.
+    */
+  private def appendResurrects(delta: DataFrame, table: String): Unit = {
+    val spark = delta.sparkSession
+    val dels = table + "__dels"
+    if (spark.catalog.tableExists(dels)) {
+      val idCol = spark.table(dels).columns.filter(_ != "cell").head
+      val survivors = spark.table(dels)
+        .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint() // materialize before overwriting its source
+      graft.sources.Warehouse.writePartitioned(survivors, dels,
+        Seq("cell"))
+    }
+  }
 
   /** ROW-LEVEL DELETES for an at-rest IVF index — the s15 merge-on-read
     * face applied to a vector index: tombstones are written to a sibling

@@ -445,7 +445,12 @@ object EventsQ extends QueryPack {
         |  SELECT user_id,
         |         string_agg(substr(event_type, 1, 1), ''
         |                    ORDER BY ts, event_id) AS s
-        |  FROM events GROUP BY user_id),
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS rn
+        |        FROM events)
+        |  WHERE rn <= 1048576
+        |  GROUP BY user_id),
         |pats AS (SELECT unnest(['e{3,}', 's[^p]*p', 'v[ce]*p']) AS pattern),
         |m AS (SELECT pattern, len(regexp_extract_all(s, pattern)) AS m
         |      FROM seq CROSS JOIN pats)

@@ -27,35 +27,16 @@ object GraphQ extends QueryPack {
         ((col("k") % 3) + 1).cast("double").as("weight_m")))
   }
 
-  /** A big graph derived from the fact tables (scale evidence for the
-    * frontier loops — ~600k directed edges at sf0.1): the bipartite
+  /** The fact-scale trade graph (scale evidence for the frontier
+    * loops — ~600k directed edges at sf0.1): the bipartite
     * customer–supplier graph, one undirected edge per distinct
-    * (o_custkey, l_suppkey) trading pair. Node ids are prefixed
-    * ("c123"/"s45") so the two key spaces can't collide.
-    */
-  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables(s, dir)
-    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
-
-  /** Deterministic BFS source for [[tradeEdges]]: the smallest customer
-    * key that actually placed an order (1-value driver lookup).
-    */
-  private def tradeSource(s: SparkSession, dir: String): String =
-    "c" + Tables(s, dir).orders.agg(min(col("o_custkey"))).collect()(0).get(0)
-
-  /** [[tradeEdges]] with LONG node ids — customer k → 2k, supplier k →
-    * 2k+1 (disjoint by parity, the same graph node-for-node): integer
+    * (o_custkey, l_suppkey) trading pair, with LONG node ids —
+    * customer k → 2k, supplier k → 2k+1 (disjoint by parity): integer
     * keys hash, compare, and shuffle measurably cheaper than "c123"
     * strings at fact scale (measured on r03 at sf1: the per-round
-    * expansion join over 11.7M string edges was the whole cost), and
-    * the ids decode back to the reference's string labels in one
+    * expansion join over 11.7M string edges was the whole cost; the
+    * string-keyed builder this replaced cost r07/r14/r21 ~40% at sf1),
+    * and the ids decode back to the reference's string labels in one
     * output-sized projection ([[decodeTradeNode]]).
     *
     * `dedup = false` skips the distinct: BFS min-combine is idempotent

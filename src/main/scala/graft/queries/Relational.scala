@@ -335,7 +335,8 @@ object Relational extends QueryPack {
     // scalar, the s10 cutoff doctrine); overshoot is a fixpoint no-op.
     "q21_hierarchy_rollup" -> { (s, dir) =>
       val p = Tables(s, dir).part
-      val maxK = p.agg(max(col("p_partkey"))).collect()(0).getLong(0)
+      val maxK = p.agg(max(col("p_partkey")).cast("long"))
+        .collect()(0).getLong(0)
       var m = maxK; var depth = 0
       while (m >= 7) { m /= 7; depth += 1 }
       // close the forest under the EXISTING key set: a computed parent

@@ -37,6 +37,13 @@ object Wap {
     */
   def audit(batch: DataFrame, expects: Seq[Expect]): DataFrame = {
     require(expects.nonEmpty, "audit needs at least one expectation")
+    // names are spliced into the stack() SQL below as literals and
+    // column references — restrict them so quoting can never break, and
+    // duplicates can never alias two aggregate columns into ambiguity
+    require(expects.forall(_.name.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"expectation names must be identifiers: ${expects.map(_.name)}")
+    require(expects.map(_.name).distinct.size == expects.size,
+      s"duplicate expectation names: ${expects.map(_.name)}")
     val aggs = expects.map(e => e.observed.cast("long").as(e.name))
     val one = batch.agg(aggs.head, aggs.tail: _*)
     // stack = one Expand of the 1-row aggregate into expectation rows;
@@ -66,19 +73,12 @@ object Wap {
   def publishIfClean(batch: DataFrame, auditRows: DataFrame,
                      table: String): Boolean = {
     val clean = auditRows.agg(min(col("passed"))).collect()(0).getLong(0) == 1L
-    if (clean) {
-      val stored = batch.sparkSession.table(table).columns
-      batch.select(stored.map(col): _*)
-        .write.mode("append").format("parquet").insertInto(table)
-      // appends do NOT drop the catalog entry (unlike writeTable's
-      // DROP+recreate), so any session that already read the table holds
-      // a cached file listing that silently misses the new files — under
-      // foreachBatch the write runs on the micro-batch's CLONED session
-      // while the caller reads from the outer one (found the hard way:
-      // rows on disk, reads stale). refreshTable invalidates the shared
-      // relation cache so every session re-lists.
-      batch.sparkSession.catalog.refreshTable(table)
-    }
+    // appendPartitioned = the canonical positional-safe append +
+    // post-append refreshTable (relation caches are per-session: under
+    // foreachBatch the write runs on the micro-batch's CLONED session,
+    // so readers on other sessions must refresh on their own — wapBatch
+    // does)
+    if (clean) Warehouse.appendPartitioned(batch, table)
     clean
   }
 }

@@ -90,9 +90,17 @@ object Warehouse {
     // select) would silently write values into the wrong columns.
     // Reorder defensively against the stored schema so order can never
     // matter; a genuinely missing column fails loudly here instead.
+    // (Also the canonical append for PLAIN writeTable tables — the
+    // reorder+insertInto idiom lives here once, not per caller.)
     val stored = df.sparkSession.table(table).columns
     df.select(stored.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").format("parquet").insertInto(table)
+    // appends do NOT drop the catalog entry, so any session holding a
+    // cached file listing for the table silently misses the new files
+    // (rows on disk, reads stale — found via the wapStream foreachBatch
+    // clone-session case). Refresh so this session re-lists; OTHER
+    // sessions' caches are theirs to refresh (per-session by design).
+    df.sparkSession.catalog.refreshTable(table)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -593,6 +593,23 @@ object StreamingJobs {
   def wapBatch(spark: SparkSession, batch: DataFrame,
                expects: Seq[graft.sources.Wap.Expect], table: String,
                auditTable: String, batchId: Long): Boolean = {
+    // REPLAY idempotence (the foreachBatch contract): a batch whose
+    // wapBatch completed but whose streaming checkpoint didn't commit
+    // re-runs with the SAME batchId on restart — without this gate the
+    // replay double-appends, exactly the corruption the WAP gate exists
+    // to prevent. The audit log row is the commit marker (written last,
+    // below): marker present -> the batch fully processed, return its
+    // recorded outcome and touch nothing. Residual window, documented
+    // honestly: a crash BETWEEN the publish and the marker append
+    // re-publishes on replay — closing it needs a transactional sink,
+    // not a gate (same caveat as every non-atomic foreachBatch writer).
+    if (spark.catalog.tableExists(auditTable)) {
+      val prior = spark.table(auditTable)
+        .filter(col("batch_id") === batchId &&
+          col("expectation") === "__publish")
+        .select(col("passed")).collect()
+      if (prior.nonEmpty) return prior(0).getLong(0) == 1L
+    }
     val audit = graft.sources.Wap.audit(batch, expects).localCheckpoint()
     val ok = graft.sources.Wap.publishIfClean(batch, audit, table)
     // the publish ran on the MICRO-BATCH's cloned session (batch's
@@ -612,10 +629,11 @@ object StreamingJobs {
     if (!spark.catalog.tableExists(auditTable))
       graft.sources.Warehouse.writeTable(rows, auditTable)
     else {
-      val stored = spark.table(auditTable).columns
-      rows.select(stored.map(col): _*)
-        .write.mode("append").format("parquet").insertInto(auditTable)
-      spark.catalog.refreshTable(auditTable) // same cache-coherence note
+      graft.sources.Warehouse.appendPartitioned(rows, auditTable)
+      // rows' session is the micro-batch clone; THIS session's cache
+      // must refresh too or the next batch's replay-marker check (and
+      // any caller's audit reads) would miss the appended rows
+      spark.catalog.refreshTable(auditTable)
     }
     ok
   }

@@ -66,6 +66,28 @@ class IvfDeleteSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_del_ref")
   }
 
+  test("delete-then-re-APPEND resurrects the id: probe equals the full " +
+    "corpus again (the append clears matching tombstones)") {
+    Similarity.writeIvfIndex(corpus, "embedding", cb, "graft_ivf_res_spec")
+    val slice = corpus.filter(col("vec_id") % 7 === 2)
+    Similarity.deleteFromIvfIndex(slice, "vec_id", "embedding", cb,
+      "graft_ivf_res_spec")
+    Similarity.appendIvfIndex(slice, "embedding", cb, "graft_ivf_res_spec")
+    val got = snap(Similarity.readIvfIndexWithDeletes(spark,
+      "graft_ivf_res_spec", "vec_id", allCells("graft_ivf_res_spec")))
+    // the re-added rows are back (multiset: base still holds the
+    // original physical rows plus the appended copies of the same ids —
+    // dedup of physical duplicates is the caller's compaction concern;
+    // the CONTRACT here is that no live id is swallowed by a stale
+    // tombstone)
+    val want = snap(spark.table("graft_ivf_res_spec"))
+    assert(got == want)
+    assert(got.map(_._1).toSet ==
+      corpus.select(col("vec_id")).as[Long].collect().toSet)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_res_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_res_spec__dels")
+  }
+
   test("probe with deletes still prunes: both scans read only the " +
     "probed cells") {
     Similarity.writeIvfIndex(corpus, "embedding", cb, "graft_ivf_del_pin")

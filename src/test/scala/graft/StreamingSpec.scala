@@ -378,6 +378,24 @@ class StreamingSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $auditT")
   }
 
+  test("wapBatch replay with the same batchId is a no-op (foreachBatch " +
+    "idempotence): no double-append, no duplicate audit rows") {
+    import graft.sources.{Wap, Warehouse}
+    val table = "graft_wap_replay_t"; val auditT = "graft_wap_replay_a"
+    spark.sql(s"DROP TABLE IF EXISTS $auditT")
+    Warehouse.writeTable(Seq((1L, 10L)).toDF("k", "v"), table)
+    val expects = Seq(Wap.Expect("rows", count(lit(1)), 1L, Long.MaxValue))
+    val batch = Seq((2L, 20L)).toDF("k", "v")
+    assert(StreamingJobs.wapBatch(spark, batch, expects, table, auditT, 7L))
+    // the replay: same batchId — must return the recorded outcome and
+    // append NOTHING anywhere
+    assert(StreamingJobs.wapBatch(spark, batch, expects, table, auditT, 7L))
+    assert(spark.table(table).count() == 2L)
+    assert(spark.table(auditT).count() == 2L) // rows + __publish, once
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $auditT")
+  }
+
   test("scd2Stream: cross-batch version history parity with one batch " +
     "scd2; closed versions immutable, stale rows dropped, gaps survive") {
     val dir = java.nio.file.Files.createTempDirectory("scd2-in").toString
