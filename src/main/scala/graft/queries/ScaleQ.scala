@@ -566,6 +566,39 @@ object ScaleQ extends QueryPack {
         .orderBy(col("ship_mon"))
     },
 
+    // SHALLOW CLONE (sources/Clone): zero-copy snapshot + divergent
+    // evolution — the clone is a manifest of the base's files at clone
+    // time plus its own delta (O(files) to create, no data copied).
+    // After cloning, the CLONE receives the %10=7 slice and the BASE
+    // receives the %10=8 slice: the hash proves snapshot isolation in
+    // both directions (base grew without the 7s, the clone reads the
+    // original snapshot plus the 7s and never sees the 8s appended to
+    // the base after the clone).
+    "s17_shallow_clone" -> { (s, dir) =>
+      import graft.sources.Clone
+      val o = Tables(s, dir).orders.select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      Warehouse.writeTable(o.filter(col("o_orderkey") % 10 < 5),
+        "graft_clone_base")
+      Clone.shallowClone(s, "graft_clone_base", "graft_clone_c1")
+      Clone.appendToClone(o.filter(col("o_orderkey") % 10 === 7),
+        "graft_clone_c1")
+      Warehouse.appendPartitioned(o.filter(col("o_orderkey") % 10 === 8),
+        "graft_clone_base")
+      val base = Warehouse.read(s, "graft_clone_base")
+        .select(lit("base").as("side"), col("o_orderkey"),
+          col("price_cents"))
+      val clone = Clone.readClone(s, "graft_clone_c1")
+        .select(lit("clone").as("side"), col("o_orderkey"),
+          col("price_cents"))
+      base.unionByName(clone)
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("side"))
+    },
+
     // WRITE–AUDIT–PUBLISH (sources/Wap): the ingestion data-quality
     // gate. A base table is staged, then two candidate batches run the
     // gate: batch 'b' (clean orders slice) passes all expectations and
@@ -820,6 +853,21 @@ object ScaleQ extends QueryPack {
         |SELECT segment, COUNT(*) AS n_rows,
         |  CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents
         |FROM m GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "s17_shallow_clone" ->
+      """WITH o AS (SELECT o_orderkey,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |           FROM orders)
+        |SELECT side, COUNT(*) AS n_rows,
+        |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+        |       MAX(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT 'base' AS side, * FROM o
+        |  WHERE o_orderkey % 10 < 5 OR o_orderkey % 10 = 8
+        |  UNION ALL
+        |  SELECT 'clone', * FROM o
+        |  WHERE o_orderkey % 10 < 5 OR o_orderkey % 10 = 7)
+        |GROUP BY side ORDER BY side""".stripMargin,
 
     "s16_wap_publish" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
