@@ -77,6 +77,36 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("e18 CEP: one data-scale key exchange — the window's hash " +
+      "partitioning is REUSED by the sequence aggregate; patterns ride " +
+      "a bounded broadcast") {
+    val plan = formattedPlan("e18_pattern_matches")
+    // the row_number cap window and the collect_list aggregate share
+    // hashpartitioning(user_id): exactly ONE data-scale exchange; the
+    // two post-join exchanges carry pattern-cardinality rows (bounded)
+    val dataExchanges = plan.linesIterator
+      .count(l => l.trim.startsWith("(") && l.contains(") Exchange"))
+    assert(dataExchanges <= 3, s"$dataExchanges exchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+    // the pattern fan-out is a broadcast of a literal handful of rows,
+    // never a data-scale product
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"data-scale join crept in:\n$plan")
+  }
+
+  test("d21 containment: candidate and verify joins are equi-joins " +
+      "(shuffled-hash for the array sides), no cartesian anywhere") {
+    val plan = formattedPlan("d21_containment_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the two array-shipping verify joins keep the shuffle_hash hint
+    // (broadcasting the corpus's shingle arrays was measured +2.4 s at
+    // sf0.1 and impossible at scale — the d09 doctrine)
+    assert(plan.linesIterator.count(_.contains("ShuffledHashJoin")) >= 2,
+      s"verify joins lost the shuffle-hash shape:\n$plan")
+  }
+
   test("p02 manifest pipeline fuses to two shuffles (dedup window + sort)") {
     // the composed pipeline (fingerprint dedup + quality gate + split)
     // must stay one plan: all per-row scoring fused into projections,
