@@ -566,6 +566,43 @@ object ScaleQ extends QueryPack {
         .orderBy(col("ship_mon"))
     },
 
+    // PARTITION BACKFILL (sources/Backfill): the monthly revenue rollup
+    // is first built from a STALE source (the earliest ship-month sees
+    // only its first line items — a simulated partial drop), then that
+    // one month is re-computed from the full source and dynamic
+    // partition overwrite replaces ONLY its directory. The hash equals
+    // the clean full recompute — proof the backfill landed AND that no
+    // other partition was disturbed (a static-mode truncate or a sloppy
+    // overwrite would corrupt the other months' rows in the hash);
+    // BackfillSpec additionally pins untouched-files-byte-identical.
+    // The stale month derives from min(l_shipdate) — scale-free scalar.
+    "s18_partition_backfill" -> { (s, dir) =>
+      import graft.sources.Backfill
+      val li = Tables(s, dir).lineitem.select(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ship_mon"),
+        col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      val staleMon = li.agg(min(col("ship_mon"))).collect()(0).getLong(0)
+      def rollup(src: org.apache.spark.sql.DataFrame) = src
+        .groupBy(col("ship_mon"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_cents")).as("sum_cents"))
+      // v1: the stale build — the earliest month only saw linenumber 1
+      Warehouse.writePartitioned(
+        rollup(li.filter(col("ship_mon") =!= staleMon ||
+          col("l_linenumber") === 1)),
+        "graft_backfill_rollup", Seq("ship_mon"))
+      // the backfill: recompute exactly the stale month from the full
+      // source; dynamic overwrite touches only its partition directory
+      Backfill.overwritePartitions(
+        rollup(li.filter(col("ship_mon") === staleMon)),
+        "graft_backfill_rollup")
+      Warehouse.read(s, "graft_backfill_rollup")
+        .select(col("ship_mon"), col("n_items"), col("sum_cents"))
+        .orderBy(col("ship_mon"))
+    },
+
     // SHALLOW CLONE (sources/Clone): zero-copy snapshot + divergent
     // evolution — the clone is a manifest of the base's files at clone
     // time plus its own delta (O(files) to create, no data copied).
@@ -853,6 +890,17 @@ object ScaleQ extends QueryPack {
         |SELECT segment, COUNT(*) AS n_rows,
         |  CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents
         |FROM m GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // the clean full-recompute mirror: the backfilled table must be
+    // indistinguishable from never having been stale
+    "s18_partition_backfill" ->
+      """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT)
+        |         AS ship_mon,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+        |         AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY ship_mon""".stripMargin,
 
     "s17_shallow_clone" ->
       """WITH o AS (SELECT o_orderkey,
