@@ -280,4 +280,30 @@ class PropertySpec extends SparkTestBase {
       rankOk(p99, 0.99)
     }
   }
+
+  test("containment dominates jaccard: every jaccard pair at θ appears " +
+    "in BOTH containment directions at the same θ, with C ≥ J") {
+    // C(a→b) = |A∩B|/|A| ≥ |A∩B|/|A∪B| = J always — so d09's output at
+    // a threshold must embed into d21's (both directions), and the
+    // scores must dominate pairwise. Cross-operator consistency on the
+    // real corpus, beyond each operator's own oracle.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val theta = (3, 5)
+    val jac = graft.operators.Dedup
+      .prefixJaccardPairs(docs, "doc_id", "text",
+        thetaNum = theta._1, thetaDen = theta._2, shingleN = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.nonEmpty, "fixture produced no jaccard pairs")
+    val cont = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text",
+        thetaNum = theta._1, thetaDen = theta._2, shingleN = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((a, b, j) <- jac; (x, y) <- Seq((a, b), (b, a))) {
+      val c = cont.get((x, y))
+      assert(c.nonEmpty, s"jaccard pair ($a,$b) missing containment $x→$y")
+      assert(c.get >= j - 1e-9, s"C($x→$y)=${c.get} < J=$j")
+    }
+  }
 }
