@@ -183,6 +183,13 @@ object Ranking {
         .join(seeds.select(col("node")).distinct()
           .withColumn("is_seed", lit(1)), Seq("node"), "left")
         .na.fill(0, Seq("is_seed")))
+    // fail loudly on a seed set disjoint from the graph (typos, ids from
+    // the wrong namespace, isolated nodes): every rank would be silently
+    // zero otherwise — `nodes` is already materialized, so the guard is
+    // one cheap probe, not an extra pass
+    require(!nodes.filter(col("is_seed") === 1).isEmpty,
+      "personalizedPageRank: no seed appears as an edge endpoint — " +
+        "the restart distribution would be empty and every rank 0")
     iterate(ew, nodes, iters, scale, broadcastRanks, ckpt,
       personalized = true)
   }

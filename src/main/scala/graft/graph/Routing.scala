@@ -396,8 +396,8 @@ object Routing {
     * strings, >24 h safe) and arr/dep non-decreasing along each trip's
     * seq. Returns (stop, arr_t): the minimal arrival time at every
     * reachable stop for a traveler leaving `sourceStop` at `depTime`,
-    * transferring freely at shared stops (zero transfer slack — model
-    * footpaths/slack by pre-expanding stop_times if needed).
+    * transferring freely at shared stops (zero same-stop slack), plus —
+    * when `transfers` is given — across its footpath rules.
     *
     * Round shape = the frontier-iteration machinery of [[bfsHops]]
     * applied to time-dependent edges: a round BOARDS every trip at its
@@ -409,6 +409,16 @@ object Routing {
     * every loop in this file). Rounds ≈ transfers used; an empty frontier
     * is the fixpoint — the unconstrained earliest-arrival labels.
     *
+    * `transfers` (from_stop, to_stop, min_transfer_time) models GTFS
+    * transfers.txt type-2 footpath rules (the reference feed ships 33
+    * of them, honored by its OTP deployment — gtfs/transfers.txt:1): each
+    * round also relaxes frontier stops across footpaths at
+    * +min_transfer_time, and chains close across rounds, so a
+    * non-transitively-closed transfer set is handled correctly (see
+    * [[raptorRoundOn]]). With `transfers = None` (or an empty frame) the
+    * labels are identical to the zero-slack same-stop model (RoutingSpec
+    * pins the equality).
+    *
     * Scale shape: stop_times is the fact table; each round shuffles on
     * stop then trip — both real keys, no driver state. The O(stop_times)
     * side re-joins per round exactly like BFS's edge frame: when rounds
@@ -418,20 +428,27 @@ object Routing {
     */
   def earliestArrival(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
                       maxRounds: Int = 15, warnOnTruncation: Boolean = true,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None,
+                      transfers: Option[DataFrame] = None,
+                      broadcastTransfers: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
       col("stop"), col("arr").cast("long"), col("dep").cast("long")))
     val parts = graft.operators.Iteration.roundPartitions(spark, st0.count())
     val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
+    // materialized once: re-planned per round, and a broadcast side is
+    // rebuilt from it each round — keep that a cached-block read
+    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
+      col("to_stop"), col("min_transfer_time").cast("long"))))
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
         lit(depTime).as("arr_t"), lit(true).as("__new")))
       var frontier = state.filter(col("__new"))
       var i = 0
       while (i < maxRounds && !frontier.isEmpty) {
-        state = ckpt(raptorRound(st, state, frontier))
+        state = ckpt(raptorRound(st, state, frontier, xfer,
+          broadcastTransfers))
         frontier = state.filter(col("__new"))
         i += 1
       }
@@ -480,7 +497,9 @@ object Routing {
                               tripTable: String, sourceStop: Any,
                               depTime: Long, maxRounds: Int = 15,
                               warnOnTruncation: Boolean = true,
-                              checkpointDir: Option[String] = None)
+                              checkpointDir: Option[String] = None,
+                              transfers: Option[DataFrame] = None,
+                              broadcastTransfers: Boolean = true)
       : DataFrame = {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     // persist BOTH layouts for the loop's lifetime: InMemoryRelation
@@ -498,13 +517,16 @@ object Routing {
       .select(col("trip"), col("seq"), col("stop"), col("arr"))
       .persist()
     val parts = stBoard.rdd.getNumPartitions
+    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
+      col("to_stop"), col("min_transfer_time").cast("long"))))
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
         lit(depTime).as("arr_t"), lit(true).as("__new")))
       var frontier = state.filter(col("__new"))
       var i = 0
       while (i < maxRounds && !frontier.isEmpty) {
-        state = ckpt(raptorRoundOn(stBoard, stRide, state, frontier))
+        state = ckpt(raptorRoundOn(stBoard, stRide, state, frontier, xfer,
+          broadcastTransfers))
         frontier = state.filter(col("__new"))
         i += 1
       }
@@ -539,13 +561,21 @@ object Routing {
     */
   def arrivalProfile(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
                      maxRounds: Int = 15, warnOnTruncation: Boolean = true,
-                     checkpointDir: Option[String] = None): DataFrame = {
+                     checkpointDir: Option[String] = None,
+                     transfers: Option[DataFrame] = None,
+                     broadcastTransfers: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
       col("stop"), col("arr").cast("long"), col("dep").cast("long")))
     val parts = graft.operators.Iteration.roundPartitions(spark, st0.count())
     val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
+    // With transfers, a round relaxes one boarding OR one footpath from
+    // the frontier, so `rounds` counts legs (boardings + footpath hops),
+    // an upper bound on boardings — still a monotone effort axis for the
+    // Pareto front, and exactly boardings when transfers is None.
+    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
+      col("to_stop"), col("min_transfer_time").cast("long"))))
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
         lit(depTime).as("arr_t"), lit(true).as("__new")))
@@ -554,7 +584,8 @@ object Routing {
         state.select(col("stop"), lit(0).as("rounds"), col("arr_t")))
       var k = 0
       while (k < maxRounds && !frontier.isEmpty) {
-        state = ckpt(raptorRound(st, state, frontier))
+        state = ckpt(raptorRound(st, state, frontier, xfer,
+          broadcastTransfers))
         frontier = state.filter(col("__new"))
         k += 1
         // a narrow filter+project over the checkpointed round state —
@@ -572,17 +603,36 @@ object Routing {
     * (see [[ssspRound]]).
     */
   private[graft] def raptorRound(st: DataFrame, state: DataFrame,
-                                 frontier: DataFrame): DataFrame =
-    raptorRoundOn(st, st, state, frontier)
+                                 frontier: DataFrame,
+                                 transfers: Option[DataFrame] = None,
+                                 broadcastTransfers: Boolean = true)
+      : DataFrame =
+    raptorRoundOn(st, st, state, frontier, transfers, broadcastTransfers)
 
   /** One round over a (possibly dual-layout) timetable: `stBoard` is
     * probed on stop, `stRide` on trip — the in-memory loop passes the
     * same frame twice; [[earliestArrivalOnTables]] passes the two
     * bucketed copies so neither probe re-exchanges the fact table.
+    *
+    * `transfers` (from_stop, to_stop, min_transfer_time — the GTFS
+    * transfers.txt type-2 shape, e.g. the reference feed's own
+    * gtfs/transfers.txt rules that OTP honors) adds a FOOTPATH
+    * relaxation: every frontier stop also reaches its transfer
+    * neighbors at arr_t + min_transfer_time, min-merged with the ride
+    * candidates. Footpaths relax from the whole frontier (not just
+    * ride arrivals), so chains close ACROSS rounds — the set need not
+    * be transitively closed, the precondition serial RAPTOR imposes on
+    * its footpath array (Delling et al. 2012 §5; GTFS feeds routinely
+    * violate it). `broadcastTransfers` defaults on — a transfer table
+    * is O(stops × nearby stops), dimension-sized next to stop_times;
+    * pass false at fact scale to let it shuffle as an equi-join.
     */
   private[graft] def raptorRoundOn(stBoard: DataFrame, stRide: DataFrame,
                                    state: DataFrame,
-                                   frontier: DataFrame): DataFrame = {
+                                   frontier: DataFrame,
+                                   transfers: Option[DataFrame] = None,
+                                   broadcastTransfers: Boolean = true)
+      : DataFrame = {
     // board: per trip, the earliest position reachable in time from an
     // improved stop (min over feasible seq — boarding earlier dominates:
     // every later alighting stays available)
@@ -593,9 +643,21 @@ object Routing {
     // ride: alight at any strictly later position; min arrival per stop
     val ride = stRide.select(col("trip"), col("seq").as("aseq"),
       col("stop"), col("arr"))
-    val cand = board.join(ride, Seq("trip"))
+    val rideCand = board.join(ride, Seq("trip"))
       .filter(col("aseq") > col("bseq"))
-      .groupBy(col("stop")).agg(min(col("arr")).as("cand_t"))
+      .select(col("stop"), col("arr").as("cand_t"))
+    val allCand = transfers match {
+      case Some(x0) =>
+        val xSel = x0.select(col("from_stop"), col("to_stop"),
+          col("min_transfer_time").cast("long").as("mtt"))
+        val x = if (broadcastTransfers) broadcast(xSel) else xSel
+        val foot = frontier.join(x, frontier("stop") === x("from_stop"))
+          .select(x("to_stop").as("stop"),
+            (frontier("arr_t") + col("mtt")).as("cand_t"))
+        rideCand.unionByName(foot)
+      case None => rideCand
+    }
+    val cand = allCand.groupBy(col("stop")).agg(min(col("cand_t")).as("cand_t"))
     val improved = col("cand_t").isNotNull &&
       (col("arr_t").isNull || col("cand_t") < col("arr_t"))
     state.drop("__new")

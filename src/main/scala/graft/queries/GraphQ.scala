@@ -162,6 +162,28 @@ object GraphQ extends QueryPack {
         col("t").as("arr"), col("t").as("dep"))
   }
 
+  /** Deterministic synthetic FOOTPATH rules over the 25-stop network —
+    * r22's transfers.txt stand-in (the reference feed's
+    * gtfs/transfers.txt carries 33 such type-2 min_transfer_time rules;
+    * the golden test runs those, this runs a nation-derived mirror the
+    * DuckDB oracle can rebuild). Each key k contributes
+    * (3k+1)%25 ↔ (9k+4)%25 at (k%4+1)·5 seconds, both directions;
+    * self-pairs dropped (k=12 maps to itself). The set is NOT
+    * transitively closed — the engine's cross-round chain closure is
+    * exercised, not assumed.
+    */
+  def syntheticTransfers(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir).nation.select(col("n_nationkey").cast("long").as("k"))
+    val fs = ((col("k") * 3 + 1) % 25).cast("string")
+    val ts = ((col("k") * 9 + 4) % 25).cast("string")
+    val mtt = ((col("k") % 4 + 1) * 5).cast("long")
+    n.select(fs.as("from_stop"), ts.as("to_stop"),
+        mtt.as("min_transfer_time"))
+      .unionByName(n.select(ts.as("from_stop"), fs.as("to_stop"),
+        mtt.as("min_transfer_time")))
+      .filter(col("from_stop") =!= col("to_stop"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G6 CLOSED IN-ENGINE: RAPTOR-shape earliest arrival with transfers
     // (Routing.earliestArrival) over the synthetic timetable — the
@@ -188,6 +210,23 @@ object GraphQ extends QueryPack {
       Routing.arrivalProfile(syntheticStopTimes(s, dir), "0", 0L,
           maxRounds = 30)
         .orderBy(col("stop"), col("rounds"))
+    },
+
+    // r22 — TRANSFER-AWARE earliest arrival: the r16 timetable plus the
+    // synthetic footpath rules (GTFS transfers.txt type-2 semantics, the
+    // rules the reference feed ships and its OTP deployment honors).
+    // Footpaths relax from the frontier each round at
+    // +min_transfer_time, so chains close across rounds and the fixpoint
+    // is the free-walking earliest-arrival labels. Oracle: the r18-style
+    // unrolled label-correction chain with BOTH relaxations (within-trip
+    // segments + footpaths) per stage, run past the fixpoint. The
+    // transfer side rides a broadcast join (dimension-sized next to
+    // stop_times at any scale); pass broadcastTransfers = false to
+    // shuffle it as an equi-join instead.
+    "r22_earliest_arrival_transfers" -> { (s, dir) =>
+      Routing.earliestArrival(syntheticStopTimes(s, dir), "0", 0L,
+          maxRounds = 40, transfers = Some(syntheticTransfers(s, dir)))
+        .orderBy(col("stop"))
     },
 
     "r01_bfs_hops" -> { (s, dir) =>
@@ -721,6 +760,48 @@ object GraphQ extends QueryPack {
        |ORDER BY stop, rounds""".stripMargin
   }
 
+  /** Unrolled label-correction chain with BOTH relaxations per stage —
+    * within-trip segments (one boarding) and footpaths
+    * (+min_transfer_time) — mirroring the transfer-aware fixpoint of
+    * [[graft.graph.Routing.earliestArrival]]. Stages run past the
+    * fixpoint; only the final stage's labels are emitted (both sides
+    * compute the same monotone fixpoint, so extra stages are no-ops).
+    */
+  private def earliestArrivalTransfersSql(stages: Int): String = {
+    // AS MATERIALIZED: each stage references its predecessor three
+    // times (carry + ride + footpath); inlining re-expands the chain
+    // 3^stages-fold and blows the fd limit (the r18 cap lesson, worse
+    // here) — materialization keeps it linear.
+    val chain = (1 to stages).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT stop, MIN(t) AS arr FROM (
+         |    SELECT stop, arr AS t FROM lab${i - 1}
+         |    UNION ALL
+         |    SELECT s.ts, s.arr FROM seg s JOIN lab${i - 1} p
+         |      ON s.fs = p.stop AND s.dep >= p.arr
+         |    UNION ALL
+         |    SELECT x.ts, p.arr + x.mtt FROM xf x JOIN lab${i - 1} p
+         |      ON x.fs = p.stop
+         |  ) GROUP BY stop)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $stopTimesSql,
+       |seg AS MATERIALIZED (
+       |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+       |  FROM st a JOIN st b ON a.trip = b.trip AND a.seq < b.seq),
+       |xf0 AS (
+       |  SELECT CAST((n_nationkey*3+1)%25 AS VARCHAR) AS fs,
+       |         CAST((n_nationkey*9+4)%25 AS VARCHAR) AS ts,
+       |         CAST((n_nationkey%4+1)*5 AS BIGINT) AS mtt FROM nation
+       |  UNION ALL
+       |  SELECT CAST((n_nationkey*9+4)%25 AS VARCHAR),
+       |         CAST((n_nationkey*3+1)%25 AS VARCHAR),
+       |         CAST((n_nationkey%4+1)*5 AS BIGINT) FROM nation),
+       |xf AS (SELECT * FROM xf0 WHERE fs <> ts),
+       |lab0 AS (SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr),
+       |$chain
+       |SELECT stop, arr AS arr_t FROM lab$stages ORDER BY stop""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     // 6 stages = measured fixpoint 4 + 2 margin (round 5 improves nothing;
     // the 25-stop timetable is nation-derived, identical at every SF).
@@ -728,6 +809,11 @@ object GraphQ extends QueryPack {
     // scan per reference — 30 stages blew the fd limit; past the
     // fixpoint extra stages add no rows on either side anyway.
     "r18_arrival_profile" -> arrivalProfileSql(6),
+
+    // 10 stages = measured fixpoint + margin (footpath chains lengthen
+    // the relaxation diameter vs r16/r18's ride-only chain; nation-
+    // derived network, identical at every SF).
+    "r22_earliest_arrival_transfers" -> earliestArrivalTransfersSql(10),
 
     "r16_earliest_arrival" ->
       """WITH RECURSIVE st AS (

@@ -25,14 +25,24 @@ object Clone {
 
   /** Snapshot `baseTable` as shallow clone `cloneName`: write the
     * manifest (the base's CURRENT file list — O(files), no data read)
-    * and an empty delta holding the base schema.
+    * and an empty delta holding the base schema. The base's root
+    * location rides along in the manifest so [[readClone]] can recover
+    * PARTITION-column values from directory names (they live in the
+    * path, not in the files — reading the files without a basePath
+    * would silently return NULL for every partition column).
     */
   def shallowClone(spark: SparkSession, baseTable: String,
                    cloneName: String): Unit = {
     val files = spark.table(baseTable).inputFiles.toSeq
     require(files.nonEmpty, s"clone of empty/fileless table $baseTable")
+    val basePath = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(baseTable))
+      .location.toString
     import spark.implicits._
-    Warehouse.writeTable(files.toDF("path"), manifestT(cloneName))
+    Warehouse.writeTable(
+      files.map((_, basePath)).toDF("path", "base_path"),
+      manifestT(cloneName))
     Warehouse.writeTable(
       spark.table(baseTable).filter(lit(false)), deltaT(cloneName))
   }
@@ -48,10 +58,16 @@ object Clone {
     * invisible here and clone appends are invisible to the source.
     */
   def readClone(spark: SparkSession, cloneName: String): DataFrame = {
-    val paths = spark.table(manifestT(cloneName))
-      .select(col("path")).collect().map(_.getString(0))
+    val manifest = spark.table(manifestT(cloneName))
+      .select(col("path"), col("base_path")).collect()
+    val paths = manifest.map(_.getString(0))
     val delta = spark.table(deltaT(cloneName))
-    spark.read.schema(delta.schema).parquet(paths: _*)
+    // basePath anchors partition discovery at the base table's root, so
+    // a PARTITIONED base's partition-column values are recovered from
+    // the directory names of the manifested files (harmless no-op for
+    // an unpartitioned base)
+    spark.read.option("basePath", manifest.head.getString(1))
+      .schema(delta.schema).parquet(paths: _*)
       .unionByName(delta)
   }
 }

@@ -46,6 +46,23 @@ class HierarchySpec extends SparkTestBase {
     assert(r1(1L) == ((60L, 2L))) // 10 + 20 + 30, grandchildren missing
   }
 
+  test("the loop stops at the MEASURED height, not the rounds bound") {
+    // forest height = 2 → rounds 1..2 improve, round 3 verifies the
+    // fixpoint and stops; a bound of 50 must not run 50 rounds
+    val (df, ran) = Hierarchy.subtreeAggregateCounted(forest, "k",
+      "parent", "v", rounds = 50)
+    assert(ran == 3, s"expected 3 rounds (height 2 + fixpoint probe), ran $ran")
+    val got = df.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == run(2))
+    // an all-roots forest (height 0) stops after one verify round
+    val flat = Seq((1L, Option.empty[Long], 5L), (2L, Option.empty[Long], 7L))
+      .toDF("k", "parent", "v")
+    val (_, ranFlat) = Hierarchy.subtreeAggregateCounted(flat, "k",
+      "parent", "v", rounds = 50)
+    assert(ranFlat == 1, s"all-roots forest ran $ranFlat rounds")
+  }
+
   test("result is partition-invariant") {
     val want = run(3)
     val got = Hierarchy.subtreeAggregate(forest.repartition(7), "k",

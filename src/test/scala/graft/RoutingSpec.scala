@@ -136,6 +136,84 @@ class RoutingSpec extends SparkTestBase {
     assert(b16 == Map("B" -> 16L))
   }
 
+  test("earliestArrival with transfers: hand-computed footpath cases") {
+    // T1: A(dep 0) -> B(10); T2: X(dep 14) -> D(25); T3: X(dep 11) -> E(30)
+    // footpaths: B->X mtt 3, X->Y mtt 4 (NOT closed: B->Y only via chain)
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L),
+      ("T2", 0, "X", 14L, 14L), ("T2", 1, "D", 25L, 25L),
+      ("T3", 0, "X", 11L, 11L), ("T3", 1, "E", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val xf = Seq(("B", "X", 3L), ("X", "Y", 4L))
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    // leave A at 0: B=10 (T1); X=13 by foot; T3's 11 dep is MISSED
+    // (13 > 11), T2's 14 boards -> D=25; Y=17 by CHAINED foot (B->X->Y);
+    // E unreachable (only T3 serves it)
+    val got = Routing.earliestArrival(st, "A", 0L, transfers = Some(xf))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 0L, "B" -> 10L, "X" -> 13L, "D" -> 25L,
+      "Y" -> 17L))
+    // zero-slack run for contrast: nothing beyond T1 is reachable
+    val zs = Routing.earliestArrival(st, "A", 0L)
+      .as[(String, Long)].collect().toMap
+    assert(zs == Map("A" -> 0L, "B" -> 10L))
+    // a footpath can also PRE-position before the first boarding:
+    // leave B at 8 -> X=11 on foot boards T3 exactly (dep >= arr_t) -> E=30
+    val fromB = Routing.earliestArrival(st, "B", 8L, transfers = Some(xf))
+      .as[(String, Long)].collect().toMap
+    assert(fromB == Map("B" -> 8L, "X" -> 11L, "E" -> 30L, "D" -> 25L,
+      "Y" -> 15L))
+  }
+
+  test("earliestArrival with an EMPTY transfer frame equals the " +
+    "zero-slack model (all three faces)") {
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    val want = Routing.earliestArrival(st, "A", 0L)
+      .as[(String, Long)].collect().toMap
+    val got = Routing.earliestArrival(st, "A", 0L, transfers = Some(empty))
+      .as[(String, Long)].collect().toMap
+    assert(got == want && want.nonEmpty)
+    val wantP = Routing.arrivalProfile(st, "A", 0L)
+      .as[(String, Int, Long)].collect().toSet
+    val gotP = Routing.arrivalProfile(st, "A", 0L, transfers = Some(empty))
+      .as[(String, Int, Long)].collect().toSet
+    assert(gotP == wantP && wantP.nonEmpty)
+  }
+
+  test("earliestArrivalOnTables threads transfers identically to the " +
+    "in-memory loop") {
+    val st = (0 until 40).flatMap { t =>
+      (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
+        (t * 7 + j * 13).toLong, (t * 7 + j * 13).toLong))
+    }.toDF("trip", "seq", "stop", "arr", "dep")
+    val xf = (0 until 11).map(i => (s"s$i", s"s${(i * 4 + 1) % 11}",
+      (i % 3 + 1) * 2L)).toDF("from_stop", "to_stop", "min_transfer_time")
+    Routing.stageStopTimesTables(st, "graft_st_stop_xspec",
+      "graft_st_trip_xspec", buckets = 4)
+    try {
+      val want = Routing.earliestArrival(st, "s0", 0L, maxRounds = 25,
+          transfers = Some(xf))
+        .as[(String, Long)].collect().toMap
+      val got = Routing.earliestArrivalOnTables(spark, "graft_st_stop_xspec",
+          "graft_st_trip_xspec", "s0", 0L, maxRounds = 25,
+          transfers = Some(xf))
+        .as[(String, Long)].collect().toMap
+      assert(got == want && got.size > 1, s"got=$got want=$want")
+      // and transfers changed something vs the zero-slack run
+      val zs = Routing.earliestArrival(st, "s0", 0L, maxRounds = 25)
+        .as[(String, Long)].collect().toMap
+      assert(got != zs, "footpath rules had no effect on this fixture")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_st_stop_xspec")
+      spark.sql("DROP TABLE IF EXISTS graft_st_trip_xspec")
+    }
+  }
+
   test("earliestArrivalOnTables equals the in-memory loop; neither " +
     "fact-table side shuffles in a round") {
     // a denser timetable so both bucketed copies carry >1 row per bucket:
