@@ -827,10 +827,37 @@ object Similarity {
     // a from-scratch rebuild defines a new snapshot: tombstones written
     // against the previous build must not apply to it
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `${table}__dels`")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `${table}__hwm`")
     graft.sources.Warehouse.writePartitioned(
-      df.withColumn("cell", ivfCell(col(vecCol), codebook)),
+      df.withColumn("cell", ivfCell(col(vecCol), codebook))
+        .withColumn("__seq", lit(0L)),
       table, Seq("cell"))
+    writeHwm(df.sparkSession, table, 0L)
   }
+
+  /** The index's maintenance SEQUENCE high-water mark — a 1-row sibling
+    * `<table>__hwm` metadata table (the lakehouse version-counter
+    * shape). Every physical row of the index carries the `__seq` it was
+    * written under (0 for the base build, hwm+1 per append) and every
+    * tombstone the hwm AT DELETE TIME, so a tombstone kills exactly the
+    * rows that existed when the delete ran and NEVER a later re-append
+    * of the same id — delete-then-append-a-CHANGED-vector (the
+    * update-via-delete path) yields only the new row, not a stale
+    * duplicate (the round-12 ADVICE defect: id-only tombstone clearing
+    * resurrected the old physical rows too).
+    */
+  private def writeHwm(spark: org.apache.spark.sql.SparkSession,
+                       table: String, seq: Long): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeTable(Seq(seq).toDF("seq"),
+      table + "__hwm")
+  }
+
+  private def readHwm(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Long =
+    if (spark.catalog.tableExists(table + "__hwm"))
+      spark.table(table + "__hwm").collect()(0).getLong(0)
+    else 0L
 
   /** INCREMENTAL IVF maintenance: fold new vectors into an existing
     * [[writeIvfIndex]] table without touching what's there — assign
@@ -850,31 +877,18 @@ object Similarity {
   def appendIvfIndex(delta: DataFrame, vecCol: String,
                      codebook: Seq[(Int, Array[Double])],
                      table: String): Unit = {
-    graft.sources.Warehouse.appendPartitioned(
-      delta.withColumn("cell", ivfCell(col(vecCol), codebook)), table)
-    appendResurrects(delta, table)
-  }
-
-  /** A re-APPENDED id must come back: without this, a tombstone from an
-    * earlier [[deleteFromIvfIndex]] would silently swallow the freshly
-    * appended row (the read's anti-join has no sequence axis), breaking
-    * the probe ≡ rebuild-without-deleted contract for
-    * delete-then-re-add. The append therefore rewrites the tombstone
-    * table minus the appended ids — O(tombstones), which the delete
-    * economics already bound (tombstones are the deleted slice, not the
-    * index), and a no-op when no tombstone table exists.
-    */
-  private def appendResurrects(delta: DataFrame, table: String): Unit = {
     val spark = delta.sparkSession
-    val dels = table + "__dels"
-    if (spark.catalog.tableExists(dels)) {
-      val idCol = spark.table(dels).columns.filter(_ != "cell").head
-      val survivors = spark.table(dels)
-        .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
-        .localCheckpoint() // materialize before overwriting its source
-      graft.sources.Warehouse.writePartitioned(survivors, dels,
-        Seq("cell"))
-    }
+    // appended rows are SEQUENCED past every tombstone written so far
+    // (hwm+1): a prior delete of the same id keeps killing the OLD
+    // physical rows but never this append — re-adding an id (identical
+    // or updated vector) just works, with no tombstone rewrite at all
+    // (the id-only resurrection this replaces brought the old rows
+    // back too, duplicating updated ids)
+    val seq = readHwm(spark, table) + 1L
+    graft.sources.Warehouse.appendPartitioned(
+      delta.withColumn("cell", ivfCell(col(vecCol), codebook))
+        .withColumn("__seq", lit(seq)), table)
+    writeHwm(spark, table, seq)
   }
 
   /** ROW-LEVEL DELETES for an at-rest IVF index — the s15 merge-on-read
@@ -896,9 +910,13 @@ object Similarity {
   def deleteFromIvfIndex(rows: DataFrame, idCol: String, vecCol: String,
                          codebook: Seq[(Int, Array[Double])],
                          table: String): Unit = {
+    val spark = rows.sparkSession
+    // the tombstone records the hwm AT DELETE TIME: it applies to every
+    // physical row written so far (__seq <= hwm) and to nothing written
+    // after — the sequence axis the read's anti-join consults
     val dels = rows.select(col(idCol),
       ivfCell(col(vecCol), codebook).as("cell"))
-    val spark = rows.sparkSession
+      .withColumn("__seq", lit(readHwm(spark, table)))
     if (spark.catalog.tableExists(table + "__dels"))
       graft.sources.Warehouse.appendPartitioned(dels, table + "__dels")
     else
@@ -919,10 +937,22 @@ object Similarity {
                               cells: Seq[Int]): DataFrame = {
     val base = graft.sources.Warehouse.read(spark, table)
       .filter(col("cell").isin(cells: _*))
-    if (!spark.catalog.tableExists(table + "__dels")) base
-    else base.join(
-      graft.sources.Warehouse.read(spark, table + "__dels")
-        .filter(col("cell").isin(cells: _*)).select(col(idCol)),
-      Seq(idCol), "left_anti")
+    if (!spark.catalog.tableExists(table + "__dels")) base.drop("__seq")
+    else {
+      // sequence-aware anti-join: a tombstone kills a row with the same
+      // id only if the row was written AT OR BEFORE the delete
+      // (base.__seq <= tombstone hwm) — later re-appends of the id
+      // survive. The extra range conjunct rides the hash join on the
+      // id key as a join filter; both scans still prune on `cells` at
+      // planning time.
+      val dels = graft.sources.Warehouse.read(spark, table + "__dels")
+        .filter(col("cell").isin(cells: _*))
+        .select(col(idCol).as("__del_id"), col("__seq").as("__del_seq"))
+      base.join(dels,
+          base(idCol) === col("__del_id") &&
+            base("__seq") <= col("__del_seq"),
+          "left_anti")
+        .drop("__seq")
+    }
   }
 }

@@ -706,6 +706,55 @@ object VectorQ extends QueryPack {
         .limit(5)
     },
 
+    // INDEX LIFECYCLE, COMPOSED (VERDICT r12 #6): v27 append, v28
+    // compact and v30 delete are each probe-invariance-checked in
+    // isolation; a production index lives through INTERLEAVED
+    // maintenance. One query drives the full sequence —
+    //   build(corpus % 5 ≠ 3) → append(% 5 = 3)
+    //   → delete(% 7 = 2)                       [tombstones at hwm 1]
+    //   → append(% 21 = 9)                      [re-inserts deleted ids]
+    //   → delete(% 21 = 9 AND % 2 = 1)          [re-deletes SOME of them]
+    //   → compact hot cells → probe
+    // — and hashes against the from-scratch multiprobe mirror over the
+    // surviving id set. The __seq axis is what makes this composable:
+    // each tombstone kills exactly the physical rows that existed when
+    // its delete ran (base + first-append copies at hwm 1; the
+    // re-inserted copies too at hwm 2), never a later re-append, and
+    // compaction's in-place rewrite preserves __seq so the merged read
+    // is invariant across it (IvfDeleteSpec pins that edge directly).
+    "v31_ivf_lifecycle" -> { (s, dir) =>
+      import graft.functions.vectors
+      val e = Tables(s, dir).embeddings
+      val cb = codebook(e)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val t = "graft_ivf_idx_life"
+      Similarity.writeIvfIndex(corpus.filter(col("vec_id") % 5 =!= 3),
+        "embedding", cb, t)
+      Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 5 === 3),
+        "embedding", cb, t)
+      Similarity.deleteFromIvfIndex(corpus.filter(col("vec_id") % 7 === 2),
+        "vec_id", "embedding", cb, t)
+      Similarity.appendIvfIndex(corpus.filter(col("vec_id") % 21 === 9),
+        "embedding", cb, t)
+      Similarity.deleteFromIvfIndex(
+        corpus.filter(col("vec_id") % 21 === 9 && col("vec_id") % 2 === 1),
+        "vec_id", "embedding", cb, t)
+      graft.sources.Compaction.compactHotPartitions(s, t, "cell",
+        targetRows = 8L * 1024 * 1024)
+      val q = e.filter(col("vec_id") === 0)
+      val cells = q.select(
+          Similarity.ivfProbeCells(col("embedding"), cb, 2).as("c"))
+        .collect()(0).getSeq[Int](0)
+      val qb = broadcast(q.select(col("embedding").as("__qvec")))
+      Similarity.readIvfIndexWithDeletes(s, t, "vec_id", cells)
+        .crossJoin(qb)
+        .withColumn("cos4", round(vectors.cosine(
+          vectors.asDouble(col("embedding")), vectors.asDouble(col("__qvec"))), 4))
+        .select(col("vec_id"), col("cell"), col("cos4"))
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(5)
+    },
+
     "v26_range_search" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val scale = Similarity.sq8MaxAbs(e, "embedding")
@@ -905,6 +954,12 @@ object VectorQ extends QueryPack {
     // the delete mirror: the same multiprobe over the corpus MINUS the
     // tombstoned ids — merge-on-read must equal rebuild-without-deleted
     "v30_ivf_deletes" -> ivfMultiprobeSqlWhere(" AND e.vec_id % 7 <> 2"),
+
+    // the net survivor set of the composed lifecycle: everything except
+    // the %7=2 deletions, with the %21=9 re-inserts back EXCEPT the odd
+    // ones the second delete removed again
+    "v31_ivf_lifecycle" -> ivfMultiprobeSqlWhere(
+      " AND (e.vec_id % 7 <> 2 OR (e.vec_id % 21 = 9 AND e.vec_id % 2 = 0))"),
 
     // bit-for-bit mirror of BinaryQuant: identical 32-bit-word sign
     // packing (dim 1 = high bit of word 0), xor+bit_count hamming, same

@@ -586,8 +586,10 @@ object StreamingJobs {
     * foreachBatch body, exposed for the spec): audit the batch, publish
     * it into `table` only if every expectation holds, and append the
     * audit rows — plus a '__publish' row carrying the table's row count
-    * after the attempt — to `auditTable` (the immutable quality log a
-    * pipeline alerts on). A failing batch lands NOTHING in `table`; the
+    * after the attempt (maintained incrementally: seeded from the base
+    * table once, then previous count + published batch rows — O(batch)
+    * per batch, never a target-table scan) — to `auditTable` (the
+    * immutable quality log a pipeline alerts on). A failing batch lands NOTHING in `table`; the
     * audit log is the only trace. Returns whether the batch published.
     */
   def wapBatch(spark: SparkSession, batch: DataFrame,
@@ -610,6 +612,24 @@ object StreamingJobs {
         .select(col("passed")).collect()
       if (prior.nonEmpty) return prior(0).getLong(0) == 1L
     }
+    // post-attempt table count, derived INCREMENTALLY: the previous
+    // __publish row's observed value (seeded from the base table once,
+    // on the first gated batch) plus this batch's rows when it
+    // publishes. A spark.table(table).count() here would full-scan the
+    // target on EVERY micro-batch — O(table) per batch, growing over
+    // the stream's lifetime, against the O(batch) publish economics
+    // this gate exists for. The running value tracks rows as seen
+    // through the gate: out-of-band writes to `table` are outside the
+    // audit log's scope by design (they never passed an expectation).
+    val prevCount: Long =
+      if (spark.catalog.tableExists(auditTable)) {
+        val last = spark.table(auditTable)
+          .filter(col("expectation") === "__publish")
+          .orderBy(col("batch_id").desc).limit(1)
+          .select(col("observed")).collect()
+        if (last.nonEmpty) last(0).getLong(0)
+        else spark.table(table).count()
+      } else spark.table(table).count()
     val audit = graft.sources.Wap.audit(batch, expects).localCheckpoint()
     val ok = graft.sources.Wap.publishIfClean(batch, audit, table)
     // the publish ran on the MICRO-BATCH's cloned session (batch's
@@ -618,7 +638,7 @@ object StreamingJobs {
     // until refreshed (rows were on disk, reads stale — the cache
     // coherence gotcha of appends under foreachBatch)
     spark.catalog.refreshTable(table)
-    val after = spark.table(table).count()
+    val after = prevCount + (if (ok) batch.count() else 0L)
     val rows = audit.select(lit(batchId).as("batch_id"),
         col("expectation"), col("observed"), col("lo"), col("hi"),
         col("passed"))

@@ -63,11 +63,13 @@ class IvfDeleteSpec extends SparkTestBase {
     assert(full.size > got.size)
     spark.sql("DROP TABLE IF EXISTS graft_ivf_del_spec")
     spark.sql("DROP TABLE IF EXISTS graft_ivf_del_spec__dels")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_del_spec__hwm")
     spark.sql("DROP TABLE IF EXISTS graft_ivf_del_ref")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_del_ref__hwm")
   }
 
-  test("delete-then-re-APPEND resurrects the id: probe equals the full " +
-    "corpus again (the append clears matching tombstones)") {
+  test("delete-then-re-APPEND resurrects the id EXACTLY ONCE: the " +
+    "tombstone keeps killing the old physical rows, never the append") {
     Similarity.writeIvfIndex(corpus, "embedding", cb, "graft_ivf_res_spec")
     val slice = corpus.filter(col("vec_id") % 7 === 2)
     Similarity.deleteFromIvfIndex(slice, "vec_id", "embedding", cb,
@@ -75,17 +77,69 @@ class IvfDeleteSpec extends SparkTestBase {
     Similarity.appendIvfIndex(slice, "embedding", cb, "graft_ivf_res_spec")
     val got = snap(Similarity.readIvfIndexWithDeletes(spark,
       "graft_ivf_res_spec", "vec_id", allCells("graft_ivf_res_spec")))
-    // the re-added rows are back (multiset: base still holds the
-    // original physical rows plus the appended copies of the same ids —
-    // dedup of physical duplicates is the caller's compaction concern;
-    // the CONTRACT here is that no live id is swallowed by a stale
-    // tombstone)
-    val want = snap(spark.table("graft_ivf_res_spec"))
-    assert(got == want)
-    assert(got.map(_._1).toSet ==
-      corpus.select(col("vec_id")).as[Long].collect().toSet)
+    // sequence semantics: the tombstone (hwm 0) kills the base copies
+    // (__seq 0) of the deleted ids; the appended copies (__seq 1)
+    // survive — so the merged read is the full corpus, each id ONCE,
+    // with no stale duplicates and no tombstone rewrite
+    assert(got == snap(spark.table("graft_ivf_res_spec"))
+      .diff(snap(spark.table("graft_ivf_res_spec")
+        .filter(col("__seq") === 0 && col("vec_id") % 7 === 2))))
+    assert(got.map(_._1).sorted ==
+      corpus.select(col("vec_id")).as[Long].collect().toSeq.sorted,
+      "each corpus id must appear exactly once after delete+re-append")
     spark.sql("DROP TABLE IF EXISTS graft_ivf_res_spec")
     spark.sql("DROP TABLE IF EXISTS graft_ivf_res_spec__dels")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_res_spec__hwm")
+  }
+
+  test("UPDATE via delete-then-append-changed-vector returns only the " +
+    "new embedding (the round-12 ADVICE stale-duplicate defect)") {
+    Similarity.writeIvfIndex(corpus, "embedding", cb, "graft_ivf_upd_spec")
+    val victim = corpus.filter(col("vec_id") === 9)
+    Similarity.deleteFromIvfIndex(victim, "vec_id", "embedding", cb,
+      "graft_ivf_upd_spec")
+    // re-append id 9 with a DIFFERENT vector (vec 10's embedding):
+    // the realistic update path — may land in a different cell
+    val updated = corpus.filter(col("vec_id") === 10)
+      .withColumn("vec_id", lit(9L))
+    Similarity.appendIvfIndex(updated, "embedding", cb,
+      "graft_ivf_upd_spec")
+    val nine = Similarity.readIvfIndexWithDeletes(spark,
+        "graft_ivf_upd_spec", "vec_id", allCells("graft_ivf_upd_spec"))
+      .filter(col("vec_id") === 9)
+      .select(col("cell"), col("embedding").cast("array<double>"))
+      .as[(Int, Array[Double])].collect()
+    assert(nine.length == 1,
+      s"updated id must appear exactly once, got ${nine.length} rows")
+    val wantVec = corpus.filter(col("vec_id") === 10)
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].collect()(0)
+    assert(nine(0)._2.toSeq == wantVec.toSeq,
+      "probe returned the stale pre-update embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_upd_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_upd_spec__dels")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_upd_spec__hwm")
+  }
+
+  test("tombstones SURVIVE compaction: a hot-cell rewrite preserves the " +
+    "__seq axis, so deleted rows stay dead and re-appends stay live") {
+    Similarity.writeIvfIndex(corpus, "embedding", cb, "graft_ivf_cmp_spec")
+    val slice = corpus.filter(col("vec_id") % 7 === 2)
+    Similarity.deleteFromIvfIndex(slice, "vec_id", "embedding", cb,
+      "graft_ivf_cmp_spec")
+    Similarity.appendIvfIndex(slice, "embedding", cb, "graft_ivf_cmp_spec")
+    val before = snap(Similarity.readIvfIndexWithDeletes(spark,
+      "graft_ivf_cmp_spec", "vec_id", allCells("graft_ivf_cmp_spec")))
+    // base + append = ≥2 files in the re-appended cells → hot; compact
+    val rewritten = graft.sources.Compaction.compactHotPartitions(spark,
+      "graft_ivf_cmp_spec", "cell", targetRows = 1000000L)
+    assert(rewritten.nonEmpty, "append should have made some cell hot")
+    val after = snap(Similarity.readIvfIndexWithDeletes(spark,
+      "graft_ivf_cmp_spec", "vec_id", allCells("graft_ivf_cmp_spec")))
+    assert(after == before, "compaction changed the merged read")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cmp_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cmp_spec__dels")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cmp_spec__hwm")
   }
 
   test("probe with deletes still prunes: both scans read only the " +
