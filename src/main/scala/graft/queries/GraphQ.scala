@@ -109,7 +109,7 @@ object GraphQ extends QueryPack {
     * (orderkey mod 1000)·100 + linenumber (strictly increasing along
     * each trip). ~6M stop_time rows at sf1.
     */
-  private def factStopTimes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def factStopTimes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem.select(
         col("l_orderkey").as("trip"),
         col("l_linenumber").cast("int").as("seq"),
@@ -118,6 +118,73 @@ object GraphQ extends QueryPack {
           .cast("long").as("t"))
       .select(col("trip"), col("seq"), col("stop"),
         col("t").as("arr"), col("t").as("dep"))
+
+  /** r23's fact-scale FOOTPATH rules over the 500-stop network: every
+    * 5th stop s gets s ↔ (7s+13)%500 at (s%4+1)·10 seconds (100 pairs,
+    * both directions — dimension-sized next to the ~6M-row sf1
+    * timetable, the realistic transfers.txt cardinality ratio).
+    * Destinations are never ≡0 (mod 5), so chains only close through
+    * the reverse rules — the cross-round closure is exercised at fact
+    * scale too. Scale-free by construction (stop ids are suppkey mod
+    * 500 at every SF), like the nation-derived synthetic sets.
+    */
+  private[graft] def factTransfers(s: SparkSession, dir: String): DataFrame = {
+    val base = s.range(100).select((col("id") * 5).as("s"))
+    val fs = col("s").cast("long")
+    val ts = ((col("s") * 7 + 13) % 500).cast("long")
+    val mtt = ((col("s") % 4 + 1) * 10).cast("long")
+    base.select(fs.as("from_stop"), ts.as("to_stop"),
+        mtt.as("min_transfer_time"))
+      .unionByName(base.select(ts.as("from_stop"), fs.as("to_stop"),
+        mtt.as("min_transfer_time")))
+  }
+
+  /** r24's fact-scale itineraries: order = itinerary, legs = the
+    * DISTINCT (linenumber, suppkey mod 40) pairs (this testdata's
+    * linenumbers are neither dense nor unique — the distinct makes the
+    * leg key unique so row_number yields a deterministic dense seq on
+    * both engines), board time strictly increasing along the legs with
+    * a per-order cadence (120–840 s) that straddles the tariff's
+    * expiry windows (600–3000 s).
+    */
+  private[graft] def factLegs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("itin_id")).orderBy(col("ln"), col("rt"))
+    Tables(s, dir).lineitem
+      .select(col("l_orderkey").as("itin_id"),
+        col("l_linenumber").cast("int").as("ln"),
+        (col("l_suppkey") % 40).cast("int").as("rt"))
+      .distinct()
+      .withColumn("leg_seq", row_number().over(w))
+      .select(col("itin_id"), col("leg_seq"),
+        ((col("itin_id") % 1000) * 10 +
+          col("leg_seq") * ((col("itin_id") % 7 + 1) * 120))
+          .cast("long").as("board_t"),
+        col("rt").cast("string").as("route_id"))
+  }
+
+  /** r24's synthetic tariff: 25 fares with mixed transfer allowances
+    * (k%4=0 → unlimited, else k%3 ∈ {0,1,2}) and 600–3000 s windows.
+    */
+  private[graft] def factFareAttrs(s: SparkSession): DataFrame =
+    s.range(25).select(
+      concat(lit("f"), col("id")).as("fare_id"),
+      ((col("id") % 9 + 1) * 1000).cast("long").as("price"),
+      when(col("id") % 4 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 3).cast("int")).as("transfers"),
+      ((col("id") % 5 + 1) * 600).cast("long").as("transfer_duration"))
+
+  /** r24's rules: route r carries fares f(r%25) and f((7r+3)%25) — two
+    * candidates per route, so "cheapest applicable" does real work.
+    */
+  private[graft] def factFareRules(s: SparkSession): DataFrame = {
+    val r = s.range(40).select(col("id").cast("string").as("route_id"),
+      col("id").as("r"))
+    r.select(concat(lit("f"), col("r") % 25).as("fare_id"), col("route_id"))
+      .unionByName(r.select(
+        concat(lit("f"), (col("r") * 7 + 3) % 25).as("fare_id"),
+        col("route_id")))
+  }
 
   /** Build-once guard for r19's dual bucketed timetable layout (the
     * [[ensureTradeEdgesTable]] pattern, keyed by sfDir).
@@ -227,6 +294,18 @@ object GraphQ extends QueryPack {
       Routing.earliestArrival(syntheticStopTimes(s, dir), "0", 0L,
           maxRounds = 40, transfers = Some(syntheticTransfers(s, dir)))
         .orderBy(col("stop"))
+    },
+
+    // r25 — the transfer-aware PARETO PROFILE (r18's face over the r22
+    // network): per-round strict improvements, rounds counting legs
+    // (boardings + footpath hops). The oracle hash-matches the
+    // PER-ROUND slices, not just the fixpoint — stage-k improvements
+    // from merged labels equal round-k frontier improvements by the
+    // monotone argument (see arrivalProfileTransfersSql).
+    "r25_arrival_profile_transfers" -> { (s, dir) =>
+      Routing.arrivalProfile(syntheticStopTimes(s, dir), "0", 0L,
+          maxRounds = 40, transfers = Some(syntheticTransfers(s, dir)))
+        .orderBy(col("stop"), col("rounds"))
     },
 
     "r01_bfs_hops" -> { (s, dir) =>
@@ -376,6 +455,49 @@ object GraphQ extends QueryPack {
       Routing.earliestArrivalOnTables(s, "graft_st_by_stop",
           "graft_st_by_trip", 0L, 0L, maxRounds = 60)
         .orderBy(col("stop"))
+    },
+
+    // r22 at FACT SCALE: the r17 timetable (~6M rows at sf1) plus 200
+    // footpath rules ([[factTransfers]]) — the scale evidence that the
+    // transfer leg rides the frontier machinery: the footpath join is a
+    // broadcast of a dimension-sized rule set against the round's
+    // frontier (never the timetable), so per-round cost is unchanged
+    // except the rule fan-out. Oracle: the r22-style MATERIALIZED stage
+    // chain (the recursive walk of r17's mirror cannot carry footpath
+    // edges — arr+mtt generates unboundedly increasing rows); 14 stages
+    // = measured engine fixpoint 11 (RoundProbe, sf0.1 AND sf1; 3 at
+    // sf0.001, 7 at sf0.01) + margin, and the merged-label chain
+    // converges at least as fast as the frontier loop.
+    "r23_transit_transfers_factscale" -> { (s, dir) =>
+      // rides the SAME dual-bucketed layout r19 stages (build-once
+      // guard shared): the transfer leg only ever joins the frontier,
+      // so the bucketed elision of both fact-table probes carries over
+      // unchanged — measured sf0.1 ~10.5 → ~5.5 s vs the in-memory loop
+      ensureStopTimesTables(s, dir)
+      Routing.earliestArrivalOnTables(s, "graft_st_by_stop",
+          "graft_st_by_trip", 0L, 0L, maxRounds = 40,
+          transfers = Some(factTransfers(s, dir)))
+        .orderBy(col("stop"))
+    },
+
+    // GTFS FARE COSTING at fact scale (gtfs/Fares.itineraryFares — the
+    // query capability behind the K5 pass-through fare tables; FaresSpec
+    // pins the reference's own 7-fare tariff by hand): each order is an
+    // itinerary (legs = line items, dense seq, strictly increasing
+    // board times), the tariff is a 25-fare / 80-rule synthetic with
+    // mixed allowances (null = unlimited, 0 = none, finite) and expiry
+    // windows. Both fare lookups ride broadcasts; the fact side pays
+    // exactly two exchanges — the leg-key distinct and the itinerary
+    // window (the fold's groupBy REUSES the window's itin partitioning,
+    // plan-verified: ObjectHashAggregate sits exchange-free on it) —
+    // and the fold is an aggregate HOF over journey-length arrays.
+    // Oracle: a recursive leg-walk carrying the
+    // (active fare, purchase time, allowance) state — one row per leg,
+    // single-successor recursion, no blowup.
+    "r24_itinerary_fares" -> { (s, dir) =>
+      graft.gtfs.Fares.itineraryFares(factLegs(s, dir),
+          factFareRules(s), factFareAttrs(s))
+        .orderBy(col("itin_id"))
     },
 
     "r02_sssp_distances" -> { (s, dir) =>
@@ -760,6 +882,54 @@ object GraphQ extends QueryPack {
        |ORDER BY stop, rounds""".stripMargin
   }
 
+  /** The transfer-aware PROFILE mirror — [[arrivalProfileSql]]'s stage
+    * chain with the footpath relaxation added per stage, emitting each
+    * stage's strict improvements. Stage-k improvements from the merged
+    * labels EQUAL round-k frontier improvements (relaxing an unchanged
+    * label re-produces candidates the earlier stage already min'd in —
+    * the monotone argument r18's oracle rests on), so the per-round
+    * slices hash-match, not just the fixpoint.
+    */
+  private def arrivalProfileTransfersSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT stop, MIN(t) AS arr FROM (
+         |    SELECT stop, arr AS t FROM lab${i - 1}
+         |    UNION ALL
+         |    SELECT s.ts, s.arr FROM seg s JOIN lab${i - 1} p
+         |      ON s.fs = p.stop AND s.dep >= p.arr
+         |    UNION ALL
+         |    SELECT x.ts, p.arr + x.mtt FROM xf x JOIN lab${i - 1} p
+         |      ON x.fs = p.stop
+         |  ) GROUP BY stop),
+         |pk$i AS (
+         |  SELECT k.stop, $i AS rounds, k.arr FROM lab$i k
+         |  LEFT JOIN lab${i - 1} p ON k.stop = p.stop
+         |  WHERE p.stop IS NULL OR k.arr < p.arr)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(i => s"SELECT * FROM pk$i").mkString("\n UNION ALL ")
+    s"""WITH $stopTimesSql,
+       |seg AS MATERIALIZED (
+       |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+       |  FROM st a JOIN st b ON a.trip = b.trip AND a.seq < b.seq),
+       |xf0 AS (
+       |  SELECT CAST((n_nationkey*3+1)%25 AS VARCHAR) AS fs,
+       |         CAST((n_nationkey*9+4)%25 AS VARCHAR) AS ts,
+       |         CAST((n_nationkey%4+1)*5 AS BIGINT) AS mtt FROM nation
+       |  UNION ALL
+       |  SELECT CAST((n_nationkey*9+4)%25 AS VARCHAR),
+       |         CAST((n_nationkey*3+1)%25 AS VARCHAR),
+       |         CAST((n_nationkey%4+1)*5 AS BIGINT) FROM nation),
+       |xf AS (SELECT * FROM xf0 WHERE fs <> ts),
+       |lab0 AS (SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr),
+       |$stages
+       |SELECT stop, CAST(rounds AS INT) AS rounds, arr AS arr_t FROM (
+       | SELECT '0' AS stop, 0 AS rounds, CAST(0 AS BIGINT) AS arr
+       | UNION ALL $unions)
+       |ORDER BY stop, rounds""".stripMargin
+  }
+
   /** Unrolled label-correction chain with BOTH relaxations per stage —
     * within-trip segments (one boarding) and footpaths
     * (+min_transfer_time) — mirroring the transfer-aware fixpoint of
@@ -814,6 +984,120 @@ object GraphQ extends QueryPack {
     // the relaxation diameter vs r16/r18's ride-only chain; nation-
     // derived network, identical at every SF).
     "r22_earliest_arrival_transfers" -> earliestArrivalTransfersSql(10),
+
+    // 10 stages = the r22 fixpoint bound (same network + rules); the
+    // profile emits every stage's strict improvements, so stage count
+    // past the fixpoint adds no rows on either side.
+    "r25_arrival_profile_transfers" -> arrivalProfileTransfersSql(10),
+
+    // Single-successor recursion (one row per leg, seq -> seq+1), the
+    // fare-state fold in SQL: active fare applicability via a LEFT JOIN
+    // against the rule set, cheapest-candidate via a per-route argmin.
+    "r24_itinerary_fares" ->
+      """WITH RECURSIVE legs AS (
+        |  SELECT itin, seq,
+        |         CAST((itin % 1000) * 10
+        |           + seq * ((itin % 7 + 1) * 120) AS BIGINT) AS t,
+        |         CAST(rt AS VARCHAR) AS route
+        |  FROM (
+        |    SELECT itin, ln, rt,
+        |           CAST(row_number() OVER (PARTITION BY itin
+        |             ORDER BY ln, rt) AS INT) AS seq
+        |    FROM (SELECT DISTINCT l_orderkey AS itin,
+        |                 CAST(l_linenumber AS INT) AS ln,
+        |                 CAST(l_suppkey % 40 AS INT) AS rt
+        |          FROM lineitem))),
+        |fares AS (
+        |  SELECT 'f' || k AS fare_id, CAST((k%9+1)*1000 AS BIGINT) AS price,
+        |         CASE WHEN k%4=0 THEN NULL ELSE CAST(k%3 AS INT) END AS transfers,
+        |         CAST((k%5+1)*600 AS BIGINT) AS dur
+        |  FROM range(25) t(k)),
+        |rts AS (
+        |  SELECT CAST(r AS VARCHAR) AS route, 'f' || (r%25) AS fare_id
+        |  FROM range(40) t(r)
+        |  UNION ALL
+        |  SELECT CAST(r AS VARCHAR), 'f' || ((r*7+3)%25) FROM range(40) t(r)),
+        |app AS (SELECT DISTINCT route, fare_id FROM rts),
+        |cheap AS (
+        |  SELECT route, fare_id, price, transfers, dur FROM (
+        |    SELECT a.route, f.fare_id, f.price, f.transfers, f.dur,
+        |           row_number() OVER (PARTITION BY a.route
+        |             ORDER BY f.price, f.fare_id) AS rn
+        |    FROM app a JOIN fares f USING (fare_id)) WHERE rn = 1),
+        |w AS (
+        |  SELECT l.itin, l.seq, c.fare_id AS af, l.t AS pt,
+        |         COALESCE(c.transfers, -1) AS rem, COALESCE(c.dur, 0) AS adur,
+        |         COALESCE(c.price, 0) AS tot,
+        |         CASE WHEN c.fare_id IS NULL THEN 0 ELSE 1 END AS np,
+        |         0 AS nf,
+        |         CASE WHEN c.fare_id IS NULL THEN 1 ELSE 0 END AS nu
+        |  FROM legs l LEFT JOIN cheap c ON c.route = l.route
+        |  WHERE l.seq = 1
+        |  UNION ALL
+        |  SELECT itin, seq,
+        |    CASE WHEN free THEN af
+        |         WHEN cf IS NOT NULL THEN cf ELSE af END,
+        |    CASE WHEN free OR cf IS NULL THEN pt ELSE t END,
+        |    CASE WHEN free THEN (CASE WHEN rem > 0 THEN rem - 1 ELSE rem END)
+        |         WHEN cf IS NOT NULL THEN COALESCE(ctr, -1) ELSE rem END,
+        |    CASE WHEN free OR cf IS NULL THEN adur ELSE cdur END,
+        |    tot + CASE WHEN NOT free AND cf IS NOT NULL THEN cp ELSE 0 END,
+        |    np + CASE WHEN NOT free AND cf IS NOT NULL THEN 1 ELSE 0 END,
+        |    nf + CASE WHEN free THEN 1 ELSE 0 END,
+        |    nu + CASE WHEN NOT free AND cf IS NULL THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT w.itin, l.seq, l.t, w.af, w.pt, w.rem, w.adur,
+        |           w.tot, w.np, w.nf, w.nu,
+        |           COALESCE(w.af IS NOT NULL AND a.fare_id IS NOT NULL
+        |             AND w.rem <> 0 AND l.t <= w.pt + w.adur, FALSE) AS free,
+        |           c.fare_id AS cf, c.price AS cp, c.transfers AS ctr,
+        |           c.dur AS cdur
+        |    FROM w
+        |    JOIN legs l ON l.itin = w.itin AND l.seq = w.seq + 1
+        |    LEFT JOIN app a ON a.route = l.route AND a.fare_id = w.af
+        |    LEFT JOIN cheap c ON c.route = l.route))
+        |SELECT w.itin AS itin_id, CAST(w.tot AS BIGINT) AS total_price,
+        |       CAST(w.np AS INT) AS n_purchases,
+        |       CAST(w.nf AS INT) AS n_free_transfers,
+        |       CAST(w.nu AS INT) AS n_uncovered
+        |FROM w JOIN (SELECT itin, MAX(seq) AS ms FROM legs GROUP BY itin) m
+        |  ON w.itin = m.itin AND w.seq = m.ms
+        |ORDER BY itin_id""".stripMargin,
+
+    // 14 stages = measured engine fixpoint 11 + margin (RoundProbe at
+    // sf0.1/sf1; the staged chain converges at least as fast). seg is
+    // within-trip (seq'>seq) segments — one boarding per relaxation.
+    "r23_transit_transfers_factscale" -> {
+      val chain = (1 to 14).map { i =>
+        s"""lab$i AS MATERIALIZED (
+           |  SELECT stop, MIN(t) AS arr FROM (
+           |    SELECT stop, arr AS t FROM lab${i - 1}
+           |    UNION ALL
+           |    SELECT s.ts, s.arr FROM seg s JOIN lab${i - 1} p
+           |      ON s.fs = p.stop AND s.dep >= p.arr
+           |    UNION ALL
+           |    SELECT x.ts, p.arr + x.mtt FROM xf x JOIN lab${i - 1} p
+           |      ON x.fs = p.stop
+           |  ) GROUP BY stop)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st AS (
+         |  SELECT l_orderkey AS trip, l_linenumber AS seq,
+         |         CAST(l_suppkey % 500 AS BIGINT) AS stop,
+         |         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS t
+         |  FROM lineitem),
+         |seg AS MATERIALIZED (
+         |  SELECT a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+         |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+         |xf0 AS (SELECT CAST(s*5 AS BIGINT) AS fs,
+         |               CAST((s*5*7+13)%500 AS BIGINT) AS ts,
+         |               CAST(((s*5)%4+1)*10 AS BIGINT) AS mtt
+         |        FROM range(100) r(s)),
+         |xf AS (SELECT fs, ts, mtt FROM xf0
+         |       UNION ALL SELECT ts, fs, mtt FROM xf0),
+         |lab0 AS (SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr),
+         |$chain
+         |SELECT stop, arr AS arr_t FROM lab14 ORDER BY stop""".stripMargin
+    },
 
     "r16_earliest_arrival" ->
       """WITH RECURSIVE st AS (

@@ -892,7 +892,15 @@ object ScaleQ extends QueryPack {
         |FROM m GROUP BY segment ORDER BY segment""".stripMargin,
 
     // the clean full-recompute mirror: the backfilled table must be
-    // indistinguishable from never having been stale
+    // indistinguishable from never having been stale.
+    // MIRROR ASYMMETRY, stated for the bench ratio (the v27
+    // adjudication class): the engine's timed body is the full
+    // partitioned build + the backfill overwrite + the read-back —
+    // maintenance INCLUDED — while this mirror is a pure SELECT. The
+    // ratio measures "maintenance ops vs one aggregate", not scan-vs-
+    // scan; the operator's real claims (only the stale directory
+    // rewritten, byte-identical elsewhere, idempotent) are
+    // BackfillSpec-pinned, not ratio-argued.
     "s18_partition_backfill" ->
       """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT)
         |         AS ship_mon,
@@ -902,6 +910,12 @@ object ScaleQ extends QueryPack {
         |FROM lineitem
         |GROUP BY 1 ORDER BY ship_mon""".stripMargin,
 
+    // MIRROR ASYMMETRY (the v27 adjudication class, same as s18): the
+    // engine's timed body is base write + manifest + empty delta + two
+    // divergent appends + the merged read — five metadata/table ops vs
+    // this pure-SELECT mirror, so the ratio is scale-FLAT on both sides
+    // and not a scan comparison. The operator's real claims (zero data
+    // copied, snapshot isolation both directions) are CloneSpec-pinned.
     "s17_shallow_clone" ->
       """WITH o AS (SELECT o_orderkey,
         |             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents

@@ -130,6 +130,81 @@ object StreamingJobs {
       }
   }
 
+  final case class CepEv(key: Long, ts_us: Long, tie: Long, sym: String)
+  final case class CepMatch(key: Long, pattern: String, n_new: Long)
+  final case class CepState(tail: String, counts: Seq[Long])
+
+  /** Streaming face of [[graft.operators.Cep.patternCounts]] — the
+    * Flink-CEP class e18 computes in batch: each key's state carries a
+    * BOUNDED symbol tail (last `maxTail` symbols) plus, per pattern, the
+    * match count already credited against that tail; every micro-batch
+    * appends the batch's symbols (sorted by (ts_us, tie) within the
+    * batch), re-counts non-overlapping matches over the tail, and EMITS
+    * the per-pattern delta — so a pattern completing ACROSS batches
+    * (half its symbols in last batch's tail) fires exactly once, on the
+    * batch that completes it.
+    *
+    * Parity contract (the funnelStream doctrine, stated plainly): for
+    * per-key in-order arrival with tails under `maxTail`, the summed
+    * `n_new` per (key, pattern) EQUALS the batch count — leftmost
+    * non-overlapping counting is append-monotone (a prefix's matches
+    * survive any suffix: match starts scan left-to-right, and only a
+    * final match abutting the string end can extend, where no later
+    * start existed to swallow), so per-batch deltas telescope to the
+    * full-string count. Out-of-order arrival across batches or a tail
+    * overflow makes the stream a LOWER BOUND of the batch count (a
+    * symbol stitched into the past, or evicted from the tail, cannot
+    * retroactively complete a pattern); exact reconciliation is a batch
+    * replay (I1). State per key is O(maxTail + patterns) — bounded by
+    * construction, the hot-bucket doctrine applied to stream state.
+    */
+  def cepStream(events: org.apache.spark.sql.Dataset[CepEv],
+                patterns: Seq[String], maxTail: Int = 4096):
+      org.apache.spark.sql.Dataset[CepMatch] = {
+    require(patterns.nonEmpty && patterns.distinct.size == patterns.size,
+      "patterns must be non-empty and distinct")
+    require(maxTail >= 1, "maxTail must be positive")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[CepEv], state: GroupState[CepState]) =>
+          // compiled per group-invocation: Pattern is not shareable
+          // across the closure serialization boundary cheaply, and the
+          // pattern list is a bounded constant
+          val pats = patterns.map(java.util.regex.Pattern.compile)
+          def countIn(str: String): Seq[Long] = pats.map { p =>
+            val m = p.matcher(str); var n = 0L
+            while (m.find()) n += 1
+            n
+          }
+          val s0 = state.getOption.getOrElse(
+            CepState("", Seq.fill(patterns.size)(0L)))
+          val newSyms = it.toSeq.sortBy(e => (e.ts_us, e.tie))
+            .map(_.sym).mkString
+          val full = s0.tail + newSyms
+          val totals = countIn(full)
+          val out = patterns.indices.flatMap { i =>
+            val d = totals(i) - s0.counts(i)
+            // d < 0 cannot happen absent truncation (append-monotone);
+            // after one, the stored baseline already matches the tail
+            if (d > 0) Some(CepMatch(key, patterns(i), d)) else None
+          }
+          // bound the carried tail; if we cut, re-baseline the counts
+          // over the kept suffix so future deltas measure only what the
+          // state can still see (never double-credits, may under-count
+          // — the lower-bound contract above)
+          val kept =
+            if (full.length > maxTail) full.substring(full.length - maxTail)
+            else full
+          val baseline = if (kept.length == full.length) totals
+            else countIn(kept)
+          state.update(CepState(kept, baseline))
+          out.iterator
+      }
+  }
+
   final case class Doc(doc_id: Long, fingerprint: String)
 
   /** Streaming exact dedup: emit each fingerprint's FIRST document across

@@ -231,6 +231,72 @@ class StreamingSpec extends SparkTestBase {
     assert(streamFinal.forall { case (u, r) => r <= batchReached(u) })
   }
 
+  test("cepStream completes patterns ACROSS batches exactly once; " +
+    "equals the batch count in-order; truncation is a lower bound") {
+    import StreamingJobs.{CepEv, CepMatch}
+    implicit val sqlCtx = spark.sqlContext
+    // v[^p]*p = "view then purchase with no intervening purchase";
+    // e{2,} = error burst
+    val pats = Seq("v[^p]*p", "e{2,}")
+    val mem = MemoryStream[CepEv]
+    val q = StreamingJobs.cepStream(mem.toDS(), pats)
+      .writeStream.format("memory").queryName("cep")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: k1 v,c — no completion yet; k2 e (burst pending)
+    mem.addData(CepEv(1, 100, 0, "v"), CepEv(1, 200, 1, "c"),
+      CepEv(2, 100, 0, "e"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("cep").as[CepMatch].collect().toSeq
+    assert(afterB1.isEmpty, s"nothing should fire yet: $afterB1")
+    // batch 2: k1's p COMPLETES the cross-batch v[^p]*p; k2's second e
+    // completes the burst
+    mem.addData(CepEv(1, 300, 0, "p"), CepEv(2, 200, 0, "e"))
+    q.processAllAvailable()
+    // batch 3: k1 v,p again (second match — non-overlapping); k2 one
+    // more e must NOT re-fire e{2,} (the greedy burst already counted
+    // extends, count stays 1)
+    mem.addData(CepEv(1, 400, 0, "v"), CepEv(1, 500, 0, "p"),
+      CepEv(2, 300, 0, "e"))
+    q.processAllAvailable()
+    val rows = spark.table("cep").as[CepMatch].collect().toSeq
+    q.stop()
+    // k1's pattern fires once in batch 2 and once in batch 3 (two
+    // rows, same content) — assert as a multiset
+    assert(rows.sortBy(r => (r.key, r.pattern)).map(r =>
+      (r.key, r.pattern, r.n_new)) ==
+      Seq((1L, "v[^p]*p", 1L), (1L, "v[^p]*p", 1L), (2L, "e{2,}", 1L)))
+    // batch parity (in-order, no truncation): summed n_new equals the
+    // batch operator's total_matches per pattern
+    val all = Seq((1L, 100L, 0L, "v"), (1L, 200L, 1L, "c"),
+      (2L, 100L, 0L, "e"), (1L, 300L, 0L, "p"), (2L, 200L, 0L, "e"),
+      (1L, 400L, 0L, "v"), (1L, 500L, 0L, "p"), (2L, 300L, 0L, "e"))
+      .toDF("key", "ts", "tie", "sym")
+    val batch = graft.operators.Cep.patternCounts(all, "key", "ts", "tie",
+        col("sym"), pats)
+      .select(col("pattern"), col("total_matches"))
+      .as[(String, Long)].collect().toMap
+    val streamed = rows.groupBy(_.pattern).view
+      .mapValues(_.map(_.n_new).sum).toMap
+    assert(streamed == batch.filter(_._2 > 0),
+      s"stream $streamed vs batch $batch")
+
+    // truncation: a 3-char tail cannot hold v..c..p — the stream
+    // under-counts (lower bound), never double-counts
+    val mem2 = MemoryStream[CepEv]
+    val q2 = StreamingJobs.cepStream(mem2.toDS(), Seq("vc*p"), maxTail = 2)
+      .writeStream.format("memory").queryName("cep_trunc")
+      .outputMode(OutputMode.Append).start()
+    mem2.addData(CepEv(1, 100, 0, "v"), CepEv(1, 200, 0, "c"),
+      CepEv(1, 300, 0, "c"))
+    q2.processAllAvailable()
+    mem2.addData(CepEv(1, 400, 0, "p")) // v was evicted: no match
+    q2.processAllAvailable()
+    val truncRows = spark.table("cep_trunc").as[CepMatch].collect()
+    q2.stop()
+    assert(truncRows.isEmpty,
+      s"evicted prefix must not complete a match: ${truncRows.toSeq}")
+  }
+
   test("dedupStream keeps each fingerprint's first doc across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.Doc]
