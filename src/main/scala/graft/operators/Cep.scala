@@ -43,6 +43,12 @@ object Cep {
     * aggregation buffer — the OOM it claims to prevent; the r12
     * window-gate doctrine). Same semantics: the kept events are the
     * leading prefix of the (ts, tie) order.
+    *
+    * The default cap is LOAD-BEARING memory protection, not a tuning
+    * nicety: symbols are single characters, so 1<<20 bounds any one
+    * key's aggregation-buffer string at ~1 MiB (~2 MiB as a Java
+    * String) — size a larger cap against executor memory divided by
+    * concurrent agg buffers before raising it.
     */
   def sequences(events: DataFrame, keyCol: String, tsCol: String,
                 tieCol: String, symbol: Column,
