@@ -837,7 +837,11 @@ object Similarity {
 
   /** The index's maintenance SEQUENCE high-water mark — a 1-row sibling
     * `<table>__hwm` metadata table (the lakehouse version-counter
-    * shape). Every physical row of the index carries the `__seq` it was
+    * shape). Maintenance ops are SINGLE-WRITER (the standard contract
+    * for this whole sources/ maintenance family): the hwm
+    * read-increment-rewrite is not transactional, so concurrent
+    * appends/deletes against one index need external serialization —
+    * a real lakehouse would CAS a commit log here. Every physical row of the index carries the `__seq` it was
     * written under (0 for the base build, hwm+1 per append) and every
     * tombstone the hwm AT DELETE TIME, so a tombstone kills exactly the
     * rows that existed when the delete ran and NEVER a later re-append

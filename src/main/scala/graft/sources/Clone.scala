@@ -58,16 +58,21 @@ object Clone {
     * invisible here and clone appends are invisible to the source.
     */
   def readClone(spark: SparkSession, cloneName: String): DataFrame = {
-    val manifest = spark.table(manifestT(cloneName))
-      .select(col("path"), col("base_path")).collect()
-    val paths = manifest.map(_.getString(0))
+    val mt = spark.table(manifestT(cloneName))
     val delta = spark.table(deltaT(cloneName))
     // basePath anchors partition discovery at the base table's root, so
     // a PARTITIONED base's partition-column values are recovered from
     // the directory names of the manifested files (harmless no-op for
-    // an unpartitioned base)
-    spark.read.option("basePath", manifest.head.getString(1))
-      .schema(delta.schema).parquet(paths: _*)
+    // an unpartitioned base). Manifests written before base_path existed
+    // lack the column — fall back to the bare-path read (their bases
+    // were unpartitioned by the old code's limits).
+    val reader =
+      if (mt.columns.contains("base_path"))
+        spark.read.option("basePath",
+          mt.select(col("base_path")).head().getString(0))
+      else spark.read
+    val paths = mt.select(col("path")).collect().map(_.getString(0))
+    reader.schema(delta.schema).parquet(paths: _*)
       .unionByName(delta)
   }
 }

@@ -157,6 +157,11 @@ object StreamingJobs {
     * retroactively complete a pattern); exact reconciliation is a batch
     * replay (I1). State per key is O(maxTail + patterns) — bounded by
     * construction, the hot-bucket doctrine applied to stream state.
+    *
+    * The per-pattern counts are stored POSITIONALLY against `patterns`:
+    * changing the pattern list (order, add, remove) across a restart
+    * misaligns saved state — restart pattern changes from a fresh
+    * checkpoint location, the standard stateful-schema-evolution rule.
     */
   def cepStream(events: org.apache.spark.sql.Dataset[CepEv],
                 patterns: Seq[String], maxTail: Int = 4096):
