@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    to the leg's route, its transfer allowance is not exhausted
   *    (`transfers` null = unlimited, 0 = none, N = N re-boardings) and
   *    the leg boards within `transfer_duration` seconds of the fare's
-  *    purchase — otherwise the CHEAPEST applicable fare is purchased
-  *    (tie: smallest fare_id), which becomes the active fare;
+  *    purchase (null duration = the window never expires — the reading
+  *    GTFS consumers like OTP apply to an empty field; 0 = expires
+  *    immediately) — otherwise the CHEAPEST applicable fare is
+  *    purchased (tie: smallest fare_id), which becomes the active fare;
   *  - a leg with no applicable fare is counted `n_uncovered` (data gap,
   *    costed 0) and leaves the active fare untouched.
   *
@@ -44,8 +46,7 @@ object Fares {
     val attrs = fareAttributes.select(col("fare_id").cast("string"),
       col("price").cast("long").as("price"),
       col("transfers").cast("int").as("transfers"),
-      coalesce(col("transfer_duration").cast("long"), lit(0L))
-        .as("dur"))
+      col("transfer_duration").cast("long").as("dur")) // null = no expiry
     // per-route applicable fare set + cheapest applicable fare — both
     // dimension-bounded, broadcast to every leg
     val app = fareRules
@@ -69,14 +70,16 @@ object Fares {
     // transfer allowance [-1 = unlimited], active duration, totals)
     val init = struct(
       lit(null).cast("string").as("af"), lit(0L).as("pt"),
-      lit(0).as("rem"), lit(0L).as("adur"), lit(0L).as("tot"),
+      lit(0).as("rem"), lit(null).cast("long").as("adur"),
+      lit(0L).as("tot"),
       lit(0).as("np"), lit(0).as("nf"), lit(0).as("nu"))
     def step(acc: Column, x: Column): Column = {
       val cheap = x.getField("cheap")
       val freeOk = acc.getField("af").isNotNull &&
         array_contains(x.getField("app"), acc.getField("af")) &&
         acc.getField("rem") =!= 0 &&
-        x.getField("t") <= acc.getField("pt") + acc.getField("adur")
+        (acc.getField("adur").isNull || // null window never expires
+          x.getField("t") <= acc.getField("pt") + acc.getField("adur"))
       val hasFare = cheap.isNotNull
       val buy = !freeOk && hasFare
       val unc = !freeOk && !hasFare

@@ -21,12 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object FeedLint {
 
-  /** One check row: count + a deterministic 3-key sample. */
-  private def check(name: String, bad: DataFrame, keyCol: Column): DataFrame =
-    bad.select(keyCol.cast("string").as("k"))
-      .agg(count(lit(1)).as("n_violations"),
-        slice(sort_array(collect_set(col("k"))), 1, 3).as("sample"))
+  /** One check row: count + a deterministic 3-key sample. The sample
+    * comes from a distinct-sort-limit pass, NOT a collect_set slice —
+    * a badly broken feed (every row violating) would otherwise
+    * accumulate millions of distinct keys in one aggregation buffer,
+    * the exact unbounded-single-key class the engine caps everywhere
+    * else. Two bounded passes over `bad` beat one unbounded buffer.
+    */
+  private def check(name: String, bad: DataFrame, keyCol: Column): DataFrame = {
+    val ks = bad.select(coalesce(keyCol.cast("string"), lit("<null>"))
+      .as("k"))
+    val n = ks.agg(count(lit(1)).as("n_violations"))
+    val sample = ks.distinct().orderBy(col("k")).limit(3)
+      .agg(collect_list(col("k")).as("sample"))
+    n.crossJoin(sample)
       .select(lit(name).as("check"), col("n_violations"), col("sample"))
+  }
 
   /** Run the full rule set. Returns (check, n_violations, sample),
     * ordered by check name; a clean feed is all-zeros.
@@ -68,13 +78,20 @@ object FeedLint {
     val dupTrip = dups(trips, "trip_id", "trips.trip_id_unique")
     val dupRoute = dups(g.routes, "route_id", "routes.route_id_unique")
 
-    // stop_sequence gapless 1..n per trip (the writer's contract)
+    // stop_sequence gapless 1..n per trip (the writer's contract):
+    // min=1 AND max=n alone passes a duplicate+gap pair ([1,2,2,4]) —
+    // the distinct count closes that hole; a non-numeric sequence
+    // casts to null and fails via the null-count conjunct instead of
+    // silently dropping out of min/max
+    val seqI = col("stop_sequence").try_cast("int")
     val seqBad = check("stop_times.stop_sequence_gapless",
       st.groupBy(col("trip_id"))
-        .agg(min(col("stop_sequence").cast("int")).as("mn"),
-          max(col("stop_sequence").cast("int")).as("mx"),
-          count(lit(1)).as("n"))
-        .filter(col("mn") =!= 1 || col("mx") =!= col("n")),
+        .agg(min(seqI).as("mn"), max(seqI).as("mx"),
+          count(lit(1)).as("n"),
+          count(seqI).as("n_num"),
+          countDistinct(seqI).as("n_dist"))
+        .filter(col("n_num") =!= col("n") || col("mn") =!= 1 ||
+          col("mx") =!= col("n") || col("n_dist") =!= col("n")),
       col("trip_id"))
 
     // times: arrival <= departure per row; departures never decrease
@@ -87,29 +104,35 @@ object FeedLint {
     val dwellBad = check("stop_times.arrival_not_after_departure",
       st.filter(arrS > depS), col("trip_id"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("trip_id")).orderBy(col("stop_sequence").cast("int"))
+      .partitionBy(col("trip_id")).orderBy(col("stop_sequence").try_cast("int"))
     val orderBad = check("stop_times.times_nondecreasing",
       st.withColumn("__prev", lag(depS, 1).over(w))
         .filter(col("__prev").isNotNull && arrS < col("__prev")),
       col("trip_id"))
 
-    // coordinates in range
+    // coordinates present, numeric, and in range: a cast failure
+    // yields null and `abs(null) > 90` is null — which filter() DROPS,
+    // so without the explicit null/cast disjunct a stop_lat of "abc"
+    // or "" would lint clean and then break the consumer (OTP rejects
+    // exactly these at graph build)
+    def badCoord(c: Column, bound: Int): Column =
+      c.isNull || c.try_cast("double").isNull || abs(c.try_cast("double")) > bound
     val stopCoordBad = check("stops.coords_in_range",
-      g.stops.filter(abs(col("stop_lat").cast("double")) > 90 ||
-        abs(col("stop_lon").cast("double")) > 180),
+      g.stops.filter(badCoord(col("stop_lat"), 90) ||
+        badCoord(col("stop_lon"), 180)),
       col("stop_id"))
 
     // shapes: per-shape sequence strictly increasing and
     // shape_dist_traveled non-decreasing
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shape_id"))
-      .orderBy(col("shape_pt_sequence").cast("int"))
+      .orderBy(col("shape_pt_sequence").try_cast("int"))
     val shapeBad = check("shapes.dist_nondecreasing",
       g.shapes
-        .withColumn("__pd", lag(col("shape_dist_traveled").cast("double"), 1)
+        .withColumn("__pd", lag(col("shape_dist_traveled").try_cast("double"), 1)
           .over(ws))
         .filter(col("__pd").isNotNull &&
-          col("shape_dist_traveled").cast("double") < col("__pd")),
+          col("shape_dist_traveled").try_cast("double") < col("__pd")),
       col("shape_id"))
 
     // routes: color is 6 hex digits (the writer strips '#')

@@ -164,7 +164,9 @@ object GraphQ extends QueryPack {
   }
 
   /** r24's synthetic tariff: 25 fares with mixed transfer allowances
-    * (k%4=0 → unlimited, else k%3 ∈ {0,1,2}) and 600–3000 s windows.
+    * (k%4=0 → unlimited, else k%3 ∈ {0,1,2}) and 600–3000 s windows,
+    * with every 6th window NULL (non-expiring — the empty
+    * transfer_duration reading, exercised so the oracle covers it).
     */
   private[graft] def factFareAttrs(s: SparkSession): DataFrame =
     s.range(25).select(
@@ -172,7 +174,9 @@ object GraphQ extends QueryPack {
       ((col("id") % 9 + 1) * 1000).cast("long").as("price"),
       when(col("id") % 4 === 0, lit(null).cast("int"))
         .otherwise((col("id") % 3).cast("int")).as("transfers"),
-      ((col("id") % 5 + 1) * 600).cast("long").as("transfer_duration"))
+      when(col("id") % 6 === 5, lit(null).cast("long"))
+        .otherwise(((col("id") % 5 + 1) * 600).cast("long"))
+        .as("transfer_duration"))
 
   /** r24's rules: route r carries fares f(r%25) and f((7r+3)%25) — two
     * candidates per route, so "cheapest applicable" does real work.
@@ -1010,7 +1014,8 @@ object GraphQ extends QueryPack {
         |fares AS (
         |  SELECT 'f' || k AS fare_id, CAST((k%9+1)*1000 AS BIGINT) AS price,
         |         CASE WHEN k%4=0 THEN NULL ELSE CAST(k%3 AS INT) END AS transfers,
-        |         CAST((k%5+1)*600 AS BIGINT) AS dur
+        |         CASE WHEN k%6=5 THEN NULL
+        |              ELSE CAST((k%5+1)*600 AS BIGINT) END AS dur
         |  FROM range(25) t(k)),
         |rts AS (
         |  SELECT CAST(r AS VARCHAR) AS route, 'f' || (r%25) AS fare_id
@@ -1026,7 +1031,7 @@ object GraphQ extends QueryPack {
         |    FROM app a JOIN fares f USING (fare_id)) WHERE rn = 1),
         |w AS (
         |  SELECT l.itin, l.seq, c.fare_id AS af, l.t AS pt,
-        |         COALESCE(c.transfers, -1) AS rem, COALESCE(c.dur, 0) AS adur,
+        |         COALESCE(c.transfers, -1) AS rem, c.dur AS adur,
         |         COALESCE(c.price, 0) AS tot,
         |         CASE WHEN c.fare_id IS NULL THEN 0 ELSE 1 END AS np,
         |         0 AS nf,
@@ -1049,7 +1054,9 @@ object GraphQ extends QueryPack {
         |    SELECT w.itin, l.seq, l.t, w.af, w.pt, w.rem, w.adur,
         |           w.tot, w.np, w.nf, w.nu,
         |           COALESCE(w.af IS NOT NULL AND a.fare_id IS NOT NULL
-        |             AND w.rem <> 0 AND l.t <= w.pt + w.adur, FALSE) AS free,
+        |             AND w.rem <> 0
+        |             AND (w.adur IS NULL OR l.t <= w.pt + w.adur),
+        |             FALSE) AS free,
         |           c.fare_id AS cf, c.price AS cp, c.transfers AS ctr,
         |           c.dur AS cdur
         |    FROM w

@@ -151,12 +151,26 @@ object StreamingJobs {
     * survive any suffix: match starts scan left-to-right, and only a
     * final match abutting the string end can extend, where no later
     * start existed to swallow), so per-batch deltas telescope to the
-    * full-string count. Out-of-order arrival across batches or a tail
-    * overflow makes the stream a LOWER BOUND of the batch count (a
-    * symbol stitched into the past, or evicted from the tail, cannot
-    * retroactively complete a pattern); exact reconciliation is a batch
-    * replay (I1). State per key is O(maxTail + patterns) — bounded by
-    * construction, the hot-bucket doctrine applied to stream state.
+    * full-string count. Out-of-order arrival across batches makes the
+    * stream a LOWER BOUND of the batch count (a symbol stitched into
+    * the past cannot retroactively complete a pattern); exact
+    * reconciliation is a batch replay (I1).
+    *
+    * Truncation contract: when a key's tail overflows `maxTail`, the
+    * cut lands AFTER the last credited match of every pattern, so no
+    * character that contributed to a credited match survives into the
+    * kept tail — NOTHING is ever credited twice (without the
+    * last-match-end floor, a credited match straddling the cut could
+    * re-complete from its kept suffix and fire again). Matches spanning
+    * the cut are lost (under-count), and for patterns whose greedy
+    * matches can MERGE across a cut (an unbounded trailing quantifier:
+    * two credited `e{2,}` bursts separated by a cut are one burst in
+    * the full string), the segmented count can exceed the single-string
+    * leftmost-greedy count — every credit is still a real disjoint
+    * occurrence. Size `maxTail` above expected per-key activity to
+    * avoid cuts entirely. State per key is O(maxTail + patterns) —
+    * bounded by construction, the hot-bucket doctrine applied to
+    * stream state.
     *
     * The per-pattern counts are stored POSITIONALLY against `patterns`:
     * changing the pattern list (order, add, remove) across a restart
@@ -179,32 +193,39 @@ object StreamingJobs {
           // across the closure serialization boundary cheaply, and the
           // pattern list is a bounded constant
           val pats = patterns.map(java.util.regex.Pattern.compile)
-          def countIn(str: String): Seq[Long] = pats.map { p =>
-            val m = p.matcher(str); var n = 0L
-            while (m.find()) n += 1
-            n
+          // (count, end index of the LAST match) per pattern — the end
+          // feeds the truncation floor below
+          def countIn(str: String): Seq[(Long, Int)] = pats.map { p =>
+            val m = p.matcher(str); var n = 0L; var end = 0
+            while (m.find()) { n += 1; end = m.end() }
+            (n, end)
           }
           val s0 = state.getOption.getOrElse(
             CepState("", Seq.fill(patterns.size)(0L)))
           val newSyms = it.toSeq.sortBy(e => (e.ts_us, e.tie))
             .map(_.sym).mkString
           val full = s0.tail + newSyms
-          val totals = countIn(full)
+          val scanned = countIn(full)
+          val totals = scanned.map(_._1)
           val out = patterns.indices.flatMap { i =>
             val d = totals(i) - s0.counts(i)
             // d < 0 cannot happen absent truncation (append-monotone);
             // after one, the stored baseline already matches the tail
             if (d > 0) Some(CepMatch(key, patterns(i), d)) else None
           }
-          // bound the carried tail; if we cut, re-baseline the counts
-          // over the kept suffix so future deltas measure only what the
-          // state can still see (never double-credits, may under-count
-          // — the lower-bound contract above)
-          val kept =
-            if (full.length > maxTail) full.substring(full.length - maxTail)
-            else full
-          val baseline = if (kept.length == full.length) totals
-            else countIn(kept)
+          // bound the carried tail. The cut NEVER lands inside or
+          // before a credited match: its floor is the furthest
+          // last-match end across patterns, so no credited character
+          // survives into the kept tail — a straddling match cannot
+          // re-complete and fire twice (the truncation contract above)
+          val (kept, baseline) =
+            if (full.length <= maxTail) (full, totals)
+            else {
+              val cut = math.max(full.length - maxTail,
+                scanned.map(_._2).max)
+              val k = full.substring(cut)
+              (k, countIn(k).map(_._1))
+            }
           state.update(CepState(kept, baseline))
           out.iterator
       }
@@ -668,8 +689,9 @@ object StreamingJobs {
     * audit rows — plus a '__publish' row carrying the table's row count
     * after the attempt (maintained incrementally: seeded from the base
     * table once, then previous count + published batch rows — O(batch)
-    * per batch, never a target-table scan) — to `auditTable` (the
-    * immutable quality log a pipeline alerts on). A failing batch lands NOTHING in `table`; the
+    * per batch, with a real-count resync every 100th batch so target
+    * rebuilds self-heal) — to `auditTable` (the immutable quality log
+    * a pipeline alerts on). A failing batch lands NOTHING in `table`; the
     * audit log is the only trace. Returns whether the batch published.
     */
   def wapBatch(spark: SparkSession, batch: DataFrame,
@@ -701,8 +723,13 @@ object StreamingJobs {
     // this gate exists for. The running value tracks rows as seen
     // through the gate: out-of-band writes to `table` are outside the
     // audit log's scope by design (they never passed an expectation).
+    // Every 100th batch RESYNCS from a real count (amortized
+    // O(table/100)), so a target rebuild/backfill that kept the audit
+    // table doesn't poison the observed series forever — it self-heals
+    // within 100 batches; force it sooner by clearing the audit table.
+    val resync = batchId % 100 == 0
     val prevCount: Long =
-      if (spark.catalog.tableExists(auditTable)) {
+      if (!resync && spark.catalog.tableExists(auditTable)) {
         val last = spark.table(auditTable)
           .filter(col("expectation") === "__publish")
           .orderBy(col("batch_id").desc).limit(1)

@@ -62,6 +62,27 @@ class FaresSpec extends SparkTestBase {
     assert(got(1L) == ((2000L, 1, 1, 1)))
   }
 
+  test("NULL transfer_duration means the window never expires (the " +
+    "OTP reading of an empty field); 0 expires immediately") {
+    val attrs = Seq(
+      ("open", 100L, Option.empty[Int], Option.empty[Long]),
+      ("instant", 100L, Option.empty[Int], Some(0L)))
+      .toDF("fare_id", "price", "transfers", "transfer_duration")
+    def one(fare: String): (Long, Int, Int, Int) = {
+      val rules = Seq((fare, "r")).toDF("fare_id", "route_id")
+      val legs = Seq((1L, 1, 0L, "r"), (1L, 2, 1000000L, "r"))
+        .toDF("itin_id", "leg_seq", "board_t", "route_id")
+      val r = Fares.itineraryFares(legs, rules,
+        attrs.filter(col("fare_id") === fare))
+        .as[(Long, Long, Int, Int, Int)].collect()(0)
+      (r._2, r._3, r._4, r._5)
+    }
+    // null window: one ticket covers a leg a million seconds later
+    assert(one("open") == ((100L, 1, 1, 0)))
+    // zero window: the second leg re-buys
+    assert(one("instant") == ((200L, 2, 0, 0)))
+  }
+
   test("FINITE transfer allowance decrements and then re-buys") {
     val attrs = Seq(("one_xfer", 100L, Some(1), Some(10000L)))
       .toDF("fare_id", "price", "transfers", "transfer_duration")

@@ -51,6 +51,39 @@ class FeedLintSpec extends SparkTestBase {
     assert(got("trips.route_id_in_routes")._1 == 0)
   }
 
+  test("gapless rule catches a duplicate+gap pair that min/max/count " +
+    "alone would pass; coord rule flags non-numeric and null values") {
+    // trip with seqs [1,2,2,4]: min=1, max=4=count — only the distinct
+    // count exposes it
+    val badSt = Seq(
+      ("__dupseq_trip", "x1", "1"), ("__dupseq_trip", "x1", "2"),
+      ("__dupseq_trip", "x1", "2"), ("__dupseq_trip", "x1", "4"))
+      .map { case (t, s, q) => (t, s, q, "01:00:00", "01:00:00", "0", "0") }
+      .toDF("trip_id", "stop_id", "stop_sequence", "arrival_time",
+        "departure_time", "pickup_type", "drop_off_type")
+    val badStops = Seq(
+      ("__nan_stop", "N", "abc", "107.6", "0", "0"),
+      ("__null_stop", "N", null, "107.6", "0", "0"))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon",
+        "location_type", "wheelchair_boarding")
+    // lint the CSV-read shape (S8 readers yield strings — that's where
+    // non-numeric coordinates can exist at all; the pipeline's internal
+    // frame types lat/lon as double and a union would coerce-throw)
+    val stopCols = Seq("stop_id", "stop_name", "stop_lat", "stop_lon",
+      "location_type", "wheelchair_boarding")
+    val stringStops = g.stops.select(
+      stopCols.map(c => col(c).cast("string").as(c)): _*)
+    val corrupted = g.copy(
+      stops = stringStops.unionByName(badStops),
+      stopTimes = g.stopTimes.unionByName(badSt))
+    val got = results(corrupted)
+    assert(got("stop_times.stop_sequence_gapless") ==
+      ((1L, Seq("__dupseq_trip"))))
+    assert(got("stops.coords_in_range")._1 == 2)
+    assert(got("stops.coords_in_range")._2.toSet ==
+      Set("__nan_stop", "__null_stop"))
+  }
+
   test(">24h GTFS times do not false-positive the monotonicity rule " +
     "(integer codec, not string order)") {
     // 23:50 -> 24:10 is forward travel past service midnight — the

@@ -295,6 +295,23 @@ class StreamingSpec extends SparkTestBase {
     q2.stop()
     assert(truncRows.isEmpty,
       s"evicted prefix must not complete a match: ${truncRows.toSeq}")
+
+    // truncation must NEVER double-credit: 'ee' fires e{2,} in batch 1;
+    // with maxTail=1 the naive cut would keep the credited match's
+    // suffix 'e', and batch 2's 'e' would re-complete and re-fire —
+    // the last-match-end floor drops the credited chars instead
+    val mem3 = MemoryStream[CepEv]
+    val q3 = StreamingJobs.cepStream(mem3.toDS(), Seq("e{2,}"), maxTail = 1)
+      .writeStream.format("memory").queryName("cep_dc")
+      .outputMode(OutputMode.Append).start()
+    mem3.addData(CepEv(1, 100, 0, "e"), CepEv(1, 200, 0, "e"))
+    q3.processAllAvailable()
+    mem3.addData(CepEv(1, 300, 0, "e"))
+    q3.processAllAvailable()
+    val dcRows = spark.table("cep_dc").as[CepMatch].collect().toSeq
+    q3.stop()
+    assert(dcRows == Seq(CepMatch(1, "e{2,}", 1)),
+      s"credited chars re-fired after truncation: $dcRows")
   }
 
   test("dedupStream keeps each fingerprint's first doc across batches") {
