@@ -22,8 +22,18 @@ object GtfsApp {
 
   /** Build the feed; write + zip only the tables whose content changed
     * since the last run (I2). Returns the per-table content hashes.
+    *
+    * `lint = true` adds a FEED-QA GATE before any byte is written — the
+    * s16 write–audit–publish shape applied to the GTFS pillar: the
+    * built tables run through [[FeedLint.lint]] and a violation aborts
+    * the publish with the offending rules in the message (nothing
+    * lands, the content-hash file is untouched, the next clean run
+    * publishes normally). Off by default: the reference DAG has no
+    * such gate, and the benchmarked app must time the reference's
+    * work, not more.
     */
-  def run(spark: SparkSession, rootDir: String, outDir: String): Map[String, String] = {
+  def run(spark: SparkSession, rootDir: String, outDir: String,
+          lint: Boolean = false): Map[String, String] = {
     val built = GtfsPipeline.build(spark, rootDir)
     // materialize each table once: the content hash and the CSV write
     // would otherwise each recompute the full per-relation pipeline
@@ -91,6 +101,17 @@ object GtfsApp {
           .flatMap { l => l.split("=", 2) match {
             case Array(k, v) => Some(k -> v); case _ => None } }.toMap
       else Map.empty
+
+    if (lint) {
+      // audit BEFORE publish: the lint runs over the already-
+      // materialized tables (localCheckpoints above), so each rule is
+      // a cheap scan, not a pipeline recompute
+      val dirty = FeedLint.lint(g)
+        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+        .collect() // O(#checks) rows by construction
+      require(dirty.isEmpty,
+        s"feed failed lint, publish aborted: ${dirty.mkString("; ")}")
+    }
 
     if (hashes != previous) {
       val tW = System.nanoTime()

@@ -84,6 +84,17 @@ class FeedLintSpec extends SparkTestBase {
       Set("__nan_stop", "__null_stop"))
   }
 
+  test("GtfsApp lint gate: the clean reference feed publishes; a lint " +
+    "failure aborts before any byte lands") {
+    val out = java.nio.file.Files.createTempDirectory("gtfslint").toString
+    // clean feed + lint on: publishes normally
+    val hashes = graft.gtfs.GtfsApp.run(spark, "/root/reference", out,
+      lint = true)
+    assert(hashes.nonEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "gtfs.zip")))
+  }
+
   test(">24h GTFS times do not false-positive the monotonicity rule " +
     "(integer codec, not string order)") {
     // 23:50 -> 24:10 is forward travel past service midnight — the
