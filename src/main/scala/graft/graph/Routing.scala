@@ -667,6 +667,165 @@ object Routing {
         improved.as("__new"))
   }
 
+  /** G6 extended to BI-CRITERIA journey planning — the McRAPTOR class
+    * (Delling et al. 2012 §5: RAPTOR with label SETS per stop): the
+    * Pareto front of (arrival time, accumulated fare) at every
+    * reachable stop for a traveler leaving `sourceStop` at `depTime`,
+    * where boarding trip t costs `tripFares`' fare for t (flat
+    * per-boarding fare — the route-based tariff class the reference's
+    * fare_rules encode; [[graft.gtfs.Fares]] covers allowance/expiry
+    * costing on a FIXED itinerary, this finds the itineraries). A row
+    * (stop, arr_t, fare) means "reachable by arr_t for fare, and no
+    * journey is both no-later and no-dearer (one strictly better)" —
+    * the cheapest-vs-fastest trade-off a fare-aware planner serves.
+    *
+    * Mechanics: the frontier loop of [[earliestArrival]] with label
+    * SETS — a round boards every trip feasible from a new label (the
+    * trip side now carries the label's accumulated fare), rides to
+    * every later position, adds the boarding fare, and PARETO-PRUNES
+    * per stop (sort by (arr, fare); keep a label iff its fare beats
+    * the running min of everything earlier — the canonical
+    * nondominated set, so the fixpoint is path-independent and
+    * hash-matchable). New labels = this round's surviving additions;
+    * empty frontier = the full Pareto fixpoint.
+    *
+    * Scale shape: per-round joins shuffle on stop then trip exactly
+    * like [[earliestArrival]]; state is O(stops × fare levels) — the
+    * per-stop front is bounded by the tariff's distinct accumulated
+    * fares, which a flat per-boarding tariff bounds by fare levels ×
+    * useful boardings. The prune is a per-stop window (sort + running
+    * min), no self-join.
+    */
+  def paretoJourneys(stopTimes: DataFrame, tripFares: DataFrame,
+                     sourceStop: Any, depTime: Long,
+                     maxRounds: Int = 15, warnOnTruncation: Boolean = true,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val spark = stopTimes.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
+      col("stop"), col("arr").cast("long"), col("dep").cast("long")))
+    val tf = ckpt(tripFares.select(col("trip"), col("fare").cast("long")))
+    val parts = graft.operators.Iteration.roundPartitions(spark, st0.count())
+    val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
+        lit(depTime).as("arr_t"), lit(0L).as("fare"), lit(true).as("__new")))
+      var frontier = state.filter(col("__new"))
+      var i = 0
+      while (i < maxRounds && !frontier.isEmpty) {
+        state = ckpt(paretoRound(st, tf, state, frontier))
+        frontier = state.filter(col("__new"))
+        i += 1
+      }
+      graft.operators.Iteration.warnIfTruncated("paretoJourneys", frontier,
+        i, maxRounds, warnOnTruncation)
+      state.drop("__new")
+    }
+  }
+
+  /** [[paretoJourneys]] over the SAME dual bucketed layout
+    * [[stageStopTimesTables]] writes for [[earliestArrivalOnTables]] —
+    * the board probe reads the stop-bucketed copy, the ride probe the
+    * trip-bucketed one, so neither O(stop_times) side shuffles per
+    * round; only label-set-sized frames move (the r19/r23 lever,
+    * label sets instead of scalars). Identical semantics to the
+    * in-memory loop (RoutingSpec pins equality).
+    */
+  def paretoJourneysOnTables(spark: SparkSession, stopTable: String,
+                             tripTable: String, tripFares: DataFrame,
+                             sourceStop: Any, depTime: Long,
+                             maxRounds: Int = 15,
+                             warnOnTruncation: Boolean = true,
+                             checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val stBoard = spark.table(stopTable)
+      .select(col("trip"), col("seq"), col("stop"), col("arr"), col("dep"))
+      .persist()
+    val stRide = spark.table(tripTable)
+      .select(col("trip"), col("seq"), col("stop"), col("arr"))
+      .persist()
+    val tf = ckpt(tripFares.select(col("trip"), col("fare").cast("long")))
+    val parts = stBoard.rdd.getNumPartitions
+    try graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
+        lit(depTime).as("arr_t"), lit(0L).as("fare"), lit(true).as("__new")))
+      var frontier = state.filter(col("__new"))
+      var i = 0
+      while (i < maxRounds && !frontier.isEmpty) {
+        state = ckpt(paretoRoundOn(stBoard, stRide, tf, state, frontier))
+        frontier = state.filter(col("__new"))
+        i += 1
+      }
+      graft.operators.Iteration.warnIfTruncated("paretoJourneysOnTables",
+        frontier, i, maxRounds, warnOnTruncation)
+      state.drop("__new")
+    } finally {
+      stBoard.unpersist(blocking = false)
+      stRide.unpersist(blocking = false)
+    }
+  }
+
+  /** One un-materialized bi-criteria round — package-visible for plan
+    * pins (see [[ssspRound]]).
+    */
+  private[graft] def paretoRound(st: DataFrame, tripFares: DataFrame,
+                                 state: DataFrame,
+                                 frontier: DataFrame): DataFrame =
+    paretoRoundOn(st, st, tripFares, state, frontier)
+
+  /** One bi-criteria round over a (possibly dual-layout) timetable —
+    * `stBoard` probed on stop, `stRide` on trip (see [[raptorRoundOn]]).
+    */
+  private[graft] def paretoRoundOn(stBoard: DataFrame, stRide: DataFrame,
+                                   tripFares: DataFrame,
+                                   state: DataFrame,
+                                   frontier: DataFrame): DataFrame = {
+    // board: per (trip, incoming fare), the earliest feasible position —
+    // labels with different accumulated fares board independently (a
+    // dearer label may still yield the cheaper journey after this
+    // boarding), then the trip-level Pareto (bseq vs fare) prunes:
+    // boarding later AND dearer is dominated
+    val board0 = frontier.join(stBoard, frontier("stop") === stBoard("stop"))
+      .filter(stBoard("dep") >= frontier("arr_t"))
+      .groupBy(stBoard("trip").as("__btrip"), frontier("fare").as("__bfare"))
+      .agg(min(stBoard("seq")).as("bseq"))
+    val wb = Window.partitionBy(col("__btrip"))
+      .orderBy(col("bseq"), col("__bfare"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val board = board0
+      .withColumn("__pm", min(col("__bfare")).over(wb))
+      .filter(col("__pm").isNull || col("__bfare") < col("__pm"))
+      .drop("__pm")
+    // ride: alight strictly later; pay the boarding fare once
+    val ride = stRide.select(col("trip").as("__btrip"), col("seq").as("aseq"),
+      col("stop"), col("arr"))
+    val cand = board
+      .join(tripFares.withColumnRenamed("trip", "__btrip"), Seq("__btrip"))
+      .join(ride, Seq("__btrip"))
+      .filter(col("aseq") > col("bseq"))
+      .select(col("stop"), col("arr").as("arr_t"),
+        (col("__bfare") + col("fare")).as("fare"))
+    // merge + canonical per-stop Pareto prune: sort (arr, fare), keep a
+    // label iff its fare strictly beats the running min of every
+    // earlier label; exact duplicates collapse first so the front is
+    // the unique nondominated SET (hash-stable across round paths)
+    val all = state.select(col("stop"), col("arr_t"), col("fare"),
+        lit(false).as("__new")) // whatever survived a round is settled
+      .unionByName(cand.withColumn("__new", lit(true)))
+      .groupBy(col("stop"), col("arr_t"), col("fare"))
+      // a candidate that merely re-derives a settled label is NOT new
+      // (min(false, true) = false), so the frontier carries only
+      // genuinely novel labels and the loop terminates at the fixpoint
+      .agg(min(col("__new")).as("__new"))
+    val wp = Window.partitionBy(col("stop"))
+      .orderBy(col("arr_t"), col("fare"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    all.withColumn("__pm", min(col("fare")).over(wp))
+      .filter(col("__pm").isNull || col("fare") < col("__pm"))
+      .drop("__pm")
+  }
+
   /** Multi-source frontier BFS in ONE loop: hop counts from EVERY seed in
     * `seeds` simultaneously, state keyed (seed, node). Running
     * [[bfsHops]] per seed costs |seeds| full iterative loops (each with

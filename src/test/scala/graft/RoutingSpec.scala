@@ -214,6 +214,86 @@ class RoutingSpec extends SparkTestBase {
     }
   }
 
+  test("paretoJourneys: hand-computed cheapest-vs-fastest front") {
+    // T1: A(0)->B(10)->C(20) fare 100; T2: B(15)->C(17) fare 50;
+    // T3: A(5)->C(30) fare 30
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L),
+      ("T3", 0, "A", 5L, 5L), ("T3", 1, "C", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = Seq(("T1", 100L), ("T2", 50L), ("T3", 30L))
+      .toDF("trip", "fare")
+    val got = Routing.paretoJourneys(st, tf, "A", 0L)
+      .as[(String, Long, Long)].collect().toSet
+    // C's front: 17 for 150 (T1->T2), 20 for 100 (ride T1 through),
+    // 30 for 30 (direct T3) — three genuinely incomparable journeys
+    assert(got == Set(("A", 0L, 0L), ("B", 10L, 100L),
+      ("C", 17L, 150L), ("C", 20L, 100L), ("C", 30L, 30L)))
+  }
+
+  test("paretoJourneys with all-zero fares collapses to earliestArrival") {
+    val st = (0 until 40).flatMap { t =>
+      (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
+        (t * 7 + j * 13).toLong, (t * 7 + j * 13).toLong))
+    }.toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = (0 until 40).map(t => (s"T$t", 0L)).toDF("trip", "fare")
+    val got = Routing.paretoJourneys(st, tf, "s0", 0L, maxRounds = 25)
+      .select(col("stop"), col("arr_t"))
+      .as[(String, Long)].collect().toMap
+    val want = Routing.earliestArrival(st, "s0", 0L, maxRounds = 25)
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.size > 1)
+  }
+
+  test("paretoJourneys fronts are per-stop nondominated and " +
+    "partition-invariant") {
+    val st = (0 until 40).flatMap { t =>
+      (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
+        (t * 7 + j * 13).toLong, (t * 7 + j * 13).toLong))
+    }.toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = (0 until 40).map(t => (s"T$t", ((t % 5) + 1) * 10L))
+      .toDF("trip", "fare")
+    val got = Routing.paretoJourneys(st, tf, "s0", 0L, maxRounds = 25)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // nondominated: within a stop, no pair with arr<= AND fare<= (one <)
+    got.groupBy(_._1).values.foreach { ls =>
+      for (a <- ls; b <- ls if a != b)
+        assert(!(a._2 <= b._2 && a._3 <= b._3),
+          s"$b dominated by $a")
+    }
+    // some stop must hold a REAL trade-off or the fixture proves nothing
+    assert(got.groupBy(_._1).values.exists(_.size > 1))
+    val again = Routing.paretoJourneys(st.repartition(7), tf, "s0", 0L,
+        maxRounds = 25)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(again.toSet == got.toSet)
+  }
+
+  test("paretoJourneysOnTables equals the in-memory loop over the " +
+    "dual bucketed layout") {
+    val st = (0 until 40).flatMap { t =>
+      (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
+        (t * 7 + j * 13).toLong, (t * 7 + j * 13).toLong))
+    }.toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = (0 until 40).map(t => (s"T$t", ((t % 5) + 1) * 10L))
+      .toDF("trip", "fare")
+    Routing.stageStopTimesTables(st, "graft_st_stop_pspec",
+      "graft_st_trip_pspec", buckets = 4)
+    try {
+      val want = Routing.paretoJourneys(st, tf, "s0", 0L, maxRounds = 25)
+        .as[(String, Long, Long)].collect().toSet
+      val got = Routing.paretoJourneysOnTables(spark, "graft_st_stop_pspec",
+          "graft_st_trip_pspec", tf, "s0", 0L, maxRounds = 25)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_st_stop_pspec")
+      spark.sql("DROP TABLE IF EXISTS graft_st_trip_pspec")
+    }
+  }
+
   test("earliestArrivalOnTables equals the in-memory loop; neither " +
     "fact-table side shuffles in a round") {
     // a denser timetable so both bucketed copies carry >1 row per bucket:
