@@ -442,21 +442,17 @@ object Routing {
     val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
       col("to_stop"), col("min_transfer_time").cast("long"))))
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
-        lit(depTime).as("arr_t"), lit(true).as("__new")))
-      var frontier = state.filter(col("__new"))
-      var i = 0
-      while (i < maxRounds && !frontier.isEmpty) {
-        state = ckpt(raptorRound(st, state, frontier, xfer,
-          broadcastTransfers))
-        frontier = state.filter(col("__new"))
-        i += 1
-      }
-      graft.operators.Iteration.warnIfTruncated("earliestArrival", frontier,
-        i, maxRounds, warnOnTruncation)
-      state.drop("__new")
+      frontierFixpoint(raptorInit(spark, sourceStop, depTime),
+        (state, frontier) =>
+          raptorRound(st, state, frontier, xfer, broadcastTransfers),
+        maxRounds, warnOnTruncation, "earliestArrival", ckpt)
     }
   }
+
+  private def raptorInit(spark: SparkSession, sourceStop: Any,
+                         depTime: Long): DataFrame =
+    spark.range(1).select(lit(sourceStop).as("stop"),
+      lit(depTime).as("arr_t"), lit(true).as("__new"))
 
   /** Stage a timetable as TWO bucketed at-rest layouts — stop-bucketed
     * (the board join's key) and trip-bucketed (the ride join's key) —
@@ -520,21 +516,13 @@ object Routing {
     val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
       col("to_stop"), col("min_transfer_time").cast("long"))))
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
-        lit(depTime).as("arr_t"), lit(true).as("__new")))
-      var frontier = state.filter(col("__new"))
-      var i = 0
-      while (i < maxRounds && !frontier.isEmpty) {
-        state = ckpt(raptorRoundOn(stBoard, stRide, state, frontier, xfer,
-          broadcastTransfers))
-        frontier = state.filter(col("__new"))
-        i += 1
-      }
-      graft.operators.Iteration.warnIfTruncated("earliestArrivalOnTables",
-        frontier, i, maxRounds, warnOnTruncation)
-      state.drop("__new")
-      // the loop materialized every round (ckpt), so nothing returned
+      // the loop materializes every round (ckpt), so nothing returned
       // still depends on the cached scans
+      frontierFixpoint(raptorInit(spark, sourceStop, depTime),
+        (state, frontier) =>
+          raptorRoundOn(stBoard, stRide, state, frontier, xfer,
+            broadcastTransfers),
+        maxRounds, warnOnTruncation, "earliestArrivalOnTables", ckpt)
     } finally {
       stBoard.unpersist(blocking = false)
       stRide.unpersist(blocking = false)
@@ -704,31 +692,26 @@ object Routing {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
       col("stop"), col("arr").cast("long"), col("dep").cast("long")))
-    val tf = ckpt(tripFares.select(col("trip"), col("fare").cast("long")))
     val parts = graft.operators.Iteration.roundPartitions(spark, st0.count())
     val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
+    // fares join the ride side ONCE, before the loop — a per-round
+    // tripFares join would re-exchange the O(trips) tariff every round
+    val rideF = ckpt(st.join(
+      tripFares.select(col("trip"), col("fare").cast("long")), Seq("trip")))
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
-        lit(depTime).as("arr_t"), lit(0L).as("fare"), lit(true).as("__new")))
-      var frontier = state.filter(col("__new"))
-      var i = 0
-      while (i < maxRounds && !frontier.isEmpty) {
-        state = ckpt(paretoRound(st, tf, state, frontier))
-        frontier = state.filter(col("__new"))
-        i += 1
-      }
-      graft.operators.Iteration.warnIfTruncated("paretoJourneys", frontier,
-        i, maxRounds, warnOnTruncation)
-      state.drop("__new")
+      frontierFixpoint(paretoInit(spark, sourceStop, depTime),
+        (state, frontier) => paretoRoundOn(st, rideF, state, frontier),
+        maxRounds, warnOnTruncation, "paretoJourneys", ckpt)
     }
   }
 
   /** [[paretoJourneys]] over the SAME dual bucketed layout
     * [[stageStopTimesTables]] writes for [[earliestArrivalOnTables]] —
     * the board probe reads the stop-bucketed copy, the ride probe the
-    * trip-bucketed one, so neither O(stop_times) side shuffles per
-    * round; only label-set-sized frames move (the r19/r23 lever,
-    * label sets instead of scalars). Identical semantics to the
+    * trip-bucketed one (fares joined onto it ONCE, inheriting the trip
+    * partitioning through the persist), so neither O(stop_times) side
+    * shuffles per round; only label-set-sized frames move (the r19/r23
+    * lever, label sets instead of scalars). Identical semantics to the
     * in-memory loop (RoutingSpec pins equality).
     */
   def paretoJourneysOnTables(spark: SparkSession, stopTable: String,
@@ -742,43 +725,74 @@ object Routing {
     val stBoard = spark.table(stopTable)
       .select(col("trip"), col("seq"), col("stop"), col("arr"), col("dep"))
       .persist()
-    val stRide = spark.table(tripTable)
+    // one tariff shuffle against the bucketed layout, before the loop;
+    // the SMJ keeps the left side's trip partitioning and the persist
+    // preserves it, so the per-round ride join stays exchange-free on
+    // the fact side
+    val stRideF = spark.table(tripTable)
       .select(col("trip"), col("seq"), col("stop"), col("arr"))
+      .join(tripFares.select(col("trip"), col("fare").cast("long")),
+        Seq("trip"))
       .persist()
-    val tf = ckpt(tripFares.select(col("trip"), col("fare").cast("long")))
     val parts = stBoard.rdd.getNumPartitions
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
-        lit(depTime).as("arr_t"), lit(0L).as("fare"), lit(true).as("__new")))
-      var frontier = state.filter(col("__new"))
-      var i = 0
-      while (i < maxRounds && !frontier.isEmpty) {
-        state = ckpt(paretoRoundOn(stBoard, stRide, tf, state, frontier))
-        frontier = state.filter(col("__new"))
-        i += 1
-      }
-      graft.operators.Iteration.warnIfTruncated("paretoJourneysOnTables",
-        frontier, i, maxRounds, warnOnTruncation)
-      state.drop("__new")
+      frontierFixpoint(paretoInit(spark, sourceStop, depTime),
+        (state, frontier) => paretoRoundOn(stBoard, stRideF, state, frontier),
+        maxRounds, warnOnTruncation, "paretoJourneysOnTables", ckpt)
     } finally {
       stBoard.unpersist(blocking = false)
-      stRide.unpersist(blocking = false)
+      stRideF.unpersist(blocking = false)
     }
   }
 
+  private def paretoInit(spark: SparkSession, sourceStop: Any,
+                         depTime: Long): DataFrame =
+    spark.range(1).select(lit(sourceStop).as("stop"),
+      lit(depTime).as("arr_t"), lit(0L).as("fare"), lit(true).as("__new"))
+
+  /** The shared frontier-fixpoint driver every RAPTOR-family loop runs:
+    * materialize the state each round, recompute the frontier as the
+    * __new filter over the checkpoint, stop on empty frontier or the
+    * round bound (warned per [[graft.operators.Iteration
+    * .warnIfTruncated]]). One place for the loop mechanics instead of
+    * a copy per variant.
+    */
+  private def frontierFixpoint(init: DataFrame,
+                               round: (DataFrame, DataFrame) => DataFrame,
+                               maxRounds: Int, warnOnTruncation: Boolean,
+                               name: String,
+                               ckpt: DataFrame => DataFrame): DataFrame = {
+    var state = ckpt(init)
+    var frontier = state.filter(col("__new"))
+    var i = 0
+    while (i < maxRounds && !frontier.isEmpty) {
+      state = ckpt(round(state, frontier))
+      frontier = state.filter(col("__new"))
+      i += 1
+    }
+    graft.operators.Iteration.warnIfTruncated(name, frontier, i, maxRounds,
+      warnOnTruncation)
+    state.drop("__new")
+  }
+
   /** One un-materialized bi-criteria round — package-visible for plan
-    * pins (see [[ssspRound]]).
+    * pins (see [[ssspRound]]). `stRideFare` is the ride-side timetable
+    * WITH its per-trip boarding fare column pre-joined.
     */
   private[graft] def paretoRound(st: DataFrame, tripFares: DataFrame,
                                  state: DataFrame,
                                  frontier: DataFrame): DataFrame =
-    paretoRoundOn(st, st, tripFares, state, frontier)
+    paretoRoundOn(st,
+      st.join(tripFares.select(col("trip"), col("fare").cast("long")),
+        Seq("trip")),
+      state, frontier)
 
   /** One bi-criteria round over a (possibly dual-layout) timetable —
-    * `stBoard` probed on stop, `stRide` on trip (see [[raptorRoundOn]]).
+    * `stBoard` probed on stop, `stRideFare` on trip (see
+    * [[raptorRoundOn]]).
     */
-  private[graft] def paretoRoundOn(stBoard: DataFrame, stRide: DataFrame,
-                                   tripFares: DataFrame,
+  private[graft] def paretoRoundOn(stBoard: DataFrame,
+                                   stRideFare: DataFrame,
                                    state: DataFrame,
                                    frontier: DataFrame): DataFrame = {
     // board: per (trip, incoming fare), the earliest feasible position —
@@ -797,11 +811,12 @@ object Routing {
       .withColumn("__pm", min(col("__bfare")).over(wb))
       .filter(col("__pm").isNull || col("__bfare") < col("__pm"))
       .drop("__pm")
-    // ride: alight strictly later; pay the boarding fare once
-    val ride = stRide.select(col("trip").as("__btrip"), col("seq").as("aseq"),
-      col("stop"), col("arr"))
+    // ride: alight strictly later; pay the boarding fare once (the
+    // fare column rides the pre-joined timetable — no tariff shuffle
+    // inside the round)
+    val ride = stRideFare.select(col("trip").as("__btrip"),
+      col("seq").as("aseq"), col("stop"), col("arr"), col("fare"))
     val cand = board
-      .join(tripFares.withColumnRenamed("trip", "__btrip"), Seq("__btrip"))
       .join(ride, Seq("__btrip"))
       .filter(col("aseq") > col("bseq"))
       .select(col("stop"), col("arr").as("arr_t"),

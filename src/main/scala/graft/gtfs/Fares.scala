@@ -38,7 +38,8 @@ object Fares {
     * itinerary], board_t [seconds], route_id). `fareRules`: (fare_id,
     * route_id). `fareAttributes`: (fare_id, price [integer minor
     * units], transfers [int, null = unlimited], transfer_duration
-    * [seconds, null = 0]). Output per itinerary: (itin_id,
+    * [seconds, null = never expires, 0 = expires immediately]).
+    * Output per itinerary: (itin_id,
     * total_price, n_purchases, n_free_transfers, n_uncovered).
     */
   def itineraryFares(legs: DataFrame, fareRules: DataFrame,

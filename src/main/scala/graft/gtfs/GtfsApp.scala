@@ -7,14 +7,15 @@ import graft.streaming.StreamingJobs
   * (SURVEY §3: update-routes → generate-gtfs → zip, with the
   * `git diff --quiet` publish gate replaced by content hashes).
   *
-  * Usage: GtfsApp <referenceRootDir> <outDir>
+  * Usage: GtfsApp <referenceRootDir> <outDir> [--lint]
   */
 object GtfsApp {
   def main(args: Array[String]): Unit = {
     val Array(rootDir, outDir) = args.take(2)
+    val lint = args.drop(2).contains("--lint")
     val spark = graft.Graft.session()
     val t0 = System.nanoTime()
-    run(spark, rootDir, outDir)
+    run(spark, rootDir, outDir, lint)
     println(f"[gtfs] pipeline (build+hash+write+zip) took " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s (excl. session startup)")
     spark.stop()
@@ -102,18 +103,13 @@ object GtfsApp {
             case Array(k, v) => Some(k -> v); case _ => None } }.toMap
       else Map.empty
 
-    if (lint) {
-      // audit BEFORE publish: the lint runs over the already-
-      // materialized tables (localCheckpoints above), so each rule is
-      // a cheap scan, not a pipeline recompute
-      val dirty = FeedLint.lint(g)
-        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
-        .collect() // O(#checks) rows by construction
-      require(dirty.isEmpty,
-        s"feed failed lint, publish aborted: ${dirty.mkString("; ")}")
-    }
-
     if (hashes != previous) {
+      // audit BEFORE publish, but only when a publish would happen at
+      // all: an unchanged feed skips the gate (and cannot be wedged by
+      // a latent violation it already shipped). The lint runs over the
+      // already-materialized tables (localCheckpoints above), so each
+      // rule is a cheap scan, not a pipeline recompute.
+      if (lint) lintGate(g)
       val tW = System.nanoTime()
       GtfsWriter.writeAll(g, outDir)
       println(f"[gtfs]   writeAll ${(System.nanoTime() - tW) / 1e9}%.1f s")
@@ -126,5 +122,16 @@ object GtfsApp {
         hashes.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
     }
     hashes
+  }
+
+  /** The publish gate itself, separated so the abort path is directly
+    * testable: throws with the offending rules if the feed fails lint.
+    */
+  private[graft] def lintGate(g: GtfsPipeline.Gtfs): Unit = {
+    val dirty = FeedLint.lint(g)
+      .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+      .collect() // O(#checks) rows by construction
+    require(dirty.isEmpty,
+      s"feed failed lint, publish aborted: ${dirty.mkString("; ")}")
   }
 }

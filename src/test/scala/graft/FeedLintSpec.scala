@@ -85,7 +85,7 @@ class FeedLintSpec extends SparkTestBase {
   }
 
   test("GtfsApp lint gate: the clean reference feed publishes; a lint " +
-    "failure aborts before any byte lands") {
+    "failure aborts with the offending rule named") {
     val out = java.nio.file.Files.createTempDirectory("gtfslint").toString
     // clean feed + lint on: publishes normally
     val hashes = graft.gtfs.GtfsApp.run(spark, "/root/reference", out,
@@ -93,6 +93,18 @@ class FeedLintSpec extends SparkTestBase {
     assert(hashes.nonEmpty)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(out, "gtfs.zip")))
+    // the ABORT path: a corrupted feed (orphan stop_time) must throw
+    // out of the gate, naming the violated rule
+    val badSt = Seq(("__ghost_trip", "__ghost_stop", "1",
+      "12:00:00", "12:00:00", "0", "0"))
+      .toDF("trip_id", "stop_id", "stop_sequence", "arrival_time",
+        "departure_time", "pickup_type", "drop_off_type")
+    val corrupted = g.copy(stopTimes = g.stopTimes.unionByName(badSt))
+    val e = intercept[IllegalArgumentException] {
+      graft.gtfs.GtfsApp.lintGate(corrupted)
+    }
+    assert(e.getMessage.contains("stop_times.trip_id_in_trips"),
+      s"abort message must name the rule: ${e.getMessage}")
   }
 
   test(">24h GTFS times do not false-positive the monotonicity rule " +
