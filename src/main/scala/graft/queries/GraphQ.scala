@@ -27,6 +27,68 @@ object GraphQ extends QueryPack {
         ((col("k") % 3) + 1).cast("double").as("weight_m")))
   }
 
+  /** r28/r29's quarter-banded digraph (design rationale at the r28
+    * entry): node count bounded by RESIDUES (4 bands × (15 cust + 8
+    * supp) ids) and edge volume by an absolute orderkey window, so the
+    * structure — 4 within-band SCCs chained one way by quarter — is
+    * stable at every SF and the all-pairs oracle stays tractable.
+    */
+  private def bandedDigraph(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val raw = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderkey") <= 2000)
+      .select(quarter(col("o_orderdate")).as("m"),
+        (col("o_custkey") % 15).as("ci"), (col("l_suppkey") % 8).as("si"),
+        col("l_returnflag").as("f"), col("l_quantity").as("qty"))
+    // Band LABEL = 5 - quarter: the chain flows toward SMALLER labels,
+    // so every band's min id is its own color root and the coloring
+    // loop settles all four SCCs in ONE outer round — the documented
+    // best case of the FW-BW coloring scheme (pivot/label order
+    // matters; see Scc scaladoc). SccSpec pins the adversarial order
+    // (upstream min floods downstream → sequential rounds) separately.
+    def cN(b: org.apache.spark.sql.Column) =
+      concat(lit("c"), b.cast("string"), lit("_"), col("ci"))
+    def sN(b: org.apache.spark.sql.Column) =
+      concat(lit("s"), b.cast("string"), lit("_"), col("si"))
+    val b = lit(5) - col("m") // q1→band 4 … q4→band 1
+    // Q4's kept items would wrap the chain into one giant cycle
+    raw.filter(!(col("f") =!= "R" && col("m") === 4))
+      .select(
+        when(col("f") === "R" && col("qty") < 25, cN(b))
+          .otherwise(sN(b)).as("src"),
+        when(col("f") === "R" && col("qty") < 25, sN(b))
+          .when(col("f") === "R", cN(b))
+          .otherwise(cN(b - 1)).as("dst"))
+      .distinct()
+  }
+
+  /** SQL mirror of [[bandedDigraph]] — the shared `raw`/`e` CTE pair the
+    * r28/r29 oracles open with (callers prepend WITH RECURSIVE).
+    */
+  private val bandedDigraphSql: String =
+    """raw AS (
+      |  SELECT quarter(o_orderdate) AS m, o_custkey % 15 AS ci,
+      |         l_suppkey % 8 AS si, l_returnflag AS f, l_quantity AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey <= 2000),
+      |e AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN f = 'R' AND qty < 25
+      |         THEN 'c' || CAST(5 - m AS VARCHAR) || '_' || ci
+      |         ELSE 's' || CAST(5 - m AS VARCHAR) || '_' || si
+      |    END AS src,
+      |    CASE WHEN f = 'R' AND qty < 25
+      |         THEN 's' || CAST(5 - m AS VARCHAR) || '_' || si
+      |         WHEN f = 'R'
+      |         THEN 'c' || CAST(5 - m AS VARCHAR) || '_' || ci
+      |         ELSE 'c' || CAST(4 - m AS VARCHAR) || '_' || ci
+      |    END AS dst
+      |  FROM raw WHERE NOT (f <> 'R' AND m = 4))""".stripMargin
+
   /** The fact-scale trade graph (scale evidence for the frontier
     * loops — ~600k directed edges at sf0.1): the bipartite
     * customer–supplier graph, one undirected edge per distinct
@@ -466,6 +528,57 @@ object GraphQ extends QueryPack {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster"))
+    },
+
+    // r28 — STRONGLY connected components: the directed-graph primitive
+    // none of the undirected family (r04/r05 CC, r10 k-core, r13 LPA)
+    // can express — mutual reachability. The digraph is value-driven
+    // and SF-stable: nodes are (order-quarter band, key residue);
+    // returned items ('R') edge WITHIN their quarter band — low-quantity
+    // c→s, high-quantity s→c, so every band closes cycles — while kept
+    // items edge one way into the NEXT quarter's band (Q4's excluded:
+    // no wrap), so bands chain acyclically. Result: 4 nontrivial band
+    // SCCs plus stragglers at every SF (an absolute key
+    // bound would starve at sf0.1 — key ranges scale with SF; residues
+    // don't), small enough that the all-pairs mutual-reachability
+    // oracle stays tractable. The engine runs the forward-backward
+    // coloring loop (graph/Scc.scala — trim, forward min-color
+    // fixpoint, backward mark, settle; Orzan/Fleischer et al.), which
+    // the band chain genuinely exercises: band labels are
+    // anti-aligned with the chain direction (upstream quarters carry
+    // LARGER band ids), so every band's min is its own color root and
+    // all four SCCs settle in one outer round — the coloring scheme's
+    // best case, an honest pivot-order lever (label-based SCC is
+    // otherwise sequential along a condensation chain whose upstream
+    // holds the global min; SccSpec pins that adversarial order).
+    "r28_scc_subgraph" -> { (s, dir) =>
+      graft.graph.Scc.scc(bandedDigraph(s, dir), prePartitionEdges = false)
+        .groupBy(col("scc"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("scc"))
+    },
+
+    // r29 — the CONDENSATION DAG layered by longest path: collapse the
+    // r28 digraph to its SCC quotient (always a DAG), then topological
+    // layers (layer 0 = no incoming edge; else 1 + max predecessor) —
+    // the batch schedule every DAG execution/critical-path analysis
+    // needs, and the reason SCC is the precondition for DAG analytics
+    // on arbitrary directed data. Frontier max-relaxation
+    // (Scc.dagLayers); the quarter-band chain gives a real 4-deep
+    // layering, not a flat one.
+    "r29_condensation_layers" -> { (s, dir) =>
+      val e = bandedDigraph(s, dir)
+      val labels = graft.graph.Scc.scc(e, prePartitionEdges = false)
+      val cond = graft.graph.Scc.condensation(e, labels)
+        .select(col("src_scc").as("src"), col("dst_scc").as("dst"))
+      val layers = graft.graph.Scc.dagLayers(cond)
+        .withColumnRenamed("node", "scc")
+      labels.groupBy(col("scc"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(layers, Seq("scc"), "left") // isolated SCCs: layer 0
+        .select(col("scc"), col("n_members"),
+          coalesce(col("layer"), lit(0)).as("layer"))
+        .orderBy(col("scc"))
     },
 
     // The CLUSTER DEPLOYMENT mode of the frontier-BFS family — r03's
@@ -1430,6 +1543,53 @@ object GraphQ extends QueryPack {
         |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
         |SELECT cluster, count(*) AS n_members FROM lab
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // mutual reachability over DIRECTED edges: scc(v) = min node u with
+    // v →* u AND u →* v (reflexive seed keeps singletons); the
+    // forward-only closure is the r05 pattern minus the symmetrization.
+    "r28_scc_subgraph" ->
+      s"""WITH RECURSIVE $bandedDigraphSql,
+        |n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |reach(a, d) AS (
+        |  SELECT v, v FROM n
+        |  UNION
+        |  SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.d),
+        |lab AS (
+        |  SELECT r1.a AS node, MIN(r1.d) AS scc
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.d AND r1.d = r2.a
+        |  GROUP BY r1.a)
+        |SELECT scc, count(*) AS n_members FROM lab
+        |GROUP BY scc ORDER BY scc""".stripMargin,
+
+    // r28's lab CTE, then the SCC quotient edges and a longest-path
+    // walk over the (acyclic) condensation: layer = max walk length
+    // into each quotient node — terminates because the quotient is a
+    // DAG, the same guarantee the engine's dagLayers leans on.
+    "r29_condensation_layers" ->
+      s"""WITH RECURSIVE $bandedDigraphSql,
+        |n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |reach(a, d) AS (
+        |  SELECT v, v FROM n
+        |  UNION
+        |  SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.d),
+        |lab AS (
+        |  SELECT r1.a AS node, MIN(r1.d) AS scc
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.d AND r1.d = r2.a
+        |  GROUP BY r1.a),
+        |cond AS (
+        |  SELECT DISTINCT ls.scc AS src, ld.scc AS dst
+        |  FROM e JOIN lab ls ON ls.node = e.src
+        |         JOIN lab ld ON ld.node = e.dst
+        |  WHERE ls.scc <> ld.scc),
+        |walk(v, l) AS (
+        |  SELECT scc, 0 FROM (SELECT DISTINCT scc FROM lab)
+        |  UNION
+        |  SELECT cond.dst, walk.l + 1 FROM walk JOIN cond ON cond.src = walk.v),
+        |lay AS (SELECT v, MAX(l) AS layer FROM walk GROUP BY v),
+        |cnt AS (SELECT scc, COUNT(*) AS n_members FROM lab GROUP BY scc)
+        |SELECT cnt.scc, cnt.n_members, CAST(lay.layer AS INT) AS layer
+        |FROM cnt JOIN lay ON lay.v = cnt.scc
+        |ORDER BY cnt.scc""".stripMargin,
 
     // textual mirror of the orientation algorithm: DuckDB row-value
     // comparisons ((d, n) < …) express the same (degree, id) rank the

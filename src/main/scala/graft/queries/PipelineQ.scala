@@ -451,6 +451,33 @@ object PipelineQ extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id") % 9973).as("id_checksum"))
         .orderBy(col("stage"))
+    },
+
+    // p19 — k-ANONYMOUS release (the re-identification bound the PII
+    // scrub t13 doesn't give): generalize the customer quasi-identifiers
+    // (nation, segment, balance band) up a fixed 5-level ladder to the
+    // FINEST level whose under-k residue fits a 1% suppression budget,
+    // then collapse the residue into the all-'*' row. Level statistics
+    // for the WHOLE ladder come from one explode+aggregate shuffle (the
+    // manual GROUPING SETS expand — operators/Anonymize.scala has the
+    // scale doctrine); the level decision is an L+1-number driver
+    // collect. Fully deterministic, so the SQL mirror replays the level
+    // choice and the release byte for byte.
+    "p19_k_anonymous_release" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val bSign = when(col("c_acctbal") < 0, "neg").otherwise("nonneg")
+      val ladder = Seq(
+        Seq(col("c_nationkey").cast("string"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100).cast("string")),
+        Seq(col("c_nationkey").cast("string"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("string")),
+        Seq(col("c_nationkey").cast("string"), col("c_mktsegment"), bSign),
+        Seq(col("c_nationkey").cast("string"), lit("*"), lit("*")),
+        Seq(lit("*"), lit("*"), lit("*")))
+      graft.operators.Anonymize.kAnonymousGroups(c, ladder,
+          Seq("nation", "segment", "bal_band"), k = 8,
+          maxSuppressedFrac = 0.01)
+        .orderBy(col("nation"), col("segment"), col("bal_band"))
     }
   )
 
@@ -876,6 +903,42 @@ object PipelineQ extends QueryPack {
          | LEFT JOIN rep ON rep.doc_id = q.doc_id)
          |SELECT stage, COUNT(*) AS n_docs,
          | CAST(SUM(doc_id % 9973) AS BIGINT) AS id_checksum
-         |FROM base GROUP BY stage ORDER BY stage""".stripMargin
+         |FROM base GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // the engine's level choice replayed in SQL: per-level group counts
+    // from one unioned expansion (= the engine's explode), the finest
+    // level with suppressed-rows <= 1% of the table (COALESCE -> the
+    // coarsest level when none qualifies), then the suppressed-residue
+    // collapse re-grouped exactly like Anonymize.kAnonymousGroups.
+    "p19_k_anonymous_release" ->
+      """WITH q AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS n0, c_mktsegment AS s0,
+        |    CAST(CAST(FLOOR(c_acctbal/100) AS BIGINT) AS VARCHAR) AS b0,
+        |    CAST(CAST(FLOOR(c_acctbal/1000) AS BIGINT) AS VARCHAR) AS b1,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bs
+        |  FROM customer),
+        |lv AS (
+        |  SELECT 0 AS lvl, n0 AS a, s0 AS b, b0 AS c FROM q
+        |  UNION ALL SELECT 1, n0, s0, b1 FROM q
+        |  UNION ALL SELECT 2, n0, s0, bs FROM q
+        |  UNION ALL SELECT 3, n0, '*', '*' FROM q
+        |  UNION ALL SELECT 4, '*', '*', '*' FROM q),
+        |g AS (SELECT lvl, a, b, c, COUNT(*) AS n FROM lv
+        |      GROUP BY lvl, a, b, c),
+        |sup AS (SELECT lvl, COALESCE(SUM(CASE WHEN n < 8 THEN n END), 0)
+        |               AS s FROM g GROUP BY lvl),
+        |tot AS (SELECT COUNT(*) AS t FROM customer),
+        |chosen AS (SELECT COALESCE(
+        |    (SELECT MIN(lvl) FROM sup, tot WHERE s <= 0.01 * t), 4) AS lvl),
+        |rel AS (
+        |  SELECT CASE WHEN g.n >= 8 THEN a ELSE '*' END AS nation,
+        |         CASE WHEN g.n >= 8 THEN b ELSE '*' END AS segment,
+        |         CASE WHEN g.n >= 8 THEN c ELSE '*' END AS bal_band,
+        |         g.n
+        |  FROM g JOIN chosen ON g.lvl = chosen.lvl)
+        |SELECT nation, segment, bal_band, CAST(SUM(n) AS BIGINT) AS n,
+        |       (SELECT CAST(lvl AS INT) FROM chosen) AS lvl
+        |FROM rel GROUP BY nation, segment, bal_band
+        |ORDER BY nation, segment, bal_band""".stripMargin
   )
 }
