@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage by FUZZY-KEY pair join: all id pairs whose fixed-length
+  * keys lie within a Hamming-distance bound — the entity-resolution
+  * primitive (dirty identifiers, OCR'd codes, boilerplate-prefixed
+  * documents) the similarity family doesn't cover: d02/d09 match SETS of
+  * shingles, this matches POSITIONS of a structured key.
+  *
+  * Blocking is the PIGEONHOLE partition scheme (the exact-filter core of
+  * PassJoin, Li et al. 2011, specialized to the substitution metric):
+  * split every key into `maxDist + 1` contiguous segments — at most
+  * `maxDist` substitutions cannot touch them all, so any qualifying pair
+  * agrees EXACTLY on at least one aligned segment. Candidates are
+  * therefore the union of per-segment equi-self-joins — a banded join
+  * like MinHash LSH's (d02), but LOSSLESS: the filter is a theorem, not
+  * a probability, so the result is exact and oracle-able.
+  *
+  * Scale shape: one explode to (maxDist+1)× rows, one equi-join per the
+  * composite (segment index, segment text) key — never all-pairs; the
+  * verify is a codegen'd per-row character comparison on the deduped
+  * candidate set. `maxBlock` is the d21-class density guard: a segment
+  * value shared by B keys contributes B² candidates, so pathological
+  * blocks (a constant key region — the 100 TB boilerplate case) are
+  * excluded from BLOCKING, by both engine and oracle (semantics, not a
+  * silent recall loss: pairs agreeing only on an over-dense segment are
+  * out of the result's contract, exactly like d21's maxDf).
+  */
+object Linkage {
+
+  /** (a, b, dist): id pairs (a < b) with Hamming(key_a, key_b) <=
+    * maxDist. Keys MUST be exactly `keyLen` chars (enforced by filter;
+    * shorter/longer rows are excluded — pad or truncate upstream).
+    */
+  def hammingKeyPairs(df: DataFrame, idCol: String, keyCol: String,
+                      keyLen: Int, maxDist: Int,
+                      maxBlock: Long = 1L << 16): DataFrame = {
+    require(keyLen >= maxDist + 1, "keys shorter than maxDist+1 segments")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+      .filter(length(col("key")) === keyLen)
+    // maxDist+1 equal-ish contiguous segments: bounds are the canonical
+    // integer split, identical in the SQL mirror
+    val nSeg = maxDist + 1
+    val bounds = (0 to nSeg).map(i => i * keyLen / nSeg)
+    val segCols = (0 until nSeg).map { i =>
+      struct(lit(i).as("seg"),
+        substring(col("key"), bounds(i) + 1, bounds(i + 1) - bounds(i))
+          .as("blk"))
+    }
+    val tagged = keyed.select(col("id"), col("key"),
+        explode(array(segCols: _*)).as("sb"))
+      .select(col("id"), col("key"), col("sb.seg").as("seg"),
+        col("sb.blk").as("blk"))
+    // density guard: blocks over maxBlock are excluded from blocking
+    // (they would contribute B² candidates); the exclusion is part of
+    // the operator's contract and mirrored by the oracle
+    val okBlocks = tagged.groupBy(col("seg"), col("blk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlock)
+      .select(col("seg"), col("blk"))
+    val t = tagged.join(okBlocks, Seq("seg", "blk"))
+    val cand = t.select(col("seg"), col("blk"), col("id").as("a"),
+        col("key").as("ka"))
+      .join(t.select(col("seg"), col("blk"), col("id").as("b"),
+        col("key").as("kb")), Seq("seg", "blk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ka"), col("kb"))
+      .distinct() // a pair can match on several segments — verify once
+    cand
+      .withColumn("dist", hammingDist(col("ka"), col("kb"), keyLen))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** Codegen'd positional mismatch count over fixed-length strings —
+    * keyLen single-char comparisons fused into one projection (no UDF).
+    */
+  private[graft] def hammingDist(a: Column, b: Column, keyLen: Int): Column =
+    (1 to keyLen).map(i =>
+      when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+}

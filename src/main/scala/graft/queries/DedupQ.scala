@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Linkage}
 import SqlMacros._
 
 /** Deduplication operators over the documents/embeddings tables: exact
@@ -330,6 +330,25 @@ object DedupQ extends QueryPack {
         .select(col("label"), col("a"), col("b"), col("cos4"))
         .orderBy(col("cos4").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // d22 — record linkage by FUZZY-KEY join: doc pairs whose 18-char
+    // text prefix lies within Hamming distance 2 — the
+    // dirty-identifier/boilerplate-prefix matching class the set-based
+    // family (d02 MinHash, d09 prefix-Jaccard) can't express: those
+    // match shingle SETS, this matches POSITIONS of a structured key.
+    // Blocking is the pigeonhole partition (PassJoin's exact filter,
+    // substitution metric): 3 aligned segments, ≤2 substitutions leave
+    // one untouched — a LOSSLESS banded join (a theorem, not an LSH
+    // probability), so the oracle matches exactly. maxBlock mirrors
+    // d21's density-guard contract on both sides.
+    "d22_hamming_key_pairs" -> { (s, dir) =>
+      Linkage.hammingKeyPairs(
+          Tables(s, dir).documents
+            .filter(length(col("text")) >= 18)
+            .select(col("doc_id"), substring(col("text"), 1, 18).as("key")),
+          "doc_id", "key", keyLen = 18, maxDist = 2)
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -754,7 +773,30 @@ object DedupQ extends QueryPack {
          | round(${cosineSql("l.embedding::DOUBLE[]", "r.embedding::DOUBLE[]")}, 4) AS cos4
          |FROM e l JOIN e r
          | ON l.label = r.label AND l.vec_id < r.vec_id
-         |ORDER BY cos4 DESC, a, b LIMIT 20""".stripMargin
+         |ORDER BY cos4 DESC, a, b LIMIT 20""".stripMargin,
+
+    // the pigeonhole blocking replayed: 3 aligned 6-char segments,
+    // blocks over 65536 excluded (the engine's maxBlock contract),
+    // candidates deduped, exact hamming verify.
+    "d22_hamming_key_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id, substr(text, 1, 18) AS key
+        |  FROM documents WHERE length(text) >= 18),
+        |t AS (
+        |  SELECT id, key, 0 AS seg, substr(key, 1, 6) AS blk FROM k
+        |  UNION ALL SELECT id, key, 1, substr(key, 7, 6) FROM k
+        |  UNION ALL SELECT id, key, 2, substr(key, 13, 6) FROM k),
+        |ok AS (SELECT seg, blk FROM t GROUP BY seg, blk
+        |       HAVING count(*) <= 65536),
+        |tb AS (SELECT t.* FROM t JOIN ok ON ok.seg = t.seg
+        |       AND ok.blk = t.blk),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b, x.key AS ka, y.key AS kb
+        |  FROM tb x JOIN tb y
+        |    ON x.seg = y.seg AND x.blk = y.blk AND x.id < y.id)
+        |SELECT a, b, CAST(hamming(ka, kb) AS INT) AS dist
+        |FROM cand WHERE hamming(ka, kb) <= 2
+        |ORDER BY a, b""".stripMargin
   )
 
   /** CTEs computing the 64-bit simhash per doc (mirror of

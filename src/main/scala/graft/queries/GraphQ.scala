@@ -431,6 +431,28 @@ object GraphQ extends QueryPack {
         .orderBy(col("stop"), col("arr_t"), col("fare"))
     },
 
+    // r30 — ISOCHRONE bands, the transit-product face of G6 ("what is
+    // reachable within T?" — the query an OTP deployment renders as
+    // rings on a map): earliest-arrival labels from the hub over the
+    // SAME dual-bucketed at-rest layout r19 stages (zero extra staging,
+    // zero fact-table shuffles per round), cut at a 1200-tick budget
+    // and banded into 200-tick rings (the network's arrival spread is
+    // 0..~1700 — a transfer-dense mesh reaches everything in a few
+    // boardings) — per-ring reachable-stop counts and the ring's
+    // arrival envelope. Oracle: r17's recursive walk + the same
+    // banding.
+    "r30_isochrone_bands" -> { (s, dir) =>
+      ensureStopTimesTables(s, dir)
+      Routing.earliestArrivalOnTables(s, "graft_st_by_stop",
+          "graft_st_by_trip", 0L, 0L, maxRounds = 60)
+        .filter(col("arr_t") <= 1200L)
+        .withColumn("band", floor(col("arr_t") / 200L).cast("int"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_stops"),
+          min(col("arr_t")).as("min_arr"), max(col("arr_t")).as("max_arr"))
+        .orderBy(col("band"))
+    },
+
     "r01_bfs_hops" -> { (s, dir) =>
       // 25-node synthetic graph: fits in one partition, so the Pregel
       // edge layout would only add per-round task fan-out (see bfsHops)
@@ -1476,6 +1498,29 @@ object GraphQ extends QueryPack {
         |  JOIN conn c ON c.from_stop = w.stop AND c.dep >= w.t)
         |SELECT stop, MIN(t) AS arr_t FROM walk
         |GROUP BY stop ORDER BY stop""".stripMargin,
+
+    // r17's walk, cut at the 1200 budget and banded into 200-tick rings
+    "r30_isochrone_bands" ->
+      """WITH RECURSIVE st AS (
+        |  SELECT l_orderkey AS trip, l_linenumber AS seq,
+        |         CAST(l_suppkey % 500 AS BIGINT) AS stop,
+        |         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS t
+        |  FROM lineitem),
+        |conn AS (
+        |  SELECT a.stop AS from_stop, a.t AS dep, b.stop AS to_stop,
+        |         b.t AS arr
+        |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+        |walk(stop, t) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT c.to_stop, c.arr FROM walk w
+        |  JOIN conn c ON c.from_stop = w.stop AND c.dep >= w.t),
+        |lab AS (SELECT stop, MIN(t) AS arr_t FROM walk GROUP BY stop)
+        |SELECT CAST(arr_t // 200 AS INT) AS band,
+        |       COUNT(*) AS n_stops,
+        |       MIN(arr_t) AS min_arr, MAX(arr_t) AS max_arr
+        |FROM lab WHERE arr_t <= 1200
+        |GROUP BY 1 ORDER BY band""".stripMargin,
 
     // r19 computes the same labels as r17 over the at-rest layout — the
     // oracle is the same recursive walk; a corrupted bucket staging

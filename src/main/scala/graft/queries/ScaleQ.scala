@@ -636,6 +636,36 @@ object ScaleQ extends QueryPack {
         .orderBy(col("side"))
     },
 
+    // s19 — SNAPSHOT ROLLBACK (sources/Versioned): the lifecycle verb
+    // the maintenance family lacked — undo a bad commit zero-copy,
+    // history intact. Five-version history: three commits, a rollback
+    // to v2 (v4 — same file list, no data movement, VersionedSpec pins
+    // the byte-set), then a post-rollback commit (v5 diverges from v3:
+    // nothing resurrects). Probe = every version's (rows, cents) read
+    // through its own manifest. Mirror asymmetry, stated (the v27/s17
+    // adjudication class): the timed body performs the commits +
+    // rollbacks + five manifested reads; the oracle is a probe-only
+    // mirror of the version CONTENTS (slices/unions) — the rollback
+    // contracts themselves are VersionedSpec pins, not ratio claims.
+    "s19_snapshot_rollback" -> { (s, dir) =>
+      import graft.sources.Versioned
+      val c = Tables(s, dir).customer.select(col("c_custkey"),
+        cents(col("c_acctbal")).as("acct_cents"))
+      val t = "graft_vroll"
+      Versioned.create(s, c.filter(col("c_custkey") % 3 === 0), t)
+      Versioned.commitAppend(s, c.filter(col("c_custkey") % 3 === 1), t)
+      Versioned.commitAppend(s, c.filter(col("c_custkey") % 3 === 2), t)
+      Versioned.rollbackTo(s, t, 2L)
+      Versioned.commitAppend(s, c.filter(col("c_custkey") % 10 === 5), t)
+      (1 to 5).map(v => Versioned.readVersion(s, t, v.toLong)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("acct_cents")).as("acct_total_cents"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("acct_total_cents")))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"))
+    },
+
     // WRITE–AUDIT–PUBLISH (sources/Wap): the ingestion data-quality
     // gate. A base table is staged, then two candidate batches run the
     // gate: batch 'b' (clean orders slice) passes all expectations and
@@ -930,6 +960,30 @@ object ScaleQ extends QueryPack {
         |  SELECT 'clone', * FROM o
         |  WHERE o_orderkey % 10 < 5 OR o_orderkey % 10 = 7)
         |GROUP BY side ORDER BY side""".stripMargin,
+
+    // probe-only mirror of the five version CONTENTS (see the query
+    // comment for the stated timed-body asymmetry): v4 = v2 (the
+    // rollback), v5 = v2 + the post-rollback commit.
+    "s19_snapshot_rollback" ->
+      """WITH c AS (SELECT c_custkey AS k,
+        |             CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents
+        |           FROM customer),
+        |v1 AS (SELECT * FROM c WHERE k % 3 = 0),
+        |v2 AS (SELECT * FROM v1 UNION ALL
+        |       SELECT * FROM c WHERE k % 3 = 1),
+        |v3 AS (SELECT * FROM v2 UNION ALL
+        |       SELECT * FROM c WHERE k % 3 = 2),
+        |v5 AS (SELECT * FROM v2 UNION ALL
+        |       SELECT * FROM c WHERE k % 10 = 5)
+        |SELECT version, COUNT(*) AS n_rows,
+        |       CAST(SUM(acct_cents) AS BIGINT) AS acct_total_cents
+        |FROM (
+        |  SELECT CAST(1 AS INT) AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v2
+        |  UNION ALL SELECT 5, * FROM v5)
+        |GROUP BY version ORDER BY version""".stripMargin,
 
     "s16_wap_publish" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
