@@ -687,7 +687,9 @@ object Routing {
   def paretoJourneys(stopTimes: DataFrame, tripFares: DataFrame,
                      sourceStop: Any, depTime: Long,
                      maxRounds: Int = 15, warnOnTruncation: Boolean = true,
-                     checkpointDir: Option[String] = None): DataFrame = {
+                     checkpointDir: Option[String] = None,
+                     transfers: Option[DataFrame] = None,
+                     broadcastTransfers: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val st0 = ckpt(stopTimes.select(col("trip"), col("seq").cast("int"),
@@ -698,9 +700,12 @@ object Routing {
     // tripFares join would re-exchange the O(trips) tariff every round
     val rideF = ckpt(st.join(
       tripFares.select(col("trip"), col("fare").cast("long")), Seq("trip")))
+    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
+      col("to_stop"), col("min_transfer_time").cast("long"))))
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       frontierFixpoint(paretoInit(spark, sourceStop, depTime),
-        (state, frontier) => paretoRoundOn(st, rideF, state, frontier),
+        (state, frontier) => paretoRoundOn(st, rideF, state, frontier,
+          xfer, broadcastTransfers),
         maxRounds, warnOnTruncation, "paretoJourneys", ckpt)
     }
   }
@@ -719,7 +724,9 @@ object Routing {
                              sourceStop: Any, depTime: Long,
                              maxRounds: Int = 15,
                              warnOnTruncation: Boolean = true,
-                             checkpointDir: Option[String] = None)
+                             checkpointDir: Option[String] = None,
+                             transfers: Option[DataFrame] = None,
+                             broadcastTransfers: Boolean = true)
       : DataFrame = {
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val stBoard = spark.table(stopTable)
@@ -735,9 +742,12 @@ object Routing {
         Seq("trip"))
       .persist()
     val parts = stBoard.rdd.getNumPartitions
+    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
+      col("to_stop"), col("min_transfer_time").cast("long"))))
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       frontierFixpoint(paretoInit(spark, sourceStop, depTime),
-        (state, frontier) => paretoRoundOn(stBoard, stRideF, state, frontier),
+        (state, frontier) => paretoRoundOn(stBoard, stRideF, state,
+          frontier, xfer, broadcastTransfers),
         maxRounds, warnOnTruncation, "paretoJourneysOnTables", ckpt)
     } finally {
       stBoard.unpersist(blocking = false)
@@ -790,11 +800,25 @@ object Routing {
   /** One bi-criteria round over a (possibly dual-layout) timetable —
     * `stBoard` probed on stop, `stRideFare` on trip (see
     * [[raptorRoundOn]]).
+    *
+    * `transfers` adds the FOOTPATH relaxation to the label-set loop —
+    * the McRAPTOR counterpart of [[raptorRoundOn]]'s: every frontier
+    * label (stop, arr_t, fare) also reaches its transfer neighbors at
+    * (arr_t + min_transfer_time, SAME fare — walking is free under the
+    * per-boarding tariff), min-merged with the ride candidates before
+    * the canonical Pareto prune. Footpaths relax from the frontier, so
+    * chains close across rounds (non-transitively-closed rule sets are
+    * handled, the raptorRoundOn contract); a footpath cycle's re-entry
+    * label is dominated by its own origin and prunes away, so the
+    * fixpoint terminates.
     */
   private[graft] def paretoRoundOn(stBoard: DataFrame,
                                    stRideFare: DataFrame,
                                    state: DataFrame,
-                                   frontier: DataFrame): DataFrame = {
+                                   frontier: DataFrame,
+                                   transfers: Option[DataFrame] = None,
+                                   broadcastTransfers: Boolean = true)
+      : DataFrame = {
     // board: per (trip, incoming fare), the earliest feasible position —
     // labels with different accumulated fares board independently (a
     // dearer label may still yield the cheaper journey after this
@@ -816,11 +840,23 @@ object Routing {
     // inside the round)
     val ride = stRideFare.select(col("trip").as("__btrip"),
       col("seq").as("aseq"), col("stop"), col("arr"), col("fare"))
-    val cand = board
+    val rideCand = board
       .join(ride, Seq("__btrip"))
       .filter(col("aseq") > col("bseq"))
       .select(col("stop"), col("arr").as("arr_t"),
         (col("__bfare") + col("fare")).as("fare"))
+    val cand = transfers match {
+      case Some(x0) =>
+        val xSel = x0.select(col("from_stop"), col("to_stop"),
+          col("min_transfer_time").cast("long").as("mtt"))
+        val x = if (broadcastTransfers) broadcast(xSel) else xSel
+        val foot = frontier.join(x, frontier("stop") === x("from_stop"))
+          .select(x("to_stop").as("stop"),
+            (frontier("arr_t") + col("mtt")).as("arr_t"),
+            frontier("fare").as("fare"))
+        rideCand.unionByName(foot)
+      case None => rideCand
+    }
     // merge + canonical per-stop Pareto prune: sort (arr, fare), keep a
     // label iff its fare strictly beats the running min of every
     // earlier label; exact duplicates collapse first so the front is

@@ -82,28 +82,38 @@ object Anonymize {
       .sorted.headOption.getOrElse(levels.size - 1)
   }
 
-  /** The released table: input rows with QI columns rewritten at the
-    * chosen level (`names` are the released column names), rows in
-    * under-k groups fully suppressed to '*', plus the chosen level as
-    * `lvl`. Every released non-'*' group has ≥ k rows — the k-anonymity
-    * invariant (AnonymizeSpec pins it property-style).
+  /** The released table: one row per input row with the QI columns
+    * rewritten at the chosen level (`names` are the released column
+    * names), rows in under-k groups fully suppressed to '*', plus the
+    * chosen level as `lvl`. Every released non-'*' group has ≥ k rows —
+    * the k-anonymity invariant (AnonymizeSpec pins it property-style).
+    *
+    * ONLY `carry` columns ride through from the input — by default
+    * NOTHING does: silently retaining the raw quasi-identifier source
+    * columns next to their generalizations would defeat the release
+    * (the classic re-identification footgun), so carrying any input
+    * column is an explicit caller decision (sensitive-attribute
+    * columns for analysis, never the QI sources).
     */
   def kAnonymize(df: DataFrame, levels: Seq[Seq[Column]],
                  names: Seq[String], k: Long,
-                 maxSuppressedFrac: Double = 0.01): DataFrame = {
+                 maxSuppressedFrac: Double = 0.01,
+                 carry: Seq[String] = Nil): DataFrame = {
     require(names.size == levels.head.size,
       "names must match the QI arity")
+    require(carry.forall(df.columns.contains),
+      "carry names an absent column")
+    require(carry.intersect(names).isEmpty,
+      "carry must not collide with released QI names")
     val lvl = chooseLevel(df, levels, k, maxSuppressedFrac)
     val qi = levels(lvl)
     val keyed = df.withColumn("__qik", levelKey(qi))
     val n = count(lit(1)).over(Window.partitionBy(col("__qik")))
-    val others = df.columns.filterNot(names.contains).map(col)
     val released = names.zip(qi).map { case (nm, c) =>
       when(n >= k, c.cast("string")).otherwise(lit("*")).as(nm)
     }
-    keyed.select(others ++ released: _*)
+    keyed.select(carry.map(col) ++ released: _*)
       .withColumn("lvl", lit(lvl))
-      .drop("__qik")
   }
 
   /** Release SUMMARY — the oracle-checkable face: (QI columns at the

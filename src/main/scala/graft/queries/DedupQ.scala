@@ -343,8 +343,12 @@ object DedupQ extends QueryPack {
     // probability), so the oracle matches exactly. maxBlock mirrors
     // d21's density-guard contract on both sides.
     "d22_hamming_key_pairs" -> { (s, dir) =>
+      // documentsKernelParallel: the d02 gated-rebalance lever — the
+      // single-row-group local scan otherwise serializes the key
+      // extraction AND the blocked self-join's map side (measured at
+      // /tmp/sf1: 7.5 -> see BENCH_NOTES)
       Linkage.hammingKeyPairs(
-          Tables(s, dir).documents
+          Tables(s, dir).documentsKernelParallel
             .filter(length(col("text")) >= 18)
             .select(col("doc_id"), substring(col("text"), 1, 18).as("key")),
           "doc_id", "key", keyLen = 18, maxDist = 2)

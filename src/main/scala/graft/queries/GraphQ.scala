@@ -410,6 +410,23 @@ object GraphQ extends QueryPack {
         .orderBy(col("stop"), col("arr_t"), col("fare"))
     },
 
+    // r31 — r26 WITH FOOTPATHS: the fare-AND-transfer-aware Pareto
+    // front, composing the round's two G6 extensions (r22's
+    // transfers.txt rules, r26's label-set fares) — the itinerary set
+    // an OTP-parity fare-aware planner actually serves. A footpath
+    // moves a label at +min_transfer_time for FREE (walking costs
+    // nothing under the per-boarding tariff), so cheap-but-slower
+    // walk+ride fronts appear that neither r22 (no fares) nor r26 (no
+    // footpaths) contains. Footpath cycles self-prune (a re-entry
+    // label is dominated by its own origin); the oracle chain carries
+    // the same footpath leg per stage.
+    "r31_pareto_transfers" -> { (s, dir) =>
+      Routing.paretoJourneys(syntheticStopTimes(s, dir),
+          syntheticTripFares(s, dir), "0", 0L, maxRounds = 40,
+          transfers = Some(syntheticTransfers(s, dir)))
+        .orderBy(col("stop"), col("arr_t"), col("fare"))
+    },
+
     // r26 at FACT SCALE, round-BOUNDED: the (arrival, fare) front
     // within ≤6 boardings over the ~6M-row timetable with a 3-level
     // per-trip tariff — bounded rounds keep the label space (and both
@@ -1222,6 +1239,55 @@ object GraphQ extends QueryPack {
          |                CAST(0 AS BIGINT) AS fare),
          |$chain
          |SELECT stop, arr AS arr_t, fare FROM lab8
+         |ORDER BY stop, arr_t, fare""".stripMargin
+    },
+
+    // r26's staged label chain + a FREE footpath leg per stage (fare
+    // rides along unchanged); 14 stages = fixpoint-plus-margin with
+    // footpath hops counting as rounds (the r25 depth).
+    "r31_pareto_transfers" -> {
+      val chain = (1 to 14).map { i =>
+        s"""lab$i AS MATERIALIZED (
+           |  SELECT stop, arr, fare FROM (
+           |    SELECT stop, arr, fare,
+           |           MIN(fare) OVER (PARTITION BY stop ORDER BY arr, fare
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |             AS pm
+           |    FROM (SELECT DISTINCT stop, arr, fare FROM (
+           |      SELECT stop, arr, fare FROM lab${i - 1}
+           |      UNION ALL
+           |      SELECT s.ts, s.arr, p.fare + f.fare
+           |      FROM seg s JOIN lab${i - 1} p
+           |        ON s.fs = p.stop AND s.dep >= p.arr
+           |      JOIN tf f ON f.trip = s.trip
+           |      UNION ALL
+           |      SELECT x.ts, p.arr + x.mtt, p.fare
+           |      FROM xf x JOIN lab${i - 1} p ON x.fs = p.stop)))
+           |  WHERE pm IS NULL OR fare < pm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $stopTimesSql,
+         |seg AS MATERIALIZED (
+         |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+         |  FROM st a JOIN st b ON a.trip = b.trip AND a.seq < b.seq),
+         |tf AS (
+         |  SELECT 't' || n_nationkey AS trip,
+         |         CAST((n_nationkey%9+1)*100 AS BIGINT) AS fare FROM nation
+         |  UNION ALL
+         |  SELECT 'u' || n_nationkey,
+         |         CAST((n_nationkey%7+1)*100 AS BIGINT) FROM nation),
+         |xf0 AS (
+         |  SELECT CAST((n_nationkey*3+1)%25 AS VARCHAR) AS fs,
+         |         CAST((n_nationkey*9+4)%25 AS VARCHAR) AS ts,
+         |         CAST((n_nationkey%4+1)*5 AS BIGINT) AS mtt FROM nation
+         |  UNION ALL
+         |  SELECT CAST((n_nationkey*9+4)%25 AS VARCHAR),
+         |         CAST((n_nationkey*3+1)%25 AS VARCHAR),
+         |         CAST((n_nationkey%4+1)*5 AS BIGINT) FROM nation),
+         |xf AS (SELECT * FROM xf0 WHERE fs <> ts),
+         |lab0 AS (SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr,
+         |                CAST(0 AS BIGINT) AS fare),
+         |$chain
+         |SELECT stop, arr AS arr_t, fare FROM lab14
          |ORDER BY stop, arr_t, fare""".stripMargin
     },
 

@@ -48,7 +48,10 @@ object Versioned {
   /** Append `df` as a new commit; returns the new version. The new
     * snapshot's file list = previous version's files + the files this
     * append created (the before/after inputFiles diff — commit-local
-    * attribution without a transaction log).
+    * attribution without a transaction log, which makes this a
+    * SINGLE-WRITER table: a concurrent committer's files would be
+    * mis-attributed, the same contract every manifest writer in this
+    * repo states — real lakehouses put an atomic pointer swap here).
     */
   def commitAppend(spark: SparkSession, df: DataFrame,
                    table: String): Long = {

@@ -56,6 +56,12 @@ class AnonymizeSpec extends SparkTestBase {
     "and row count is preserved") {
     val rel = Anonymize.kAnonymize(micro, ladder, names, k = 3, 0.2)
     assert(rel.count() == 10)
+    // safe-by-default: NO raw input column rides into the release
+    assert(rel.columns.toSeq == Seq("place", "age_band", "lvl"))
+    // carry is explicit, and the raw QI sources stay out unless named
+    val withAge = Anonymize.kAnonymize(micro, ladder, names, k = 3, 0.2,
+      carry = Seq("age"))
+    assert(withAge.columns.toSeq == Seq("age", "place", "age_band", "lvl"))
     val bad = rel.filter(col("place") =!= "*")
       .groupBy("place", "age_band").count()
       .filter(col("count") < 3)

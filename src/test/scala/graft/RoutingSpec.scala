@@ -232,6 +232,37 @@ class RoutingSpec extends SparkTestBase {
       ("C", 17L, 150L), ("C", 20L, 100L), ("C", 30L, 30L)))
   }
 
+  test("paretoJourneys with transfers: a free footpath opens a cheaper " +
+    "front entry; empty transfers equals the no-transfers loop") {
+    // T1: A(0)->B(10) fare 100; T2: D(20)->C(25) fare 10; footpath
+    // B->D at +5 (free). Without it C is unreachable; with it C's
+    // front gains (25, 110) via ride+walk+ride. A direct expensive
+    // T3: A(0)->C(18) fare 500 stays as the faster-but-dearer label.
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L),
+      ("T2", 0, "D", 20L, 20L), ("T2", 1, "C", 25L, 25L),
+      ("T3", 0, "A", 0L, 0L), ("T3", 1, "C", 18L, 18L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = Seq(("T1", 100L), ("T2", 10L), ("T3", 500L))
+      .toDF("trip", "fare")
+    val xf = Seq(("B", "D", 5L))
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    val got = Routing.paretoJourneys(st, tf, "A", 0L,
+        transfers = Some(xf))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("A", 0L, 0L), ("B", 10L, 100L), ("D", 15L, 100L),
+      ("C", 18L, 500L), ("C", 25L, 110L)))
+    // empty transfer frame == the no-transfers loop, label for label
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    val base = Routing.paretoJourneys(st, tf, "A", 0L)
+      .as[(String, Long, Long)].collect().toSet
+    val withEmpty = Routing.paretoJourneys(st, tf, "A", 0L,
+        transfers = Some(empty))
+      .as[(String, Long, Long)].collect().toSet
+    assert(withEmpty == base)
+  }
+
   test("paretoJourneys with all-zero fares collapses to earliestArrival") {
     val st = (0 until 40).flatMap { t =>
       (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
