@@ -439,14 +439,34 @@ object Routing {
     val st = if (parts < st0.rdd.getNumPartitions) st0.coalesce(parts) else st0
     // materialized once: re-planned per round, and a broadcast side is
     // rebuilt from it each round — keep that a cached-block read
-    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
-      col("to_stop"), col("min_transfer_time").cast("long"))))
+    val xfer = stageTransfers(ckpt, transfers)
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       frontierFixpoint(raptorInit(spark, sourceStop, depTime),
         (state, frontier) =>
           raptorRound(st, state, frontier, xfer, broadcastTransfers),
         maxRounds, warnOnTruncation, "earliestArrival", ckpt)
     }
+  }
+
+  /** Stage a transfers frame for a loop (one materialization, normalized
+    * columns) — shared by every RAPTOR-family entry point.
+    */
+  private def stageTransfers(ckpt: DataFrame => DataFrame,
+                             transfers: Option[DataFrame])
+      : Option[DataFrame] =
+    transfers.map(x => ckpt(x.select(col("from_stop"), col("to_stop"),
+      col("min_transfer_time").cast("long").as("mtt"))))
+
+  /** The footpath relaxation JOIN both round families share: frontier
+    * labels against the (optionally broadcast) transfer rules — the
+    * caller selects its own candidate shape from the joined columns
+    * (`to_stop`, `mtt`, plus every frontier column).
+    */
+  private def footJoin(frontier: DataFrame, x0: DataFrame,
+                       broadcastTransfers: Boolean): DataFrame = {
+    val xSel = x0.select(col("from_stop"), col("to_stop"), col("mtt"))
+    val x = if (broadcastTransfers) broadcast(xSel) else xSel
+    frontier.join(x, frontier("stop") === x("from_stop"))
   }
 
   private def raptorInit(spark: SparkSession, sourceStop: Any,
@@ -513,8 +533,7 @@ object Routing {
       .select(col("trip"), col("seq"), col("stop"), col("arr"))
       .persist()
     val parts = stBoard.rdd.getNumPartitions
-    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
-      col("to_stop"), col("min_transfer_time").cast("long"))))
+    val xfer = stageTransfers(ckpt, transfers)
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       // the loop materializes every round (ckpt), so nothing returned
       // still depends on the cached scans
@@ -562,8 +581,7 @@ object Routing {
     // the frontier, so `rounds` counts legs (boardings + footpath hops),
     // an upper bound on boardings — still a monotone effort axis for the
     // Pareto front, and exactly boardings when transfers is None.
-    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
-      col("to_stop"), col("min_transfer_time").cast("long"))))
+    val xfer = stageTransfers(ckpt, transfers)
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
         lit(depTime).as("arr_t"), lit(true).as("__new")))
@@ -636,11 +654,8 @@ object Routing {
       .select(col("stop"), col("arr").as("cand_t"))
     val allCand = transfers match {
       case Some(x0) =>
-        val xSel = x0.select(col("from_stop"), col("to_stop"),
-          col("min_transfer_time").cast("long").as("mtt"))
-        val x = if (broadcastTransfers) broadcast(xSel) else xSel
-        val foot = frontier.join(x, frontier("stop") === x("from_stop"))
-          .select(x("to_stop").as("stop"),
+        val foot = footJoin(frontier, x0, broadcastTransfers)
+          .select(col("to_stop").as("stop"),
             (frontier("arr_t") + col("mtt")).as("cand_t"))
         rideCand.unionByName(foot)
       case None => rideCand
@@ -700,8 +715,7 @@ object Routing {
     // tripFares join would re-exchange the O(trips) tariff every round
     val rideF = ckpt(st.join(
       tripFares.select(col("trip"), col("fare").cast("long")), Seq("trip")))
-    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
-      col("to_stop"), col("min_transfer_time").cast("long"))))
+    val xfer = stageTransfers(ckpt, transfers)
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       frontierFixpoint(paretoInit(spark, sourceStop, depTime),
         (state, frontier) => paretoRoundOn(st, rideF, state, frontier,
@@ -742,8 +756,7 @@ object Routing {
         Seq("trip"))
       .persist()
     val parts = stBoard.rdd.getNumPartitions
-    val xfer = transfers.map(x => ckpt(x.select(col("from_stop"),
-      col("to_stop"), col("min_transfer_time").cast("long"))))
+    val xfer = stageTransfers(ckpt, transfers)
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       frontierFixpoint(paretoInit(spark, sourceStop, depTime),
         (state, frontier) => paretoRoundOn(stBoard, stRideF, state,
@@ -847,11 +860,8 @@ object Routing {
         (col("__bfare") + col("fare")).as("fare"))
     val cand = transfers match {
       case Some(x0) =>
-        val xSel = x0.select(col("from_stop"), col("to_stop"),
-          col("min_transfer_time").cast("long").as("mtt"))
-        val x = if (broadcastTransfers) broadcast(xSel) else xSel
-        val foot = frontier.join(x, frontier("stop") === x("from_stop"))
-          .select(x("to_stop").as("stop"),
+        val foot = footJoin(frontier, x0, broadcastTransfers)
+          .select(col("to_stop").as("stop"),
             (frontier("arr_t") + col("mtt")).as("arr_t"),
             frontier("fare").as("fare"))
         rideCand.unionByName(foot)

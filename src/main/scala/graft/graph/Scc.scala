@@ -85,12 +85,28 @@ object Scc {
         }
         settled = Some(ckpt(s))
       }
+      // Frontier fixpoint for the two inner loops: run `step` until no
+      // __new rows or maxColorRounds; (state, converged).
+      def fixpoint(init: DataFrame,
+                   step: (DataFrame, DataFrame) => DataFrame)
+          : (DataFrame, Boolean) = {
+        var state = ckpt(init)
+        var frontier = state.filter(col("__new"))
+        var i = 0
+        while (i < maxColorRounds && !frontier.isEmpty) {
+          state = ckpt(step(state, frontier))
+          frontier = state.filter(col("__new"))
+          i += 1
+        }
+        (state.drop("__new"), frontier.isEmpty)
+      }
       var outer = 0
-      while (outer < maxOuter && !active.isEmpty) {
+      var aborted = false
+      while (outer < maxOuter && !aborted && !active.isEmpty) {
         // 1. TRIM — singleton-settle nodes missing an in- or out-edge
-        val srcs = e.select(col("src").as("node")).distinct()
-        val dsts = e.select(col("dst").as("node")).distinct()
-        val canCycle = ckpt(srcs.intersect(dsts))
+        // (INTERSECT deduplicates both sides itself — no pre-distinct)
+        val canCycle = ckpt(e.select(col("src").as("node"))
+          .intersect(e.select(col("dst").as("node"))))
         val trimmed = active.join(canCycle, Seq("node"), "left_anti")
         settle(trimmed.select(col("node"), col("node").as("scc")))
         active = canCycle
@@ -100,72 +116,75 @@ object Scc {
             e.join(active.withColumnRenamed("node", "src"), Seq("src"))
               .join(active.withColumnRenamed("node", "dst"), Seq("dst"))
               .select(col("src"), col("dst")))
-          var color = ckpt(active.select(col("node"),
-            col("node").as("color"), lit(true).as("__new")))
-          var frontier = color.filter(col("__new"))
-          var i = 0
-          while (i < maxColorRounds && !frontier.isEmpty) {
-            val cand = frontier.join(eAct, frontier("node") === eAct("src"))
-              .groupBy(eAct("dst").as("node"))
-              .agg(min(col("color")).as("cand"))
-            color = ckpt(color.drop("__new")
-              .join(cand, Seq("node"), "full")
-              .select(col("node"),
-                least(col("color"), col("cand")).as("color"),
-                (col("cand").isNotNull &&
-                  col("cand") < col("color")).as("__new")))
-            frontier = color.filter(col("__new"))
-            i += 1
+          val (colorF, colorOk) = fixpoint(
+            active.select(col("node"), col("node").as("color"),
+              lit(true).as("__new")),
+            (color, frontier) => {
+              val cand = frontier.join(eAct, frontier("node") === eAct("src"))
+                .groupBy(eAct("dst").as("node"))
+                .agg(min(col("color")).as("cand"))
+              color.drop("__new")
+                .join(cand, Seq("node"), "full")
+                .select(col("node"),
+                  least(col("color"), col("cand")).as("color"),
+                  (col("cand").isNotNull &&
+                    col("cand") < col("color")).as("__new"))
+            })
+          // MARK's soundness REQUIRES each inner FIXPOINT: settling from
+          // a truncated coloring (or a truncated backward mark) would
+          // SPLIT an SCC into wrong fragments — a different failure class
+          // than partial output. On truncation, abort with the sound
+          // prefix: everything settled so far (trims + earlier rounds)
+          // is correct, the rest is honestly missing, and the truncation
+          // warning fires below.
+          if (!colorOk) aborted = true
+          else {
+            // 3. MARK — backward frontier from every color root, edges
+            // restricted to the root's own class (a backward path to the
+            // root cannot leave the class — see the object doc)
+            val eColored = ckpt(eAct
+              .join(colorF.withColumnRenamed("node", "src")
+                .withColumnRenamed("color", "src_color"), Seq("src"))
+              .join(colorF.withColumnRenamed("node", "dst")
+                .withColumnRenamed("color", "dst_color"), Seq("dst"))
+              .filter(col("src_color") === col("dst_color"))
+              .select(col("src"), col("dst"), col("src_color").as("color")))
+            val (marked, markOk) = fixpoint(
+              colorF.filter(col("node") === col("color"))
+                .withColumn("__new", lit(true)),
+              (m, mf) => {
+                val cand = mf
+                  .join(eColored, mf("node") === eColored("dst") &&
+                    mf("color") === eColored("color"))
+                  .select(eColored("src").as("node"),
+                    eColored("color").as("cand_color"))
+                  .distinct()
+                m.drop("__new")
+                  .join(cand, Seq("node"), "full")
+                  .select(col("node"),
+                    coalesce(col("color"), col("cand_color")).as("color"),
+                    col("color").isNull.as("__new"))
+              })
+            if (!markOk) aborted = true
+            else {
+              // 4. SETTLE — marked nodes form whole SCCs (id = the root)
+              val found = marked.select(col("node"), col("color").as("scc"))
+              settle(found)
+              active = ckpt(active.join(found.select(col("node")),
+                Seq("node"), "left_anti"))
+              e = ckpt(eAct
+                .join(found.select(col("node").as("src")), Seq("src"),
+                  "left_anti")
+                .join(found.select(col("node").as("dst")), Seq("dst"),
+                  "left_anti")
+                .select(col("src"), col("dst")))
+            }
           }
-          graft.operators.Iteration.warnIfTruncated("scc.color", frontier,
-            i, maxColorRounds, warnOnTruncation)
-          val colorF = color.drop("__new")
-          // 3. MARK — backward frontier from every color root, edges
-          // restricted to the root's own class (soundness proven above:
-          // a backward path to the root cannot leave the class)
-          val eColored = ckpt(eAct
-            .join(colorF.withColumnRenamed("node", "src")
-              .withColumnRenamed("color", "src_color"), Seq("src"))
-            .join(colorF.withColumnRenamed("node", "dst")
-              .withColumnRenamed("color", "dst_color"), Seq("dst"))
-            .filter(col("src_color") === col("dst_color"))
-            .select(col("src"), col("dst"), col("src_color").as("color")))
-          var marked = ckpt(colorF.filter(col("node") === col("color"))
-            .withColumn("__new", lit(true)))
-          var mf = marked.filter(col("__new"))
-          var j = 0
-          while (j < maxColorRounds && !mf.isEmpty) {
-            val cand = mf
-              .join(eColored, mf("node") === eColored("dst") &&
-                mf("color") === eColored("color"))
-              .select(eColored("src").as("node"),
-                eColored("color").as("cand_color"))
-              .distinct()
-            marked = ckpt(marked.drop("__new")
-              .join(cand, Seq("node"), "full")
-              .select(col("node"),
-                coalesce(col("color"), col("cand_color")).as("color"),
-                col("color").isNull.as("__new")))
-            mf = marked.filter(col("__new"))
-            j += 1
-          }
-          graft.operators.Iteration.warnIfTruncated("scc.mark", mf, j,
-            maxColorRounds, warnOnTruncation)
-          // 4. SETTLE — marked nodes form whole SCCs (id = the root)
-          val found = marked.drop("__new")
-            .select(col("node"), col("color").as("scc"))
-          settle(found)
-          active = ckpt(active.join(found.select(col("node")),
-            Seq("node"), "left_anti"))
-          e = ckpt(eAct
-            .join(found.select(col("node").as("src")), Seq("src"), "left_anti")
-            .join(found.select(col("node").as("dst")), Seq("dst"), "left_anti")
-            .select(col("src"), col("dst")))
         }
         outer += 1
       }
-      graft.operators.Iteration.warnIfTruncated("scc", active, outer,
-        maxOuter, warnOnTruncation)
+      graft.operators.Iteration.warnIfTruncated("scc", active,
+        if (aborted) maxOuter else outer, maxOuter, warnOnTruncation)
       settled.getOrElse( // empty input graph: typed empty result
         eSel.select(col("src").as("node"), col("src").as("scc")).limit(0))
     }

@@ -32,16 +32,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Anonymize {
 
-  /** Null-safe canonical key for one level's QI tuple (a null never
-    * collides with an empty string or the literal "null").
+  /** Canonical key for one level's QI tuple — a STRUCT, not a string
+    * concat: struct equality is per-field, so no separator/sentinel can
+    * collide two distinct tuples (("a\u0001b","c") vs ("a","b\u0001c"))
+    * or a null with any real value — the k-count and the released
+    * display groups always agree.
     */
   private def levelKey(qi: Seq[Column]): Column =
-    concat_ws("\u0001",
-      qi.map(c => coalesce(c.cast("string"), lit("\\u0000"))): _*)
+    struct(qi.map(_.cast("string")): _*)
 
-  /** Per-level (rows-in-under-k-groups, group-count) — ONE aggregation
-    * pass for the whole ladder. Returns rows (lvl, n_suppressed,
-    * n_groups), one per level, collected nowhere.
+  /** Per-level statistics — ONE aggregation pass for the whole ladder.
+    * Returns rows (lvl, n_suppressed, n_groups, n_rows), one per level,
+    * collected nowhere.
     */
   def levelStats(df: DataFrame, levels: Seq[Seq[Column]],
                  k: Long): DataFrame = {
@@ -59,7 +61,11 @@ object Anonymize {
       .agg(
         coalesce(sum(when(col("n") < k, col("n"))), lit(0L))
           .as("n_suppressed"),
-        count(lit(1)).as("n_groups"))
+        count(lit(1)).as("n_groups"),
+        // every row lands in every level's grouping, so per-level
+        // sum(n) IS the table size — the total rides the same single
+        // pass instead of a second scan (chooseLevel uses it)
+        sum(col("n")).as("n_rows"))
   }
 
   /** The finest level whose under-k rows fit `maxSuppressedFrac` of the
@@ -71,10 +77,10 @@ object Anonymize {
                   maxSuppressedFrac: Double = 0.01): Int = {
     require(maxSuppressedFrac >= 0.0 && maxSuppressedFrac <= 1.0,
       s"maxSuppressedFrac must be in [0,1], got $maxSuppressedFrac")
-    // L+2 longs to the driver: the ladder length bounds this collect
+    // L+1 rows to the driver: the ladder length bounds this collect;
+    // the total rides levelStats' own pass (n_rows), no second scan
     val stats = levelStats(df, levels, k)
-      .join(df.select(count(lit(1)).as("total")))
-      .select(col("lvl"), col("n_suppressed"), col("total"))
+      .select(col("lvl"), col("n_suppressed"), col("n_rows"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val total = stats.headOption.map(_._3).getOrElse(0L)

@@ -35,13 +35,20 @@ object Versioned {
   private def snapT(t: String) = t + "__snapshots"
   private def dataT(t: String) = t + "__data"
 
-  /** Create the table at version 1 with `df`'s rows. */
+  /** Create the table at version 1 with `df`'s rows. This Spark writes
+    * one (empty) part file even for an empty frame, so an empty create
+    * yields a usable empty v1 (VersionedSpec pins it); the require is
+    * the fallback for writers that emit ZERO files, where v1 would
+    * otherwise be an empty manifest that poisons every later call.
+    */
   def create(spark: SparkSession, df: DataFrame, table: String): Unit = {
     Warehouse.writeTable(df, dataT(table))
+    val files = spark.table(dataT(table)).inputFiles.toSeq
+    require(files.nonEmpty,
+      s"Versioned.create of empty/fileless $table — seed with >= 1 row")
     import spark.implicits._
     Warehouse.writeTable(
-      spark.table(dataT(table)).inputFiles.toSeq
-        .map((1L, _)).toDF("version", "path"),
+      files.map((1L, _)).toDF("version", "path"),
       snapT(table))
   }
 

@@ -71,6 +71,21 @@ class AnonymizeSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("struct QI keys: adversarial values cannot collide two distinct " +
+    "tuples into one k-count (the concat-separator attack)") {
+    // ("ab", "c") and ("a", "bc") concat to the same string
+    // under a separator-joined key; as struct keys they are distinct
+    // groups of 1 and must BOTH suppress at k=2
+    val evil = Seq(("ab", "c", 1), ("a", "bc", 2))
+      .toDF("city", "region", "age")
+    val oneLevel = Seq(Seq(col("city"), col("region")))
+    val rel = Anonymize.kAnonymize(evil, oneLevel,
+      Seq("qa", "qb"), k = 2, maxSuppressedFrac = 1.0)
+    assert(rel.filter(col("qa") =!= "*" || col("qb") =!= "*").isEmpty,
+      "both singleton groups must suppress — a merged count of 2 " +
+        "would leak them")
+  }
+
   test("monotonicity: raising k never picks a finer level") {
     val lv = (1 to 6).map(k =>
       Anonymize.chooseLevel(micro, ladder, k = k, 0.2))

@@ -81,6 +81,24 @@ class SccSpec extends SparkTestBase {
     assert(run(edges).values.toSet == Set("a"))
   }
 
+  test("truncated color fixpoint NEVER settles wrong labels — the " +
+    "sound prefix is returned, not a split SCC") {
+    // a 12-cycle needs ~12 color rounds; cap at 4: pre-fix the root
+    // settled as a singleton (splitting the SCC); post-fix the round
+    // aborts and the cycle's nodes are honestly ABSENT from the output
+    val n = 12
+    val edges = (0 until n).map(i => (f"c$i%02d", f"c${(i + 1) % n}%02d"))
+    val got = Scc.scc(edges.toDF("src", "dst"), maxColorRounds = 4,
+        warnOnTruncation = false, prePartitionEdges = false)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val correct = bruteScc(edges)
+    assert(got.forall { case (node, scc) => correct(node) == scc },
+      "every emitted label must be correct even under truncation")
+    // and with enough rounds the full answer comes back
+    val full = run(edges)
+    assert(full == correct)
+  }
+
   test("dagLayers: diamond with a long arm — layer is the LONGEST path") {
     // a->b->c->e and a->d->e: e's layer is 3 (via the long arm), not 2
     val dag = Seq("a" -> "b", "b" -> "c", "c" -> "e", "a" -> "d",

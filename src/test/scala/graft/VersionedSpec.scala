@@ -52,4 +52,19 @@ class VersionedSpec extends SparkTestBase {
       Versioned.rollbackTo(spark, t, 99L)
     }
   }
+
+  test("create of an empty frame yields a usable v1 (Spark writes an " +
+    "empty part file) — and later commits work") {
+    // the require in create is the fallback for writers that emit ZERO
+    // files for empty input; this Spark writes one empty part, so the
+    // table must simply work
+    Versioned.create(spark,
+      Seq((1L, "a")).toDF("k", "v").limit(0), "graft_vempty")
+    assert(Versioned.currentVersion(spark, "graft_vempty") == 1L)
+    assert(Versioned.readVersion(spark, "graft_vempty", 1).isEmpty)
+    Versioned.commitAppend(spark, Seq((9L, "z")).toDF("k", "v"),
+      "graft_vempty")
+    assert(rows(Versioned.readCurrent(spark, "graft_vempty")) ==
+      Set(9L -> "z"))
+  }
 }
