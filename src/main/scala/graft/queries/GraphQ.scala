@@ -427,6 +427,23 @@ object GraphQ extends QueryPack {
         .orderBy(col("stop"), col("arr_t"), col("fare"))
     },
 
+    // r32 — r31 at FACT SCALE over the r19 dual-bucketed layout: the
+    // (arrival, fare) front within ≤6 legs on the ~6M-row timetable,
+    // r23's 200 footpath rules riding the label-set loop (broadcast —
+    // dimension-sized). Bounded-round semantics stays exact on both
+    // sides WITH footpaths: a ride or footpath expansion depends only
+    // on the label it expands, so re-expanding a settled label
+    // re-derives candidates an earlier stage already min'd in or
+    // pruned — the r27 induction, unchanged.
+    "r32_pareto_transfers_factscale" -> { (s, dir) =>
+      ensureStopTimesTables(s, dir)
+      Routing.paretoJourneysOnTables(s, "graft_st_by_stop",
+          "graft_st_by_trip", factTripFares(s, dir), 0L, 0L,
+          maxRounds = 6, warnOnTruncation = false,
+          transfers = Some(factTransfers(s, dir)))
+        .orderBy(col("stop"), col("arr_t"), col("fare"))
+    },
+
     // r26 at FACT SCALE, round-BOUNDED: the (arrival, fare) front
     // within ≤6 boardings over the ~6M-row timetable with a 3-level
     // per-trip tariff — bounded rounds keep the label space (and both
@@ -1395,6 +1412,48 @@ object GraphQ extends QueryPack {
          |seg AS MATERIALIZED (
          |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
          |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+         |lab0 AS (SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr,
+         |                CAST(0 AS BIGINT) AS fare),
+         |$chain
+         |SELECT stop, arr AS arr_t, fare FROM lab6
+         |ORDER BY stop, arr_t, fare""".stripMargin
+    },
+
+    // r27's EXACTLY-6-stage chain + the free footpath leg per stage
+    // (r23's fact transfer set); same bounded-round induction.
+    "r32_pareto_transfers_factscale" -> {
+      val chain = (1 to 6).map { i =>
+        s"""lab$i AS MATERIALIZED (
+           |  SELECT stop, arr, fare FROM (
+           |    SELECT stop, arr, fare,
+           |           MIN(fare) OVER (PARTITION BY stop ORDER BY arr, fare
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |             AS pm
+           |    FROM (SELECT DISTINCT stop, arr, fare FROM (
+           |      SELECT stop, arr, fare FROM lab${i - 1}
+           |      UNION ALL
+           |      SELECT s.ts, s.arr, p.fare + ((s.trip % 3 + 1) * 100)
+           |      FROM seg s JOIN lab${i - 1} p
+           |        ON s.fs = p.stop AND s.dep >= p.arr
+           |      UNION ALL
+           |      SELECT x.ts, p.arr + x.mtt, p.fare
+           |      FROM xf x JOIN lab${i - 1} p ON x.fs = p.stop)))
+           |  WHERE pm IS NULL OR fare < pm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st AS (
+         |  SELECT l_orderkey AS trip, l_linenumber AS seq,
+         |         CAST(l_suppkey % 500 AS BIGINT) AS stop,
+         |         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS t
+         |  FROM lineitem),
+         |seg AS MATERIALIZED (
+         |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+         |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+         |xf0 AS (SELECT CAST(s*5 AS BIGINT) AS fs,
+         |               CAST((s*5*7+13)%500 AS BIGINT) AS ts,
+         |               CAST(((s*5)%4+1)*10 AS BIGINT) AS mtt
+         |        FROM range(100) r(s)),
+         |xf AS (SELECT fs, ts, mtt FROM xf0
+         |       UNION ALL SELECT ts, fs, mtt FROM xf0),
          |lab0 AS (SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr,
          |                CAST(0 AS BIGINT) AS fare),
          |$chain
