@@ -157,21 +157,14 @@ object Routing {
     // hash measurably cheaper at fact scale); `prev` must match it, so
     // its typed null is derived from the source literal itself
     val nullNode = when(lit(false), lit(sourceId))
-    var dist = ckpt(spark.range(1)
+    val init = spark.range(1)
       .select(lit(sourceId).as("node"), lit(0.0).as("dist_m"),
         nullNode.as("prev"),
         lit(null).cast("string").as("prev_route"),
-        lit(true).as("__new")))
-    var frontier = dist.filter(col("__new"))
-    var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
-      dist = ckpt(ssspRound(e, dist, frontier, broadcastFrontier))
-      frontier = dist.filter(col("__new"))
-      i += 1
-    }
-    graft.operators.Iteration.warnIfTruncated("sssp", frontier, i, maxIter,
-      warnOnTruncation)
-    dist.drop("__new")
+        lit(true).as("__new"))
+    graft.operators.Iteration.frontierFixpoint(init,
+      (dist, frontier) => ssspRound(e, dist, frontier, broadcastFrontier),
+      maxIter, warnOnTruncation, "sssp", ckpt)
   }
 
   /** Stage an edge frame as a src-BUCKETED (and src-sorted) managed
@@ -349,19 +342,12 @@ object Routing {
                       ckpt: DataFrame => DataFrame,
                       broadcastFrontier: Boolean): DataFrame = {
     val spark = e.sparkSession
-    var dist = ckpt(spark.range(1)
+    val init = spark.range(1)
       .select(lit(sourceId).as("node"), lit(0).as("hops"),
-        lit(true).as("__new")))
-    var frontier = dist.filter(col("__new"))
-    var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
-      dist = ckpt(bfsRound(e, dist, frontier, broadcastFrontier))
-      frontier = dist.filter(col("__new"))
-      i += 1
-    }
-    graft.operators.Iteration.warnIfTruncated("bfsHops", frontier, i, maxIter,
-      warnOnTruncation)
-    dist.drop("__new")
+        lit(true).as("__new"))
+    graft.operators.Iteration.frontierFixpoint(init,
+      (dist, frontier) => bfsRound(e, dist, frontier, broadcastFrontier),
+      maxIter, warnOnTruncation, "bfsHops", ckpt)
   }
 
   /** [[bfsHops]] over a src-bucketed edge table ([[stageEdgesTable]]) —
@@ -460,11 +446,18 @@ object Routing {
   /** The footpath relaxation JOIN both round families share: frontier
     * labels against the (optionally broadcast) transfer rules — the
     * caller selects its own candidate shape from the joined columns
-    * (`to_stop`, `mtt`, plus every frontier column).
+    * (`to_stop`, `mtt`, plus every frontier column). Accepts either the
+    * staged shape [[stageTransfers]] produces (from_stop, to_stop, mtt)
+    * or the raw GTFS shape (…, min_transfer_time), normalizing the time
+    * column itself — so the package-private rounds stay callable with
+    * an unstaged frame.
     */
   private def footJoin(frontier: DataFrame, x0: DataFrame,
                        broadcastTransfers: Boolean): DataFrame = {
-    val xSel = x0.select(col("from_stop"), col("to_stop"), col("mtt"))
+    val mttCol =
+      if (x0.columns.contains("mtt")) col("mtt")
+      else col("min_transfer_time").cast("long").as("mtt")
+    val xSel = x0.select(col("from_stop"), col("to_stop"), mttCol)
     val x = if (broadcastTransfers) broadcast(xSel) else xSel
     frontier.join(x, frontier("stop") === x("from_stop"))
   }
@@ -583,24 +576,20 @@ object Routing {
     // Pareto front, and exactly boardings when transfers is None.
     val xfer = stageTransfers(ckpt, transfers)
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-      var state = ckpt(spark.range(1).select(lit(sourceStop).as("stop"),
-        lit(depTime).as("arr_t"), lit(true).as("__new")))
-      var frontier = state.filter(col("__new"))
       val slices = scala.collection.mutable.ListBuffer(
-        state.select(col("stop"), lit(0).as("rounds"), col("arr_t")))
-      var k = 0
-      while (k < maxRounds && !frontier.isEmpty) {
-        state = ckpt(raptorRound(st, state, frontier, xfer,
-          broadcastTransfers))
-        frontier = state.filter(col("__new"))
-        k += 1
-        // a narrow filter+project over the checkpointed round state —
-        // recorded lazily, materialized once by the final union
-        slices += frontier
-          .select(col("stop"), lit(k).as("rounds"), col("arr_t"))
-      }
-      graft.operators.Iteration.warnIfTruncated("arrivalProfile", frontier,
-        k, maxRounds, warnOnTruncation)
+        spark.range(1).select(lit(sourceStop).as("stop"),
+          lit(0).as("rounds"), lit(depTime).as("arr_t")))
+      val init = spark.range(1).select(lit(sourceStop).as("stop"),
+        lit(depTime).as("arr_t"), lit(true).as("__new"))
+      // each slice is a narrow filter+project over that round's
+      // materialized state (a LocalRelation in tiny mode, a checkpoint
+      // otherwise) — recorded lazily, materialized once by the union
+      graft.operators.Iteration.frontierFixpoint(init,
+        (state, frontier) => raptorRound(st, state, frontier, xfer,
+          broadcastTransfers),
+        maxRounds, warnOnTruncation, "arrivalProfile", ckpt,
+        perRound = (k, frontier) => slices += frontier
+          .select(col("stop"), lit(k).as("rounds"), col("arr_t")))
       slices.reduce(_ unionByName _)
     }
   }
@@ -620,9 +609,11 @@ object Routing {
     * same frame twice; [[earliestArrivalOnTables]] passes the two
     * bucketed copies so neither probe re-exchanges the fact table.
     *
-    * `transfers` (from_stop, to_stop, min_transfer_time — the GTFS
-    * transfers.txt type-2 shape, e.g. the reference feed's own
-    * gtfs/transfers.txt rules that OTP honors) adds a FOOTPATH
+    * `transfers` — either pre-staged via [[stageTransfers]]
+    * (from_stop, to_stop, mtt) or the raw GTFS transfers.txt type-2
+    * shape (from_stop, to_stop, min_transfer_time), e.g. the reference
+    * feed's own gtfs/transfers.txt rules that OTP honors
+    * ([[footJoin]] normalizes the time column) — adds a FOOTPATH
     * relaxation: every frontier stop also reaches its transfer
     * neighbors at arr_t + min_transfer_time, min-merged with the ride
     * candidates. Footpaths relax from the whole frontier (not just
@@ -773,30 +764,21 @@ object Routing {
     spark.range(1).select(lit(sourceStop).as("stop"),
       lit(depTime).as("arr_t"), lit(0L).as("fare"), lit(true).as("__new"))
 
-  /** The shared frontier-fixpoint driver every RAPTOR-family loop runs:
-    * materialize the state each round, recompute the frontier as the
-    * __new filter over the checkpoint, stop on empty frontier or the
-    * round bound (warned per [[graft.operators.Iteration
-    * .warnIfTruncated]]). One place for the loop mechanics instead of
-    * a copy per variant.
+  /** The shared frontier-fixpoint driver every loop in this file runs —
+    * [[graft.operators.Iteration.frontierFixpoint]] (which carries the
+    * tiny-state fast path: sub-[[graft.operators.Iteration
+    * .TinyStateBound]] states live on the driver between rounds, one
+    * bounded take() per round instead of checkpoint + probe jobs;
+    * identical semantics, RoutingSpec pins equality across the mode
+    * boundary).
     */
   private def frontierFixpoint(init: DataFrame,
                                round: (DataFrame, DataFrame) => DataFrame,
                                maxRounds: Int, warnOnTruncation: Boolean,
                                name: String,
-                               ckpt: DataFrame => DataFrame): DataFrame = {
-    var state = ckpt(init)
-    var frontier = state.filter(col("__new"))
-    var i = 0
-    while (i < maxRounds && !frontier.isEmpty) {
-      state = ckpt(round(state, frontier))
-      frontier = state.filter(col("__new"))
-      i += 1
-    }
-    graft.operators.Iteration.warnIfTruncated(name, frontier, i, maxRounds,
-      warnOnTruncation)
-    state.drop("__new")
-  }
+                               ckpt: DataFrame => DataFrame): DataFrame =
+    graft.operators.Iteration.frontierFixpoint(init, round, maxRounds,
+      warnOnTruncation, name, ckpt)
 
   /** One un-materialized bi-criteria round — package-visible for plan
     * pins (see [[ssspRound]]). `stRideFare` is the ride-side timetable
@@ -887,6 +869,244 @@ object Routing {
       .drop("__pm")
   }
 
+  /** G6 → ITINERARIES (the OTP product shape): the RAPTOR faces return
+    * LABELS (stop, arr_t); a planner serves LEGS ("board trip T at A,
+    * alight at B, walk to C"). Parents are reconstructed AFTER the
+    * fixpoint by ONE batch pass over the final labels instead of
+    * threading pointer columns through every round (which would widen
+    * every per-round shuffle for data only the backtrack reads).
+    *
+    * Soundness — final labels certify their own predecessors: every
+    * labeled stop s ≠ source has at least one TIGHT in-event under the
+    * FINAL labels, i.e. either a ride (board stop b, trip, board seq <
+    * alight seq) with dep ≥ arr[b] and alight arr == arr[s], or a
+    * footpath rule (f → s, mtt) with arr[f] + mtt == arr[s]. Proof
+    * sketch: the candidate that set arr[s] boarded from b when b's
+    * then-label L ≥ arr[b] (labels only improve), so dep ≥ L ≥ arr[b]
+    * keeps the same event feasible at the fixpoint; for footpaths the
+    * fixpoint gives arr[s] ≤ arr[f] + mtt for every rule, and the
+    * setting rule meets it with equality. Choosing the CANONICAL
+    * minimal tight event per stop (order: ride before foot, then
+    * from_stop, trip-as-string, dep_t) therefore yields a parent
+    * forest that is a pure function of the fixpoint — path-independent
+    * and hash-matchable by a DuckDB oracle that replays the same rule
+    * on the same labels, never seeing the engine's round structure.
+    *
+    * Termination — PRECONDITIONS (both stated, both held by every
+    * feed here): times strictly increase along each trip's seq (so a
+    * tight ride strictly increases arr_t: alight arr > board dep ≥
+    * arr[from]) and min_transfer_time > 0 (enforced; zero-mtt rules
+    * would permit equal-label parent cycles). Under them every parent
+    * chain strictly decreases arr_t and ends at the source. A stop
+    * whose only tight events violate strictness (dwell-degenerate
+    * timetables) simply gets no parent row — the backtrack returns the
+    * well-formed suffix instead of looping.
+    *
+    * Scale shape: labels are O(stops) — dimension-sized next to the
+    * timetable — and ride the two stop_times probes as BROADCAST
+    * joins; the only fact-scale work is one join of the feasible-board
+    * rows against the (much smaller) tight-alight rows on trip, and
+    * one per-stop argmin. No loop: the whole forest is a handful of
+    * one-shot joins at any corpus size.
+    */
+  private[graft] def parentEvents(stopTimes: DataFrame, labels: DataFrame,
+                                  sourceStop: Any,
+                                  transfers: Option[DataFrame] = None,
+                                  broadcastTransfers: Boolean = true)
+      : DataFrame = {
+    val st = stopTimes.select(col("trip"), col("seq").cast("int"),
+      col("stop"), col("arr").cast("long"), col("dep").cast("long"))
+    val tripType = st.schema("trip").dataType
+    val lab = broadcast(labels.select(col("stop"), col("arr_t")))
+    // tight alights: this stop's final label is exactly this arrival
+    val la = lab.select(col("stop").as("__as"), col("arr_t").as("__aarr"))
+    val tight = st.join(la, st("stop") === col("__as") &&
+        st("arr") === col("__aarr"))
+      .select(st("trip").as("trip"), st("seq").as("aseq"),
+        st("stop").as("stop"), st("arr").as("arr_t"))
+    // feasible boards: departures not before the board stop's final label
+    val lb = lab.select(col("stop").as("__bs"), col("arr_t").as("__barr"))
+    val boards = st.join(lb, st("stop") === col("__bs") &&
+        st("dep") >= col("__barr"))
+      .select(st("trip").as("trip"), st("seq").as("bseq"),
+        st("stop").as("from_stop"), st("dep").as("dep_t"),
+        col("__barr").as("from_arr"))
+    val rideEv = tight.join(boards, Seq("trip"))
+      .filter(col("bseq") < col("aseq") && col("from_arr") < col("arr_t"))
+      .select(col("stop"), lit("ride").as("kind"), col("from_stop"),
+        col("trip"), col("dep_t"), col("arr_t"))
+    val ev = transfers match {
+      case Some(x0) =>
+        val mttCol =
+          if (x0.columns.contains("mtt")) col("mtt")
+          else col("min_transfer_time").cast("long").as("mtt")
+        val x = x0.select(col("from_stop"), col("to_stop"), mttCol)
+        // dimension-sized frame, one tiny agg: fail loudly instead of
+        // risking an equal-label parent cycle (see termination above)
+        val bad = x.filter(col("mtt") <= 0).limit(1).collect()
+        require(bad.isEmpty,
+          "journey reconstruction requires min_transfer_time > 0 " +
+            s"(found rule ${bad.headOption.getOrElse("")})")
+        val xb = if (broadcastTransfers) broadcast(x) else x
+        val lf = lab.select(col("stop").as("__fs"), col("arr_t").as("__farr"))
+        val lt = lab.select(col("stop").as("__ts"), col("arr_t").as("__tarr"))
+        val foot = xb.join(lf, col("from_stop") === col("__fs"))
+          .join(lt, col("to_stop") === col("__ts"))
+          .filter(col("__farr") + col("mtt") === col("__tarr"))
+          .select(col("to_stop").as("stop"), lit("foot").as("kind"),
+            col("from_stop"), lit(null).cast(tripType).as("trip"),
+            col("__farr").as("dep_t"), col("__tarr").as("arr_t"))
+        rideEv.unionByName(foot)
+      case None => rideEv
+    }
+    // canonical minimal tight event per stop; trip compares AS STRING so
+    // the rule is one deterministic total order in both engines (nulls
+    // never mix with non-nulls inside a kind: foot trips are all null)
+    ev.filter(col("stop") =!= lit(sourceStop))
+      .groupBy(col("stop"))
+      .agg(min_by(
+        struct(col("kind"), col("from_stop"), col("trip"), col("dep_t"),
+          col("arr_t")),
+        struct(when(col("kind") === "ride", 0).otherwise(1).as("k"),
+          col("from_stop").as("f"), col("trip").cast("string").as("t"),
+          col("dep_t").as("d"))).as("__p"))
+      .select(col("stop"), col("__p.kind").as("kind"),
+        col("__p.from_stop").as("from_stop"), col("__p.trip").as("trip"),
+        col("__p.dep_t").as("dep_t"), col("__p.arr_t").as("arr_t"))
+  }
+
+  /** r33 — the LEGS of the canonical earliest-arrival journey
+    * `sourceStop` → `destStop` leaving at `depTime`: rows (leg_seq,
+    * kind [ride|foot], from_stop, to_stop, trip [null for foot],
+    * dep_t, arr_t), leg_seq 1..n in travel order. Empty when dest is
+    * unreachable or equals the source. Runs [[earliestArrival]], then
+    * [[parentEvents]], then a distributed backtrack: each hop joins a
+    * BROADCAST one-row frontier against the O(stops) parent forest —
+    * the [[shortestPathFrame]] shape, O(path) rounds, the driver never
+    * holds more than the legs themselves.
+    */
+  def journeyLegs(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
+                  destStop: Any, maxRounds: Int = 15,
+                  warnOnTruncation: Boolean = true,
+                  checkpointDir: Option[String] = None,
+                  transfers: Option[DataFrame] = None,
+                  broadcastTransfers: Boolean = true): DataFrame =
+    journeyLegsFromLabels(stopTimes,
+      earliestArrival(stopTimes, sourceStop, depTime, maxRounds,
+        warnOnTruncation, checkpointDir, transfers, broadcastTransfers),
+      sourceStop, destStop, checkpointDir, transfers, broadcastTransfers,
+      maxRounds * 8 + 16)
+
+  /** [[journeyLegs]] from caller-supplied labels — bring the fixpoint
+    * from ANY face (the in-memory loop, [[earliestArrivalOnTables]]'
+    * bucketed loop, a persisted label table): the parent rule is a pure
+    * function of (timetable, labels, rules), so the backtrack composes
+    * with whichever loop computed them.
+    */
+  def journeyLegsFromLabels(stopTimes: DataFrame, labels: DataFrame,
+                            sourceStop: Any, destStop: Any,
+                            checkpointDir: Option[String] = None,
+                            transfers: Option[DataFrame] = None,
+                            broadcastTransfers: Boolean = true,
+                            maxHops: Int = 136): DataFrame = {
+    val spark = stopTimes.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val parents = ckpt(parentEvents(stopTimes, labels, sourceStop,
+      transfers, broadcastTransfers))
+    var path = ckpt(parents.filter(col("stop") === lit(destStop)))
+    var frontier = path
+    // parent chains strictly decrease arr_t (see parentEvents), so the
+    // label count bounds the hops; the source has no parent row, so the
+    // join naturally empties there
+    var hops = 0
+    while (hops < maxHops && !frontier.isEmpty) {
+      val next = broadcast(frontier.select(col("from_stop").as("__n"))
+        .distinct())
+      frontier = ckpt(parents.join(next, parents("stop") === col("__n"))
+        .drop("__n"))
+      path = path.unionByName(frontier)
+      hops += 1
+    }
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned window over O(path-length) rows by construction
+    path.select(
+      row_number().over(Window.orderBy(col("arr_t"), col("stop")))
+        .cast("int").as("leg_seq"),
+      col("kind"), col("from_stop"), col("stop").as("to_stop"),
+      col("trip"), col("dep_t"), col("arr_t"))
+  }
+
+  /** The full canonical JOURNEY FOREST: legs to EVERY reachable stop —
+    * rows (dest, leg_seq, kind, from_stop, to_stop, trip, dep_t,
+    * arr_t), one itinerary per destination, leg_seq 1..n in travel
+    * order. This is the frame a fare-costing pass consumes to price
+    * PLANNER output ([[graft.gtfs.Fares.itineraryFares]] — see r34)
+    * and the all-destinations face of [[journeyLegs]].
+    *
+    * Mechanics: one [[parentEvents]] pass, then ancestor expansion —
+    * round k extends every destination's chain one hop toward the
+    * source, so rounds = max journey depth and the TOTAL row volume is
+    * exactly the output (Σ path lengths). Per round one join of the
+    * active chains against the parent forest on the current-ancestor
+    * key; chains that reach the source drop out naturally (the source
+    * has no parent row). At 100 TB the forest is O(stops) and the
+    * chain frame O(stops · depth) — both dimension-scale next to the
+    * timetable, shuffling on real keys.
+    */
+  def journeyForestLegs(stopTimes: DataFrame, sourceStop: Any,
+                        depTime: Long, maxRounds: Int = 15,
+                        warnOnTruncation: Boolean = true,
+                        checkpointDir: Option[String] = None,
+                        transfers: Option[DataFrame] = None,
+                        broadcastTransfers: Boolean = true): DataFrame =
+    journeyForestFromLabels(stopTimes,
+      earliestArrival(stopTimes, sourceStop, depTime, maxRounds,
+        warnOnTruncation, checkpointDir, transfers, broadcastTransfers),
+      sourceStop, warnOnTruncation, checkpointDir, transfers,
+      broadcastTransfers, maxRounds * 8 + 16)
+
+  /** [[journeyForestLegs]] from caller-supplied labels — see
+    * [[journeyLegsFromLabels]] (compose with the bucketed at-rest loop
+    * at fact scale: labels from [[earliestArrivalOnTables]], the parent
+    * pass probing the same timetable with labels broadcast).
+    */
+  def journeyForestFromLabels(stopTimes: DataFrame, labels: DataFrame,
+                              sourceStop: Any,
+                              warnOnTruncation: Boolean = true,
+                              checkpointDir: Option[String] = None,
+                              transfers: Option[DataFrame] = None,
+                              broadcastTransfers: Boolean = true,
+                              maxHops: Int = 136): DataFrame = {
+    val spark = stopTimes.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val parents = ckpt(parentEvents(stopTimes, labels, sourceStop,
+      transfers, broadcastTransfers))
+    val legCols = Seq(col("kind"), col("from_stop"),
+      col("stop").as("to_stop"), col("trip"), col("dep_t"), col("arr_t"))
+    // every destination's LAST leg is its own parent row
+    var ext = ckpt(parents.select(
+      (col("stop").as("dest") +: legCols) :+ col("from_stop").as("__cur"): _*))
+    val slices = scala.collection.mutable.ListBuffer(ext.drop("__cur"))
+    var hops = 0
+    var frontier = ext.select(col("dest"), col("__cur"))
+    while (hops < maxHops && !frontier.isEmpty) {
+      ext = ckpt(frontier.join(parents, frontier("__cur") === parents("stop"))
+        .select((col("dest") +: legCols) :+ col("from_stop").as("__cur"): _*))
+      slices += ext.drop("__cur")
+      frontier = ext.select(col("dest"), col("__cur"))
+      hops += 1
+    }
+    graft.operators.Iteration.warnIfTruncated("journeyForestLegs", frontier,
+      hops, maxHops, warnOnTruncation)
+    import org.apache.spark.sql.expressions.Window
+    slices.reduce(_ unionByName _)
+      .withColumn("leg_seq", row_number().over(
+        Window.partitionBy(col("dest"))
+          .orderBy(col("arr_t"), col("to_stop"))).cast("int"))
+      .select(col("dest"), col("leg_seq"), col("kind"), col("from_stop"),
+        col("to_stop"), col("trip"), col("dep_t"), col("arr_t"))
+  }
+
   /** Multi-source frontier BFS in ONE loop: hop counts from EVERY seed in
     * `seeds` simultaneously, state keyed (seed, node). Running
     * [[bfsHops]] per seed costs |seeds| full iterative loops (each with
@@ -927,26 +1147,20 @@ object Routing {
       else spark.sessionState.conf.numShufflePartitions
     val e = if (parts < e0.rdd.getNumPartitions) e0.coalesce(parts) else e0
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
-    var dist = ckpt(seeds.map(s => (s, s, 0)).toDF("seed", "node", "hops")
-      .withColumn("__new", lit(true)))
-    var frontier = dist.filter(col("__new"))
-    var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(col("seed"), e("dst").as("node"),
-          (col("hops") + 1).as("cand_hops"))
-        .groupBy("seed", "node").agg(min("cand_hops").as("cand_hops"))
-      dist = ckpt(dist.drop("__new")
-        .join(next, Seq("seed", "node"), "full")
-        .select(col("seed"), col("node"),
-          coalesce(col("hops"), col("cand_hops")).as("hops"),
-          col("hops").isNull.as("__new")))
-      frontier = dist.filter(col("__new"))
-      i += 1
-    }
-    graft.operators.Iteration.warnIfTruncated("multiSourceBfsHops", frontier,
-      i, maxIter, warnOnTruncation)
-    dist.drop("__new")
+      val init = seeds.map(s => (s, s, 0)).toDF("seed", "node", "hops")
+        .withColumn("__new", lit(true))
+      graft.operators.Iteration.frontierFixpoint(init,
+        (dist, frontier) => {
+          val next = frontier.join(e, frontier("node") === e("src"))
+            .select(col("seed"), e("dst").as("node"),
+              (col("hops") + 1).as("cand_hops"))
+            .groupBy("seed", "node").agg(min("cand_hops").as("cand_hops"))
+          dist.drop("__new")
+            .join(next, Seq("seed", "node"), "full")
+            .select(col("seed"), col("node"),
+              coalesce(col("hops"), col("cand_hops")).as("hops"),
+              col("hops").isNull.as("__new"))
+        }, maxIter, warnOnTruncation, "multiSourceBfsHops", ckpt)
     }
   }
 }

@@ -58,6 +58,18 @@ object Scc {
     * `maxOuter` bounds outer rounds (≤ #SCC needed; each settles every
     * current color root's component). `maxColorRounds` bounds each
     * forward/backward propagation (graph diameter suffices).
+    *
+    * PICKING `maxOuter`: a round settles every color ROOT's class, so
+    * the needed count is the length of the longest chain in the
+    * condensation along which ids DECREASE (each such link delays its
+    * downstream SCC by one round — the min floods forward and only the
+    * global root is its own color). Anti-aligned ids (labels increasing
+    * along the chain) settle in O(1) rounds; the adversarial order
+    * (e.g. a 100-node id-increasing path, ~1 SCC/round after trims)
+    * needs maxOuter ≈ #SCC. Truncation ABORTS with the sound settled
+    * prefix and the standard warning — partial, never wrong (SccSpec
+    * pins the 12-cycle truncation case); raise maxOuter toward the
+    * expected condensation-chain length when the warning fires.
     */
   def scc(edges: DataFrame, maxOuter: Int = 50, maxColorRounds: Int = 100,
           warnOnTruncation: Boolean = true,

@@ -111,6 +111,13 @@ object Anonymize {
       "carry names an absent column")
     require(carry.intersect(names).isEmpty,
       "carry must not collide with released QI names")
+    // the appended columns would silently overwrite carried data (lvl)
+    // or collide with the internal group key (__qik)
+    require(!carry.contains("lvl"),
+      "carry must not contain 'lvl' — the released level column " +
+        "overwrites it; rename the input column first")
+    require(!df.columns.contains("__qik"),
+      "input must not carry a '__qik' column (internal group key)")
     val lvl = chooseLevel(df, levels, k, maxSuppressedFrac)
     val qi = levels(lvl)
     val keyed = df.withColumn("__qik", levelKey(qi))

@@ -100,4 +100,98 @@ private[graft] object Iteration {
       log.warn(s"$what stopped at maxIter=$maxIter with a non-empty " +
         "frontier; results are partial — raise maxIter (or pass " +
         "warnOnTruncation=false if the hop bound is intentional)")
+
+  /** Tiny-state threshold for [[frontierFixpoint]]: 4096 narrow label
+    * rows ≈ a few hundred KB on the driver — far under any sane driver
+    * heap, far over every toy fixture and the 500-stop fact networks.
+    */
+  val TinyStateBound: Int = 4096
+
+  /** The shared frontier-fixpoint driver for __new-flagged loop states:
+    * run `round(state, frontier)` until the frontier (the __new filter
+    * over the state) empties or `maxRounds` is hit (warned per
+    * [[warnIfTruncated]]); returns the state without __new.
+    *
+    * TINY-STATE FAST PATH (measured adjudication in BENCH_NOTES r14):
+    * while the materialized state holds ≤ `tinyBound` rows, it lives on
+    * the DRIVER between rounds as a LocalRelation instead of a
+    * checkpoint: each round is then ONE bounded `take(tinyBound+1)` of
+    * the round output instead of a checkpoint job PLUS an isEmpty probe
+    * job, and the emptiness/continuation test is free driver memory.
+    * The round body, its plan shape, and its shuffle widths are
+    * UNCHANGED (the fact-table sides of on-table loops keep their
+    * bucketed elisions; toy loops already plan at width 1 — the floor
+    * this removes is per-round ACTION count, not task width). The
+    * moment a round's output exceeds the bound, that round's output is
+    * recomputed once through `ckpt` and the loop continues in the
+    * classic distributed shape permanently — so state size is bounded
+    * by construction and a 100 TB frontier never lands on the driver.
+    * Semantics are identical in both modes and across the switch
+    * (RoutingSpec pins equality with the bound forced to 0 / crossing /
+    * infinity); row ORDER may differ, which no caller observes (every
+    * consumer is a set-semantics aggregation/join — the same invariance
+    * the partition-invariance specs pin).
+    *
+    * `perRound` (optional) observes (round index, that round's frontier
+    * frame) after each materialization — the arrivalProfile hook.
+    */
+  def frontierFixpoint(init: DataFrame,
+                       round: (DataFrame, DataFrame) => DataFrame,
+                       maxRounds: Int, warnOnTruncation: Boolean,
+                       name: String, ckpt: DataFrame => DataFrame,
+                       tinyBound: Int = TinyStateBound,
+                       perRound: (Int, DataFrame) => Unit = null)
+      : DataFrame = {
+    val spark = init.sparkSession
+    import scala.jdk.CollectionConverters._
+    def local(rows: Array[org.apache.spark.sql.Row],
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(rows.toSeq.asJava, schema)
+    var state: DataFrame = null
+    var frontier: DataFrame = null
+    var tiny = tinyBound > 0
+    var newCount = -1L // unknown; driver-known in tiny mode
+    // materialize a frame into the current mode; stays tiny only while
+    // the FULL row set fits the bound (take(n+1) proves it: fewer than
+    // n+1 rows back means it returned everything)
+    def materialize(df: DataFrame): Unit = {
+      if (tiny) {
+        val rows = df.take(tinyBound + 1)
+        if (rows.length <= tinyBound) {
+          val schema = df.schema
+          val newIdx = schema.fieldIndex("__new")
+          state = local(rows, schema)
+          newCount = rows.count(r => !r.isNullAt(newIdx) &&
+            r.getBoolean(newIdx))
+        } else {
+          // crossover: the truncated take is useless — recompute this
+          // round's output once, distributed, and stay there
+          tiny = false
+          state = ckpt(df)
+          newCount = -1
+        }
+      } else {
+        state = ckpt(df)
+        newCount = -1
+      }
+      frontier = state.filter(col("__new"))
+    }
+    materialize(init)
+    var i = 0
+    var done = false
+    def frontierEmpty(): Boolean =
+      if (newCount >= 0) newCount == 0 else frontier.isEmpty
+    while (i < maxRounds && !done) {
+      if (frontierEmpty()) done = true
+      else {
+        materialize(round(state, frontier))
+        i += 1
+        if (perRound != null) perRound(i, frontier)
+      }
+    }
+    warnIfTruncated(name, frontier, i, maxRounds, warnOnTruncation)
+    state.drop("__new")
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

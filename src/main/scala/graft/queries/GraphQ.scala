@@ -265,6 +265,37 @@ object GraphQ extends QueryPack {
         ((col("k") % 7 + 1) * 100).cast("long").as("fare")))
   }
 
+  /** r34's tariff over the PLANNER's legs: each toy trip is its own
+    * route; 5 fares with mixed prices, allowances (f0/f4 unlimited) and
+    * expiry windows (f3 never expires; 40/80-tick windows straddle the
+    * toy journeys' leg cadence), two candidate fares per route so
+    * "cheapest applicable" does real work. Nation-derived → identical
+    * at every SF.
+    */
+  private[graft] def plannerFareAttrs(s: SparkSession): DataFrame =
+    s.range(5).select(
+      concat(lit("f"), col("id")).as("fare_id"),
+      ((col("id") % 3 + 1) * 100).cast("long").as("price"),
+      when(col("id") % 4 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 3).cast("int")).as("transfers"),
+      when(col("id") === 3, lit(null).cast("long"))
+        .otherwise(((col("id") % 2 + 1) * 40).cast("long"))
+        .as("transfer_duration"))
+
+  private[graft] def plannerFareRules(s: SparkSession, dir: String)
+      : DataFrame = {
+    val n = Tables(s, dir).nation
+      .select(col("n_nationkey").cast("long").as("k"))
+    n.select(concat(lit("f"), col("k") % 5).as("fare_id"),
+        concat(lit("t"), col("k")).as("route_id"))
+      .unionByName(n.select(concat(lit("f"), (col("k") + 2) % 5)
+        .as("fare_id"), concat(lit("u"), col("k")).as("route_id")))
+      .unionByName(n.select(concat(lit("f"), (col("k") * 3 + 1) % 5)
+        .as("fare_id"), concat(lit("t"), col("k")).as("route_id")))
+      .unionByName(n.select(concat(lit("f"), (col("k") * 3 + 4) % 5)
+        .as("fare_id"), concat(lit("u"), col("k")).as("route_id")))
+  }
+
   /** r27's fact-scale tariff: 3 fare levels keyed off the trip id, so
     * accumulated fares stay a small multiple set and the per-stop
     * fronts are tariff-bounded at any corpus size.
@@ -487,6 +518,60 @@ object GraphQ extends QueryPack {
         .orderBy(col("band"))
     },
 
+    // r33 — JOURNEY RECONSTRUCTION: the RAPTOR family's labels turned
+    // into LEGS (the OTP product shape — "board trip T at A, alight at
+    // B, walk to C"), for EVERY reachable destination of the r22
+    // network: the canonical parent forest (Routing.parentEvents — a
+    // batch post-pass over the fixpoint labels, no pointer columns in
+    // the loop) unrolled into per-destination itineraries. Oracle: the
+    // r22 label chain, the SAME canonical tight-parent rule on the
+    // final labels (path-independent by construction), and a recursive
+    // backtrack — it never sees the engine's round structure.
+    "r33_journey_forest" -> { (s, dir) =>
+      Routing.journeyForestLegs(syntheticStopTimes(s, dir), "0", 0L,
+          maxRounds = 40, transfers = Some(syntheticTransfers(s, dir)))
+        .orderBy(col("dest"), col("leg_seq"))
+    },
+
+    // r34 — FARES ON PLANNER OUTPUT: r24 costs synthetic itineraries;
+    // this costs the r33 journeys themselves — ride legs of every
+    // destination's reconstructed itinerary (walking is free) through
+    // gtfs.Fares.itineraryFares under a 5-fare tariff with transfer
+    // allowances and expiry windows. The full planner→fare pipeline a
+    // GTFS consumer runs: plan, reconstruct, price.
+    "r34_planner_fares" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val forest = Routing.journeyForestLegs(syntheticStopTimes(s, dir),
+        "0", 0L, maxRounds = 40,
+        transfers = Some(syntheticTransfers(s, dir)))
+      // ride legs only, re-numbered dense per itinerary (foot legs
+      // carry no route and cost nothing under the tariff)
+      val legs = forest.filter(col("kind") === "ride")
+        .withColumn("ls", row_number().over(
+          Window.partitionBy(col("dest")).orderBy(col("leg_seq"))))
+        .select(col("dest").as("itin_id"), col("ls").as("leg_seq"),
+          col("dep_t").as("board_t"), col("trip").as("route_id"))
+      graft.gtfs.Fares.itineraryFares(legs, plannerFareRules(s, dir),
+          plannerFareAttrs(s))
+        .orderBy(col("itin_id"))
+    },
+
+    // r33 at FACT SCALE over the r19/r23 dual-bucketed layout: labels
+    // from the at-rest transfer-aware loop (no fact-table shuffle per
+    // round), then the parent pass probes the ~6M-row timetable twice
+    // with the O(500) label set BROADCAST — journeys to all 500 stops,
+    // one-shot joins, no loop beyond the O(depth) forest unroll.
+    "r35_journey_forest_factscale" -> { (s, dir) =>
+      ensureStopTimesTables(s, dir)
+      val xf = factTransfers(s, dir)
+      val labels = Routing.earliestArrivalOnTables(s, "graft_st_by_stop",
+        "graft_st_by_trip", 0L, 0L, maxRounds = 40,
+        transfers = Some(xf))
+      Routing.journeyForestFromLabels(factStopTimes(s, dir), labels, 0L,
+          transfers = Some(xf))
+        .orderBy(col("dest"), col("leg_seq"))
+    },
+
     "r01_bfs_hops" -> { (s, dir) =>
       // 25-node synthetic graph: fits in one partition, so the Pregel
       // edge layout would only add per-round task fan-out (see bfsHops)
@@ -609,6 +694,42 @@ object GraphQ extends QueryPack {
     // holds the global min; SccSpec pins that adversarial order).
     "r28_scc_subgraph" -> { (s, dir) =>
       graft.graph.Scc.scc(bandedDigraph(s, dir), prePartitionEdges = false)
+        .groupBy(col("scc"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("scc"))
+    },
+
+    // r36 — SCC on a SCALE-ADAPTIVE digraph (the r28 graph is
+    // SF-invariant by design; this one GROWS): nodes = hashed
+    // orderkeys mod nn (nn = 8·max(|orders|/400, 8) — ~50 rows per
+    // residue keeps every node present w.h.p. at every SF, the r10
+    // sizing doctrine), 8 nodes per BLOCK, each block wiring two
+    // 3-cycles (A: r0→r1→r2→r0; B: r3→r4→r5→r3), a value-driven
+    // bridge A→B (orderkeys ≡0 mod 3 landing on r1 emit r1→r3), and a
+    // tail r6→r7→B. SCC COUNT therefore grows linearly with SF
+    // (2 cycles + 2 singletons per block: ~1500 components at sf0.1,
+    // ~15k at sf1) while every component stays O(1)-sized — so the
+    // all-pairs mutual-reachability oracle stays tractable (reach is
+    // block-local, ≤8 rows per node) and the coloring loop faces a
+    // V-scale frame with thousands of PARALLEL color roots, settling
+    // in ~2 outer rounds at every SF (A marks behind its own min;
+    // B recolors after A settles) — the parallel regime FW-BW
+    // coloring is built for, now measured on growing structure.
+    "r36_scc_scaled" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val nn = 8L * math.max(o.count() / 400, 8L)
+      val h0 = o.select(col("o_orderkey"),
+        (graft.functions.text.saltedHash32(
+          col("o_orderkey").cast("string"), 1) % nn).cast("long").as("n"))
+      val r = col("n") % 8
+      val blockBase = col("n") - r
+      val ring = h0.select(col("n").as("src"),
+        when(r === 2 || r === 5, col("n") - 2)
+          .when(r === 7, blockBase + 3)
+          .otherwise(col("n") + 1).as("dst"))
+      val bridge = h0.filter(col("o_orderkey") % 3 === 0 && r === 1)
+        .select(col("n").as("src"), (blockBase + 3).as("dst"))
+      graft.graph.Scc.scc(ring.unionByName(bridge))
         .groupBy(col("scc"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("scc"))
@@ -1202,7 +1323,200 @@ object GraphQ extends QueryPack {
        |SELECT stop, arr AS arr_t FROM lab$stages ORDER BY stop""".stripMargin
   }
 
+  /** The toy footpath-rule CTE pair (mirrors [[syntheticTransfers]]) —
+    * shared by the r22/r25 oracles' inline copies and the journey stack.
+    */
+  private val toyXfSql: String =
+    """xf0 AS (
+      |  SELECT CAST((n_nationkey*3+1)%25 AS VARCHAR) AS fs,
+      |         CAST((n_nationkey*9+4)%25 AS VARCHAR) AS ts,
+      |         CAST((n_nationkey%4+1)*5 AS BIGINT) AS mtt FROM nation
+      |  UNION ALL
+      |  SELECT CAST((n_nationkey*9+4)%25 AS VARCHAR),
+      |         CAST((n_nationkey*3+1)%25 AS VARCHAR),
+      |         CAST((n_nationkey%4+1)*5 AS BIGINT) FROM nation),
+      |xf AS (SELECT * FROM xf0 WHERE fs <> ts)""".stripMargin
+
+  /** The fact-scale timetable + footpath CTEs (mirror [[factStopTimes]]
+    * / [[factTransfers]]) — shared by the r23/r32 oracles' inline
+    * copies and the r35 journey stack.
+    */
+  private val factStSql: String =
+    """st AS (
+      |  SELECT l_orderkey AS trip, l_linenumber AS seq,
+      |         CAST(l_suppkey % 500 AS BIGINT) AS stop,
+      |         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS t
+      |  FROM lineitem)""".stripMargin
+
+  private val factXfSql: String =
+    """xf0 AS (SELECT CAST(s*5 AS BIGINT) AS fs,
+      |               CAST((s*5*7+13)%500 AS BIGINT) AS ts,
+      |               CAST(((s*5)%4+1)*10 AS BIGINT) AS mtt
+      |        FROM range(100) r(s)),
+      |xf AS (SELECT fs, ts, mtt FROM xf0
+      |       UNION ALL SELECT ts, fs, mtt FROM xf0)""".stripMargin
+
+  /** Shared CTE stack for the journey-reconstruction oracles
+    * (r33/r34/r35): the transfer-aware label chain run past the
+    * fixpoint, then the SAME canonical tight-parent rule
+    * [[graft.graph.Routing.parentEvents]] applies to the FINAL labels
+    * (ride before foot, then from_stop, trip-as-string, dep_t — a pure
+    * function of the fixpoint, so the oracle never mirrors the
+    * engine's rounds), then a recursive backtrack unrolling every
+    * destination's chain into legs. Callers append a final SELECT
+    * over `walk` (dest, kind, from_stop, to_stop, trip, dep_t, arr_t).
+    */
+  private def journeyForestCtes(stCte: String, xfCtes: String,
+                                lab0: String, stages: Int,
+                                srcLit: String): String = {
+    val chain = (1 to stages).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT stop, MIN(t) AS arr FROM (
+         |    SELECT stop, arr AS t FROM lab${i - 1}
+         |    UNION ALL
+         |    SELECT s.ts, s.arr FROM seg s JOIN lab${i - 1} p
+         |      ON s.fs = p.stop AND s.dep >= p.arr
+         |    UNION ALL
+         |    SELECT x.ts, p.arr + x.mtt FROM xf x JOIN lab${i - 1} p
+         |      ON x.fs = p.stop
+         |  ) GROUP BY stop)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $stCte,
+       |seg AS MATERIALIZED (
+       |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+       |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+       |$xfCtes,
+       |lab0 AS ($lab0),
+       |$chain,
+       |lab AS (SELECT stop, arr FROM lab$stages),
+       |pev AS (
+       |  SELECT s.ts AS stop, 0 AS k, 'ride' AS kind, s.fs AS from_stop,
+       |         s.trip AS trip, s.dep AS dep_t, s.arr AS arr_t
+       |  FROM seg s JOIN lab la ON la.stop = s.fs
+       |             JOIN lab lb ON lb.stop = s.ts
+       |  WHERE s.dep >= la.arr AND s.arr = lb.arr AND la.arr < lb.arr
+       |  UNION ALL
+       |  SELECT x.ts, 1, 'foot', x.fs, NULL, lf.arr, lt.arr
+       |  FROM xf x JOIN lab lf ON lf.stop = x.fs
+       |            JOIN lab lt ON lt.stop = x.ts
+       |  WHERE lf.arr + x.mtt = lt.arr),
+       |parents AS MATERIALIZED (
+       |  SELECT stop, kind, from_stop, trip, dep_t, arr_t FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY stop
+       |      ORDER BY k, from_stop, CAST(trip AS VARCHAR), dep_t) AS rn
+       |    FROM pev WHERE stop <> $srcLit)
+       |  WHERE rn = 1),
+       |walk(dest, kind, from_stop, to_stop, trip, dep_t, arr_t, cur) AS (
+       |  SELECT stop, kind, from_stop, stop, trip, dep_t, arr_t, from_stop
+       |  FROM parents
+       |  UNION ALL
+       |  SELECT w.dest, p.kind, p.from_stop, p.stop, p.trip, p.dep_t,
+       |         p.arr_t, p.from_stop
+       |  FROM walk w JOIN parents p ON p.stop = w.cur)""".stripMargin
+  }
+
+  private val journeyForestSelect: String =
+    """SELECT dest, CAST(row_number() OVER (PARTITION BY dest
+      |         ORDER BY arr_t, to_stop) AS INT) AS leg_seq,
+      |       kind, from_stop, to_stop, trip, dep_t, arr_t
+      |FROM walk ORDER BY dest, leg_seq""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the r22 stack (10-stage fixpoint chain) + the canonical
+    // tight-parent rule + recursive backtrack — see journeyForestCtes
+    "r33_journey_forest" ->
+      (journeyForestCtes(stopTimesSql, toyXfSql,
+        "SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr", 10, "'0'") +
+        "\n" + journeyForestSelect),
+
+    // the r23 stack (14-stage chain over the fact timetable) + the
+    // same parent rule + backtrack, at fact scale
+    "r35_journey_forest_factscale" ->
+      (journeyForestCtes(factStSql, factXfSql,
+        "SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr",
+        14, "0") + "\n" + journeyForestSelect),
+
+    // r33's ride legs renumbered per destination, then the r24 fare
+    // fold (single-successor recursion) under the planner tariff
+    "r34_planner_fares" ->
+      (journeyForestCtes(stopTimesSql, toyXfSql,
+        "SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr", 10, "'0'") +
+        """,
+          |rlegs AS MATERIALIZED (
+          |  SELECT dest AS itin,
+          |         CAST(row_number() OVER (PARTITION BY dest
+          |           ORDER BY arr_t, to_stop) AS INT) AS seq,
+          |         dep_t AS t, trip AS route
+          |  FROM walk WHERE kind = 'ride'),
+          |fares AS (
+          |  SELECT 'f' || k AS fare_id, CAST((k%3+1)*100 AS BIGINT) AS price,
+          |         CASE WHEN k%4=0 THEN NULL ELSE CAST(k%3 AS INT) END
+          |           AS transfers,
+          |         CASE WHEN k=3 THEN NULL
+          |              ELSE CAST((k%2+1)*40 AS BIGINT) END AS dur
+          |  FROM range(5) t(k)),
+          |rts AS (
+          |  SELECT 't' || n_nationkey AS route,
+          |         'f' || (n_nationkey%5) AS fare_id FROM nation
+          |  UNION ALL
+          |  SELECT 'u' || n_nationkey, 'f' || ((n_nationkey+2)%5)
+          |  FROM nation
+          |  UNION ALL
+          |  SELECT 't' || n_nationkey, 'f' || ((n_nationkey*3+1)%5)
+          |  FROM nation
+          |  UNION ALL
+          |  SELECT 'u' || n_nationkey, 'f' || ((n_nationkey*3+4)%5)
+          |  FROM nation),
+          |app AS (SELECT DISTINCT route, fare_id FROM rts),
+          |cheap AS (
+          |  SELECT route, fare_id, price, transfers, dur FROM (
+          |    SELECT a.route, f.fare_id, f.price, f.transfers, f.dur,
+          |           row_number() OVER (PARTITION BY a.route
+          |             ORDER BY f.price, f.fare_id) AS rn
+          |    FROM app a JOIN fares f USING (fare_id)) WHERE rn = 1),
+          |w AS (
+          |  SELECT l.itin, l.seq, c.fare_id AS af, l.t AS pt,
+          |         COALESCE(c.transfers, -1) AS rem, c.dur AS adur,
+          |         COALESCE(c.price, 0) AS tot,
+          |         CASE WHEN c.fare_id IS NULL THEN 0 ELSE 1 END AS np,
+          |         0 AS nf,
+          |         CASE WHEN c.fare_id IS NULL THEN 1 ELSE 0 END AS nu
+          |  FROM rlegs l LEFT JOIN cheap c ON c.route = l.route
+          |  WHERE l.seq = 1
+          |  UNION ALL
+          |  SELECT itin, seq,
+          |    CASE WHEN free THEN af
+          |         WHEN cf IS NOT NULL THEN cf ELSE af END,
+          |    CASE WHEN free OR cf IS NULL THEN pt ELSE t END,
+          |    CASE WHEN free THEN (CASE WHEN rem > 0 THEN rem - 1 ELSE rem END)
+          |         WHEN cf IS NOT NULL THEN COALESCE(ctr, -1) ELSE rem END,
+          |    CASE WHEN free OR cf IS NULL THEN adur ELSE cdur END,
+          |    tot + CASE WHEN NOT free AND cf IS NOT NULL THEN cp ELSE 0 END,
+          |    np + CASE WHEN NOT free AND cf IS NOT NULL THEN 1 ELSE 0 END,
+          |    nf + CASE WHEN free THEN 1 ELSE 0 END,
+          |    nu + CASE WHEN NOT free AND cf IS NULL THEN 1 ELSE 0 END
+          |  FROM (
+          |    SELECT w.itin, l.seq, l.t, w.af, w.pt, w.rem, w.adur,
+          |           w.tot, w.np, w.nf, w.nu,
+          |           COALESCE(w.af IS NOT NULL AND a.fare_id IS NOT NULL
+          |             AND w.rem <> 0
+          |             AND (w.adur IS NULL OR l.t <= w.pt + w.adur),
+          |             FALSE) AS free,
+          |           c.fare_id AS cf, c.price AS cp, c.transfers AS ctr,
+          |           c.dur AS cdur
+          |    FROM w
+          |    JOIN rlegs l ON l.itin = w.itin AND l.seq = w.seq + 1
+          |    LEFT JOIN app a ON a.route = l.route AND a.fare_id = w.af
+          |    LEFT JOIN cheap c ON c.route = l.route))
+          |SELECT w.itin AS itin_id, CAST(w.tot AS BIGINT) AS total_price,
+          |       CAST(w.np AS INT) AS n_purchases,
+          |       CAST(w.nf AS INT) AS n_free_transfers,
+          |       CAST(w.nu AS INT) AS n_uncovered
+          |FROM w JOIN (SELECT itin, MAX(seq) AS ms FROM rlegs
+          |             GROUP BY itin) m
+          |  ON w.itin = m.itin AND w.seq = m.ms
+          |ORDER BY itin_id""".stripMargin),
+
     // 6 stages = measured fixpoint 4 + 2 margin (round 5 improves nothing;
     // the 25-stop timetable is nation-derived, identical at every SF).
     // Stage count is capped because inlined CTE chains re-expand the
@@ -1730,6 +2044,39 @@ object GraphQ extends QueryPack {
         |  GROUP BY r1.a)
         |SELECT scc, count(*) AS n_members FROM lab
         |GROUP BY scc ORDER BY scc""".stripMargin,
+
+    // the r28 mutual-reachability pattern on the scale-adaptive block
+    // graph: reach is block-local (≤8 rows/node), so the closure stays
+    // linear in V at every SF
+    "r36_scc_scaled" ->
+      s"""WITH RECURSIVE nv AS (
+         |  SELECT 8 * GREATEST(COUNT(*) // 400, 8) AS nn FROM orders),
+         |h0 AS (
+         |  SELECT o_orderkey,
+         |         CAST(${saltedHash32Sql("CAST(o_orderkey AS VARCHAR)", 1)}
+         |              % nv.nn AS BIGINT) AS n
+         |  FROM orders, nv),
+         |ring AS (
+         |  SELECT DISTINCT n AS src,
+         |    CASE WHEN n % 8 IN (2, 5) THEN n - 2
+         |         WHEN n % 8 = 7 THEN n - (n % 8) + 3
+         |         ELSE n + 1 END AS dst
+         |  FROM h0),
+         |br AS (
+         |  SELECT DISTINCT n AS src, n - (n % 8) + 3 AS dst
+         |  FROM h0 WHERE o_orderkey % 3 = 0 AND n % 8 = 1),
+         |e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM br),
+         |n2 AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |reach(a, d) AS (
+         |  SELECT v, v FROM n2
+         |  UNION
+         |  SELECT reach.a, e.dst FROM reach JOIN e ON e.src = reach.d),
+         |lab AS (
+         |  SELECT r1.a AS node, MIN(r1.d) AS scc
+         |  FROM reach r1 JOIN reach r2 ON r1.a = r2.d AND r1.d = r2.a
+         |  GROUP BY r1.a)
+         |SELECT scc, count(*) AS n_members FROM lab
+         |GROUP BY scc ORDER BY scc""".stripMargin,
 
     // r28's lab CTE, then the SCC quotient edges and a longest-path
     // walk over the (acyclic) condensation: layer = max walk length

@@ -59,9 +59,22 @@ object Versioned {
     * SINGLE-WRITER table: a concurrent committer's files would be
     * mis-attributed, the same contract every manifest writer in this
     * repo states — real lakehouses put an atomic pointer swap here).
+    *
+    * `expectedVersion` is the optimistic-concurrency guard: pass the
+    * version you read before preparing the append and an interleaved
+    * commit fails LOUDLY here instead of silently folding a concurrent
+    * writer's files into this snapshot (the closest single-writer
+    * analogue of the lakehouse pointer-swap CAS).
     */
   def commitAppend(spark: SparkSession, df: DataFrame,
-                   table: String): Long = {
+                   table: String,
+                   expectedVersion: Option[Long] = None): Long = {
+    expectedVersion.foreach { exp =>
+      val cur = currentVersion(spark, table)
+      require(cur == exp,
+        s"concurrent commit detected on $table: expected version $exp, " +
+          s"found $cur — re-read and retry")
+    }
     val before = spark.table(dataT(table)).inputFiles.toSet
     Warehouse.appendPartitioned(df, dataT(table))
     val added = spark.table(dataT(table)).inputFiles.toSet -- before

@@ -170,7 +170,10 @@ object StreamingJobs {
     * occurrence. Size `maxTail` above expected per-key activity to
     * avoid cuts entirely. State per key is O(maxTail + patterns) —
     * bounded by construction, the hot-bucket doctrine applied to
-    * stream state.
+    * stream state. In BYTES: symbols are single chars, so the stored
+    * tail is ≤ 2·maxTail bytes as a JVM string (the default 4096 →
+    * ~8 KiB/key) plus 8 bytes per pattern count; size a larger cap
+    * against state-store memory ÷ expected live keys.
     *
     * The per-pattern counts are stored POSITIONALLY against `patterns`:
     * changing the pattern list (order, add, remove) across a restart

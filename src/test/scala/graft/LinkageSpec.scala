@@ -48,6 +48,17 @@ class LinkageSpec extends SparkTestBase {
     assert(run(rows, keyLen = 8, maxDist = 1) == Set((1L, 2L, 0)))
   }
 
+  test("first-match-segment union emits each pair exactly ONCE — no " +
+    "duplicate rows without a closing distinct") {
+    // the exact dup (1,2) agrees on ALL three segments; (1,3)/(2,3)
+    // agree on two — every pair must still surface exactly once
+    val rows = Seq(1L -> "abcdefgh", 2L -> "abcdefgh", 3L -> "abcdefgX")
+    val df = Linkage.hammingKeyPairs(rows.toDF("id", "key"), "id", "key",
+      keyLen = 8, maxDist = 2)
+    val (n, nd) = (df.count(), df.distinct().count())
+    assert(n == nd && n == 3, s"rows=$n distinct=$nd")
+  }
+
   test("maxBlock: an over-dense segment stops blocking, and the " +
     "exclusion is the documented contract (pairs agreeing ONLY on that " +
     "segment drop; pairs sharing another segment survive)") {

@@ -379,6 +379,105 @@ class RoutingSpec extends SparkTestBase {
     }
   }
 
+  test("journeyLegs: hand-pinned itinerary on the 3-stop timetable") {
+    // T1: A(0)->B(10)->C(20); T2: B(15)->C(17); T3: A(5)->C(30).
+    // Leaving A at 0 the planner's answer to "route me A→C" is the
+    // 2-leg transfer itinerary: ride T1 A→B, ride T2 B→C at 17.
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L),
+      ("T3", 0, "A", 5L, 5L), ("T3", 1, "C", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val legs = Routing.journeyLegs(st, "A", 0L, "C")
+      .as[(Int, String, String, String, String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(legs == Seq(
+      (1, "ride", "A", "B", "T1", 0L, 10L),
+      (2, "ride", "B", "C", "T2", 15L, 17L)))
+    // unreachable / self destinations are empty, not errors
+    assert(Routing.journeyLegs(st, "A", 1L, "B").isEmpty) // T1 missed
+    assert(Routing.journeyLegs(st, "A", 0L, "A").isEmpty)
+  }
+
+  test("journeyLegs threads footpaths: ride + walk + chained walk legs") {
+    // the r22 footpath fixture: A --T1--> B --foot--> X --T2--> D,
+    // and Y is reached by CHAINED footpaths B->X->Y
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L),
+      ("T2", 0, "X", 14L, 14L), ("T2", 1, "D", 25L, 25L),
+      ("T3", 0, "X", 11L, 11L), ("T3", 1, "E", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val xf = Seq(("B", "X", 3L), ("X", "Y", 4L))
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    val toD = Routing.journeyLegs(st, "A", 0L, "D", transfers = Some(xf))
+      .select("leg_seq", "kind", "from_stop", "to_stop", "dep_t", "arr_t")
+      .as[(Int, String, String, String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(toD == Seq(
+      (1, "ride", "A", "B", 0L, 10L),
+      (2, "foot", "B", "X", 10L, 13L),
+      (3, "ride", "X", "D", 14L, 25L)))
+    val toY = Routing.journeyLegs(st, "A", 0L, "Y", transfers = Some(xf))
+      .select("kind", "from_stop", "to_stop", "arr_t")
+      .as[(String, String, String, Long)].collect()
+      .sortBy(_._4).toSeq
+    assert(toY == Seq(("ride", "A", "B", 10L), ("foot", "B", "X", 13L),
+      ("foot", "X", "Y", 17L)))
+    // zero/negative mtt violates the reconstruction precondition loudly
+    val badXf = Seq(("B", "X", 0L))
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    assertThrows[IllegalArgumentException] {
+      Routing.journeyLegs(st, "A", 0L, "X", transfers = Some(badXf))
+    }
+  }
+
+  test("journeyForestLegs: every destination's chain is contiguous, " +
+    "starts at the source, ends at dest, and matches journeyLegs") {
+    val st = (0 until 40).flatMap { t =>
+      (0 to 3).map(j => (s"T$t", j, s"s${(t * 3 + j * 5) % 11}",
+        (t * 7 + j * 13).toLong, (t * 7 + j * 13).toLong))
+    }.toDF("trip", "seq", "stop", "arr", "dep")
+    val xf = (0 until 11).map(i => (s"s$i", s"s${(i * 4 + 1) % 11}",
+      (i % 3 + 1) * 2L)).toDF("from_stop", "to_stop", "min_transfer_time")
+    val forest = Routing.journeyForestLegs(st, "s0", 0L, maxRounds = 25,
+        transfers = Some(xf))
+      .as[(String, Int, String, String, String, Option[String], Long, Long)]
+      .collect().toSeq
+    val labels = Routing.earliestArrival(st, "s0", 0L, maxRounds = 25,
+        transfers = Some(xf))
+      .as[(String, Long)].collect().toMap
+    assert(forest.nonEmpty)
+    // one itinerary per non-source reachable stop
+    assert(forest.map(_._1).toSet == labels.keySet - "s0")
+    forest.groupBy(_._1).foreach { case (dest, legs0) =>
+      val legs = legs0.sortBy(_._2)
+      assert(legs.map(_._2) == (1 to legs.size), s"dense seq for $dest")
+      assert(legs.head._4 == "s0", s"$dest itinerary starts at source")
+      assert(legs.last._5 == dest, s"$dest itinerary ends at dest")
+      // contiguous: each leg departs where the previous arrived,
+      // no earlier than its arrival time
+      legs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5 == b._4 && b._7 >= a._8, s"chain broken at $dest")
+        case _ =>
+      }
+      // final arrival equals the label — the itinerary realizes it
+      assert(legs.last._8 == labels(dest), s"$dest arrival mismatch")
+    }
+    // the single-destination face agrees leg for leg (sampled: each
+    // journeyLegs call re-runs the full label loop)
+    val dests = forest.map(_._1).distinct.sorted
+    Seq(dests.head, dests(dests.size / 2), dests.last).distinct.foreach { d =>
+      val single = Routing.journeyLegs(st, "s0", 0L, d, maxRounds = 25,
+          transfers = Some(xf))
+        .as[(Int, String, String, String, Option[String], Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val slice = forest.filter(_._1 == d).sortBy(_._2)
+        .map(l => (l._2, l._3, l._4, l._5, l._6, l._7, l._8))
+      assert(single == slice, s"journeyLegs != forest slice for $d")
+    }
+  }
+
   test("arrivalProfile: Pareto front on the transfer-vs-direct timetable") {
     // same fixture as above: C is reachable at 30 with ONE boarding
     // (T3) but at 17 with two (T1→T2) — both are Pareto-optimal; the
@@ -425,6 +524,27 @@ class RoutingSpec extends SparkTestBase {
       .select("node", "dist_m").as[(String, Double)].collect()
       .map { case (n, d) => n -> (d * 2).toLong }.toMap
     assert(got == want, s"got $got want $want")
+  }
+
+  test("frontierFixpoint tiny-state fast path: identical labels at " +
+    "bound 0 (distributed), a mid-loop crossing, and all-tiny") {
+    // a 97-node BFS whose state grows past small bounds mid-loop, so
+    // bound=10 exercises the tiny->distributed crossover round
+    val e = (1 to 300).map(i => (i % 97, (i * 13 + 5) % 97))
+      .toDF("src", "dst").localCheckpoint()
+    val init = Seq((0, 0)).toDF("node", "hops")
+      .withColumn("__new", lit(true))
+    def run(bound: Int): Set[(Int, Int)] =
+      graft.operators.Iteration.frontierFixpoint(init,
+          (dist, frontier) => Routing.bfsRound(e, dist, frontier),
+          50, true, "spec", _.localCheckpoint(), tinyBound = bound)
+        .as[(Int, Int)].collect().toSet
+    val distributed = run(0)
+    val crossing = run(10)
+    val allTiny = run(1 << 20)
+    assert(distributed.nonEmpty && distributed.size > 10)
+    assert(crossing == distributed, "crossover changed the fixpoint")
+    assert(allTiny == distributed, "tiny mode changed the fixpoint")
   }
 
   test("edges builds consecutive-stop pairs with haversine weights") {
