@@ -150,7 +150,10 @@ object Routing {
   private def ssspLoop(e: DataFrame, sourceId: Any, maxIter: Int,
                        warnOnTruncation: Boolean,
                        ckpt: DataFrame => DataFrame,
-                       broadcastFrontier: Boolean): DataFrame = {
+                       broadcastFrontier: Boolean,
+                       tinyBound: Int =
+                         graft.operators.Iteration.TinyStateBound)
+      : DataFrame = {
     val spark = e.sparkSession
     // node ids are whatever type the caller's edge frame uses (string
     // route graphs, long-encoded trade graphs — integer keys shuffle and
@@ -164,7 +167,7 @@ object Routing {
         lit(true).as("__new"))
     graft.operators.Iteration.frontierFixpoint(init,
       (dist, frontier) => ssspRound(e, dist, frontier, broadcastFrontier),
-      maxIter, warnOnTruncation, "sssp", ckpt)
+      maxIter, warnOnTruncation, "sssp", ckpt, tinyBound)
   }
 
   /** Stage an edge frame as a src-BUCKETED (and src-sorted) managed
@@ -198,7 +201,8 @@ object Routing {
     val parts = e.rdd.getNumPartitions
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       ssspLoop(e, sourceId, maxIter, warnOnTruncation, ckpt,
-        broadcastFrontier = false)
+        broadcastFrontier = false,
+        tinyBound = 0) // bucketed face: keep the classic shape (see r19)
     } finally e.unpersist(blocking = false)
   }
 
@@ -340,14 +344,17 @@ object Routing {
   private def bfsLoop(e: DataFrame, sourceId: Any, maxIter: Int,
                       warnOnTruncation: Boolean,
                       ckpt: DataFrame => DataFrame,
-                      broadcastFrontier: Boolean): DataFrame = {
+                      broadcastFrontier: Boolean,
+                      tinyBound: Int =
+                        graft.operators.Iteration.TinyStateBound)
+      : DataFrame = {
     val spark = e.sparkSession
     val init = spark.range(1)
       .select(lit(sourceId).as("node"), lit(0).as("hops"),
         lit(true).as("__new"))
     graft.operators.Iteration.frontierFixpoint(init,
       (dist, frontier) => bfsRound(e, dist, frontier, broadcastFrontier),
-      maxIter, warnOnTruncation, "bfsHops", ckpt)
+      maxIter, warnOnTruncation, "bfsHops", ckpt, tinyBound)
   }
 
   /** [[bfsHops]] over a src-bucketed edge table ([[stageEdgesTable]]) —
@@ -368,7 +375,8 @@ object Routing {
     val parts = e.rdd.getNumPartitions
     try graft.operators.Iteration.withShufflePartitions(spark, parts) {
       bfsLoop(e, sourceId, maxIter, warnOnTruncation, ckpt,
-        broadcastFrontier = false)
+        broadcastFrontier = false,
+        tinyBound = 0) // bucketed face: keep the classic shape (see r19)
     } finally e.unpersist(blocking = false)
   }
 
@@ -534,7 +542,8 @@ object Routing {
         (state, frontier) =>
           raptorRoundOn(stBoard, stRide, state, frontier, xfer,
             broadcastTransfers),
-        maxRounds, warnOnTruncation, "earliestArrivalOnTables", ckpt)
+        maxRounds, warnOnTruncation, "earliestArrivalOnTables", ckpt,
+        tinyBound = 0) // bucketed face: tiny mode measured slower (r19/r23)
     } finally {
       stBoard.unpersist(blocking = false)
       stRide.unpersist(blocking = false)
@@ -711,7 +720,8 @@ object Routing {
       frontierFixpoint(paretoInit(spark, sourceStop, depTime),
         (state, frontier) => paretoRoundOn(st, rideF, state, frontier,
           xfer, broadcastTransfers),
-        maxRounds, warnOnTruncation, "paretoJourneys", ckpt)
+        maxRounds, warnOnTruncation, "paretoJourneys", ckpt,
+        tinyBound = 0) // label-set rounds: tiny mode measured slower (r31)
     }
   }
 
@@ -752,7 +762,8 @@ object Routing {
       frontierFixpoint(paretoInit(spark, sourceStop, depTime),
         (state, frontier) => paretoRoundOn(stBoard, stRideF, state,
           frontier, xfer, broadcastTransfers),
-        maxRounds, warnOnTruncation, "paretoJourneysOnTables", ckpt)
+        maxRounds, warnOnTruncation, "paretoJourneysOnTables", ckpt,
+        tinyBound = 0) // label-set + bucketed: measured slower (r27/r32)
     } finally {
       stBoard.unpersist(blocking = false)
       stRideF.unpersist(blocking = false)
@@ -771,14 +782,24 @@ object Routing {
     * bounded take() per round instead of checkpoint + probe jobs;
     * identical semantics, RoutingSpec pins equality across the mode
     * boundary).
+    *
+    * `tinyBound` per call site follows the round-14 paired
+    * adjudication (BENCH_NOTES): the fast path WINS on simple
+    * in-memory rounds (bfs/sssp/raptor/profile — r16 −19%, r01/r22
+    * small wins) and LOSES 10–30% on label-set (pareto) rounds and on
+    * the bucketed OnTables faces (r23/r27/r31/r32/r19 regressed with
+    * it), so those pass 0 and keep the classic checkpoint shape.
     */
   private def frontierFixpoint(init: DataFrame,
                                round: (DataFrame, DataFrame) => DataFrame,
                                maxRounds: Int, warnOnTruncation: Boolean,
                                name: String,
-                               ckpt: DataFrame => DataFrame): DataFrame =
+                               ckpt: DataFrame => DataFrame,
+                               tinyBound: Int =
+                                 graft.operators.Iteration.TinyStateBound)
+      : DataFrame =
     graft.operators.Iteration.frontierFixpoint(init, round, maxRounds,
-      warnOnTruncation, name, ckpt)
+      warnOnTruncation, name, ckpt, tinyBound)
 
   /** One un-materialized bi-criteria round — package-visible for plan
     * pins (see [[ssspRound]]). `stRideFare` is the ride-side timetable

@@ -118,19 +118,29 @@ private[graft] object Iteration {
     * checkpoint: each round is then ONE bounded `take(tinyBound+1)` of
     * the round output instead of a checkpoint job PLUS an isEmpty probe
     * job, and the emptiness/continuation test is free driver memory.
-    * The round body, its plan shape, and its shuffle widths are
-    * UNCHANGED (the fact-table sides of on-table loops keep their
-    * bucketed elisions; toy loops already plan at width 1 — the floor
-    * this removes is per-round ACTION count, not task width). The
-    * moment a round's output exceeds the bound, that round's output is
-    * recomputed once through `ckpt` and the loop continues in the
-    * classic distributed shape permanently — so state size is bounded
-    * by construction and a 100 TB frontier never lands on the driver.
-    * Semantics are identical in both modes and across the switch
-    * (RoutingSpec pins equality with the bound forced to 0 / crossing /
-    * infinity); row ORDER may differ, which no caller observes (every
-    * consumer is a set-semantics aggregation/join — the same invariance
-    * the partition-invariance specs pin).
+    * The round body is UNCHANGED. The moment a round's output exceeds
+    * the bound, that round's output is recomputed once through `ckpt`
+    * and the loop continues in the classic distributed shape
+    * permanently — so state size is bounded by construction and a
+    * 100 TB frontier never lands on the driver. Semantics are identical
+    * in both modes and across the switch (RoutingSpec pins equality
+    * with the bound forced to 0 / crossing / infinity); row ORDER may
+    * differ, which no caller observes (every consumer is a
+    * set-semantics aggregation/join — the same invariance the
+    * partition-invariance specs pin).
+    *
+    * WHERE IT PAYS (paired same-host r14 adjudication): simple
+    * in-memory rounds — bfs/sssp/raptor/profile (r16 1.01→0.82,
+    * r01/r22/r25 small wins, r17 flat). WHERE IT DOESN'T: label-set
+    * (pareto) rounds and the bucketed OnTables faces regressed 10–30%
+    * with it (r31 3.27→3.94, r23 4.73→6.13, r27 6.21→7.72 adjacent
+    * pairs) — the LocalRelation state side re-plans against the
+    * persisted/bucketed scans and the multi-partition take() runs the
+    * incremental partial-scan protocol (several jobs/round; a
+    * coalesce(1) pull measured even worse: it serializes the merge
+    * stage). Those call sites pass tinyBound = 0 and keep the classic
+    * shape — set the bound per loop family by measurement, not
+    * principle.
     *
     * `perRound` (optional) observes (round index, that round's frontier
     * frame) after each materialization — the arrivalProfile hook.
