@@ -20,11 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one explode to (maxDist+1)× rows, one equi-join per the
   * composite (segment index, segment text) key — never all-pairs; the
-  * verify is a codegen'd per-row character comparison, run BEFORE any
-  * dedup, and when the density guard excluded nothing the dedup itself
-  * disappears (first-match-segment disjoint union — each pair surfaces
-  * exactly once, map-side). `maxBlock` is the d21-class density guard:
-  * a segment
+  * verify is a codegen'd per-row character comparison, run BEFORE the
+  * dedup so only the match-sized set shuffles on the pair key.
+  * `maxBlock` is the d21-class density guard: a segment
   * value shared by B keys contributes B² candidates, so pathological
   * blocks (a constant key region — the 100 TB boilerplate case) are
   * excluded from BLOCKING, by both engine and oracle (semantics, not a
@@ -62,15 +60,11 @@ object Linkage {
         col("sb.blk").as("blk"))
     // density guard: blocks over maxBlock are excluded from blocking
     // (they would contribute B² candidates); the exclusion is part of
-    // the operator's contract and mirrored by the oracle. Materialized
-    // once: the counts feed both the blocking join and the
-    // dense-exists probe that picks the dedup strategy below.
-    val blockCounts = tagged.groupBy(col("seg"), col("blk"))
+    // the operator's contract and mirrored by the oracle
+    val okBlocks = tagged.groupBy(col("seg"), col("blk"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
-    val okBlocks = blockCounts.filter(col("__n") <= maxBlock)
+      .filter(col("__n") <= maxBlock)
       .select(col("seg"), col("blk"))
-    val anyDense = !blockCounts.filter(col("__n") > maxBlock).isEmpty
     val t = tagged.join(okBlocks, Seq("seg", "blk"))
     val cand = t.select(col("seg"), col("blk"), col("id").as("a"),
         col("key").as("ka"))
@@ -84,30 +78,21 @@ object Linkage {
     // candidate volume (block² rows); filtering to matches first means
     // the only pair-keyed shuffle carries the result-sized set
     // (measured at /tmp/sf1: 6.3M candidates vs 8.8k matches).
-    val verified = cand
+    // Closing distinct MEASURED AND ADJUDICATED (round 14, BENCH_NOTES):
+    // it shuffles only the match-sized set (8.8 k rows at /tmp/sf1 —
+    // effectively free), and the first-match-segment disjoint union
+    // that would remove it (emit at segment i iff the keys disagree on
+    // every j < i — the d11 first-band trick) is LOSSY whenever a pair
+    // agrees on a dense-EXCLUDED earlier segment, so it needs a
+    // does-any-dense-block-exist decision: a localCheckpoint of the
+    // block counts split the tagged exchange the self-join reuses
+    // (3.19 → 7.34 s sf1) and a separate probe job recomputed the agg
+    // (→ 4.42 s) — both rejected; the distinct stays.
+    cand
       .withColumn("dist", hammingDist(col("ka"), col("kb"), keyLen))
       .filter(col("dist") <= maxDist)
-    if (anyDense)
-      // a pair may agree ONLY on dense-excluded earlier segments, so
-      // "first agreeing segment" is not observable map-side here —
-      // dedupe the (result-sized) match set instead
-      verified.select(col("a"), col("b"), col("dist")).distinct()
-    else {
-      // FIRST-MATCH-SEGMENT DISJOINT UNION (the d11 first-band trick,
-      // lossless here because nothing was density-excluded): emit the
-      // pair at segment i iff the keys DISAGREE on every segment j<i —
-      // each match surfaces exactly once, at its minimal agreeing
-      // segment, so the closing distinct (the last pair-keyed shuffle)
-      // disappears; the predicate is codegen'd substring compares on
-      // the already-loaded keys, pure map-side work
-      val firstMatch = (0 until nSeg).map { j =>
-        val lj = bounds(j + 1) - bounds(j)
-        (col("seg") <= j) ||
-          (substring(col("ka"), bounds(j) + 1, lj) =!=
-            substring(col("kb"), bounds(j) + 1, lj))
-      }.reduce(_ && _)
-      verified.filter(firstMatch).select(col("a"), col("b"), col("dist"))
-    }
+      .select(col("a"), col("b"), col("dist"))
+      .distinct()
   }
 
   /** Codegen'd positional mismatch count over fixed-length strings —

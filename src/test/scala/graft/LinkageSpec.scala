@@ -48,8 +48,8 @@ class LinkageSpec extends SparkTestBase {
     assert(run(rows, keyLen = 8, maxDist = 1) == Set((1L, 2L, 0)))
   }
 
-  test("first-match-segment union emits each pair exactly ONCE — no " +
-    "duplicate rows without a closing distinct") {
+  test("each pair is emitted exactly once (multi-segment agreement " +
+    "never duplicates rows)") {
     // the exact dup (1,2) agrees on ALL three segments; (1,3)/(2,3)
     // agree on two — every pair must still surface exactly once
     val rows = Seq(1L -> "abcdefgh", 2L -> "abcdefgh", 3L -> "abcdefgX")
