@@ -101,6 +101,15 @@ object text {
   def saltedHash32(c: Column, salt: Int): Column =
     graft.plans.HashKernels.saltedHash32(c, salt)
 
+  /** JVM-side twin of [[saltedHash32]] — for serial replays in specs
+    * and driver-side parity checks.
+    */
+  def saltedHash32Long(s: String, salt: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$s".getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
   /** Hashed-linear quality score — the inference half of a
     * fastText/CCNet-style linear document classifier: each DISTINCT
     * token hashes into one of `weights.size` buckets

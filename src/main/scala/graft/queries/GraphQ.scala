@@ -735,6 +735,25 @@ object GraphQ extends QueryPack {
         .orderBy(col("scc"))
     },
 
+    // r37 — RANDOM-WALK CORPUS GENERATION (graph/Walks — DeepWalk-class
+    // truncated walks as training sequences, the graph→tokenizer
+    // bridge): 8-step walks over the fact-scale trade graph from a
+    // bounded seed panel (customers ≤ 25), each step a DETERMINISTIC
+    // hash draw (argmin of saltedHash32("walk:step:candidate") — the
+    // p16 A-Res doctrine) so the oracle replays the exact corpus as an
+    // unrolled per-step argmin chain. State = one row per live walk;
+    // per-round shuffle O(walks·degree), never O(E) state.
+    "r37_random_walks" -> { (s, dir) =>
+      val seeds = Tables(s, dir).orders
+        .filter(col("o_custkey") <= 25)
+        .select(col("o_custkey")).distinct()
+        .select(concat(lit("w"), col("o_custkey")).as("walk_id"),
+          (col("o_custkey").cast("long") * 2).as("node"))
+      graft.graph.Walks.randomWalks(tradeEdgesLong(s, dir, dedup = false),
+          seeds, len = 8)
+        .orderBy(col("walk_id"), col("step"))
+    },
+
     // r29 — the CONDENSATION DAG layered by longest path: collapse the
     // r28 digraph to its SCC quotient (always a DAG), then topological
     // layers (layer 0 = no incoming edge; else 1 + max predecessor) —
@@ -2044,6 +2063,38 @@ object GraphQ extends QueryPack {
         |  GROUP BY r1.a)
         |SELECT scc, count(*) AS n_members FROM lab
         |GROUP BY scc ORDER BY scc""".stripMargin,
+
+    // the walk chain unrolled one CTE per step (aggregates can't live
+    // in a recursive term — the pageRankSql doctrine), same argmin rank
+    "r37_random_walks" -> {
+      val steps = (1 to 8).map { k =>
+        s"""w$k AS (
+           |  SELECT wid, node FROM (
+           |    SELECT p.wid, e.dst AS node,
+           |           row_number() OVER (PARTITION BY p.wid ORDER BY
+           |             ${saltedHash32Sql(s"p.wid || ':$k:' || e.dst", 0)},
+           |             e.dst) AS rn
+           |    FROM w${k - 1} p JOIN e ON e.src = p.node)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8)
+        .map(k => s"SELECT wid, $k AS step, node FROM w$k")
+        .mkString("\n UNION ALL ")
+      s"""WITH p AS (
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |w0 AS (
+         |  SELECT 'w' || o_custkey AS wid,
+         |         CAST(2*o_custkey AS BIGINT) AS node
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_custkey <= 25)),
+         |$steps
+         |SELECT wid AS walk_id, CAST(step AS INT) AS step, node FROM (
+         | SELECT wid, 0 AS step, node FROM w0
+         | UNION ALL $unions)
+         |ORDER BY walk_id, step""".stripMargin
+    },
 
     // the r28 mutual-reachability pattern on the scale-adaptive block
     // graph: reach is block-local (≤8 rows/node), so the closure stays
