@@ -1128,6 +1128,185 @@ object Routing {
         col("to_stop"), col("trip"), col("dep_t"), col("arr_t"))
   }
 
+  /** [[parentEvents]] lifted to LABEL SETS — itinerary reconstruction
+    * for the McRAPTOR faces ([[paretoJourneys]]): the canonical tight
+    * predecessor of every front label (stop, arr_t, fare).
+    *
+    * Soundness (the domination argument, one step past the scalar
+    * case): the candidate that created a surviving label L = (s, a, f)
+    * rode trip t from some label P at stop b with fare f − fare(t); if
+    * P was later dominated by P' = (b, a', f') with a' ≤ arr(P),
+    * f' ≤ fare(P), then riding t from P' yields (s, a, f' + fare(t))
+    * which L survives only if f' = fare(P) — so a front label at b
+    * with EXACTLY fare f − fare(t) and arr ≤ dep exists at the
+    * fixpoint; same argument gives a front label (x, a − mtt, f) for a
+    * foot-created L. Within a front a stop's fare determines its
+    * arrival uniquely (two labels with equal fare would dominate one
+    * another), so (from_stop, from_fare) pins the parent LABEL, not
+    * just the parent stop. Termination: tight rides strictly increase
+    * arr (strictly-increasing trips) and footpaths need mtt > 0
+    * (enforced) — chains strictly decrease arr_t down to the source
+    * label (source, depTime, 0).
+    *
+    * Scale shape: the front is O(stops × fare levels) — broadcast; the
+    * tariff is dimension-sized — broadcast; one join of feasible
+    * boards against tight alights on trip plus a per-label argmin, no
+    * loop. Returns one parent per non-source label: (stop, arr_t,
+    * fare, kind, from_stop, from_arr, from_fare, trip, dep_t).
+    */
+  private[graft] def paretoParentEvents(stopTimes: DataFrame,
+                                        tripFares: DataFrame,
+                                        front: DataFrame,
+                                        sourceStop: Any, depTime: Long,
+                                        transfers: Option[DataFrame] = None,
+                                        broadcastTransfers: Boolean = true)
+      : DataFrame = {
+    val st = stopTimes.select(col("trip"), col("seq").cast("int"),
+      col("stop"), col("arr").cast("long"), col("dep").cast("long"))
+    val tripType = st.schema("trip").dataType
+    val fr = broadcast(front.select(col("stop"), col("arr_t"),
+      col("fare").cast("long").as("fare")))
+    val tf = broadcast(tripFares.select(col("trip").as("__ft"),
+      col("fare").cast("long").as("__tfare")))
+    val la = fr.select(col("stop").as("__as"), col("arr_t").as("__aarr"),
+      col("fare").as("__afare"))
+    val tight = st.join(la, st("stop") === col("__as") &&
+        st("arr") === col("__aarr"))
+      .select(st("trip").as("trip"), st("seq").as("aseq"),
+        st("stop").as("stop"), st("arr").as("arr_t"),
+        col("__afare").as("fare"))
+    val lb = fr.select(col("stop").as("__bs"), col("arr_t").as("__barr"),
+      col("fare").as("__bfare"))
+    val boards = st.join(lb, st("stop") === col("__bs") &&
+        st("dep") >= col("__barr"))
+      .select(st("trip").as("trip"), st("seq").as("bseq"),
+        st("stop").as("from_stop"), st("dep").as("dep_t"),
+        col("__barr").as("from_arr"), col("__bfare").as("from_fare"))
+    val rideEv = tight.join(boards, Seq("trip"))
+      .join(tf, col("trip") === col("__ft"))
+      .filter(col("bseq") < col("aseq") &&
+        col("from_fare") + col("__tfare") === col("fare") &&
+        col("from_arr") < col("arr_t"))
+      .select(col("stop"), col("arr_t"), col("fare"),
+        lit("ride").as("kind"), col("from_stop"), col("from_arr"),
+        col("from_fare"), col("trip"), col("dep_t"))
+    val ev = transfers match {
+      case Some(x0) =>
+        val mttCol =
+          if (x0.columns.contains("mtt")) col("mtt")
+          else col("min_transfer_time").cast("long").as("mtt")
+        val x = x0.select(col("from_stop"), col("to_stop"), mttCol)
+        val bad = x.filter(col("mtt") <= 0).limit(1).collect()
+        require(bad.isEmpty,
+          "journey reconstruction requires min_transfer_time > 0 " +
+            s"(found rule ${bad.headOption.getOrElse("")})")
+        val xb = if (broadcastTransfers) broadcast(x) else x
+        val lf = fr.select(col("stop").as("__fs"), col("arr_t").as("__farr"),
+          col("fare").as("__ffare"))
+        val lt = fr.select(col("stop").as("__ts"), col("arr_t").as("__tarr"),
+          col("fare").as("__tfare2"))
+        val foot = xb.join(lf, col("from_stop") === col("__fs"))
+          .join(lt, col("to_stop") === col("__ts"))
+          .filter(col("__farr") + col("mtt") === col("__tarr") &&
+            col("__ffare") === col("__tfare2"))
+          .select(col("to_stop").as("stop"), col("__tarr").as("arr_t"),
+            col("__tfare2").as("fare"), lit("foot").as("kind"),
+            col("from_stop"), col("__farr").as("from_arr"),
+            col("__ffare").as("from_fare"),
+            lit(null).cast(tripType).as("trip"),
+            col("__farr").as("dep_t"))
+        rideEv.unionByName(foot)
+      case None => rideEv
+    }
+    ev.filter(!(col("stop") === lit(sourceStop) &&
+        col("arr_t") === lit(depTime) && col("fare") === lit(0L)))
+      .groupBy(col("stop"), col("arr_t"), col("fare"))
+      .agg(min_by(
+        struct(col("kind"), col("from_stop"), col("from_arr"),
+          col("from_fare"), col("trip"), col("dep_t")),
+        struct(when(col("kind") === "ride", 0).otherwise(1).as("k"),
+          col("from_stop").as("f"), col("trip").cast("string").as("t"),
+          col("dep_t").as("d"))).as("__p"))
+      .select(col("stop"), col("arr_t"), col("fare"),
+        col("__p.kind").as("kind"), col("__p.from_stop").as("from_stop"),
+        col("__p.from_arr").as("from_arr"),
+        col("__p.from_fare").as("from_fare"), col("__p.trip").as("trip"),
+        col("__p.dep_t").as("dep_t"))
+  }
+
+  /** The McRAPTOR JOURNEY FOREST: the ordered legs of one canonical
+    * itinerary REALIZING every Pareto-front label — rows (dest_stop,
+    * dest_arr, dest_fare, leg_seq, kind, from_stop, to_stop, trip,
+    * dep_t, arr_t, fare), where (dest_stop, dest_arr, dest_fare)
+    * identifies which front entry the itinerary serves ("the 12:40 /
+    * 2-transfer one" vs "the cheap 13:05 one" — the full OTP-parity
+    * answer for a fare-aware planner) and `fare` is the accumulated
+    * fare AFTER the leg. AT THE FIXPOINT (empty frontier) every
+    * non-source label has a tight parent (the [[paretoParentEvents]]
+    * theorem), so every itinerary is complete source→dest. On a
+    * BOUNDED-round front (maxRounds hit — the r27/r32 class) a label
+    * whose creating predecessor was dominated in the FINAL round can
+    * be left without a tight parent: its chain (and any chain through
+    * it) truncates deterministically, identically replayed by an
+    * oracle applying the same rule — the honest reading of provenance
+    * under a round budget. Labels from any [[paretoJourneys]] face;
+    * parents via [[paretoParentEvents]]; ancestor expansion keyed by
+    * the LABEL triple, rounds = max itinerary depth, total rows =
+    * output size — the [[journeyForestFromLabels]] shape over label
+    * space (O(front × depth), dimension-scale next to the timetable).
+    */
+  def paretoJourneyForest(stopTimes: DataFrame, tripFares: DataFrame,
+                          front: DataFrame, sourceStop: Any,
+                          depTime: Long,
+                          warnOnTruncation: Boolean = true,
+                          checkpointDir: Option[String] = None,
+                          transfers: Option[DataFrame] = None,
+                          broadcastTransfers: Boolean = true,
+                          maxHops: Int = 136): DataFrame = {
+    val spark = stopTimes.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val parents = ckpt(paretoParentEvents(stopTimes, tripFares, front,
+      sourceStop, depTime, transfers, broadcastTransfers))
+    val legCols = Seq(col("kind"), col("from_stop"),
+      col("stop").as("to_stop"), col("trip"), col("dep_t"),
+      col("arr_t"), col("fare"))
+    val curCols = Seq(col("from_stop").as("__cs"),
+      col("from_arr").as("__ca"), col("from_fare").as("__cf"))
+    var ext = ckpt(parents.select(
+      (Seq(col("stop").as("dest_stop"), col("arr_t").as("dest_arr"),
+        col("fare").as("dest_fare")) ++ legCols ++ curCols): _*))
+    val drop = Seq("__cs", "__ca", "__cf")
+    val slices = scala.collection.mutable.ListBuffer(
+      ext.drop(drop: _*))
+    var hops = 0
+    var frontier = ext.select(col("dest_stop"), col("dest_arr"),
+      col("dest_fare"), col("__cs"), col("__ca"), col("__cf"))
+    while (hops < maxHops && !frontier.isEmpty) {
+      ext = ckpt(frontier.join(parents,
+          frontier("__cs") === parents("stop") &&
+            frontier("__ca") === parents("arr_t") &&
+            frontier("__cf") === parents("fare"))
+        .select((Seq(col("dest_stop"), col("dest_arr"), col("dest_fare"))
+          ++ legCols ++ curCols): _*))
+      slices += ext.drop(drop: _*)
+      frontier = ext.select(col("dest_stop"), col("dest_arr"),
+        col("dest_fare"), col("__cs"), col("__ca"), col("__cf"))
+      hops += 1
+    }
+    graft.operators.Iteration.warnIfTruncated("paretoJourneyForest",
+      frontier, hops, maxHops, warnOnTruncation)
+    import org.apache.spark.sql.expressions.Window
+    slices.reduce(_ unionByName _)
+      .withColumn("leg_seq", row_number().over(
+        Window.partitionBy(col("dest_stop"), col("dest_arr"),
+          col("dest_fare"))
+          .orderBy(col("arr_t"), col("to_stop"), col("fare")))
+        .cast("int"))
+      .select(col("dest_stop"), col("dest_arr"), col("dest_fare"),
+        col("leg_seq"), col("kind"), col("from_stop"), col("to_stop"),
+        col("trip"), col("dep_t"), col("arr_t"), col("fare"))
+  }
+
   /** Multi-source frontier BFS in ONE loop: hop counts from EVERY seed in
     * `seeds` simultaneously, state keyed (seed, node). Running
     * [[bfsHops]] per seed costs |seeds| full iterative loops (each with

@@ -475,6 +475,28 @@ object GraphQ extends QueryPack {
         .orderBy(col("stop"), col("arr_t"), col("fare"))
     },
 
+    // r38 — McRAPTOR ITINERARIES: one canonical leg chain REALIZING
+    // every label of r31's fare-and-transfer Pareto front (the
+    // labels→legs step r33 made for earliest arrival, lifted to label
+    // sets — Routing.paretoParentEvents' domination theorem: a
+    // surviving label's tight predecessor is itself in the front, with
+    // its fare exactly determined). The full fare-aware-planner answer:
+    // WHICH rides and walks produce "17 ticks for 150" vs "30 for 30".
+    // Oracle: the r31 label chain, the same canonical parent rule on
+    // the final front, and a recursive backtrack keyed by the label
+    // TRIPLE.
+    "r38_pareto_itineraries" -> { (s, dir) =>
+      val st = syntheticStopTimes(s, dir)
+      val tf = syntheticTripFares(s, dir)
+      val xf = syntheticTransfers(s, dir)
+      val front = Routing.paretoJourneys(st, tf, "0", 0L, maxRounds = 40,
+        transfers = Some(xf))
+      Routing.paretoJourneyForest(st, tf, front, "0", 0L,
+          transfers = Some(xf))
+        .orderBy(col("dest_stop"), col("dest_arr"), col("dest_fare"),
+          col("leg_seq"))
+    },
+
     // r26 at FACT SCALE, round-BOUNDED: the (arrival, fare) front
     // within ≤6 boardings over the ~6M-row timetable with a 3-level
     // per-trip tariff — bounded rounds keep the label space (and both
@@ -2063,6 +2085,92 @@ object GraphQ extends QueryPack {
         |  GROUP BY r1.a)
         |SELECT scc, count(*) AS n_members FROM lab
         |GROUP BY scc ORDER BY scc""".stripMargin,
+
+    // the r31 label-set chain to the fixpoint, then the SAME canonical
+    // tight-parent rule on the final front (parent label pinned by
+    // (from_stop, from_fare) — fare is exactly determined and a front
+    // stop's fare determines its arrival uniquely), then a recursive
+    // backtrack keyed by the label TRIPLE
+    "r38_pareto_itineraries" -> {
+      val chain = (1 to 14).map { i =>
+        s"""lab$i AS MATERIALIZED (
+           |  SELECT stop, arr, fare FROM (
+           |    SELECT stop, arr, fare,
+           |           MIN(fare) OVER (PARTITION BY stop ORDER BY arr, fare
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |             AS pm
+           |    FROM (SELECT DISTINCT stop, arr, fare FROM (
+           |      SELECT stop, arr, fare FROM lab${i - 1}
+           |      UNION ALL
+           |      SELECT s.ts, s.arr, p.fare + f.fare
+           |      FROM seg s JOIN lab${i - 1} p
+           |        ON s.fs = p.stop AND s.dep >= p.arr
+           |      JOIN tf f ON f.trip = s.trip
+           |      UNION ALL
+           |      SELECT x.ts, p.arr + x.mtt, p.fare
+           |      FROM xf x JOIN lab${i - 1} p ON x.fs = p.stop)))
+           |  WHERE pm IS NULL OR fare < pm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $stopTimesSql,
+         |seg AS MATERIALIZED (
+         |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+         |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+         |tf AS (
+         |  SELECT 't' || n_nationkey AS trip,
+         |         CAST((n_nationkey%9+1)*100 AS BIGINT) AS fare FROM nation
+         |  UNION ALL
+         |  SELECT 'u' || n_nationkey,
+         |         CAST((n_nationkey%7+1)*100 AS BIGINT) FROM nation),
+         |$toyXfSql,
+         |lab0 AS (SELECT '0' AS stop, CAST(0 AS BIGINT) AS arr,
+         |                CAST(0 AS BIGINT) AS fare),
+         |$chain,
+         |lab AS (SELECT stop, arr, fare FROM lab14),
+         |pev AS (
+         |  SELECT s.ts AS stop, lb.arr AS arr_t, lb.fare AS fare,
+         |         0 AS k, 'ride' AS kind, s.fs AS from_stop,
+         |         la.arr AS from_arr, la.fare AS from_fare,
+         |         s.trip AS trip, s.dep AS dep_t
+         |  FROM seg s
+         |  JOIN lab la ON la.stop = s.fs AND s.dep >= la.arr
+         |  JOIN tf f ON f.trip = s.trip
+         |  JOIN lab lb ON lb.stop = s.ts AND lb.arr = s.arr
+         |             AND lb.fare = la.fare + f.fare
+         |  WHERE la.arr < lb.arr
+         |  UNION ALL
+         |  SELECT x.ts, lt.arr, lt.fare, 1, 'foot', x.fs, lf.arr,
+         |         lf.fare, NULL, lf.arr
+         |  FROM xf x
+         |  JOIN lab lf ON lf.stop = x.fs
+         |  JOIN lab lt ON lt.stop = x.ts AND lt.arr = lf.arr + x.mtt
+         |             AND lt.fare = lf.fare),
+         |parents AS MATERIALIZED (
+         |  SELECT stop, arr_t, fare, kind, from_stop, from_arr,
+         |         from_fare, trip, dep_t FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY stop, arr_t, fare
+         |      ORDER BY k, from_stop, CAST(trip AS VARCHAR), dep_t) AS rn
+         |    FROM pev
+         |    WHERE NOT (stop = '0' AND arr_t = 0 AND fare = 0))
+         |  WHERE rn = 1),
+         |walk(dest_stop, dest_arr, dest_fare, kind, from_stop, to_stop,
+         |     trip, dep_t, arr_t, fare, cs, ca, cf) AS (
+         |  SELECT stop, arr_t, fare, kind, from_stop, stop, trip,
+         |         dep_t, arr_t, fare, from_stop, from_arr, from_fare
+         |  FROM parents
+         |  UNION ALL
+         |  SELECT w.dest_stop, w.dest_arr, w.dest_fare, p.kind,
+         |         p.from_stop, p.stop, p.trip, p.dep_t, p.arr_t,
+         |         p.fare, p.from_stop, p.from_arr, p.from_fare
+         |  FROM walk w JOIN parents p ON p.stop = w.cs
+         |    AND p.arr_t = w.ca AND p.fare = w.cf)
+         |SELECT dest_stop, dest_arr, dest_fare,
+         |       CAST(row_number() OVER (PARTITION BY dest_stop,
+         |         dest_arr, dest_fare
+         |         ORDER BY arr_t, to_stop, fare) AS INT) AS leg_seq,
+         |       kind, from_stop, to_stop, trip, dep_t, arr_t, fare
+         |FROM walk
+         |ORDER BY dest_stop, dest_arr, dest_fare, leg_seq""".stripMargin
+    },
 
     // the walk chain unrolled one CTE per step (aggregates can't live
     // in a recursive term — the pageRankSql doctrine), same argmin rank

@@ -526,6 +526,70 @@ class RoutingSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("paretoJourneyForest: hand-pinned itineraries realizing every " +
+    "front label (ride-only fixture)") {
+    // the paretoJourneys fixture: C's front holds three incomparable
+    // journeys — each must come back as a complete leg chain
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L),
+      ("T3", 0, "A", 5L, 5L), ("T3", 1, "C", 30L, 30L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = Seq(("T1", 100L), ("T2", 50L), ("T3", 30L))
+      .toDF("trip", "fare")
+    val front = Routing.paretoJourneys(st, tf, "A", 0L)
+    val got = Routing.paretoJourneyForest(st, tf, front, "A", 0L)
+      .select("dest_stop", "dest_arr", "dest_fare", "leg_seq", "kind",
+        "from_stop", "to_stop", "trip", "dep_t", "arr_t", "fare")
+      .as[(String, Long, Long, Int, String, String, String,
+        Option[String], Long, Long, Long)]
+      .collect().groupBy(r => (r._1, r._2, r._3)).view
+      .mapValues(_.sortBy(_._4).map(r =>
+        (r._5, r._6, r._7, r._8, r._9, r._10, r._11)).toSeq).toMap
+    assert(got(("C", 17L, 150L)) == Seq(
+      ("ride", "A", "B", Some("T1"), 0L, 10L, 100L),
+      ("ride", "B", "C", Some("T2"), 15L, 17L, 150L)))
+    assert(got(("C", 20L, 100L)) == Seq(
+      ("ride", "A", "C", Some("T1"), 0L, 20L, 100L)))
+    assert(got(("C", 30L, 30L)) == Seq(
+      ("ride", "A", "C", Some("T3"), 5L, 30L, 30L)))
+    assert(got(("B", 10L, 100L)) == Seq(
+      ("ride", "A", "B", Some("T1"), 0L, 10L, 100L)))
+    // one itinerary per non-source front label, nothing else
+    assert(got.keySet == Set(("C", 17L, 150L), ("C", 20L, 100L),
+      ("C", 30L, 30L), ("B", 10L, 100L)))
+  }
+
+  test("paretoJourneyForest threads FREE footpath legs (ride+walk+ride)") {
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L),
+      ("T2", 0, "D", 20L, 20L), ("T2", 1, "C", 25L, 25L),
+      ("T3", 0, "A", 0L, 0L), ("T3", 1, "C", 18L, 18L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val tf = Seq(("T1", 100L), ("T2", 10L), ("T3", 500L))
+      .toDF("trip", "fare")
+    val xf = Seq(("B", "D", 5L))
+      .toDF("from_stop", "to_stop", "min_transfer_time")
+    val front = Routing.paretoJourneys(st, tf, "A", 0L,
+      transfers = Some(xf))
+    val got = Routing.paretoJourneyForest(st, tf, front, "A", 0L,
+        transfers = Some(xf))
+      .select("dest_stop", "dest_arr", "dest_fare", "leg_seq", "kind",
+        "from_stop", "to_stop", "dep_t", "arr_t", "fare")
+      .as[(String, Long, Long, Int, String, String, String, Long, Long,
+        Long)]
+      .collect().groupBy(r => (r._1, r._2, r._3)).view
+      .mapValues(_.sortBy(_._4).map(r =>
+        (r._5, r._6, r._7, r._8, r._9, r._10)).toSeq).toMap
+    // the composed cheap itinerary: ride T1, walk B->D free, ride T2
+    assert(got(("C", 25L, 110L)) == Seq(
+      ("ride", "A", "B", 0L, 10L, 100L),
+      ("foot", "B", "D", 10L, 15L, 100L),
+      ("ride", "D", "C", 20L, 25L, 110L)))
+    // the fast-but-dear one stays a single leg
+    assert(got(("C", 18L, 500L)) == Seq(("ride", "A", "C", 0L, 18L, 500L)))
+  }
+
   test("frontierFixpoint tiny-state fast path: identical labels at " +
     "bound 0 (distributed), a mid-loop crossing, and all-tiny") {
     // a 97-node BFS whose state grows past small bounds mid-loop, so
