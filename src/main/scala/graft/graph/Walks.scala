@@ -72,4 +72,33 @@ object Walks {
       .agg(transform(
         sort_array(collect_list(struct(col("step"), col("node")))),
         x => x.getField("node")).as("nodes"))
+
+  /** SKIP-GRAM co-occurrence counts over walk sequences — the word2vec
+    * training-pair corpus (Mikolov et al. 2013) DeepWalk feeds its
+    * walks into: (center, context, n) for every ordered pair of nodes
+    * within `window` positions of each other in some sequence (both
+    * directions, the symmetric skip-gram convention). Pairs are
+    * generated INSIDE each row's array (nested `transform` over
+    * forward `slice`s — pure codegen-able HOFs, no self-join, no
+    * explode-then-join shuffle): per sequence the blowup is ≤
+    * 2·window·len pairs, array-bounded, and the only shuffle is the
+    * final (center, context) count — output-sized. `sequences`:
+    * (walk_id, nodes array).
+    */
+  def skipGramCounts(sequences: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // forward pairs (center at i, context at i+1..i+window); the
+    // symmetric direction is the same set swapped
+    val fwd = flatten(transform(col("nodes"), (x, i) =>
+      transform(slice(col("nodes"), i + lit(2), lit(window)),
+        y => struct(x.as("center"), y.as("context")))))
+    sequences
+      .select(explode(fwd).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .unionAll(sequences
+        .select(explode(fwd).as("p"))
+        .select(col("p.context").as("center"), col("p.center").as("context")))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -776,6 +776,25 @@ object GraphQ extends QueryPack {
         .orderBy(col("walk_id"), col("step"))
     },
 
+    // r39 — SKIP-GRAM CO-OCCURRENCE COUNTS over the r37 walk corpus
+    // (Walks.skipGramCounts — the word2vec training-pair face DeepWalk
+    // feeds its walks into): pairs generated INSIDE each sequence's
+    // array (nested transform over forward slices — no self-join), the
+    // only shuffle the output-sized (center, context) count. Oracle:
+    // the r37 chain's step rows self-joined on (walk, step distance ≤
+    // window), both directions.
+    "r39_skipgram_counts" -> { (s, dir) =>
+      val seeds = Tables(s, dir).orders
+        .filter(col("o_custkey") <= 25)
+        .select(col("o_custkey")).distinct()
+        .select(concat(lit("w"), col("o_custkey")).as("walk_id"),
+          (col("o_custkey").cast("long") * 2).as("node"))
+      val seqs = graft.graph.Walks.walkSequences(
+        tradeEdgesLong(s, dir, dedup = false), seeds, len = 8)
+      graft.graph.Walks.skipGramCounts(seqs, window = 3)
+        .orderBy(col("center"), col("context"))
+    },
+
     // r29 — the CONDENSATION DAG layered by longest path: collapse the
     // r28 digraph to its SCC quotient (always a DAG), then topological
     // layers (layer 0 = no incoming edge; else 1 + max predecessor) —
@@ -2202,6 +2221,46 @@ object GraphQ extends QueryPack {
          | SELECT wid, 0 AS step, node FROM w0
          | UNION ALL $unions)
          |ORDER BY walk_id, step""".stripMargin
+    },
+
+    // the r37 step rows self-joined within the window, both directions
+    "r39_skipgram_counts" -> {
+      val steps = (1 to 8).map { k =>
+        s"""w$k AS (
+           |  SELECT wid, node FROM (
+           |    SELECT p.wid, e.dst AS node,
+           |           row_number() OVER (PARTITION BY p.wid ORDER BY
+           |             ${saltedHash32Sql(s"p.wid || ':$k:' || e.dst", 0)},
+           |             e.dst) AS rn
+           |    FROM w${k - 1} p JOIN e ON e.src = p.node)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8)
+        .map(k => s"SELECT wid, $k AS step, node FROM w$k")
+        .mkString("\n UNION ALL ")
+      s"""WITH p AS (
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |w0 AS (
+         |  SELECT 'w' || o_custkey AS wid,
+         |         CAST(2*o_custkey AS BIGINT) AS node
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_custkey <= 25)),
+         |$steps,
+         |rows0 AS (
+         | SELECT wid, 0 AS step, node FROM w0
+         | UNION ALL $unions),
+         |fwd AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM rows0 a JOIN rows0 b
+         |    ON a.wid = b.wid AND b.step > a.step AND b.step <= a.step + 3)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |  SELECT center, context FROM fwd
+         |  UNION ALL
+         |  SELECT context, center FROM fwd)
+         |GROUP BY center, context
+         |ORDER BY center, context""".stripMargin
     },
 
     // the r28 mutual-reachability pattern on the scale-adaptive block

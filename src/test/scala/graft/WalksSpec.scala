@@ -70,6 +70,22 @@ class WalksSpec extends SparkTestBase {
     assert(seqs.values.toSeq.distinct.size >= 2, seqs.toString)
   }
 
+  test("skipGramCounts: hand-computed window-2 pairs, symmetric, " +
+    "counted across sequences") {
+    val seqs = Seq(("w1", Seq("a", "b", "c", "d")), ("w2", Seq("a", "b")))
+      .toDF("walk_id", "nodes")
+    val got = Walks.skipGramCounts(seqs, window = 2)
+      .as[(String, String, Long)].collect().toSet
+    // w1 forward: (a,b)(a,c)(b,c)(b,d)(c,d); w2 adds (a,b); symmetric
+    val w1f = Seq("a" -> "b", "a" -> "c", "b" -> "c", "b" -> "d",
+      "c" -> "d")
+    val want = (w1f ++ Seq("a" -> "b")) // counts per direction
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .groupBy(identity).map { case ((x, y), v) => (x, y, v.size.toLong) }
+      .toSet
+    assert(got == want, s"got=$got")
+  }
+
   test("duplicate edges do not bias the draw (min over a set)") {
     val dup = edges.unionAll(edges).unionAll(edges)
     val seeds = Seq(("w1", "a"), ("w2", "b")).toDF("walk_id", "node")
