@@ -925,20 +925,26 @@ object Routing {
     *
     * Scale shape: labels are O(stops) — dimension-sized next to the
     * timetable — and ride the two stop_times probes as BROADCAST
-    * joins; the only fact-scale work is one join of the feasible-board
-    * rows against the (much smaller) tight-alight rows on trip, and
-    * one per-stop argmin. No loop: the whole forest is a handful of
-    * one-shot joins at any corpus size.
+    * joins by default; `broadcastLabels = false` is the off-switch for
+    * a network whose stop set outgrows executor memory (the label
+    * probes then shuffle as equi-joins — same contract language as
+    * `broadcastTransfers`, no unbounded hint baked in). The only
+    * fact-scale work is one join of the feasible-board rows against
+    * the (much smaller) tight-alight rows on trip, and one per-stop
+    * argmin. No loop: the whole forest is a handful of one-shot joins
+    * at any corpus size.
     */
   private[graft] def parentEvents(stopTimes: DataFrame, labels: DataFrame,
                                   sourceStop: Any,
                                   transfers: Option[DataFrame] = None,
-                                  broadcastTransfers: Boolean = true)
+                                  broadcastTransfers: Boolean = true,
+                                  broadcastLabels: Boolean = true)
       : DataFrame = {
     val st = stopTimes.select(col("trip"), col("seq").cast("int"),
       col("stop"), col("arr").cast("long"), col("dep").cast("long"))
     val tripType = st.schema("trip").dataType
-    val lab = broadcast(labels.select(col("stop"), col("arr_t")))
+    val labSel = labels.select(col("stop"), col("arr_t"))
+    val lab = if (broadcastLabels) broadcast(labSel) else labSel
     // tight alights: this stop's final label is exactly this arrival
     val la = lab.select(col("stop").as("__as"), col("arr_t").as("__aarr"))
     val tight = st.join(la, st("stop") === col("__as") &&
@@ -1029,11 +1035,12 @@ object Routing {
                             checkpointDir: Option[String] = None,
                             transfers: Option[DataFrame] = None,
                             broadcastTransfers: Boolean = true,
-                            maxHops: Int = 136): DataFrame = {
+                            maxHops: Int = 136,
+                            broadcastLabels: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val parents = ckpt(parentEvents(stopTimes, labels, sourceStop,
-      transfers, broadcastTransfers))
+      transfers, broadcastTransfers, broadcastLabels))
     var path = ckpt(parents.filter(col("stop") === lit(destStop)))
     var frontier = path
     // parent chains strictly decrease arr_t (see parentEvents), so the
@@ -1097,11 +1104,12 @@ object Routing {
                               checkpointDir: Option[String] = None,
                               transfers: Option[DataFrame] = None,
                               broadcastTransfers: Boolean = true,
-                              maxHops: Int = 136): DataFrame = {
+                              maxHops: Int = 136,
+                              broadcastLabels: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val parents = ckpt(parentEvents(stopTimes, labels, sourceStop,
-      transfers, broadcastTransfers))
+      transfers, broadcastTransfers, broadcastLabels))
     val legCols = Seq(col("kind"), col("from_stop"),
       col("stop").as("to_stop"), col("trip"), col("dep_t"), col("arr_t"))
     // every destination's LAST leg is its own parent row
@@ -1159,13 +1167,15 @@ object Routing {
                                         front: DataFrame,
                                         sourceStop: Any, depTime: Long,
                                         transfers: Option[DataFrame] = None,
-                                        broadcastTransfers: Boolean = true)
+                                        broadcastTransfers: Boolean = true,
+                                        broadcastLabels: Boolean = true)
       : DataFrame = {
     val st = stopTimes.select(col("trip"), col("seq").cast("int"),
       col("stop"), col("arr").cast("long"), col("dep").cast("long"))
     val tripType = st.schema("trip").dataType
-    val fr = broadcast(front.select(col("stop"), col("arr_t"),
-      col("fare").cast("long").as("fare")))
+    val frSel = front.select(col("stop"), col("arr_t"),
+      col("fare").cast("long").as("fare"))
+    val fr = if (broadcastLabels) broadcast(frSel) else frSel
     val tf = broadcast(tripFares.select(col("trip").as("__ft"),
       col("fare").cast("long").as("__tfare")))
     val la = fr.select(col("stop").as("__as"), col("arr_t").as("__aarr"),
@@ -1262,11 +1272,13 @@ object Routing {
                           checkpointDir: Option[String] = None,
                           transfers: Option[DataFrame] = None,
                           broadcastTransfers: Boolean = true,
-                          maxHops: Int = 136): DataFrame = {
+                          maxHops: Int = 136,
+                          broadcastLabels: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val parents = ckpt(paretoParentEvents(stopTimes, tripFares, front,
-      sourceStop, depTime, transfers, broadcastTransfers))
+      sourceStop, depTime, transfers, broadcastTransfers,
+      broadcastLabels))
     val legCols = Seq(col("kind"), col("from_stop"),
       col("stop").as("to_stop"), col("trip"), col("dep_t"),
       col("arr_t"), col("fare"))

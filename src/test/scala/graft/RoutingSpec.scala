@@ -526,6 +526,22 @@ class RoutingSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("journey reconstruction with broadcastLabels=false changes the " +
+    "plan, not the legs") {
+    val st = Seq(
+      ("T1", 0, "A", 0L, 0L), ("T1", 1, "B", 10L, 10L), ("T1", 2, "C", 20L, 20L),
+      ("T2", 0, "B", 15L, 15L), ("T2", 1, "C", 17L, 17L)
+    ).toDF("trip", "seq", "stop", "arr", "dep")
+    val labels = Routing.earliestArrival(st, "A", 0L)
+    def legs(bl: Boolean) =
+      Routing.journeyLegsFromLabels(st, labels, "A", "C",
+          broadcastLabels = bl)
+        .as[(Int, String, String, String, String, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val want = legs(true)
+    assert(legs(false) == want && want.size == 2)
+  }
+
   test("paretoJourneyForest: hand-pinned itineraries realizing every " +
     "front label (ride-only fixture)") {
     // the paretoJourneys fixture: C's front holds three incomparable
