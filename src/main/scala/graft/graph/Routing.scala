@@ -21,6 +21,8 @@ import graft.functions.geo
   */
 object Routing {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** G1/W9: consecutive-stop edges per route with haversine-m weights
     * (index.html:127-140). Input: (route_id, position, stop_id, lon, lat).
     * Output: directed edges (src, dst, route_id, weight_m).
@@ -969,8 +971,13 @@ object Routing {
           else col("min_transfer_time").cast("long").as("mtt")
         val x = x0.select(col("from_stop"), col("to_stop"), mttCol)
         // dimension-sized frame, one tiny agg: fail loudly instead of
-        // risking an equal-label parent cycle (see termination above)
-        val bad = x.filter(col("mtt") <= 0).limit(1).collect()
+        // risking an equal-label parent cycle (see termination above).
+        // isNull is checked explicitly: NULL <= 0 is NULL, so a rule
+        // with a missing min_transfer_time would otherwise slip past
+        // the guard and then silently vanish from the foot join
+        // (arr + NULL filters out) — the precondition must fail loudly.
+        val bad = x.filter(col("mtt").isNull || col("mtt") <= 0)
+          .limit(1).collect()
         require(bad.isEmpty,
           "journey reconstruction requires min_transfer_time > 0 " +
             s"(found rule ${bad.headOption.getOrElse("")})")
@@ -1011,6 +1018,15 @@ object Routing {
     * BROADCAST one-row frontier against the O(stops) parent forest —
     * the [[shortestPathFrame]] shape, O(path) rounds, the driver never
     * holds more than the legs themselves.
+    *
+    * CAVEAT (the [[parentEvents]] strictness precondition, surfaced):
+    * reconstruction assumes times strictly increase along each trip's
+    * seq. On a dwell-degenerate feed (equal arrivals at consecutive
+    * stops — common in interpolated GTFS) an affected stop gets no
+    * parent row, so the returned chain is a well-formed SUFFIX of the
+    * journey; the backtrack validates that the chain's first leg
+    * departs from `sourceStop` and warns otherwise (under
+    * `warnOnTruncation`), so a partial itinerary is never silent.
     */
   def journeyLegs(stopTimes: DataFrame, sourceStop: Any, depTime: Long,
                   destStop: Any, maxRounds: Int = 15,
@@ -1022,7 +1038,7 @@ object Routing {
       earliestArrival(stopTimes, sourceStop, depTime, maxRounds,
         warnOnTruncation, checkpointDir, transfers, broadcastTransfers),
       sourceStop, destStop, checkpointDir, transfers, broadcastTransfers,
-      maxRounds * 8 + 16)
+      maxRounds * 8 + 16, warnOnTruncation = warnOnTruncation)
 
   /** [[journeyLegs]] from caller-supplied labels — bring the fixpoint
     * from ANY face (the in-memory loop, [[earliestArrivalOnTables]]'
@@ -1036,7 +1052,8 @@ object Routing {
                             transfers: Option[DataFrame] = None,
                             broadcastTransfers: Boolean = true,
                             maxHops: Int = 136,
-                            broadcastLabels: Boolean = true): DataFrame = {
+                            broadcastLabels: Boolean = true,
+                            warnOnTruncation: Boolean = true): DataFrame = {
     val spark = stopTimes.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val parents = ckpt(parentEvents(stopTimes, labels, sourceStop,
@@ -1055,6 +1072,20 @@ object Routing {
       path = path.unionByName(frontier)
       hops += 1
     }
+    graft.operators.Iteration.warnIfTruncated("journeyLegs", frontier,
+      hops, maxHops, warnOnTruncation)
+    // completeness check: a complete chain's FIRST leg departs from the
+    // source. A dwell-degenerate feed (see journeyLegs caveat) or a
+    // maxHops truncation leaves a suffix whose earliest leg starts
+    // mid-network — row_number below would still renumber from 1, so a
+    // partial itinerary must warn, not pass as complete. path is
+    // O(path length) by construction; the probe is one tiny filter.
+    if (warnOnTruncation && !path.isEmpty &&
+        path.filter(col("from_stop") === lit(sourceStop)).isEmpty)
+      log.warn(
+        "journeyLegs: reconstructed chain does not start at the source " +
+          "stop — the itinerary is a partial suffix (dwell-degenerate " +
+          "timetable or maxHops truncation); see the journeyLegs caveat")
     import org.apache.spark.sql.expressions.Window
     // unpartitioned window over O(path-length) rows by construction
     path.select(
@@ -1080,6 +1111,11 @@ object Routing {
     * has no parent row). At 100 TB the forest is O(stops) and the
     * chain frame O(stops · depth) — both dimension-scale next to the
     * timetable, shuffling on real keys.
+    *
+    * CAVEAT: like [[journeyLegs]], assumes strictly increasing times
+    * along each trip's seq — on a dwell-degenerate feed an affected
+    * stop gets no parent row and every itinerary through it is a
+    * well-formed suffix, not a complete source→dest chain.
     */
   def journeyForestLegs(stopTimes: DataFrame, sourceStop: Any,
                         depTime: Long, maxRounds: Int = 15,
@@ -1206,7 +1242,10 @@ object Routing {
           if (x0.columns.contains("mtt")) col("mtt")
           else col("min_transfer_time").cast("long").as("mtt")
         val x = x0.select(col("from_stop"), col("to_stop"), mttCol)
-        val bad = x.filter(col("mtt") <= 0).limit(1).collect()
+        // NULL mtt must fail the precondition loudly too (see the
+        // scalar parentEvents guard): NULL <= 0 alone passes NULL rows
+        val bad = x.filter(col("mtt").isNull || col("mtt") <= 0)
+          .limit(1).collect()
         require(bad.isEmpty,
           "journey reconstruction requires min_transfer_time > 0 " +
             s"(found rule ${bad.headOption.getOrElse("")})")
