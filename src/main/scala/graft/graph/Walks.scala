@@ -59,6 +59,68 @@ object Walks {
     slices.reduce(_ unionByName _)
   }
 
+  /** BIASED (node2vec-class) walks — [[randomWalks]] with 2nd-order
+    * transition weights (Grover & Leskovec 2016): the draw at step k
+    * conditions on the PREVIOUS node t. node2vec weights a candidate x
+    * by 1/p (x = t, return), 1 (x adjacent to t), 1/q (otherwise);
+    * here the candidate's deterministic rank is SCALED by an integer
+    * penalty in basis points — `returnBp` for the return candidate,
+    * 10⁴ neutral for a distance-1 candidate, `inoutBp` otherwise — so
+    * returnBp ≈ 10⁴·p and inoutBp ≈ 10⁴·q reproduce the 1/p and 1/q
+    * biases (penalty up = less likely to win the argmin). The exact
+    * A-Res exponent weighting (u^(1/w)) needs libm; the scaled rank is
+    * the log-free stand-in — monotone in the weights, deterministic,
+    * SQL-replayable digit-for-digit (the t17 doctrine), and the first
+    * step (no previous node) is the plain first-order draw.
+    *
+    * Scale shape: [[randomWalks]]' loop plus, per round, one LEFT join
+    * of the O(walks·degree) candidate frame against the deduped edge
+    * set on (prev, dst) — the distance-1 probe; state carries ONE
+    * extra column (prev), still one row per live walk.
+    */
+  def biasedWalks(edges: DataFrame, seeds: DataFrame, len: Int,
+                  returnBp: Int, inoutBp: Int, salt: Int = 0,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(len >= 1, s"len must be >= 1, got $len")
+    require(returnBp >= 1 && inoutBp >= 1,
+      s"penalties must be positive basis points, got $returnBp/$inoutBp")
+    val spark = edges.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val e = ckpt(edges.select(col("src"), col("dst")))
+    // distance-1 probe set, deduped so a duplicate edge cannot fan the
+    // candidate frame out through the left join
+    val adj = ckpt(e.select(col("src").as("__as"), col("dst").as("__ad"))
+      .distinct())
+    val nodeType = seeds.schema("node").dataType
+    var cur = ckpt(seeds.select(col("walk_id"), col("node"),
+      lit(null).cast(nodeType).as("prev")))
+    val slices = scala.collection.mutable.ListBuffer(
+      cur.select(col("walk_id"), lit(0).as("step"), col("node")))
+    for (k <- 1 to len) {
+      val cand = cur.join(e, cur("node") === e("src"))
+        .select(col("walk_id"), cur("node").as("__vn"), col("prev"),
+          e("dst").as("__d"))
+      // return case FIRST (a self-loop makes t adjacent to itself);
+      // prev NULL (step 1) falls through both guards to the neutral arm
+      val pen = when(col("__d") === col("prev"), lit(returnBp.toLong))
+        .when(col("__ad").isNotNull, lit(10000L))
+        .otherwise(when(col("prev").isNull, lit(10000L))
+          .otherwise(lit(inoutBp.toLong)))
+      val rank = graft.functions.text.saltedHash32(
+        concat_ws(":", col("walk_id"), lit(k), col("__d")), salt) * pen
+      cur = ckpt(cand
+        .join(adj, col("prev") === col("__as") && col("__d") === col("__ad"),
+          "left")
+        .groupBy(col("walk_id"))
+        .agg(min_by(struct(col("__d").as("node"), col("__vn").as("prev")),
+          struct(rank.as("r"), col("__d").as("d"))).as("__n"))
+        .select(col("walk_id"), col("__n.node").as("node"),
+          col("__n.prev").as("prev")))
+      slices += cur.select(col("walk_id"), lit(k).as("step"), col("node"))
+    }
+    slices.reduce(_ unionByName _)
+  }
+
   /** The walks as ordered SEQUENCES (walk_id, nodes array) — the corpus
     * row shape a tokenizer/skip-gram stage consumes. One per-walk sort
     * of ≤ len+1 elements; the array is journey-length bounded (W7/W8
@@ -87,18 +149,55 @@ object Walks {
     */
   def skipGramCounts(sequences: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    // forward pairs (center at i, context at i+1..i+window); the
-    // symmetric direction is the same set swapped
-    val fwd = flatten(transform(col("nodes"), (x, i) =>
-      transform(slice(col("nodes"), i + lit(2), lit(window)),
-        y => struct(x.as("center"), y.as("context")))))
+    // Both directions emitted INSIDE the HOF — per forward pair (center
+    // at i, context at i+1..i+window) the swapped pair rides in the
+    // same 2-element array, so the sequence scan + pair generation runs
+    // ONCE (the round-14 version produced the symmetric direction as a
+    // second explode leg under unionAll — two full scans, no exchange
+    // between them to reuse).
+    val pairs = flatten(transform(col("nodes"), (x, i) =>
+      flatten(transform(slice(col("nodes"), i + lit(2), lit(window)),
+        y => array(struct(x.as("center"), y.as("context")),
+          struct(y.as("center"), x.as("context")))))))
     sequences
-      .select(explode(fwd).as("p"))
+      .select(explode(pairs).as("p"))
       .select(col("p.center").as("center"), col("p.context").as("context"))
-      .unionAll(sequences
-        .select(explode(fwd).as("p"))
-        .select(col("p.context").as("center"), col("p.center").as("context")))
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** PPMI-WEIGHTED SGNS TRAINING PAIRS over [[skipGramCounts]] output —
+    * the weighting step that turns co-occurrence counts into the
+    * training signal (Levy & Goldberg 2014: SGNS implicitly factorizes
+    * the shifted-PMI matrix, and its explicit counterpart trains on the
+    * POSITIVE-PMI pairs). LOG-FREE (the t17/NgramLm no-libm doctrine):
+    * the weight is the exact rational PMI ratio in basis points,
+    * ppmi_bp = ⌊10⁴ · n · N / (n_c · n_ctx)⌋ with N = Σn and n_c/n_ctx
+    * the center/context marginals, computed in DECIMAL(38,0) (n·N·10⁴
+    * ≤ 10²⁸ at any real corpus size — never overflows, never rounds) —
+    * strictly monotone in PMI, so thresholds and rankings match the
+    * log form exactly and a SQL oracle replays it digit-for-digit.
+    * Rows at ratio ≤ 10⁴ (PMI ≤ 0) are dropped — the "positive" in
+    * PPMI, and exactly the pairs SGNS's positive sampler never draws.
+    *
+    * Scale shape: two marginal aggs and two key joins, every frame
+    * sized by the (center, context) count table itself (output-sized —
+    * the corpus is never re-scanned), plus one 1-row broadcast total.
+    * Returns (center, context, n, ppmi_bp).
+    */
+  def ppmiPairs(counts: DataFrame): DataFrame = {
+    val tot = broadcast(
+      counts.agg(sum(col("n")).cast("decimal(38,0)").as("__N")))
+    val cm = counts.groupBy(col("center"))
+      .agg(sum(col("n")).cast("decimal(38,0)").as("__nc"))
+    val xm = counts.groupBy(col("context"))
+      .agg(sum(col("n")).cast("decimal(38,0)").as("__nx"))
+    counts.crossJoin(tot) // 1-row broadcast frame (the Similarity shape)
+      .join(cm, Seq("center"))
+      .join(xm, Seq("context"))
+      .withColumn("ppmi_bp", expr(
+        "CAST(n AS DECIMAL(38,0)) * __N * 10000 div (__nc * __nx)"))
+      .filter(col("ppmi_bp") > 10000L)
+      .select(col("center"), col("context"), col("n"), col("ppmi_bp"))
   }
 }

@@ -497,6 +497,32 @@ object GraphQ extends QueryPack {
           col("leg_seq"))
     },
 
+    // r40 — r38 at FACT SCALE: McRAPTOR ITINERARIES over the r19
+    // dual-bucketed layout — the last uncomposed pair in the G6 family.
+    // The (arrival, fare) front comes from r32's transfer-aware
+    // label-set loop (maxRounds = 6 bounded-round semantics, exact on
+    // both sides — the r27 induction), then paretoJourneyForest unrolls
+    // every front label to its canonical leg chain against the ~6M-row
+    // timetable: the parent pass is ONE batch join pair (front
+    // broadcast — O(stops × fare levels), dimension-sized), the unroll
+    // O(front × depth). Bounded-front provenance is deterministic on
+    // both sides (a label whose creating predecessor was dominated in
+    // the final round truncates its chain identically under the same
+    // rule — see paretoJourneyForest), so the oracle replays rule-for-
+    // rule and never sees the engine's round structure.
+    "r40_pareto_itineraries_factscale" -> { (s, dir) =>
+      ensureStopTimesTables(s, dir)
+      val tf = factTripFares(s, dir)
+      val xf = factTransfers(s, dir)
+      val front = Routing.paretoJourneysOnTables(s, "graft_st_by_stop",
+        "graft_st_by_trip", tf, 0L, 0L, maxRounds = 6,
+        warnOnTruncation = false, transfers = Some(xf))
+      Routing.paretoJourneyForest(factStopTimes(s, dir), tf, front, 0L, 0L,
+          transfers = Some(xf))
+        .orderBy(col("dest_stop"), col("dest_arr"), col("dest_fare"),
+          col("leg_seq"))
+    },
+
     // r26 at FACT SCALE, round-BOUNDED: the (arrival, fare) front
     // within ≤6 boardings over the ~6M-row timetable with a 3-level
     // per-trip tariff — bounded rounds keep the label space (and both
@@ -793,6 +819,47 @@ object GraphQ extends QueryPack {
         tradeEdgesLong(s, dir, dedup = false), seeds, len = 8)
       graft.graph.Walks.skipGramCounts(seqs, window = 3)
         .orderBy(col("center"), col("context"))
+    },
+
+    // r41 — SGNS/PPMI TRAINING-PAIR WEIGHTS over the r39 counts
+    // (Walks.ppmiPairs — Levy & Goldberg 2014: SGNS factorizes the
+    // shifted-PMI matrix; the explicit positive part trains on
+    // positive-PMI pairs): the exact rational PMI ratio in basis
+    // points, DECIMAL(38,0) arithmetic, PMI ≤ 0 rows dropped. The
+    // graph→embedding bridge's weighting step: walks → windows →
+    // counts → training weights, all hash-oracle-able. Every frame
+    // after the counts is output-sized (marginal aggs + key joins);
+    // the corpus is never re-scanned.
+    "r41_sgns_ppmi" -> { (s, dir) =>
+      val seeds = Tables(s, dir).orders
+        .filter(col("o_custkey") <= 25)
+        .select(col("o_custkey")).distinct()
+        .select(concat(lit("w"), col("o_custkey")).as("walk_id"),
+          (col("o_custkey").cast("long") * 2).as("node"))
+      val seqs = graft.graph.Walks.walkSequences(
+        tradeEdgesLong(s, dir, dedup = false), seeds, len = 8)
+      graft.graph.Walks.ppmiPairs(
+          graft.graph.Walks.skipGramCounts(seqs, window = 3))
+        .orderBy(col("center"), col("context"))
+    },
+
+    // r42 — node2vec-CLASS BIASED WALKS (Walks.biasedWalks — Grover &
+    // Leskovec 2016): the r37 sampler conditioned on the PREVIOUS
+    // node. Return penalty 2·10⁴ (p = 2), in-out penalty 5·10³
+    // (q = 0.5 — the DFS-leaning setting), neutral 10⁴ for distance-1
+    // candidates probed by one left join per round against the deduped
+    // edge set. Same deterministic-draw doctrine as r37: the oracle
+    // replays the per-step scaled-rank argmin with the same adjacency
+    // probe, so the whole biased corpus hash-matches.
+    "r42_node2vec_walks" -> { (s, dir) =>
+      val seeds = Tables(s, dir).orders
+        .filter(col("o_custkey") <= 25)
+        .select(col("o_custkey")).distinct()
+        .select(concat(lit("w"), col("o_custkey")).as("walk_id"),
+          (col("o_custkey").cast("long") * 2).as("node"))
+      graft.graph.Walks.biasedWalks(tradeEdgesLong(s, dir, dedup = false),
+          seeds, len = 8, returnBp = 20000, inoutBp = 5000)
+        .orderBy(col("walk_id"), col("step"))
     },
 
     // r29 — the CONDENSATION DAG layered by longest path: collapse the
@@ -2191,6 +2258,84 @@ object GraphQ extends QueryPack {
          |ORDER BY dest_stop, dest_arr, dest_fare, leg_seq""".stripMargin
     },
 
+    // r40 — r32's EXACTLY-6-stage bounded label chain at fact scale
+    // (fare inlined as the factTripFares formula (trip%3+1)*100), then
+    // r38's canonical parent rule on the final front and the recursive
+    // backtrack keyed by the label TRIPLE. Bounded-front provenance
+    // truncates identically on both sides (same rule, same front).
+    "r40_pareto_itineraries_factscale" -> {
+      val chain = (1 to 6).map { i =>
+        s"""lab$i AS MATERIALIZED (
+           |  SELECT stop, arr, fare FROM (
+           |    SELECT stop, arr, fare,
+           |           MIN(fare) OVER (PARTITION BY stop ORDER BY arr, fare
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |             AS pm
+           |    FROM (SELECT DISTINCT stop, arr, fare FROM (
+           |      SELECT stop, arr, fare FROM lab${i - 1}
+           |      UNION ALL
+           |      SELECT s.ts, s.arr, p.fare + ((s.trip % 3 + 1) * 100)
+           |      FROM seg s JOIN lab${i - 1} p
+           |        ON s.fs = p.stop AND s.dep >= p.arr
+           |      UNION ALL
+           |      SELECT x.ts, p.arr + x.mtt, p.fare
+           |      FROM xf x JOIN lab${i - 1} p ON x.fs = p.stop)))
+           |  WHERE pm IS NULL OR fare < pm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $factStSql,
+         |seg AS MATERIALIZED (
+         |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+         |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+         |$factXfSql,
+         |lab0 AS (SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr,
+         |                CAST(0 AS BIGINT) AS fare),
+         |$chain,
+         |lab AS (SELECT stop, arr, fare FROM lab6),
+         |pev AS (
+         |  SELECT s.ts AS stop, lb.arr AS arr_t, lb.fare AS fare,
+         |         0 AS k, 'ride' AS kind, s.fs AS from_stop,
+         |         la.arr AS from_arr, la.fare AS from_fare,
+         |         s.trip AS trip, s.dep AS dep_t
+         |  FROM seg s
+         |  JOIN lab la ON la.stop = s.fs AND s.dep >= la.arr
+         |  JOIN lab lb ON lb.stop = s.ts AND lb.arr = s.arr
+         |             AND lb.fare = la.fare + ((s.trip % 3 + 1) * 100)
+         |  WHERE la.arr < lb.arr
+         |  UNION ALL
+         |  SELECT x.ts, lt.arr, lt.fare, 1, 'foot', x.fs, lf.arr,
+         |         lf.fare, NULL, lf.arr
+         |  FROM xf x
+         |  JOIN lab lf ON lf.stop = x.fs
+         |  JOIN lab lt ON lt.stop = x.ts AND lt.arr = lf.arr + x.mtt
+         |             AND lt.fare = lf.fare),
+         |parents AS MATERIALIZED (
+         |  SELECT stop, arr_t, fare, kind, from_stop, from_arr,
+         |         from_fare, trip, dep_t FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY stop, arr_t, fare
+         |      ORDER BY k, from_stop, CAST(trip AS VARCHAR), dep_t) AS rn
+         |    FROM pev
+         |    WHERE NOT (stop = 0 AND arr_t = 0 AND fare = 0))
+         |  WHERE rn = 1),
+         |walk(dest_stop, dest_arr, dest_fare, kind, from_stop, to_stop,
+         |     trip, dep_t, arr_t, fare, cs, ca, cf) AS (
+         |  SELECT stop, arr_t, fare, kind, from_stop, stop, trip,
+         |         dep_t, arr_t, fare, from_stop, from_arr, from_fare
+         |  FROM parents
+         |  UNION ALL
+         |  SELECT w.dest_stop, w.dest_arr, w.dest_fare, p.kind,
+         |         p.from_stop, p.stop, p.trip, p.dep_t, p.arr_t,
+         |         p.fare, p.from_stop, p.from_arr, p.from_fare
+         |  FROM walk w JOIN parents p ON p.stop = w.cs
+         |    AND p.arr_t = w.ca AND p.fare = w.cf)
+         |SELECT dest_stop, dest_arr, dest_fare,
+         |       CAST(row_number() OVER (PARTITION BY dest_stop,
+         |         dest_arr, dest_fare
+         |         ORDER BY arr_t, to_stop, fare) AS INT) AS leg_seq,
+         |       kind, from_stop, to_stop, trip, dep_t, arr_t, fare
+         |FROM walk
+         |ORDER BY dest_stop, dest_arr, dest_fare, leg_seq""".stripMargin
+    },
+
     // the walk chain unrolled one CTE per step (aggregates can't live
     // in a recursive term — the pageRankSql doctrine), same argmin rank
     "r37_random_walks" -> {
@@ -2261,6 +2406,103 @@ object GraphQ extends QueryPack {
          |  SELECT context, center FROM fwd)
          |GROUP BY center, context
          |ORDER BY center, context""".stripMargin
+    },
+
+    // r39's count chain + marginals + the exact rational PMI ratio in
+    // basis points (HUGEINT arithmetic mirrors the engine's
+    // DECIMAL(38,0); both divisions floor on positive operands)
+    "r41_sgns_ppmi" -> {
+      val steps = (1 to 8).map { k =>
+        s"""w$k AS (
+           |  SELECT wid, node FROM (
+           |    SELECT p.wid, e.dst AS node,
+           |           row_number() OVER (PARTITION BY p.wid ORDER BY
+           |             ${saltedHash32Sql(s"p.wid || ':$k:' || e.dst", 0)},
+           |             e.dst) AS rn
+           |    FROM w${k - 1} p JOIN e ON e.src = p.node)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8)
+        .map(k => s"SELECT wid, $k AS step, node FROM w$k")
+        .mkString("\n UNION ALL ")
+      s"""WITH p AS (
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |w0 AS (
+         |  SELECT 'w' || o_custkey AS wid,
+         |         CAST(2*o_custkey AS BIGINT) AS node
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_custkey <= 25)),
+         |$steps,
+         |rows0 AS (
+         | SELECT wid, 0 AS step, node FROM w0
+         | UNION ALL $unions),
+         |fwd AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM rows0 a JOIN rows0 b
+         |    ON a.wid = b.wid AND b.step > a.step AND b.step <= a.step + 3),
+         |cnt AS MATERIALIZED (
+         |  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT center, context FROM fwd
+         |    UNION ALL
+         |    SELECT context, center FROM fwd)
+         |  GROUP BY center, context),
+         |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn FROM cnt),
+         |cm AS (SELECT center, CAST(SUM(n) AS HUGEINT) AS nc
+         |       FROM cnt GROUP BY center),
+         |xm AS (SELECT context, CAST(SUM(n) AS HUGEINT) AS nx
+         |       FROM cnt GROUP BY context)
+         |SELECT center, context, n, ppmi_bp FROM (
+         |  SELECT c.center, c.context, c.n,
+         |         CAST(CAST(c.n AS HUGEINT) * t.nn * 10000
+         |              // (m.nc * x.nx) AS BIGINT) AS ppmi_bp
+         |  FROM cnt c CROSS JOIN tot t
+         |  JOIN cm m ON m.center = c.center
+         |  JOIN xm x ON x.context = c.context)
+         |WHERE ppmi_bp > 10000
+         |ORDER BY center, context""".stripMargin
+    },
+
+    // the r37 chain with the 2nd-order penalty: each step carries prev,
+    // probes adjacency with one LEFT JOIN, and scales the hash rank by
+    // the CASE penalty (return 20000 / distance-1 10000 / else 5000;
+    // step 1's NULL prev falls through to neutral) — same argmin
+    "r42_node2vec_walks" -> {
+      val steps = (1 to 8).map { k =>
+        s"""w$k AS (
+           |  SELECT wid, node, prev FROM (
+           |    SELECT p.wid, e.dst AS node, p.node AS prev,
+           |           row_number() OVER (PARTITION BY p.wid ORDER BY
+           |             ${saltedHash32Sql(s"p.wid || ':$k:' || e.dst", 0)} *
+           |             (CASE WHEN e.dst = p.prev THEN 20000
+           |                   WHEN a.src IS NOT NULL THEN 10000
+           |                   WHEN p.prev IS NULL THEN 10000
+           |                   ELSE 5000 END),
+           |             e.dst) AS rn
+           |    FROM w${k - 1} p JOIN e ON e.src = p.node
+           |    LEFT JOIN adj a ON a.src = p.prev AND a.dst = e.dst)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8)
+        .map(k => s"SELECT wid, $k AS step, node FROM w$k")
+        .mkString("\n UNION ALL ")
+      s"""WITH p AS (
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+         |w0 AS (
+         |  SELECT 'w' || o_custkey AS wid,
+         |         CAST(2*o_custkey AS BIGINT) AS node,
+         |         CAST(NULL AS BIGINT) AS prev
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_custkey <= 25)),
+         |$steps
+         |SELECT wid AS walk_id, CAST(step AS INT) AS step, node FROM (
+         | SELECT wid, 0 AS step, node FROM w0
+         | UNION ALL $unions)
+         |ORDER BY walk_id, step""".stripMargin
     },
 
     // the r28 mutual-reachability pattern on the scale-adaptive block

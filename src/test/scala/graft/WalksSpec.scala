@@ -95,4 +95,106 @@ class WalksSpec extends SparkTestBase {
       .as[(String, Int, String)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("ppmiPairs: hand-computed basis points, PMI<=0 rows dropped") {
+    // symmetric counts; N=38, marginals a=10 b=10 c=18:
+    //   (a,b): 10^4*1*38/(10*10) = 3800  -> dropped (PMI < 0)
+    //   (a,c): 10^4*9*38/(10*18) = 19000 -> kept
+    val counts = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 9L),
+      ("c", "a", 9L), ("b", "c", 9L), ("c", "b", 9L))
+      .toDF("center", "context", "n")
+    val got = Walks.ppmiPairs(counts)
+      .as[(String, String, Long, Long)].collect().toSet
+    val want = Set(("a", "c", 9L, 19000L), ("c", "a", 9L, 19000L),
+      ("b", "c", 9L, 19000L), ("c", "b", 9L, 19000L))
+    assert(got == want, s"got=$got")
+  }
+
+  test("ppmiPairs: floor division is exact (no double rounding)") {
+    // N=24; center marginals a=9 b=5 c=7 x=3 (contexts symmetric):
+    //   (a,c): 10^4*7*24/(9*7) = 1680000/63 = 26666.67 -> floor 26666
+    //   (a,b): 10^4*2*24/(9*5) =  480000/45 = 10666.67 -> floor 10666
+    val counts = Seq(("a", "b", 2L), ("b", "a", 2L), ("a", "c", 7L),
+      ("c", "a", 7L), ("b", "x", 3L), ("x", "b", 3L))
+      .toDF("center", "context", "n")
+    val got = Walks.ppmiPairs(counts)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (c, x, _, bp) => ((c, x), bp) }.toMap
+    assert(got(("a", "c")) == 26666L, s"got=$got")
+    assert(got(("a", "b")) == 10666L, s"got=$got")
+  }
+
+  /** Serial replay of the biased (2nd-order) scaled-rank draw rule. */
+  private def serialBiased(adj: Map[String, Seq[String]], wid: String,
+                           seed: String, len: Int, returnBp: Long,
+                           inoutBp: Long): Seq[(Int, String)] = {
+    val out = scala.collection.mutable.ListBuffer(0 -> seed)
+    var prev: String = null
+    var cur = seed
+    var k = 1
+    var alive = true
+    while (k <= len && alive) {
+      adj.get(cur) match {
+        case Some(ns) if ns.nonEmpty =>
+          val nxt = ns.minBy { d =>
+            val pen =
+              if (prev != null && d == prev) returnBp
+              else if (prev != null && adj.get(prev).exists(_.contains(d)))
+                10000L
+              else if (prev == null) 10000L
+              else inoutBp
+            (graft.functions.text.saltedHash32Long(s"$wid:$k:$d", 0) * pen, d)
+          }
+          prev = cur
+          cur = nxt
+          out += k -> cur
+          k += 1
+        case _ => alive = false
+      }
+    }
+    out.toSeq
+  }
+
+  test("biasedWalks equals a serial replay of the 2nd-order draw") {
+    val adj = Seq("a" -> Seq("b", "c"), "b" -> Seq("c", "d"),
+      "c" -> Seq("a"), "d" -> Seq("d")).toMap
+    val seeds = Seq(("w1", "a"), ("w2", "b"), ("w3", "c"))
+      .toDF("walk_id", "node")
+    val got = Walks.biasedWalks(edges, seeds, len = 6,
+        returnBp = 20000, inoutBp = 5000)
+      .as[(String, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)
+        .toSeq).toMap
+    for ((wid, seed) <- Seq("w1" -> "a", "w2" -> "b", "w3" -> "c"))
+      assert(got(wid) == serialBiased(adj, wid, seed, 6, 20000L, 5000L),
+        s"$wid diverged: ${got(wid)}")
+  }
+
+  test("biasedWalks with neutral penalties equals randomWalks " +
+    "(rank scaling by a constant preserves the argmin)") {
+    val seeds = Seq(("w1", "a"), ("w2", "b"), ("w3", "c"))
+      .toDF("walk_id", "node")
+    val a = Walks.randomWalks(edges, seeds, 6)
+      .as[(String, Int, String)].collect().toSet
+    val b = Walks.biasedWalks(edges, seeds, 6,
+        returnBp = 10000, inoutBp = 10000)
+      .as[(String, Int, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("biasedWalks: a heavy return penalty suppresses backtracking " +
+    "on a path graph") {
+    // path x <-> y <-> z: from y (came from x) the return candidate x
+    // must lose to z whenever the penalty outweighs the hash gap; with
+    // an extreme penalty the walk ping-pongs only at the ends
+    val e = Seq(("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"))
+      .toDF("src", "dst")
+    val seeds = Seq(("w1", "x")).toDF("walk_id", "node")
+    val got = Walks.biasedWalks(e, seeds, len = 2,
+        returnBp = 1000000000, inoutBp = 10000)
+      .as[(String, Int, String)].collect().sortBy(_._2).map(_._3).toSeq
+    // step1: x -> y (only choice); step2: return to x is penalized
+    // 10^9 x, z is distance-2 from x at neutral-ish 10^4 -> z wins
+    assert(got == Seq("x", "y", "z"), s"got=$got")
+  }
 }
