@@ -110,9 +110,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Untimed warmup pass (canary included — its first run pays codegen
-    // compile like any query), then drop any caches a query built.
+    // Second canary, SHUFFLE-path: three consecutive rounds of +6-7%
+    // common-set drift left the single-partition CPU probe at floor —
+    // whatever the host contends on lives in the exchange/scheduler
+    // path, not raw single-thread CPU. This probe is constant work with
+    // zero I/O: 1M generated rows fan out through a 32-partition
+    // hash-exchange + per-key agg + a second 1-row agg, exercising
+    // shuffle write, fetch, task scheduling and result collection. Its
+    // quiet-host value is calibrated in BENCH_NOTES; a window whose
+    // shuffle canary sits above band self-flags host contention the
+    // CPU canary cannot see.
+    def shuffleCanary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1000000L, 1L, 4)
+        .selectExpr("id % 1000 AS k", "xxhash64(id) AS v")
+        .repartition(32, org.apache.spark.sql.functions.col("k"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(v) AS x"))
+        .selectExpr("bit_xor(x)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Untimed warmup pass (canaries included — their first run pays
+    // codegen compile like any query), then drop any caches built.
     canary()
+    shuffleCanary()
     selected.foreach { case (name, fn) =>
       try run(name, fn) catch { case _: Throwable => () }
     }
@@ -123,8 +145,10 @@ object Bench {
       .withDefaultValue(Nil)
     val failedQ = scala.collection.mutable.Set.empty[String]
     val canaries = scala.collection.mutable.ListBuffer.empty[Double]
+    val shCanaries = scala.collection.mutable.ListBuffer.empty[Double]
     for (_ <- 1 to passes) {
       canaries += canary()
+      shCanaries += shuffleCanary()
       for ((name, fn) <- ordered) {
         val t0 = System.nanoTime()
         try run(name, fn) catch { case _: Throwable => failedQ += name }
@@ -206,7 +230,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // per-pass canary readings, in pass order (fmt is declared below)
     def canaryJson(f: Double => String) =
-      canaries.map(f).mkString(""","canary_sec":[""", ",", "]")
+      canaries.map(f).mkString(""","canary_sec":[""", ",", "]") +
+        shCanaries.map(f).mkString(""","shuffle_canary_sec":[""", ",", "]")
     // The driver keeps only the LAST 2000 chars of stdout; full-precision
     // doubles pushed the 59-query line past that, truncating its head and
     // breaking the driver's JSON parse ("parsed": null in BENCH_r1-r3).
