@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""DuckDB side of the r36 scaling curve: the committed r36 oracle's
-block-local mutual-reachability closure, over the edge parquet
-graft.tools.SccCurve writes (same structure, same SQL shape — reach is
-block-local by construction, <=8 rows per node, so the closure is
-linear in V at every scale).
+"""DuckDB side of the r36 scaling curve: the committed r36 oracle SQL
+(hash build + block wiring + block-local mutual-reachability closure),
+over the synthetic one-column orders.parquet graft.tools.SccCurve
+writes — so both engines pay the same construction work at every scale
+and the curve points are comparable with the committed sf0.1/sf1 rows.
 
 Usage: python3 tools/scc_curve_oracle.py <outDir> [passes]
 Driver-side tooling only (duckdb, like tools/check.py).
@@ -20,8 +20,25 @@ def main():
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     con = duckdb.connect()
     sql = f"""
-    WITH RECURSIVE e AS (
-      SELECT DISTINCT src, dst FROM read_parquet('{out}/edges.parquet/*.parquet')),
+    WITH RECURSIVE orders AS (
+      SELECT o_orderkey FROM read_parquet('{out}/orders.parquet/*.parquet')),
+    nv AS (
+      SELECT 8 * GREATEST(COUNT(*) // 400, 8) AS nn FROM orders),
+    h0 AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5('1:' || (CAST(o_orderkey AS VARCHAR))), 1, 8))::BIGINT
+                  % nv.nn AS BIGINT) AS n
+      FROM orders, nv),
+    ring AS (
+      SELECT DISTINCT n AS src,
+        CASE WHEN n % 8 IN (2, 5) THEN n - 2
+             WHEN n % 8 = 7 THEN n - (n % 8) + 3
+             ELSE n + 1 END AS dst
+      FROM h0),
+    br AS (
+      SELECT DISTINCT n AS src, n - (n % 8) + 3 AS dst
+      FROM h0 WHERE o_orderkey % 3 = 0 AND n % 8 = 1),
+    e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM br),
     n2 AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
     reach(a, d) AS (
       SELECT v, v FROM n2
