@@ -200,4 +200,68 @@ object Walks {
       .filter(col("ppmi_bp") > 10000L)
       .select(col("center"), col("context"), col("n"), col("ppmi_bp"))
   }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING for SGNS over [[skipGramCounts]]
+    * output — the other half of the word2vec training-pair corpus
+    * (Mikolov et al. 2013: k noise words per center, drawn from the
+    * unigram distribution raised to the 3/4 power). The draw is EXACT
+    * inverse-CDF sampling over the integer weight table, fully
+    * deterministic and SQL-replayable:
+    *
+    *   - weight w(v) = ⌊√(n_v · ⌊√n_v⌋)⌋ ≈ n_v^(3/4) — two composed
+    *     integer square roots (the p10 isqrt doctrine: √ of an exact
+    *     integer double is correctly rounded and consecutive squares
+    *     are > 2√n apart, so the floor is engine-agnostic; exact while
+    *     n_v^1.5 < 2⁵³, i.e. n_v < ~4·10¹⁰ — far above any real
+    *     marginal), over the CONTEXT marginal (the noise distribution
+    *     vocabulary);
+    *   - the vocab becomes cumulative segments [cum_lo, cum_hi) by one
+    *     running sum ordered by node (vocabulary is dimension-sized —
+    *     the single-partition window is a bounded frame, the same
+    *     contract as a codebook);
+    *   - draw j for center c is u = ⌊hash32("c:j") · W / 2³²⌋ ∈ [0, W)
+    *     (exact in DECIMAL(38,0)), and the sample is the unique segment
+    *     containing u.
+    *
+    * Scale shape: the segment lookup is NOT a range join — segments are
+    * exploded onto the `buckets` fixed-width buckets they overlap
+    * (total expansion ≤ vocab + buckets) and draws equi-join on their
+    * bucket, then one residual range filter keeps the unique covering
+    * segment. Draws are |centers|·k rows; everything shuffles on real
+    * keys, nothing is corpus-sized. Collisions (negative == a true
+    * context, or == the center) are emitted as drawn — the standard
+    * implementations mask or resample at training time; masking here
+    * would make the draw count data-dependent and break the exact-k
+    * contract. Returns (center, j, negative).
+    */
+  def negativeSamples(counts: DataFrame, k: Int, salt: Int = 0,
+                      buckets: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = counts.groupBy(col("context").as("node"))
+      .agg(sum(col("n")).as("n"))
+    val segs = vocab
+      .withColumn("w",
+        floor(sqrt(col("n") * floor(sqrt(col("n"))))).cast("long"))
+      .withColumn("cum_hi", sum(col("w")).over(Window.orderBy(col("node"))))
+      .withColumn("cum_lo", col("cum_hi") - col("w"))
+    val tot = broadcast(segs.agg(max(col("cum_hi")).as("tw")))
+    val segB = segs.crossJoin(tot)
+      .withColumn("b", explode(sequence(
+        expr(s"cum_lo * $buckets div tw"),
+        expr(s"(cum_hi - 1) * $buckets div tw"))))
+      .select(col("b"), col("node"), col("cum_lo"), col("cum_hi"))
+    val draws = counts.select(col("center")).distinct()
+      .select(col("center"), explode(sequence(lit(1), lit(k))).as("j"))
+      .crossJoin(tot)
+      .withColumn("__h", graft.functions.text.saltedHash32(
+        concat_ws(":", col("center"), col("j")), salt))
+      .withColumn("u",
+        expr("CAST(__h AS DECIMAL(38,0)) * tw div 4294967296"))
+      .withColumn("b", expr(s"u * $buckets div tw"))
+    draws.join(segB, Seq("b"))
+      .filter(col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
+      .select(col("center"), col("j"), col("node").as("negative"))
+  }
 }

@@ -862,6 +862,26 @@ object GraphQ extends QueryPack {
         .orderBy(col("walk_id"), col("step"))
     },
 
+    // r43 — DETERMINISTIC NEGATIVE SAMPLING over the r39 counts
+    // (Walks.negativeSamples — Mikolov et al. 2013: k noise draws per
+    // center from unigram^(3/4)): exact integer inverse-CDF over the
+    // isqrt-composed weight table, draws bucket-equi-joined to their
+    // covering segment (never a corpus-scale range join). With r41
+    // this completes the SGNS training-pair corpus: positives weighted
+    // by PPMI, negatives from the noise table, all hash-oracle-able.
+    "r43_sgns_negatives" -> { (s, dir) =>
+      val seeds = Tables(s, dir).orders
+        .filter(col("o_custkey") <= 25)
+        .select(col("o_custkey")).distinct()
+        .select(concat(lit("w"), col("o_custkey")).as("walk_id"),
+          (col("o_custkey").cast("long") * 2).as("node"))
+      val seqs = graft.graph.Walks.walkSequences(
+        tradeEdgesLong(s, dir, dedup = false), seeds, len = 8)
+      graft.graph.Walks.negativeSamples(
+          graft.graph.Walks.skipGramCounts(seqs, window = 3), k = 5)
+        .orderBy(col("center"), col("j"))
+    },
+
     // r29 — the CONDENSATION DAG layered by longest path: collapse the
     // r28 digraph to its SCC quotient (always a DAG), then topological
     // layers (layer 0 = no incoming edge; else 1 + max predecessor) —
@@ -2462,6 +2482,71 @@ object GraphQ extends QueryPack {
          |  JOIN xm x ON x.context = c.context)
          |WHERE ppmi_bp > 10000
          |ORDER BY center, context""".stripMargin
+    },
+
+    // r39's count chain + the isqrt^2 weight table, running-sum
+    // segments, and the exact integer inverse-CDF draw — DuckDB's
+    // range join replays the bucket-join's semantics (the bucket is
+    // pure acceleration, it never changes which segment covers u)
+    "r43_sgns_negatives" -> {
+      val steps = (1 to 8).map { k =>
+        s"""w$k AS (
+           |  SELECT wid, node FROM (
+           |    SELECT p.wid, e.dst AS node,
+           |           row_number() OVER (PARTITION BY p.wid ORDER BY
+           |             ${saltedHash32Sql(s"p.wid || ':$k:' || e.dst", 0)},
+           |             e.dst) AS rn
+           |    FROM w${k - 1} p JOIN e ON e.src = p.node)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8)
+        .map(k => s"SELECT wid, $k AS step, node FROM w$k")
+        .mkString("\n UNION ALL ")
+      s"""WITH p AS (
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |w0 AS (
+         |  SELECT 'w' || o_custkey AS wid,
+         |         CAST(2*o_custkey AS BIGINT) AS node
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_custkey <= 25)),
+         |$steps,
+         |rows0 AS (
+         | SELECT wid, 0 AS step, node FROM w0
+         | UNION ALL $unions),
+         |fwd AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM rows0 a JOIN rows0 b
+         |    ON a.wid = b.wid AND b.step > a.step AND b.step <= a.step + 3),
+         |cnt AS MATERIALIZED (
+         |  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT center, context FROM fwd
+         |    UNION ALL
+         |    SELECT context, center FROM fwd)
+         |  GROUP BY center, context),
+         |vocab AS (
+         |  SELECT context AS node, CAST(SUM(n) AS BIGINT) AS n
+         |  FROM cnt GROUP BY context),
+         |segs AS (
+         |  SELECT node,
+         |         CAST(FLOOR(SQRT(n * FLOOR(SQRT(n)))) AS BIGINT) AS w,
+         |         CAST(SUM(CAST(FLOOR(SQRT(n * FLOOR(SQRT(n)))) AS BIGINT))
+         |              OVER (ORDER BY node) AS BIGINT) AS cum_hi
+         |  FROM vocab),
+         |segs2 AS MATERIALIZED (
+         |  SELECT node, cum_hi - w AS cum_lo, cum_hi FROM segs),
+         |tot AS (SELECT MAX(cum_hi) AS tw FROM segs2),
+         |draws AS MATERIALIZED (
+         |  SELECT c.center, g.j,
+         |         CAST(CAST(${saltedHash32Sql("c.center || ':' || g.j", 0)}
+         |              AS HUGEINT) * t.tw // 4294967296 AS BIGINT) AS u
+         |  FROM (SELECT DISTINCT center FROM cnt) c
+         |  CROSS JOIN tot t
+         |  CROSS JOIN generate_series(1, 5) g(j))
+         |SELECT d.center, CAST(d.j AS INT) AS j, s.node AS negative
+         |FROM draws d JOIN segs2 s ON d.u >= s.cum_lo AND d.u < s.cum_hi
+         |ORDER BY center, j""".stripMargin
     },
 
     // the r37 chain with the 2nd-order penalty: each step carries prev,

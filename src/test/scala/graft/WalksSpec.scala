@@ -182,6 +182,69 @@ class WalksSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  /** Serial replay of the inverse-CDF negative draw. */
+  private def serialNegatives(counts: Seq[(String, String, Long)], k: Int)
+      : Set[(String, Int, String)] = {
+    def isqrt(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    val vocab = counts.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val segs = vocab.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (v, n)) =>
+      (v, hi, hi + isqrt(n * isqrt(n)))
+    }.tail // (node, cum_lo, cum_hi)
+    val tw = segs.last._3
+    for {
+      c <- counts.map(_._1).distinct.toSet[String]
+      j <- 1 to k
+    } yield {
+      val u = (BigInt(graft.functions.text.saltedHash32Long(s"$c:$j", 0)) *
+        tw / BigInt(4294967296L)).toLong
+      val neg = segs.find(s => u >= s._2 && u < s._3).get._1
+      (c, j, neg)
+    }
+  }
+
+  test("negativeSamples equals a serial replay of the inverse-CDF draw") {
+    val counts = Seq(("a", "b", 9L), ("b", "a", 9L), ("a", "c", 4L),
+      ("c", "a", 4L), ("b", "c", 1L), ("c", "b", 1L))
+      .toDF("center", "context", "n")
+    val got = Walks.negativeSamples(counts, k = 7)
+      .as[(String, Int, String)].collect().toSet
+    val want = serialNegatives(Seq(("a", "b", 9L), ("b", "a", 9L),
+      ("a", "c", 4L), ("c", "a", 4L), ("b", "c", 1L), ("c", "b", 1L)), 7)
+    assert(got == want, s"got=$got\nwant=$want")
+    // exact-k contract: every center gets exactly k draws
+    assert(got.groupBy(_._1).values.forall(_.size == 7))
+    // every negative is a vocabulary member
+    assert(got.map(_._3).subsetOf(Set("a", "b", "c")))
+  }
+
+  test("negativeSamples: the bucket count never changes the draw " +
+    "(buckets are pure acceleration)") {
+    val counts = Seq(("a", "b", 9L), ("b", "a", 9L), ("a", "c", 4L),
+      ("c", "a", 4L)).toDF("center", "context", "n")
+    val a = Walks.negativeSamples(counts, k = 5, buckets = 1)
+      .as[(String, Int, String)].collect().toSet
+    val b = Walks.negativeSamples(counts, k = 5, buckets = 4096)
+      .as[(String, Int, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("negativeSamples: heavier vocabulary entries are drawn more " +
+    "often (unigram^(3/4) bias)") {
+    // one dominant context (weight isqrt(10000*100)=1000) vs 9 rare
+    // ones (weight 1 each): over 100 centers x 5 draws the dominant
+    // node must take the overwhelming majority
+    val rows = (1 to 100).flatMap { c =>
+      ("c" + c, "BIG", 10000L) +: (1 to 9).map(v => ("c" + c, "v" + v, 1L))
+    }
+    val counts = rows.toDF("center", "context", "n")
+    val got = Walks.negativeSamples(counts, k = 5)
+      .as[(String, Int, String)].collect()
+    assert(got.length == 500)
+    val bigShare = got.count(_._3 == "BIG").toDouble / got.length
+    assert(bigShare > 0.95, s"bigShare=$bigShare")
+  }
+
   test("biasedWalks: a heavy return penalty suppresses backtracking " +
     "on a path graph") {
     // path x <-> y <-> z: from y (came from x) the return candidate x
