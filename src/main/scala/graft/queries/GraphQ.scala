@@ -517,8 +517,12 @@ object GraphQ extends QueryPack {
       val front = Routing.paretoJourneysOnTables(s, "graft_st_by_stop",
         "graft_st_by_trip", tf, 0L, 0L, maxRounds = 6,
         warnOnTruncation = false, transfers = Some(xf))
-      Routing.paretoJourneyForest(factStopTimes(s, dir), tf, front, 0L, 0L,
-          transfers = Some(xf))
+      // staged-copy parent probes measured and REJECTED (r15 paired
+      // subset: 7.97 -> 7.94 s, flat — the one-shot probes' lineitem
+      // re-derivation is not the bottleneck; the label loop + windows
+      // are); keep the self-contained form
+      Routing.paretoJourneyForest(factStopTimes(s, dir), tf, front,
+          0L, 0L, transfers = Some(xf))
         .orderBy(col("dest_stop"), col("dest_arr"), col("dest_fare"),
           col("leg_seq"))
     },
@@ -615,8 +619,10 @@ object GraphQ extends QueryPack {
       val labels = Routing.earliestArrivalOnTables(s, "graft_st_by_stop",
         "graft_st_by_trip", 0L, 0L, maxRounds = 40,
         transfers = Some(xf))
-      Routing.journeyForestFromLabels(factStopTimes(s, dir), labels, 0L,
-          transfers = Some(xf))
+      // staged-copy parent probes measured and REJECTED (see the r40
+      // adjudication: paired-flat; 6.35 -> 6.59 here)
+      Routing.journeyForestFromLabels(factStopTimes(s, dir), labels,
+          0L, transfers = Some(xf))
         .orderBy(col("dest"), col("leg_seq"))
     },
 
