@@ -87,10 +87,18 @@ object Walks {
     val spark = edges.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val e = ckpt(edges.select(col("src"), col("dst")))
-    // distance-1 probe set, deduped so a duplicate edge cannot fan the
-    // candidate frame out through the left join
-    val adj = ckpt(e.select(col("src").as("__as"), col("dst").as("__ad"))
-      .distinct())
+    // distance-1 probe as a V-SIZED neighbor-set frame (one row per
+    // source node, out-neighbors collected into a set): the per-round
+    // left join then probes |V| rows instead of |E| (measured r42
+    // paired subset: 6.73 → 4.41 s, −34%, with the unchanged r37 as
+    // in-window control at −9%) and the membership test is an
+    // array_contains over the prev node's out-degree. Row size is
+    // O(out-degree) — fine for entity graphs (the walk regime); a
+    // power-law hub with millions of out-neighbors would need the
+    // edge-pair left-join form instead (probe |E| rows, constant-size
+    // rows) — swap here if that graph shape arrives.
+    val nbrs = ckpt(e.groupBy(col("src").as("__ps"))
+      .agg(collect_set(col("dst")).as("__pn")))
     val nodeType = seeds.schema("node").dataType
     var cur = ckpt(seeds.select(col("walk_id"), col("node"),
       lit(null).cast(nodeType).as("prev")))
@@ -101,16 +109,16 @@ object Walks {
         .select(col("walk_id"), cur("node").as("__vn"), col("prev"),
           e("dst").as("__d"))
       // return case FIRST (a self-loop makes t adjacent to itself);
-      // prev NULL (step 1) falls through both guards to the neutral arm
+      // prev NULL (step 1) has no nbrs match (join misses, __pn null,
+      // array_contains → null) so it falls through to the neutral arm
       val pen = when(col("__d") === col("prev"), lit(returnBp.toLong))
-        .when(col("__ad").isNotNull, lit(10000L))
+        .when(array_contains(col("__pn"), col("__d")), lit(10000L))
         .otherwise(when(col("prev").isNull, lit(10000L))
           .otherwise(lit(inoutBp.toLong)))
       val rank = graft.functions.text.saltedHash32(
         concat_ws(":", col("walk_id"), lit(k), col("__d")), salt) * pen
       cur = ckpt(cand
-        .join(adj, col("prev") === col("__as") && col("__d") === col("__ad"),
-          "left")
+        .join(nbrs, col("prev") === col("__ps"), "left")
         .groupBy(col("walk_id"))
         .agg(min_by(struct(col("__d").as("node"), col("__vn").as("prev")),
           struct(rank.as("r"), col("__d").as("d"))).as("__n"))
