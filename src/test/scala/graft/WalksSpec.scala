@@ -245,6 +245,39 @@ class WalksSpec extends SparkTestBase {
     assert(bigShare > 0.95, s"bigShare=$bigShare")
   }
 
+  test("partition invariance: every walk-tier operator returns the " +
+    "same set regardless of input partitioning") {
+    val seeds = Seq(("w1", "a"), ("w2", "b"), ("w3", "c"))
+      .toDF("walk_id", "node")
+    val e7 = edges.repartition(7)
+    val s5 = seeds.repartition(5)
+    assert(Walks.randomWalks(edges, seeds, 6)
+      .as[(String, Int, String)].collect().toSet ==
+      Walks.randomWalks(e7, s5, 6)
+        .as[(String, Int, String)].collect().toSet)
+    assert(Walks.biasedWalks(edges, seeds, 6, 20000, 5000)
+      .as[(String, Int, String)].collect().toSet ==
+      Walks.biasedWalks(e7, s5, 6, 20000, 5000)
+        .as[(String, Int, String)].collect().toSet)
+    val counts = Seq(("a", "b", 9L), ("b", "a", 9L), ("a", "c", 4L),
+      ("c", "a", 4L), ("b", "c", 1L), ("c", "b", 1L))
+      .toDF("center", "context", "n")
+    assert(Walks.ppmiPairs(counts)
+      .as[(String, String, Long, Long)].collect().toSet ==
+      Walks.ppmiPairs(counts.repartition(11))
+        .as[(String, String, Long, Long)].collect().toSet)
+    assert(Walks.negativeSamples(counts, 5)
+      .as[(String, Int, String)].collect().toSet ==
+      Walks.negativeSamples(counts.repartition(11), 5)
+        .as[(String, Int, String)].collect().toSet)
+    val seqs = Seq(("w1", Seq("a", "b", "c", "d")), ("w2", Seq("a", "b")))
+      .toDF("walk_id", "nodes")
+    assert(Walks.skipGramCounts(seqs, 2)
+      .as[(String, String, Long)].collect().toSet ==
+      Walks.skipGramCounts(seqs.repartition(3), 2)
+        .as[(String, String, Long)].collect().toSet)
+  }
+
   test("biasedWalks: a heavy return penalty suppresses backtracking " +
     "on a path graph") {
     // path x <-> y <-> z: from y (came from x) the return candidate x
