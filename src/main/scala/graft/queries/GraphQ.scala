@@ -527,6 +527,40 @@ object GraphQ extends QueryPack {
           col("leg_seq"))
     },
 
+    // r44 — FARES ON THE McRAPTOR PLANNER OUTPUT AT FACT SCALE: the
+    // full fare-aware product arc closed end-to-end on the ~6M-row
+    // timetable — Pareto front (r32's loop) → leg chains (r40's
+    // forest) → priced itineraries (the r24 tariff engine). Each front
+    // label's ride legs (walking is free) renumber densely and route
+    // through Fares.itineraryFares under the 25-fare/40-route fact
+    // tariff with transfer allowances and expiry windows; the itinerary
+    // id is the label TRIPLE (one priced row per Pareto alternative —
+    // "the cheap 13:05 one costs 3 purchases" is the product answer).
+    // Oracle: the r40 stack + the r24 single-successor fare-fold
+    // recursion keyed by the triple.
+    "r44_pareto_fares_factscale" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      ensureStopTimesTables(s, dir)
+      val tf = factTripFares(s, dir)
+      val xf = factTransfers(s, dir)
+      val front = Routing.paretoJourneysOnTables(s, "graft_st_by_stop",
+        "graft_st_by_trip", tf, 0L, 0L, maxRounds = 6,
+        warnOnTruncation = false, transfers = Some(xf))
+      val forest = Routing.paretoJourneyForest(factStopTimes(s, dir), tf,
+        front, 0L, 0L, transfers = Some(xf))
+      val legs = forest.filter(col("kind") === "ride")
+        .withColumn("ls", row_number().over(
+          Window.partitionBy(col("dest_stop"), col("dest_arr"),
+            col("dest_fare")).orderBy(col("leg_seq"))))
+        .select(concat_ws(":", col("dest_stop"), col("dest_arr"),
+            col("dest_fare")).as("itin_id"),
+          col("ls").as("leg_seq"), col("dep_t").as("board_t"),
+          (col("trip") % 40).cast("string").as("route_id"))
+      graft.gtfs.Fares.itineraryFares(legs, factFareRules(s),
+          factFareAttrs(s))
+        .orderBy(col("itin_id"))
+    },
+
     // r26 at FACT SCALE, round-BOUNDED: the (arrival, fare) front
     // within ≤6 boardings over the ~6M-row timetable with a 3-level
     // per-trip tariff — bounded rounds keep the label space (and both
@@ -1509,6 +1543,79 @@ object GraphQ extends QueryPack {
       |xf AS (SELECT fs, ts, mtt FROM xf0
       |       UNION ALL SELECT ts, fs, mtt FROM xf0)""".stripMargin
 
+  /** Shared CTE stack for the fact-scale McRAPTOR reconstruction
+    * oracles (r40/r44): r32's EXACTLY-6-stage bounded label chain,
+    * r38's canonical parent rule on the final front, and the recursive
+    * backtrack keyed by the label TRIPLE. Callers append a final
+    * SELECT over `walk` (dest triple, kind, from_stop, to_stop, trip,
+    * dep_t, arr_t, fare) — or extend the WITH with more CTEs first.
+    */
+  private val paretoForestFactCtes: String = {
+    val chain = (1 to 6).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT stop, arr, fare FROM (
+         |    SELECT stop, arr, fare,
+         |           MIN(fare) OVER (PARTITION BY stop ORDER BY arr, fare
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |             AS pm
+         |    FROM (SELECT DISTINCT stop, arr, fare FROM (
+         |      SELECT stop, arr, fare FROM lab${i - 1}
+         |      UNION ALL
+         |      SELECT s.ts, s.arr, p.fare + ((s.trip % 3 + 1) * 100)
+         |      FROM seg s JOIN lab${i - 1} p
+         |        ON s.fs = p.stop AND s.dep >= p.arr
+         |      UNION ALL
+         |      SELECT x.ts, p.arr + x.mtt, p.fare
+         |      FROM xf x JOIN lab${i - 1} p ON x.fs = p.stop)))
+         |  WHERE pm IS NULL OR fare < pm)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $factStSql,
+       |seg AS MATERIALIZED (
+       |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
+       |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
+       |$factXfSql,
+       |lab0 AS (SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr,
+       |                CAST(0 AS BIGINT) AS fare),
+       |$chain,
+       |lab AS (SELECT stop, arr, fare FROM lab6),
+       |pev AS (
+       |  SELECT s.ts AS stop, lb.arr AS arr_t, lb.fare AS fare,
+       |         0 AS k, 'ride' AS kind, s.fs AS from_stop,
+       |         la.arr AS from_arr, la.fare AS from_fare,
+       |         s.trip AS trip, s.dep AS dep_t
+       |  FROM seg s
+       |  JOIN lab la ON la.stop = s.fs AND s.dep >= la.arr
+       |  JOIN lab lb ON lb.stop = s.ts AND lb.arr = s.arr
+       |             AND lb.fare = la.fare + ((s.trip % 3 + 1) * 100)
+       |  WHERE la.arr < lb.arr
+       |  UNION ALL
+       |  SELECT x.ts, lt.arr, lt.fare, 1, 'foot', x.fs, lf.arr,
+       |         lf.fare, NULL, lf.arr
+       |  FROM xf x
+       |  JOIN lab lf ON lf.stop = x.fs
+       |  JOIN lab lt ON lt.stop = x.ts AND lt.arr = lf.arr + x.mtt
+       |             AND lt.fare = lf.fare),
+       |parents AS MATERIALIZED (
+       |  SELECT stop, arr_t, fare, kind, from_stop, from_arr,
+       |         from_fare, trip, dep_t FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY stop, arr_t, fare
+       |      ORDER BY k, from_stop, CAST(trip AS VARCHAR), dep_t) AS rn
+       |    FROM pev
+       |    WHERE NOT (stop = 0 AND arr_t = 0 AND fare = 0))
+       |  WHERE rn = 1),
+       |walk(dest_stop, dest_arr, dest_fare, kind, from_stop, to_stop,
+       |     trip, dep_t, arr_t, fare, cs, ca, cf) AS (
+       |  SELECT stop, arr_t, fare, kind, from_stop, stop, trip,
+       |         dep_t, arr_t, fare, from_stop, from_arr, from_fare
+       |  FROM parents
+       |  UNION ALL
+       |  SELECT w.dest_stop, w.dest_arr, w.dest_fare, p.kind,
+       |         p.from_stop, p.stop, p.trip, p.dep_t, p.arr_t,
+       |         p.fare, p.from_stop, p.from_arr, p.from_fare
+       |  FROM walk w JOIN parents p ON p.stop = w.cs
+       |    AND p.arr_t = w.ca AND p.fare = w.cf)""".stripMargin
+  }
+
   /** Shared CTE stack for the journey-reconstruction oracles
     * (r33/r34/r35): the transfer-aware label chain run past the
     * fixpoint, then the SAME canonical tight-parent rule
@@ -2289,78 +2396,90 @@ object GraphQ extends QueryPack {
     // r38's canonical parent rule on the final front and the recursive
     // backtrack keyed by the label TRIPLE. Bounded-front provenance
     // truncates identically on both sides (same rule, same front).
-    "r40_pareto_itineraries_factscale" -> {
-      val chain = (1 to 6).map { i =>
-        s"""lab$i AS MATERIALIZED (
-           |  SELECT stop, arr, fare FROM (
-           |    SELECT stop, arr, fare,
-           |           MIN(fare) OVER (PARTITION BY stop ORDER BY arr, fare
-           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           |             AS pm
-           |    FROM (SELECT DISTINCT stop, arr, fare FROM (
-           |      SELECT stop, arr, fare FROM lab${i - 1}
-           |      UNION ALL
-           |      SELECT s.ts, s.arr, p.fare + ((s.trip % 3 + 1) * 100)
-           |      FROM seg s JOIN lab${i - 1} p
-           |        ON s.fs = p.stop AND s.dep >= p.arr
-           |      UNION ALL
-           |      SELECT x.ts, p.arr + x.mtt, p.fare
-           |      FROM xf x JOIN lab${i - 1} p ON x.fs = p.stop)))
-           |  WHERE pm IS NULL OR fare < pm)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH RECURSIVE $factStSql,
-         |seg AS MATERIALIZED (
-         |  SELECT a.trip, a.stop AS fs, a.t AS dep, b.stop AS ts, b.t AS arr
-         |  FROM st a JOIN st b ON a.trip = b.trip AND b.seq > a.seq),
-         |$factXfSql,
-         |lab0 AS (SELECT CAST(0 AS BIGINT) AS stop, CAST(0 AS BIGINT) AS arr,
-         |                CAST(0 AS BIGINT) AS fare),
-         |$chain,
-         |lab AS (SELECT stop, arr, fare FROM lab6),
-         |pev AS (
-         |  SELECT s.ts AS stop, lb.arr AS arr_t, lb.fare AS fare,
-         |         0 AS k, 'ride' AS kind, s.fs AS from_stop,
-         |         la.arr AS from_arr, la.fare AS from_fare,
-         |         s.trip AS trip, s.dep AS dep_t
-         |  FROM seg s
-         |  JOIN lab la ON la.stop = s.fs AND s.dep >= la.arr
-         |  JOIN lab lb ON lb.stop = s.ts AND lb.arr = s.arr
-         |             AND lb.fare = la.fare + ((s.trip % 3 + 1) * 100)
-         |  WHERE la.arr < lb.arr
-         |  UNION ALL
-         |  SELECT x.ts, lt.arr, lt.fare, 1, 'foot', x.fs, lf.arr,
-         |         lf.fare, NULL, lf.arr
-         |  FROM xf x
-         |  JOIN lab lf ON lf.stop = x.fs
-         |  JOIN lab lt ON lt.stop = x.ts AND lt.arr = lf.arr + x.mtt
-         |             AND lt.fare = lf.fare),
-         |parents AS MATERIALIZED (
-         |  SELECT stop, arr_t, fare, kind, from_stop, from_arr,
-         |         from_fare, trip, dep_t FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY stop, arr_t, fare
-         |      ORDER BY k, from_stop, CAST(trip AS VARCHAR), dep_t) AS rn
-         |    FROM pev
-         |    WHERE NOT (stop = 0 AND arr_t = 0 AND fare = 0))
-         |  WHERE rn = 1),
-         |walk(dest_stop, dest_arr, dest_fare, kind, from_stop, to_stop,
-         |     trip, dep_t, arr_t, fare, cs, ca, cf) AS (
-         |  SELECT stop, arr_t, fare, kind, from_stop, stop, trip,
-         |         dep_t, arr_t, fare, from_stop, from_arr, from_fare
-         |  FROM parents
-         |  UNION ALL
-         |  SELECT w.dest_stop, w.dest_arr, w.dest_fare, p.kind,
-         |         p.from_stop, p.stop, p.trip, p.dep_t, p.arr_t,
-         |         p.fare, p.from_stop, p.from_arr, p.from_fare
-         |  FROM walk w JOIN parents p ON p.stop = w.cs
-         |    AND p.arr_t = w.ca AND p.fare = w.cf)
-         |SELECT dest_stop, dest_arr, dest_fare,
-         |       CAST(row_number() OVER (PARTITION BY dest_stop,
-         |         dest_arr, dest_fare
-         |         ORDER BY arr_t, to_stop, fare) AS INT) AS leg_seq,
-         |       kind, from_stop, to_stop, trip, dep_t, arr_t, fare
-         |FROM walk
-         |ORDER BY dest_stop, dest_arr, dest_fare, leg_seq""".stripMargin
-    },
+    "r40_pareto_itineraries_factscale" -> (paretoForestFactCtes +
+      """
+        |SELECT dest_stop, dest_arr, dest_fare,
+        |       CAST(row_number() OVER (PARTITION BY dest_stop,
+        |         dest_arr, dest_fare
+        |         ORDER BY arr_t, to_stop, fare) AS INT) AS leg_seq,
+        |       kind, from_stop, to_stop, trip, dep_t, arr_t, fare
+        |FROM walk
+        |ORDER BY dest_stop, dest_arr, dest_fare, leg_seq""".stripMargin),
+
+    // r44 — the r40 stack's ride legs renumbered per label TRIPLE, then
+    // the r24 single-successor fare-fold recursion under the fact
+    // tariff (route = trip % 40; the r24 fares/rts mirrors verbatim)
+    "r44_pareto_fares_factscale" -> (paretoForestFactCtes +
+      """,
+        |rlegs AS MATERIALIZED (
+        |  SELECT dest_stop || ':' || dest_arr || ':' || dest_fare AS itin,
+        |         CAST(row_number() OVER (PARTITION BY dest_stop,
+        |           dest_arr, dest_fare
+        |           ORDER BY arr_t, to_stop, fare) AS INT) AS seq,
+        |         dep_t AS t, CAST(trip % 40 AS VARCHAR) AS route
+        |  FROM walk WHERE kind = 'ride'),
+        |fares AS (
+        |  SELECT 'f' || k AS fare_id, CAST((k%9+1)*1000 AS BIGINT) AS price,
+        |         CASE WHEN k%4=0 THEN NULL ELSE CAST(k%3 AS INT) END
+        |           AS transfers,
+        |         CASE WHEN k%6=5 THEN NULL
+        |              ELSE CAST((k%5+1)*600 AS BIGINT) END AS dur
+        |  FROM range(25) t(k)),
+        |rts AS (
+        |  SELECT CAST(r AS VARCHAR) AS route, 'f' || (r%25) AS fare_id
+        |  FROM range(40) t(r)
+        |  UNION ALL
+        |  SELECT CAST(r AS VARCHAR), 'f' || ((r*7+3)%25) FROM range(40) t(r)),
+        |app AS (SELECT DISTINCT route, fare_id FROM rts),
+        |cheap AS (
+        |  SELECT route, fare_id, price, transfers, dur FROM (
+        |    SELECT a.route, f.fare_id, f.price, f.transfers, f.dur,
+        |           row_number() OVER (PARTITION BY a.route
+        |             ORDER BY f.price, f.fare_id) AS rn
+        |    FROM app a JOIN fares f USING (fare_id)) WHERE rn = 1),
+        |w AS (
+        |  SELECT l.itin, l.seq, c.fare_id AS af, l.t AS pt,
+        |         COALESCE(c.transfers, -1) AS rem, c.dur AS adur,
+        |         COALESCE(c.price, 0) AS tot,
+        |         CASE WHEN c.fare_id IS NULL THEN 0 ELSE 1 END AS np,
+        |         0 AS nf,
+        |         CASE WHEN c.fare_id IS NULL THEN 1 ELSE 0 END AS nu
+        |  FROM rlegs l LEFT JOIN cheap c ON c.route = l.route
+        |  WHERE l.seq = 1
+        |  UNION ALL
+        |  SELECT itin, seq,
+        |    CASE WHEN free THEN af
+        |         WHEN cf IS NOT NULL THEN cf ELSE af END,
+        |    CASE WHEN free OR cf IS NULL THEN pt ELSE t END,
+        |    CASE WHEN free THEN (CASE WHEN rem > 0 THEN rem - 1 ELSE rem END)
+        |         WHEN cf IS NOT NULL THEN COALESCE(ctr, -1) ELSE rem END,
+        |    CASE WHEN free OR cf IS NULL THEN adur ELSE cdur END,
+        |    tot + CASE WHEN NOT free AND cf IS NOT NULL THEN cp ELSE 0 END,
+        |    np + CASE WHEN NOT free AND cf IS NOT NULL THEN 1 ELSE 0 END,
+        |    nf + CASE WHEN free THEN 1 ELSE 0 END,
+        |    nu + CASE WHEN NOT free AND cf IS NULL THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT w.itin, l.seq, l.t, w.af, w.pt, w.rem, w.adur,
+        |           w.tot, w.np, w.nf, w.nu,
+        |           COALESCE(w.af IS NOT NULL AND a.fare_id IS NOT NULL
+        |             AND w.rem <> 0
+        |             AND (w.adur IS NULL OR l.t <= w.pt + w.adur),
+        |             FALSE) AS free,
+        |           c.fare_id AS cf, c.price AS cp, c.transfers AS ctr,
+        |           c.dur AS cdur
+        |    FROM w
+        |    JOIN rlegs l ON l.itin = w.itin AND l.seq = w.seq + 1
+        |    LEFT JOIN app a ON a.route = l.route AND a.fare_id = w.af
+        |    LEFT JOIN cheap c ON c.route = l.route))
+        |SELECT w.itin AS itin_id, CAST(w.tot AS BIGINT) AS total_price,
+        |       CAST(w.np AS INT) AS n_purchases,
+        |       CAST(w.nf AS INT) AS n_free_transfers,
+        |       CAST(w.nu AS INT) AS n_uncovered
+        |FROM w JOIN (SELECT itin, MAX(seq) AS ms FROM rlegs
+        |             GROUP BY itin) m
+        |  ON w.itin = m.itin AND w.seq = m.ms
+        |ORDER BY itin_id""".stripMargin),
+
 
     // the walk chain unrolled one CTE per step (aggregates can't live
     // in a recursive term — the pageRankSql doctrine), same argmin rank
