@@ -223,10 +223,15 @@ object Walks {
     *     n_v^1.5 < 2⁵³, i.e. n_v < ~4·10¹⁰ — far above any real
     *     marginal), over the CONTEXT marginal (the noise distribution
     *     vocabulary);
-    *   - the vocab becomes cumulative segments [cum_lo, cum_hi) by one
-    *     running sum ordered by node (vocabulary is dimension-sized —
-    *     the single-partition window is a bounded frame, the same
-    *     contract as a codebook);
+    *   - the vocab becomes cumulative segments [cum_lo, cum_hi) by a
+    *     DISTRIBUTED two-level prefix sum ordered by node (range-shuffle
+    *     the vocab on node, per-range-partition subtotals collected to
+    *     the driver — at most `spark.sql.shuffle.partitions` rows, a
+    *     config-bounded constant, never data-sized — running offsets
+    *     broadcast back, then a per-partition window adds the local
+    *     cumsum): the exact integers of a global running sum with no
+    *     single-partition window anywhere, so a 10⁸–10⁹-node entity
+    *     vocabulary never funnels through one task;
     *   - draw j for center c is u = ⌊hash32("c:j") · W / 2³²⌋ ∈ [0, W)
     *     (exact in DECIMAL(38,0)), and the sample is the unique segment
     *     containing u.
@@ -236,29 +241,57 @@ object Walks {
     * (total expansion ≤ vocab + buckets) and draws equi-join on their
     * bucket, then one residual range filter keeps the unique covering
     * segment. Draws are |centers|·k rows; everything shuffles on real
-    * keys, nothing is corpus-sized. Collisions (negative == a true
-    * context, or == the center) are emitted as drawn — the standard
-    * implementations mask or resample at training time; masking here
-    * would make the draw count data-dependent and break the exact-k
-    * contract. Returns (center, j, negative).
+    * keys, nothing is corpus-sized. Bucket-index arithmetic runs in
+    * DECIMAL(38,0) (cum·buckets would overflow a long once total weight
+    * exceeds 2⁶³/buckets ≈ 2.25·10¹⁵ at the default 4096 — the draw u
+    * already took the decimal path; the only residual exactness bound is
+    * the isqrt one above). Collisions (negative == a true context, or ==
+    * the center) are emitted as drawn — the standard implementations
+    * mask or resample at training time; masking here would make the draw
+    * count data-dependent and break the exact-k contract. Returns
+    * (center, j, negative).
     */
   def negativeSamples(counts: DataFrame, k: Int, salt: Int = 0,
                       buckets: Int = 4096): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     import org.apache.spark.sql.expressions.Window
+    val spark = counts.sparkSession
     val vocab = counts.groupBy(col("context").as("node"))
       .agg(sum(col("n")).as("n"))
-    val segs = vocab
       .withColumn("w",
         floor(sqrt(col("n") * floor(sqrt(col("n"))))).cast("long"))
-      .withColumn("cum_hi", sum(col("w")).over(Window.orderBy(col("node"))))
+    // Two-level prefix sum. RangePartitioner's partition indices are
+    // range-ORDERED (partition i holds strictly smaller nodes than
+    // i+1), so offset(p) = Σ subtotal(p' < p) makes the per-partition
+    // cumsum globally exact. localCheckpoint pins the partition ids:
+    // both the subtotal pass and the window pass must read the SAME
+    // placement (spark_partition_id is plan-dependent otherwise).
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = vocab.repartitionByRange(nParts, col("node"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsetRows = ranged.groupBy(col("__pid"))
+      .agg(sum(col("w")).as("__pw"))
+      .collect() // ≤ nParts rows — config-bounded, the codebook contract
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // offset(p) = exclusive prefix sum of the subtotals in pid order
+    val offsets = offsetRows.map(_._1)
+      .zip(offsetRows.scanLeft(0L)(_ + _._2).init).toSeq
+    import spark.implicits._
+    val offFrame = broadcast(offsets.toDF("__pid", "__off"))
+    val segs = ranged
+      .withColumn("__lc", sum(col("w")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("node"))))
+      .join(offFrame, Seq("__pid"))
+      .withColumn("cum_hi", col("__lc") + col("__off"))
       .withColumn("cum_lo", col("cum_hi") - col("w"))
     val tot = broadcast(segs.agg(max(col("cum_hi")).as("tw")))
     val segB = segs.crossJoin(tot)
       .withColumn("b", explode(sequence(
-        expr(s"cum_lo * $buckets div tw"),
-        expr(s"(cum_hi - 1) * $buckets div tw"))))
+        expr(s"CAST(cum_lo AS DECIMAL(38,0)) * $buckets div tw"),
+        expr(s"CAST(cum_hi - 1 AS DECIMAL(38,0)) * $buckets div tw"))))
       .select(col("b"), col("node"), col("cum_lo"), col("cum_hi"))
     val draws = counts.select(col("center")).distinct()
       .select(col("center"), explode(sequence(lit(1), lit(k))).as("j"))
@@ -267,7 +300,7 @@ object Walks {
         concat_ws(":", col("center"), col("j")), salt))
       .withColumn("u",
         expr("CAST(__h AS DECIMAL(38,0)) * tw div 4294967296"))
-      .withColumn("b", expr(s"u * $buckets div tw"))
+      .withColumn("b", expr(s"CAST(u AS DECIMAL(38,0)) * $buckets div tw"))
     draws.join(segB, Seq("b"))
       .filter(col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
       .select(col("center"), col("j"), col("node").as("negative"))
