@@ -77,13 +77,26 @@ object Walks {
     * of the O(walks·degree) candidate frame against the deduped edge
     * set on (prev, dst) — the distance-1 probe; state carries ONE
     * extra column (prev), still one row per live walk.
+    *
+    * `hubDegreeCap` guards the probe against power-law hubs: sources
+    * whose out-degree exceeds the cap are EXCLUDED from the V-sized
+    * neighbor-set frame (their row would be O(out-degree) wide — a
+    * 10⁷-neighbor hub is a row Spark may not even hold) and their
+    * adjacency is probed through a constant-row-size edge-pair left
+    * join on (prev, dst) instead. The split is decided by one degree
+    * aggregate + a 1-row driver probe before the loop; a hub-free
+    * graph (every entity-graph regime measured so far) skips the
+    * hybrid entirely and keeps the pure set-probe plan, paired at
+    * −34% vs the edge-pair form (r42 subset, BENCH_NOTES r15).
     */
   def biasedWalks(edges: DataFrame, seeds: DataFrame, len: Int,
                   returnBp: Int, inoutBp: Int, salt: Int = 0,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  hubDegreeCap: Int = 1 << 16): DataFrame = {
     require(len >= 1, s"len must be >= 1, got $len")
     require(returnBp >= 1 && inoutBp >= 1,
       s"penalties must be positive basis points, got $returnBp/$inoutBp")
+    require(hubDegreeCap >= 1, s"hubDegreeCap must be >= 1, got $hubDegreeCap")
     val spark = edges.sparkSession
     val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
     val e = ckpt(edges.select(col("src"), col("dst")))
@@ -92,13 +105,38 @@ object Walks {
     // left join then probes |V| rows instead of |E| (measured r42
     // paired subset: 6.73 → 4.41 s, −34%, with the unchanged r37 as
     // in-window control at −9%) and the membership test is an
-    // array_contains over the prev node's out-degree. Row size is
-    // O(out-degree) — fine for entity graphs (the walk regime); a
-    // power-law hub with millions of out-neighbors would need the
-    // edge-pair left-join form instead (probe |E| rows, constant-size
-    // rows) — swap here if that graph shape arrives.
-    val nbrs = ckpt(e.groupBy(col("src").as("__ps"))
-      .agg(collect_set(col("dst")).as("__pn")))
+    // array_contains over the prev node's out-degree. Hub sources
+    // (out-degree > hubDegreeCap) never enter this frame — see the
+    // hybrid note above. The hub test counts RAW out-edge rows (a
+    // map-side-combinable count, an UPPER bound on distinct degree):
+    // a duplicate-heavy source can fall back to the edge-pair path
+    // early, which is conservative and never wrong, and a hub-free
+    // graph pays exactly one light count aggregate + the 1-row probe
+    // on top of the unchanged set-probe plan (the first hybrid cut
+    // materialized a deduped edge copy before probing and paired at
+    // +14% on r42 — rejected; this form pairs at +0.25 s median ≈ +5%,
+    // the accepted price of default-on protection — BENCH_NOTES r16).
+    // hubDegreeCap = Int.MaxValue disables the guard entirely (no
+    // probe job) for callers that know their graph is hub-free.
+    val hubSrcs = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") > hubDegreeCap)
+      .select(col("src"))
+    val hasHubs = hubDegreeCap != Int.MaxValue &&
+      !hubSrcs.isEmpty // 1-row guard probe (the mtt doctrine)
+    val (nbrs, hubEdges) =
+      if (!hasHubs)
+        (ckpt(e.groupBy(col("src").as("__ps"))
+          .agg(collect_set(col("dst")).as("__pn"))), null)
+      else {
+        val ed = ckpt(e.distinct())
+        val hubs = ckpt(hubSrcs)
+        (ckpt(ed.join(hubs, Seq("src"), "left_anti")
+          .groupBy(col("src").as("__ps"))
+          .agg(collect_set(col("dst")).as("__pn"))),
+          ckpt(ed.join(hubs, Seq("src"))
+            .select(col("src").as("__hs"), col("dst").as("__hd"))))
+      }
     val nodeType = seeds.schema("node").dataType
     var cur = ckpt(seeds.select(col("walk_id"), col("node"),
       lit(null).cast(nodeType).as("prev")))
@@ -111,14 +149,23 @@ object Walks {
       // return case FIRST (a self-loop makes t adjacent to itself);
       // prev NULL (step 1) has no nbrs match (join misses, __pn null,
       // array_contains → null) so it falls through to the neutral arm
+      val dist1 =
+        if (hasHubs)
+          array_contains(col("__pn"), col("__d")) <=> lit(true) ||
+            col("__hs").isNotNull
+        else array_contains(col("__pn"), col("__d"))
       val pen = when(col("__d") === col("prev"), lit(returnBp.toLong))
-        .when(array_contains(col("__pn"), col("__d")), lit(10000L))
+        .when(dist1, lit(10000L))
         .otherwise(when(col("prev").isNull, lit(10000L))
           .otherwise(lit(inoutBp.toLong)))
       val rank = graft.functions.text.saltedHash32(
         concat_ws(":", col("walk_id"), lit(k), col("__d")), salt) * pen
-      cur = ckpt(cand
-        .join(nbrs, col("prev") === col("__ps"), "left")
+      val probed0 = cand.join(nbrs, col("prev") === col("__ps"), "left")
+      val probed = if (hasHubs)
+        probed0.join(hubEdges,
+          col("prev") === col("__hs") && col("__d") === col("__hd"), "left")
+      else probed0
+      cur = ckpt(probed
         .groupBy(col("walk_id"))
         .agg(min_by(struct(col("__d").as("node"), col("__vn").as("prev")),
           struct(rank.as("r"), col("__d").as("d"))).as("__n"))

@@ -170,6 +170,40 @@ class WalksSpec extends SparkTestBase {
         s"$wid diverged: ${got(wid)}")
   }
 
+  test("biasedWalks hub hybrid: a source past hubDegreeCap probes " +
+    "through the edge-pair join with identical results") {
+    // e is a hub (out-degree 4 > cap 2); the others stay on the set
+    // probe. The hybrid must reproduce both the pure set-probe plan's
+    // output and the serial replay.
+    val hubEdges = Seq(
+      ("e", "a"), ("e", "b"), ("e", "c"), ("e", "d"),
+      ("a", "e"), ("a", "b"), ("b", "e"), ("b", "c"),
+      ("c", "e"), ("d", "e")).toDF("src", "dst")
+    val adj = Seq("e" -> Seq("a", "b", "c", "d"), "a" -> Seq("e", "b"),
+      "b" -> Seq("e", "c"), "c" -> Seq("e"), "d" -> Seq("e")).toMap
+    val seeds = Seq(("w1", "e"), ("w2", "a"), ("w3", "d"))
+      .toDF("walk_id", "node")
+    val hybrid = Walks.biasedWalks(hubEdges, seeds, len = 6,
+        returnBp = 20000, inoutBp = 5000, hubDegreeCap = 2)
+      .as[(String, Int, String)].collect()
+    val pure = Walks.biasedWalks(hubEdges, seeds, len = 6,
+        returnBp = 20000, inoutBp = 5000, hubDegreeCap = Int.MaxValue)
+      .as[(String, Int, String)].collect()
+    assert(hybrid.toSet == pure.toSet && hybrid.nonEmpty)
+    val byWalk = hybrid.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    for ((wid, seed) <- Seq("w1" -> "e", "w2" -> "a", "w3" -> "d"))
+      assert(byWalk(wid) ==
+        serialBiased(adj, wid, seed, 6, 20000L, 5000L),
+        s"$wid diverged: ${byWalk(wid)}")
+    // every source is a hub: the set-probe frame is empty, the
+    // edge-pair path carries the whole distance-1 probe
+    val allHub = Walks.biasedWalks(hubEdges, seeds, len = 6,
+        returnBp = 20000, inoutBp = 5000, hubDegreeCap = 1)
+      .as[(String, Int, String)].collect()
+    assert(allHub.toSet == pure.toSet)
+  }
+
   test("biasedWalks with neutral penalties equals randomWalks " +
     "(rank scaling by a constant preserves the argmin)") {
     val seeds = Seq(("w1", "a"), ("w2", "b"), ("w3", "c"))
