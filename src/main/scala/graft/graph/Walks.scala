@@ -352,4 +352,75 @@ object Walks {
       .filter(col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
       .select(col("center"), col("j"), col("node").as("negative"))
   }
+
+  /** EXPLICIT SGNS FACTORIZATION over [[ppmiPairs]] output — the step
+    * that turns the training-pair corpus into the product a pipeline
+    * actually consumes: node EMBEDDINGS. Levy & Goldberg 2014 show SGNS
+    * implicitly factorizes the (shifted) PMI matrix; the explicit
+    * counterpart factorizes it directly, and the cheapest distributed
+    * factorizer is SUBSPACE POWER ITERATION: `dims` independent
+    * deterministic init vectors, `iters` rounds of x ← A·x against the
+    * sparse PPMI matrix, with a per-dimension rescale to basis points
+    * after every multiply.
+    *
+    * Everything is EXACT integer arithmetic, hash-oracle-able
+    * digit-for-digit (the t17/r41 no-libm doctrine):
+    *   - init x_d(v) = (hash32(v ":" d) mod 20001) − 10⁴ ∈ [−10⁴, 10⁴];
+    *   - multiply y_d(c) = Σ_ctx ppmi_bp(c,ctx) · x_d(ctx) in
+    *     DECIMAL(38,0) (|y| ≤ 10⁴ · Σ ppmi_bp per row — never near 10³⁸);
+    *   - rescale x'_d = sign(y_d) · ⌊|y_d| · 10⁴ / max_c |y_d(c)|⌋
+    *     (abs-first so truncating division agrees across engines; the
+    *     max is a 1-row broadcast frame — the Similarity shape).
+    *
+    * Without per-step orthogonalization the `dims` columns all converge
+    * toward the dominant eigenvector as iters → ∞ (a QR step needs
+    * sqrt/div chains no SQL mirror replays exactly); at the small fixed
+    * iteration counts a pipeline uses (2–4) the independently-seeded
+    * columns stay separated and the result is the standard randomized
+    * subspace sketch of the PPMI matrix. Callers wanting orthogonal
+    * factors run one driver-side QR over the RETURNED (V × dims) frame
+    * — dims² driver state, codebook-sized.
+    *
+    * Scale shape: `iters` join+agg matvecs, each shuffling on real keys
+    * (context, then center) with dims·8-byte state per node — the
+    * [[Routing.bfsHops]] shuffle shape with dimension-bounded payload;
+    * the PPMI side re-joins per round (stage it context-bucketed at
+    * cluster scale, same remedy as every frontier loop here). Expects
+    * the symmetric corpus [[skipGramCounts]] emits (contexts ⊆ centers);
+    * a context never seen as a center contributes its init-round terms
+    * and then drops out (inner-join semantics = its embedding is 0 from
+    * round 2 on). Returns (node, x0..x{dims-1}) for every center.
+    */
+  def ppmiPowerEmbed(ppmi: DataFrame, dims: Int = 4, iters: Int = 3,
+                     salt: Int = 0,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    require(dims >= 1 && dims <= 16, s"dims must be in [1,16], got $dims")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = ppmi.sparkSession
+    val ckpt = graft.operators.Iteration.materializer(spark, checkpointDir)
+    val m = ckpt(ppmi.select(col("center"), col("context"), col("ppmi_bp")))
+    val nodes = m.select(col("center").as("node"))
+      .union(m.select(col("context").as("node"))).distinct()
+    var x = ckpt(nodes.select(col("node") +: (0 until dims).map { d =>
+      (pmod(graft.functions.text.saltedHash32(
+        concat_ws(":", col("node"), lit(d)), salt), lit(20001L)) -
+        lit(10000L)).cast("long").as(s"x$d")
+    }: _*))
+    for (_ <- 1 to iters) {
+      val sums = (0 until dims).map(d =>
+        sum(expr(s"CAST(ppmi_bp AS DECIMAL(38,0)) * x$d")).as(s"y$d"))
+      val y = m.join(x, m("context") === x("node"))
+        .groupBy(m("center")).agg(sums.head, sums.tail: _*)
+        .withColumnRenamed("center", "node")
+      val maxes = (0 until dims).map(d =>
+        greatest(max(abs(col(s"y$d"))), lit(1)).as(s"m$d"))
+      val mx = broadcast(y.agg(maxes.head, maxes.tail: _*))
+      x = ckpt(y.crossJoin(mx) // 1-row broadcast frame (Similarity shape)
+        .select(col("node") +: (0 until dims).map { d =>
+          expr(s"CAST(CASE WHEN y$d < 0 THEN -(((-y$d) * 10000) div m$d)" +
+            s" ELSE (y$d * 10000) div m$d END AS BIGINT)").as(s"x$d")
+        }: _*))
+    }
+    x
+  }
 }

@@ -922,6 +922,32 @@ object GraphQ extends QueryPack {
         .orderBy(col("center"), col("j"))
     },
 
+    // r45 — EXPLICIT SGNS FACTORIZATION (Walks.ppmiPowerEmbed — Levy
+    // & Goldberg 2014: SGNS implicitly factorizes the shifted-PMI
+    // matrix; the explicit counterpart factorizes PPMI directly):
+    // 3 rounds of exact-integer subspace power iteration over the r41
+    // PPMI matrix, 4 deterministically-seeded dimensions, per-dim
+    // basis-point rescale after every multiply. Closes the
+    // graph→embedding arc end to end — walks → windows → counts →
+    // PPMI weights → node EMBEDDINGS — with every step
+    // hash-oracle-able. Each round is one join+agg matvec (the
+    // bfsHops shuffle shape, dims·8-byte state per node); the maxes
+    // are 1-row broadcast frames.
+    "r45_ppmi_power_embed" -> { (s, dir) =>
+      val seeds = Tables(s, dir).orders
+        .filter(col("o_custkey") <= 25)
+        .select(col("o_custkey")).distinct()
+        .select(concat(lit("w"), col("o_custkey")).as("walk_id"),
+          (col("o_custkey").cast("long") * 2).as("node"))
+      val seqs = graft.graph.Walks.walkSequences(
+        tradeEdgesLong(s, dir, dedup = false), seeds, len = 8)
+      graft.graph.Walks.ppmiPowerEmbed(
+          graft.graph.Walks.ppmiPairs(
+            graft.graph.Walks.skipGramCounts(seqs, window = 3)),
+          dims = 4, iters = 3)
+        .orderBy(col("node"))
+    },
+
     // r29 — the CONDENSATION DAG layered by longest path: collapse the
     // r28 digraph to its SCC quotient (always a DAG), then topological
     // layers (layer 0 = no incoming edge; else 1 + max predecessor) —
@@ -2672,6 +2698,95 @@ object GraphQ extends QueryPack {
          |SELECT d.center, CAST(d.j AS INT) AS j, s.node AS negative
          |FROM draws d JOIN segs2 s ON d.u >= s.cum_lo AND d.u < s.cum_hi
          |ORDER BY center, j""".stripMargin
+    },
+
+    // r41's PPMI chain + 3 unrolled exact-integer power-iteration
+    // rounds: matvec in HUGEINT, per-dimension GREATEST(MAX(ABS),1)
+    // rescale with abs-first truncating division (so // agrees with
+    // Spark's div on negatives), init = (hash32 % 20001) - 10^4
+    "r45_ppmi_power_embed" -> {
+      val steps = (1 to 8).map { k =>
+        s"""w$k AS (
+           |  SELECT wid, node FROM (
+           |    SELECT p.wid, e.dst AS node,
+           |           row_number() OVER (PARTITION BY p.wid ORDER BY
+           |             ${saltedHash32Sql(s"p.wid || ':$k:' || e.dst", 0)},
+           |             e.dst) AS rn
+           |    FROM w${k - 1} p JOIN e ON e.src = p.node)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8)
+        .map(k => s"SELECT wid, $k AS step, node FROM w$k")
+        .mkString("\n UNION ALL ")
+      val dims = 0 until 4
+      val initCols = dims.map(d =>
+        s"(${saltedHash32Sql(s"node || ':$d'", 0)} % 20001) - 10000 AS x$d")
+        .mkString(",\n  ")
+      val iterCtes = (1 to 3).map { t =>
+        val ys = dims.map(d =>
+          s"SUM(CAST(p.ppmi_bp AS HUGEINT) * x.x$d) AS y$d").mkString(", ")
+        val ms = dims.map(d =>
+          s"GREATEST(MAX(ABS(y$d)), 1) AS m$d").mkString(", ")
+        val xs = dims.map(d =>
+          s"CAST(CASE WHEN y$d < 0 THEN -(((-y$d) * 10000) // m$d) " +
+            s"ELSE (y$d * 10000) // m$d END AS BIGINT) AS x$d")
+          .mkString(",\n    ")
+        s"""y$t AS MATERIALIZED (
+           |  SELECT p.center AS node, $ys
+           |  FROM ppmi p JOIN emb${t - 1} x ON x.node = p.context
+           |  GROUP BY p.center),
+           |mx$t AS (SELECT $ms FROM y$t),
+           |emb$t AS MATERIALIZED (
+           |  SELECT node,
+           |    $xs
+           |  FROM y$t CROSS JOIN mx$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |w0 AS (
+         |  SELECT 'w' || o_custkey AS wid,
+         |         CAST(2*o_custkey AS BIGINT) AS node
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_custkey <= 25)),
+         |$steps,
+         |rows0 AS (
+         | SELECT wid, 0 AS step, node FROM w0
+         | UNION ALL $unions),
+         |fwd AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM rows0 a JOIN rows0 b
+         |    ON a.wid = b.wid AND b.step > a.step AND b.step <= a.step + 3),
+         |cnt AS MATERIALIZED (
+         |  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT center, context FROM fwd
+         |    UNION ALL
+         |    SELECT context, center FROM fwd)
+         |  GROUP BY center, context),
+         |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn FROM cnt),
+         |cm AS (SELECT center, CAST(SUM(n) AS HUGEINT) AS nc
+         |       FROM cnt GROUP BY center),
+         |xm AS (SELECT context, CAST(SUM(n) AS HUGEINT) AS nx
+         |       FROM cnt GROUP BY context),
+         |ppmi AS MATERIALIZED (
+         |  SELECT center, context, ppmi_bp FROM (
+         |    SELECT c.center, c.context,
+         |           CAST(CAST(c.n AS HUGEINT) * t.nn * 10000
+         |                // (m.nc * x.nx) AS BIGINT) AS ppmi_bp
+         |    FROM cnt c CROSS JOIN tot t
+         |    JOIN cm m ON m.center = c.center
+         |    JOIN xm x ON x.context = c.context)
+         |  WHERE ppmi_bp > 10000),
+         |nodes AS (
+         |  SELECT center AS node FROM ppmi
+         |  UNION SELECT context FROM ppmi),
+         |emb0 AS (
+         |  SELECT node,
+         |  $initCols
+         |  FROM nodes),
+         |$iterCtes
+         |SELECT node, x0, x1, x2, x3 FROM emb3 ORDER BY node""".stripMargin
     },
 
     // the r37 chain with the 2nd-order penalty: each step carries prev,

@@ -279,6 +279,65 @@ class WalksSpec extends SparkTestBase {
     assert(bigShare > 0.95, s"bigShare=$bigShare")
   }
 
+  /** Serial replay of the exact subspace-power-iteration arithmetic. */
+  private def serialPowerEmbed(ppmi: Seq[(String, String, Long)],
+                               dims: Int, iters: Int)
+      : Map[String, Seq[Long]] = {
+    val nodes = (ppmi.map(_._1) ++ ppmi.map(_._2)).distinct
+    var x: Map[String, Seq[Long]] = nodes.map { v =>
+      v -> (0 until dims).map(d =>
+        (graft.functions.text.saltedHash32Long(s"$v:$d", 0) % 20001L)
+          - 10000L)
+    }.toMap
+    for (_ <- 1 to iters) {
+      val y = ppmi.groupBy(_._1).view.mapValues { rows =>
+        (0 until dims).map(d => rows.collect {
+          case (_, ctx, w) if x.contains(ctx) =>
+            BigInt(w) * BigInt(x(ctx)(d))
+        }.sum)
+      }.toMap
+      val mx = (0 until dims).map(d =>
+        y.values.map(_(d).abs).maxOption.getOrElse(BigInt(1)) max BigInt(1))
+      x = y.view.mapValues(ys => (0 until dims).map { d =>
+        val v = ys(d)
+        val q = (v.abs * 10000) / mx(d)
+        (if (v < 0) -q else q).toLong
+      }.toSeq).toMap
+    }
+    x
+  }
+
+  test("ppmiPowerEmbed equals a serial replay of the exact " +
+    "matvec + basis-point rescale") {
+    val rows = Seq(("a", "b", 15000L), ("b", "a", 15000L),
+      ("a", "c", 12000L), ("c", "a", 12000L),
+      ("b", "c", 11000L), ("c", "b", 11000L))
+    val ppmi = rows.map { case (c, x, w) => (c, x, 1L, w) }
+      .toDF("center", "context", "n", "ppmi_bp")
+    val got = Walks.ppmiPowerEmbed(ppmi, dims = 2, iters = 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3)).toMap
+    val want = serialPowerEmbed(rows, dims = 2, iters = 3)
+    assert(got == want, s"got=$got\nwant=$want")
+    // rescale contract: every coordinate in [-10^4, 10^4], and each
+    // dimension attains it somewhere (the max divides itself to 10^4)
+    assert(got.values.flatten.forall(v => v.abs <= 10000L))
+    for (d <- 0 to 1)
+      assert(got.values.map(_(d).abs).max == 10000L)
+  }
+
+  test("ppmiPowerEmbed: a context never seen as a center seeds round 1 " +
+    "then drops out") {
+    // z only ever appears as context: it contributes to a's round-1
+    // sum but gets no embedding row itself
+    val ppmi = Seq(("a", "z", 1L, 20000L), ("a", "b", 1L, 15000L),
+      ("b", "a", 1L, 15000L))
+      .toDF("center", "context", "n", "ppmi_bp")
+    val got = Walks.ppmiPowerEmbed(ppmi, dims = 2, iters = 2)
+      .as[(String, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set("a", "b"))
+  }
+
   test("partition invariance: every walk-tier operator returns the " +
     "same set regardless of input partitioning") {
     val seeds = Seq(("w1", "a"), ("w2", "b"), ("w3", "c"))
