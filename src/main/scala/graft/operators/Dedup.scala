@@ -798,6 +798,58 @@ object Dedup {
       maxHamming, maxBucketSize)
   }
 
+  /** CROSS-MODAL near-dup pairs: candidates generated by banding ONE
+    * modality's 64-bit fingerprint (`candCol` — e.g. an image pHash),
+    * confirmed against BOTH it and a SECOND modality's fingerprint
+    * (`confirmCol` — e.g. the caption's SimHash). This is the d-tier
+    * banding doctrine applied ACROSS columns of a paired
+    * image+caption corpus: a pair survives iff the images are
+    * near-dup (hamming(cand) ≤ maxHamCand — recall guaranteed by the
+    * 4×16 banding for maxHamCand ≤ 3) AND the captions agree
+    * (hamming(confirm) ≤ maxHamConfirm — a pure post-filter: the same
+    * image re-captioned is NOT a duplicate document). Join traffic is
+    * ids + two 8-byte signatures; the confirm column never drives
+    * candidate generation, so its hamming bound can be loose without
+    * touching the join. First-match-band disambiguation as in
+    * [[hamming64Pairs]]. Output (a, b, hamming_cand, hamming_confirm).
+    */
+  def crossModal64Pairs(df: DataFrame, idCol: String, candCol: String,
+                        confirmCol: String, maxHamCand: Int = 3,
+                        maxHamConfirm: Int = 16): DataFrame = {
+    val shifts = Seq(48, 32, 16, 0)
+    val withBands = df
+      .withColumn("b0", shiftright(col(candCol), 48).bitwiseAND(lit(0xffffL)))
+      .withColumn("b1", shiftright(col(candCol), 32).bitwiseAND(lit(0xffffL)))
+      .withColumn("b2", shiftright(col(candCol), 16).bitwiseAND(lit(0xffffL)))
+      .withColumn("b3", col(candCol).bitwiseAND(lit(0xffffL)))
+      .localCheckpoint()
+    shifts.zipWithIndex.map { case (_, i) =>
+      val l = withBands.select(col(idCol).as("a"),
+        col(candCol).as("candA"), col(confirmCol).as("confA"),
+        col(s"b$i").as("k"))
+      val r = withBands.select(col(idCol).as("b"),
+        col(candCol).as("candB"), col(confirmCol).as("confB"),
+        col(s"b$i").as("rk"))
+      val earlierDiffer = shifts.take(i).map { s =>
+        shiftright(col("candA"), s).bitwiseAND(lit(0xffffL)) =!=
+          shiftright(col("candB"), s).bitwiseAND(lit(0xffffL))
+      }.foldLeft(lit(true))(_ && _)
+      l.join(r, col("k") === col("rk") && col("a") < col("b") &&
+          earlierDiffer)
+        .withColumn("hamming_cand",
+          bit_count(col("candA").bitwiseXOR(col("candB"))))
+        .withColumn("hamming_confirm",
+          bit_count(col("confA").bitwiseXOR(col("confB"))))
+        .filter(col("hamming_cand") <= maxHamCand &&
+          col("hamming_confirm") <= maxHamConfirm)
+        .select(col("a"), col("b"), col("hamming_cand"),
+          col("hamming_confirm"))
+    }.reduce(_ unionByName _)
+      .select(col("a"), col("b"),
+        col("hamming_cand").cast("int").as("hamming_cand"),
+        col("hamming_confirm").cast("int").as("hamming_confirm"))
+  }
+
   /** Shared candidate-pair core for the banded SimHash joins: one
     * equi-join per band column, hamming filter before the union, and
     * FIRST-MATCH-BAND disambiguation when no bucket cap is set — band i

@@ -18,6 +18,29 @@ object MediaQ extends QueryPack {
     Tables(s, dir).documents
       .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
 
+  /** m04's planted media families → (doc_id, phash64): 8 consecutive
+    * doc_ids share a 256-byte base (8 distinct md5 segments), each
+    * overlaying ONE byte at its own sampled offset. See m04's comment
+    * for the planting rationale and the measured hexed-cache lever.
+    */
+  private def plantedPhash(s: SparkSession, dir: String): DataFrame = {
+    val fam = expr("doc_id div 8").cast("string")
+    val base = concat((0 until 8).map(k =>
+      md5(concat(fam, lit(s":$k")))): _*)
+    val pos = (pmod(col("doc_id"), lit(8)) * 32 + 1).cast("int")
+    val v = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val planted = concat(
+      substr(base, lit(1), pos - 1), v,
+      substr(base, pos + 1, lit(256)))
+    val hexed = Tables(s, dir).documents
+      .select(col("doc_id"),
+        lower(hex(encode(planted, "utf-8"))).as("h"),
+        octet_length(encode(planted, "utf-8")).cast("long").as("n"))
+      .cache()
+    hexed.select(col("doc_id"),
+      Multimodal.phash64FromHex(col("h"), col("n")).as("phash64"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> { (s, dir) =>
       withBlob(s, dir)
@@ -73,37 +96,63 @@ object MediaQ extends QueryPack {
     // overlaying ONE byte at its own sampled offset → family pairs
     // differ in ≤ 2 sampled bits, non-family hashes are independent.
     // The oracle replays hash + banding + confirm byte-for-byte.
+    // The planted-family construction and the measured levers live in
+    // [[plantedPhash]] (shared with m07):
+    // - materialize the hex rendering BEFORE sampling: the planted blob
+    //   is a wide expression (8 md5s + concat + encode), and the 64 bit
+    //   samples must read an attribute, not inline 64 copies of that
+    //   tree (see phash64FromHex — 4.85 s → ~0.5 s)
+    // - cache, not localCheckpoint: InMemoryRelation is equally a
+    //   project-collapse barrier but is LAZY — the banding core's own
+    //   checkpoint job materializes it, so no extra job is spent
+    // - MEASURED AND REJECTED: Graft.kernelParallel here (0.91→1.37 s
+    //   at sf0.1, paired 5-pass mins) — the repartition shuffles the
+    //   256-char hex blobs, and the banding core downstream of the
+    //   cache already parallelizes; the widen guard belongs on scans
+    //   whose per-row kernel IS the query cost (t21/t19/g10), not
+    //   before a cache another operator fans out from.
     "m04_phash_pairs" -> { (s, dir) =>
-      val fam = expr("doc_id div 8").cast("string")
-      val base = concat((0 until 8).map(k =>
-        md5(concat(fam, lit(s":$k")))): _*)
-      val pos = (pmod(col("doc_id"), lit(8)) * 32 + 1).cast("int")
-      val v = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val planted = concat(
-        substr(base, lit(1), pos - 1), v,
-        substr(base, pos + 1, lit(256)))
-      // materialize the hex rendering BEFORE sampling: the planted blob
-      // is a wide expression (8 md5s + concat + encode), and the 64 bit
-      // samples must read an attribute, not inline 64 copies of that
-      // tree (see phash64FromHex — 4.85 s → ~0.5 s)
-      // cache, not localCheckpoint: InMemoryRelation is equally a
-      // project-collapse barrier but is LAZY — the banding core's own
-      // checkpoint job materializes it, so no extra job is spent
-      // MEASURED AND REJECTED: Graft.kernelParallel here (0.91→1.37 s
-      // at sf0.1, paired 5-pass mins) — the repartition shuffles the
-      // 256-char hex blobs, and the banding core downstream of the
-      // cache already parallelizes; the widen guard belongs on scans
-      // whose per-row kernel IS the query cost (t21/t19/g10), not
-      // before a cache another operator fans out from.
-      val hexed = Tables(s, dir).documents
-        .select(col("doc_id"),
-          lower(hex(encode(planted, "utf-8"))).as("h"),
-          octet_length(encode(planted, "utf-8")).cast("long").as("n"))
-        .cache()
-      val ph = hexed.select(col("doc_id"),
-        Multimodal.phash64FromHex(col("h"), col("n")).as("phash64"))
       graft.operators.Dedup
-        .hamming64Pairs(ph, "doc_id", "phash64", maxHamming = 3)
+        .hamming64Pairs(plantedPhash(s, dir), "doc_id", "phash64",
+          maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // CROSS-MODAL near-dup pairs — the paired image+caption dedup
+    // shape (Dedup.crossModal64Pairs): candidates from the IMAGE
+    // modality's pHash bands (m04's planted families), confirmed on
+    // BOTH the image hamming (≤ 3) and the CAPTION SimHash hamming
+    // (≤ 16) — the same image re-captioned is not a duplicate
+    // document. Captions are planted in parallel families of 8
+    // (16 md5-word texts, each member varying one word), except
+    // member 7 of every family, which is RE-CAPTIONED with 16
+    // unrelated words — its image-near pairs reach the confirm
+    // filter and die on the text hamming, so the cross-modal filter
+    // demonstrably separates "same media, same caption" from "same
+    // media, new caption". Join traffic is ids + two 8-byte
+    // signatures; the caption signature never drives candidate
+    // generation.
+    "m07_crossmodal_neardup" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(8)).cast("int")
+      val fam = expr("doc_id div 8").cast("string")
+      val words = (0 until 16).map { j =>
+        when(m === 7,
+          md5(concat(col("doc_id").cast("string"), lit(s":alien:$j"))))
+          .when(m === lit(j),
+            md5(concat(col("doc_id").cast("string"), lit(":var"))))
+          .otherwise(md5(concat(fam, lit(s":cap:$j"))))
+      }
+      val caps = Tables(s, dir).documents
+        .select(col("doc_id"), concat_ws(" ", words: _*).as("caption"))
+      val joined = plantedPhash(s, dir)
+        .join(graft.operators.Dedup.simhash64(caps, "doc_id", "caption"),
+          Seq("doc_id"))
+      graft.operators.Dedup
+        .crossModal64Pairs(joined, "doc_id", "phash64", "simhash64",
+          maxHamCand = 3, maxHamConfirm = 16)
+        .select(col("a"), col("b"),
+          col("hamming_cand").as("img_hamming"),
+          col("hamming_confirm").as("txt_hamming"))
         .orderBy(col("a"), col("b"))
     },
 
@@ -363,6 +412,99 @@ object MediaQ extends QueryPack {
         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cands WHERE bit_count(xor(sa, sb)) <= 6
         |ORDER BY a, b""".stripMargin,
+
+    // m04's image chain (planted blobs → sampled-parity bits → signed
+    // 64-bit pHash + bands) joined to the caption SimHash mirror
+    // (d07's bit-sum chain over the planted 16-word captions); band-OR
+    // candidates from the IMAGE hash only, both hammings confirmed
+    "m07_crossmodal_neardup" -> {
+      val bitSums = (0 until 64).map { b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n  ")
+      val combine = (0 until 64).map { b =>
+        s"CASE WHEN s$b > 0 THEN ${BigInt(1) << b}::HUGEINT " +
+          "ELSE 0::HUGEINT END"
+      }.mkString(" + ")
+      s"""WITH p0 AS (
+         |  SELECT doc_id,
+         |    md5(CAST(doc_id // 8 AS VARCHAR) || ':0')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':1')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':2')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':3')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':4')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':5')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':6')
+         |    || md5(CAST(doc_id // 8 AS VARCHAR) || ':7') AS base,
+         |    CAST((doc_id % 8) * 32 + 1 AS INT) AS pos,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS v
+         |  FROM documents),
+         |pl AS (SELECT doc_id,
+         |         substr(base, 1, pos - 1) || v || substr(base, pos + 1)
+         |           AS s
+         |       FROM p0),
+         |hx AS (SELECT doc_id, lower(hex(encode(s))) AS h,
+         |         octet_length(encode(s)) AS n
+         |       FROM pl),
+         |bits AS (SELECT doc_id,
+         |  [CASE WHEN strpos('13579bdf', substr(h, 2*((n*i)//64) + 2, 1)) > 0
+         |        THEN 1 ELSE 0 END FOR i IN range(0, 64)] AS bs
+         |  FROM hx),
+         |bands AS (SELECT doc_id,
+         |  CAST(list_sum([bs[j+1]  * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b0,
+         |  CAST(list_sum([bs[j+17] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b1,
+         |  CAST(list_sum([bs[j+33] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b2,
+         |  CAST(list_sum([bs[j+49] * 2**(15-j) FOR j IN range(0,16)]) AS BIGINT) AS b3
+         |  FROM bits),
+         |ph AS (SELECT doc_id, b0, b1, b2, b3,
+         |  CAST(CASE WHEN CAST(b0 AS HUGEINT)*281474976710656
+         |                 + CAST(b1 AS HUGEINT)*4294967296
+         |                 + CAST(b2 AS HUGEINT)*65536 + b3
+         |                 >= 9223372036854775808
+         |            THEN CAST(b0 AS HUGEINT)*281474976710656
+         |                 + CAST(b1 AS HUGEINT)*4294967296
+         |                 + CAST(b2 AS HUGEINT)*65536 + b3
+         |                 - 18446744073709551616
+         |            ELSE CAST(b0 AS HUGEINT)*281474976710656
+         |                 + CAST(b1 AS HUGEINT)*4294967296
+         |                 + CAST(b2 AS HUGEINT)*65536 + b3
+         |       END AS BIGINT) AS sim
+         |  FROM bands),
+         |capw AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN doc_id % 8 = 7
+         |         THEN md5(CAST(doc_id AS VARCHAR) || ':alien:' || j)
+         |         WHEN doc_id % 8 = j
+         |         THEN md5(CAST(doc_id AS VARCHAR) || ':var')
+         |         ELSE md5(CAST(doc_id // 8 AS VARCHAR) || ':cap:' || j)
+         |    END AS tok
+         |  FROM documents, unnest(generate_series(0, 15)) t(j)),
+         |th AS (SELECT doc_id,
+         |         ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+         |       FROM capw),
+         |tbits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+         |tsimu AS (SELECT doc_id, ($combine) AS tu FROM tbits),
+         |txt AS (SELECT doc_id,
+         |  CAST(CASE WHEN tu >= 9223372036854775808
+         |       THEN tu - 18446744073709551616 ELSE tu END AS BIGINT)
+         |    AS tsim
+         |  FROM tsimu),
+         |jj AS (SELECT ph.doc_id, ph.b0, ph.b1, ph.b2, ph.b3,
+         |         ph.sim AS isim, txt.tsim AS tsim
+         |       FROM ph JOIN txt ON ph.doc_id = txt.doc_id),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |    l.isim AS ia, r.isim AS ib, l.tsim AS ta, r.tsim AS tb
+         |  FROM jj l JOIN jj r
+         |    ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2
+         |        OR l.b3 = r.b3)
+         |       AND l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(ia, ib)) AS INT) AS img_hamming,
+         |       CAST(bit_count(xor(ta, tb)) AS INT) AS txt_hamming
+         |FROM cands
+         |WHERE bit_count(xor(ia, ib)) <= 3
+         |  AND bit_count(xor(ta, tb)) <= 16
+         |ORDER BY a, b""".stripMargin
+    },
 
     "m06_scene_segments" ->
       """WITH b AS (

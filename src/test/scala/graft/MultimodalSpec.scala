@@ -121,6 +121,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.forall(_._3 <= 2))
   }
 
+  test("crossModal64Pairs: image bands generate, caption hamming " +
+    "confirms, first-match bands stay disjoint") {
+    import spark.implicits._
+    // two image families (identical cand hashes within a family), one
+    // member re-captioned: its pairs must die on the confirm filter
+    val rows = Seq(
+      (1L, 0x1111222233334444L, 100L), // family A, caption c1
+      (2L, 0x1111222233334444L, 100L), // family A, caption c1
+      (3L, 0x1111222233334444L, -1L),  // family A, alien caption
+      (4L, 0x5555666677778888L, 200L), // family B, caption c2
+      (5L, 0x5555666677778889L, 201L)  // family B, 1 img + 1 txt bit off
+    ).toDF("id", "img", "txt")
+    val got = graft.operators.Dedup
+      .crossModal64Pairs(rows, "id", "img", "txt",
+        maxHamCand = 3, maxHamConfirm = 8)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // (1,2): img 0, txt 0. (1,3)/(2,3): img 0 but txt hamming huge ->
+    // dropped. (4,5): img 1, txt 1. Identical cand hashes collide on
+    // ALL four bands — first-match disambiguation must emit the pair
+    // exactly once (the Set size check would hide duplicates; count
+    // the raw rows too).
+    assert(got == Set((1L, 2L, 0, 0), (4L, 5L, 1, 1)))
+    val raw = graft.operators.Dedup
+      .crossModal64Pairs(rows, "id", "img", "txt",
+        maxHamCand = 3, maxHamConfirm = 8).count()
+    assert(raw == 2L)
+  }
+
   test("audioFp64: serial parity, gain invariance, glitch locality") {
     import spark.implicits._
     def serial(codes: Seq[Int]): Long = {
