@@ -350,9 +350,22 @@ object Dedup {
     // prefix, the container side keeps its full (sub-cap) posting
     val (shing, ranked, pref) = stagePrefixRanked(docs, idCol, textCol,
       shingleN, thetaNum, thetaDen, maxDf)
-    val cands = pref.select(col(idCol).as("a"), col("t"))
-      .join(ranked.select(col(idCol).as("b"), col("t").as("rt")),
-        col("t") === col("rt") && col("a") =!= col("b"))
+    // POSITIONAL filter (AllPairs §4): a token matched at rank pa of A
+    // and pb of B caps the intersection at min(na−pa, nb−pb)+1 — both
+    // lists are in the same global (df,t) order, so everything shared
+    // sits at or after the match. A qualifying pair's FIRST shared
+    // token sees no shared tokens before it on either side, so that
+    // row's bound ≥ the true intersection ≥ ⌈θ·na⌉ and the row
+    // survives — the dropDuplicates keeps the pair; rows for later
+    // shared tokens may fail, which only thins the pre-dedup volume.
+    // Exactness is therefore untouched (ContainmentSpec pins it).
+    val cands = pref.select(col(idCol).as("a"), col("t"),
+        col("rn").as("pa"), col("sz").as("na"))
+      .join(ranked.select(col(idCol).as("b"), col("t").as("rt"),
+          col("rn").as("pb"), col("sz").as("nb")),
+        col("t") === col("rt") && col("a") =!= col("b") &&
+          (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+            thetaDen >= col("na") * thetaNum)
       .select(col("a"), col("b")).dropDuplicates("a", "b")
     cands
       .join(shing.select(col(idCol).as("a"), col("sh").as("ta"))
