@@ -91,6 +91,44 @@ private[graft] object Iteration {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Run `body` (a loop's rounds) with adaptive query execution
+    * disabled, then restore the session setting — the round-16
+    * optimization-round lever (guide §1.2 step 3 applied to the loop
+    * family; measured in OPTIMIZATION_r16.md).
+    *
+    * WHY: a fixpoint round's frames are bounded (frontier/label-set
+    * sized) and its shuffle width is already derived from the
+    * materialized loop INPUT ([[roundPartitions]] — data-derived at any
+    * scale, not a local[32] constant), so AQE has nothing left to
+    * decide; what it still costs is real: under AQE one checkpoint
+    * action decomposes into one JOB PER SHUFFLE STAGE with a driver
+    * re-optimization gap between each (measured on r32: 9 jobs/round,
+    * 25–130 ms of planning gap per job — ~0.3 s/round of pure driver
+    * latency on a 6-round loop, and the stage-at-a-time schedule also
+    * serializes stages the static planner overlaps). Paired subset
+    * (BENCH_SUBSET protocol, quiet canaries, this file's change only):
+    * r17 4.66→4.51, r23 4.64→4.17, r27 5.87→5.10, r31 3.99→3.31,
+    * r32 6.76→5.90 — and the forest/backtrack phases OUTSIDE
+    * frontierFixpoint keep AQE (their one-shot broadcast-join plans
+    * measured BETTER with it: r33/r35/r38 regressed under a global
+    * AQE-off), which is why the scope is exactly the fixpoint rounds.
+    *
+    * `spark.graft.loop.aqe=true` re-enables AQE inside rounds (the
+    * cluster escape hatch — e.g. a deployment that relies on AQE skew
+    * splitting inside round joins); unset/false is the measured local
+    * AND cluster default: round width is data-derived either way.
+    */
+  def withoutAdaptive[T](spark: org.apache.spark.sql.SparkSession)
+                        (body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val want = spark.conf.getOption("spark.graft.loop.aqe")
+      .orElse(sys.env.get("SPARK_GRAFT_LOOP_AQE")) // A/B knob for tuning runs
+      .map(_.toBoolean).getOrElse(false)
+    val old = spark.conf.get(key)
+    spark.conf.set(key, want.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** The frontier is localCheckpoint'd at every call site, so the
     * emptiness probe is cheap.
     */
@@ -161,10 +199,19 @@ private[graft] object Iteration {
     var frontier: DataFrame = null
     var tiny = tinyBound > 0
     var newCount = -1L // unknown; driver-known in tiny mode
+    // §1.5 job labels: every job a round schedules (checkpoint, AQE
+    // sub-jobs, the emptiness probe) carries "<loop> round k" in the UI
+    // and in Profile's per-job table — free, and it made the round-16
+    // job-level profiling legible. Thread-local, restored after.
+    val sc = spark.sparkContext
+    def described[T](label: String)(body: => T): T = {
+      sc.setJobDescription(label)
+      try body finally sc.setJobDescription(null)
+    }
     // materialize a frame into the current mode; stays tiny only while
     // the FULL row set fits the bound (take(n+1) proves it: fewer than
     // n+1 rows back means it returned everything)
-    def materialize(df: DataFrame): Unit = {
+    def materialize(df: DataFrame, label: String): Unit = described(label) {
       if (tiny) {
         val rows = df.take(tinyBound + 1)
         if (rows.length <= tinyBound) {
@@ -177,24 +224,28 @@ private[graft] object Iteration {
           // crossover: the truncated take is useless — recompute this
           // round's output once, distributed, and stay there
           tiny = false
-          state = ckpt(df)
+          state = withoutAdaptive(spark)(ckpt(df))
           newCount = -1
         }
       } else {
-        state = ckpt(df)
+        // classic rounds plan WITHOUT AQE (see withoutAdaptive: the
+        // per-stage re-optimization gaps dominate bounded round frames;
+        // tiny-mode take() above keeps AQE — it measured FASTER with it)
+        state = withoutAdaptive(spark)(ckpt(df))
         newCount = -1
       }
       frontier = state.filter(col("__new"))
     }
-    materialize(init)
+    materialize(init, s"$name init")
     var i = 0
     var done = false
     def frontierEmpty(): Boolean =
-      if (newCount >= 0) newCount == 0 else frontier.isEmpty
+      if (newCount >= 0) newCount == 0
+      else described(s"$name probe after round $i")(frontier.isEmpty)
     while (i < maxRounds && !done) {
       if (frontierEmpty()) done = true
       else {
-        materialize(round(state, frontier))
+        materialize(round(state, frontier), s"$name round ${i + 1}")
         i += 1
         if (perRound != null) perRound(i, frontier)
       }
