@@ -17,12 +17,16 @@ object Explain {
       val fn = SparkEntry.queries(name)
       println(s"\n===== $name =====")
       fn(spark, sfDir).explain("formatted")
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      // SPARK_GRAFT_EXPLAIN_NOTIME=1 skips the timed passes (plan-file
+      // capture for plans/r16 — timing there belongs to Bench)
+      if (!sys.env.contains("SPARK_GRAFT_EXPLAIN_NOTIME")) {
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[times] ${times.map(t => f"$t%.3f").mkString(" ")} sec")
       }
-      println(f"[times] ${times.map(t => f"$t%.3f").mkString(" ")} sec")
     }
     spark.stop()
   }

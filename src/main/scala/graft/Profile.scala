@@ -28,7 +28,11 @@ object Profile {
     case class Job(id: Int, start: Long, var end: Long = -1L,
                    var stages: Int = 0, var tasks: Int = 0,
                    desc: String)
+    case class Stg(id: Int, job: Int, name: String, tasks: Int,
+                   var ms: Long = -1L, var shufW: Long = 0L,
+                   var shufR: Long = 0L, var rows: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Stg]()
     @volatile var recording = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -39,7 +43,23 @@ object Profile {
           jobs.put(js.jobId, Job(js.jobId, js.time,
             stages = js.stageInfos.size,
             tasks = js.stageInfos.map(_.numTasks).sum, desc = d))
+          js.stageInfos.foreach(si => stages.putIfAbsent(si.stageId,
+            Stg(si.stageId, js.jobId, si.name.takeWhile(_ != '\n'),
+              si.numTasks)))
         }
+      override def onStageCompleted(sc: SparkListenerStageCompleted)
+          : Unit = {
+        val st = stages.get(sc.stageInfo.stageId)
+        if (st != null) {
+          st.ms = (for {a <- sc.stageInfo.completionTime
+                        b <- sc.stageInfo.submissionTime} yield a - b)
+            .getOrElse(-1L)
+          val m = sc.stageInfo.taskMetrics
+          st.shufW = m.shuffleWriteMetrics.bytesWritten
+          st.shufR = m.shuffleReadMetrics.totalBytesRead
+          st.rows = m.outputMetrics.recordsWritten
+        }
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val j = jobs.get(je.jobId)
         if (j != null) j.end = je.time
@@ -55,6 +75,7 @@ object Profile {
     for (name <- names) {
       run(name) // warmup
       jobs.clear()
+      stages.clear()
       recording = true
       val t0 = System.nanoTime()
       run(name)
@@ -67,6 +88,7 @@ object Profile {
       println(f"jobs=${js.size}%d  sum(job wall)=$acc%.3f s  " +
         "(gaps = driver planning/analysis time)")
       var prevEnd = -1L
+      val stById = stages.values.asScala.toSeq.groupBy(_.job)
       for (j <- js) {
         val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
         val gap = if (prevEnd > 0) (j.start - prevEnd) / 1e3 else 0.0
@@ -74,6 +96,11 @@ object Profile {
         println(f"  job ${j.id}%4d  ${dur}%7.3f s  gap=${gap}%6.3f  " +
           f"stages=${j.stages}%2d tasks=${j.tasks}%4d  " +
           j.desc.take(70))
+        for (s <- stById.getOrElse(j.id, Nil).sortBy(_.id)
+               if s.ms >= 0)
+          println(f"      stage ${s.id}%4d ${s.ms / 1e3}%7.3f s  " +
+            f"tasks=${s.tasks}%4d shufW=${s.shufW / 1024}%8dK " +
+            f"shufR=${s.shufR / 1024}%8dK  ${s.name.take(60)}%s")
       }
     }
     spark.stop()

@@ -81,7 +81,12 @@ object Communities {
                       broadcastLabels: Boolean): DataFrame = {
     var labels = ckpt(e.select(col("dst").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
-    for (_ <- 1 to rounds) labels = ckpt(lpaRound(e, labels, broadcastLabels))
+    // rounds plan without AQE (the Iteration.withoutAdaptive lever:
+    // fixed round count, fixed shape, width already derived — paired
+    // numbers in OPTIMIZATION_r16.md)
+    for (_ <- 1 to rounds) labels =
+      graft.operators.Iteration.withoutAdaptive(e.sparkSession)(
+        ckpt(lpaRound(e, labels, broadcastLabels)))
     labels
   }
 

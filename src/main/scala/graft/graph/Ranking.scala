@@ -275,8 +275,16 @@ object Ranking {
       var r = ckpt(r0)
       var i = 0
       while (i < iters) {
-        r = ckpt(rankRound(ewR, nodesR, r.select(col("node"), col("r")),
-          scale, bcastRanks, contrib, personalized))
+        // on-table rounds (narrowEdges = false: bucketed layout, zero
+        // E-side exchange) plan without AQE — the Iteration
+        // .withoutAdaptive lever; the IN-MEMORY rounds KEEP it: their
+        // per-round E-scale shuffles measured 40-75% slower without
+        // AQE's post-shuffle coalescing (r07 3.07→5.35, r14 3.67→5.33,
+        // r21 3.51→5.32 under a global AQE-off — OPTIMIZATION_r16.md)
+        val round = rankRound(ewR, nodesR, r.select(col("node"), col("r")),
+          scale, bcastRanks, contrib, personalized)
+        r = if (narrowEdges) ckpt(round)
+            else graft.operators.Iteration.withoutAdaptive(spark)(ckpt(round))
         i += 1
       }
       r.select(col("node"), col("r"))

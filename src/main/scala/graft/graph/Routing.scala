@@ -872,20 +872,27 @@ object Routing {
         rideCand.unionByName(foot)
       case None => rideCand
     }
-    // merge + canonical per-stop Pareto prune: sort (arr, fare), keep a
-    // label iff its fare strictly beats the running min of every
-    // earlier label; exact duplicates collapse first so the front is
-    // the unique nondominated SET (hash-stable across round paths)
+    // merge + canonical per-stop Pareto prune in ONE exchange: sort
+    // (arr, fare, __new) and keep a label iff its fare strictly beats
+    // the running min of every earlier row. Exact duplicates need no
+    // separate pre-aggregation (the round-16 fusion — this used to be
+    // a groupBy(stop, arr_t, fare) dedup THEN the window, i.e. one
+    // hash-exchange on the triple plus a second on stop per round;
+    // measured duplicate collapse was ~4% of the candidate volume, so
+    // the extra stage bought nothing): copies of one label sort
+    // adjacently, the first copy in (arr_t, fare, __new) order carries
+    // __new = false whenever ANY copy is settled (false < true — the
+    // min(__new) semantics, so a candidate that merely re-derives a
+    // settled label is NOT new and the loop still terminates at the
+    // fixpoint), and every later copy sees its twin's fare in the
+    // running min (fare < fare fails) and dies. The survivor set is
+    // exactly the unique nondominated front — same rows, same flags,
+    // hash-stable across round paths (RoutingSpec pins equality).
     val all = state.select(col("stop"), col("arr_t"), col("fare"),
         lit(false).as("__new")) // whatever survived a round is settled
       .unionByName(cand.withColumn("__new", lit(true)))
-      .groupBy(col("stop"), col("arr_t"), col("fare"))
-      // a candidate that merely re-derives a settled label is NOT new
-      // (min(false, true) = false), so the frontier carries only
-      // genuinely novel labels and the loop terminates at the fixpoint
-      .agg(min(col("__new")).as("__new"))
     val wp = Window.partitionBy(col("stop"))
-      .orderBy(col("arr_t"), col("fare"))
+      .orderBy(col("arr_t"), col("fare"), col("__new"))
       .rowsBetween(Window.unboundedPreceding, -1)
     all.withColumn("__pm", min(col("fare")).over(wp))
       .filter(col("__pm").isNull || col("fare") < col("__pm"))

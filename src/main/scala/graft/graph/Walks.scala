@@ -50,10 +50,14 @@ object Walks {
       // tie-break keeps the argmin total even on 32-bit hash collisions
       val rank = graft.functions.text.saltedHash32(
         concat_ws(":", col("walk_id"), lit(k), e("dst")), salt)
-      cur = ckpt(cur.join(e, cur("node") === e("src"))
-        .groupBy(col("walk_id"))
-        .agg(min_by(e("dst"), struct(rank.as("r"), e("dst").as("d")))
-          .as("node")))
+      // steps plan without AQE (the frontierFixpoint classic-round
+      // lever: panel-sized state, fixed shape — paired numbers in
+      // OPTIMIZATION_r16.md)
+      cur = graft.operators.Iteration.withoutAdaptive(spark)(
+        ckpt(cur.join(e, cur("node") === e("src"))
+          .groupBy(col("walk_id"))
+          .agg(min_by(e("dst"), struct(rank.as("r"), e("dst").as("d")))
+            .as("node"))))
       slices += cur.select(col("walk_id"), lit(k).as("step"), col("node"))
     }
     slices.reduce(_ unionByName _)
@@ -165,12 +169,14 @@ object Walks {
         probed0.join(hubEdges,
           col("prev") === col("__hs") && col("__d") === col("__hd"), "left")
       else probed0
-      cur = ckpt(probed
-        .groupBy(col("walk_id"))
-        .agg(min_by(struct(col("__d").as("node"), col("__vn").as("prev")),
-          struct(rank.as("r"), col("__d").as("d"))).as("__n"))
-        .select(col("walk_id"), col("__n.node").as("node"),
-          col("__n.prev").as("prev")))
+      // steps plan without AQE — same lever as randomWalks' loop
+      cur = graft.operators.Iteration.withoutAdaptive(spark)(
+        ckpt(probed
+          .groupBy(col("walk_id"))
+          .agg(min_by(struct(col("__d").as("node"), col("__vn").as("prev")),
+            struct(rank.as("r"), col("__d").as("d"))).as("__n"))
+          .select(col("walk_id"), col("__n.node").as("node"),
+            col("__n.prev").as("prev"))))
       slices += cur.select(col("walk_id"), lit(k).as("step"), col("node"))
     }
     slices.reduce(_ unionByName _)
