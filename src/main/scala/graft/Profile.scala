@@ -15,12 +15,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    // the sfDir arg is recognized by being an existing DIRECTORY (ADVICE
+    // r16: the startsWith("/") test silently misparsed a relative data
+    // dir as a query name) — relative paths work now
     val (sfDir, names) =
-      if (args.nonEmpty && args.head.startsWith("/"))
+      if (args.nonEmpty && new java.io.File(args.head).isDirectory)
         (args.head, args.drop(1).toSeq)
       else (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         args.toSeq)
-    require(names.nonEmpty, "pass at least one query name")
+    require(names.nonEmpty,
+      "usage: Profile [sfDir (absolute or relative, must exist)] <query ...>")
     val unknown = names.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Graft.session()
@@ -80,6 +84,12 @@ object Profile {
       val t0 = System.nanoTime()
       run(name)
       val wall = (System.nanoTime() - t0) / 1e9
+      // best-effort listener drain (ADVICE r16): the listener bus is
+      // async, so late job-end/stage events could be dropped or print
+      // dur=-1 rows; waitUntilEmpty is package-private — a short sleep
+      // is the honest diagnostic-tool fix (rows can still be labeled
+      // incomplete via dur=-1 below)
+      Thread.sleep(300)
       recording = false
       println(f"\n===== $name%s  wall=$wall%.3f s =====")
       import scala.jdk.CollectionConverters._

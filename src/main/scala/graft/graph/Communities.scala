@@ -83,7 +83,7 @@ object Communities {
       .select(col("node"), col("node").as("label")))
     // rounds plan without AQE (the Iteration.withoutAdaptive lever:
     // fixed round count, fixed shape, width already derived — paired
-    // numbers in OPTIMIZATION_r16.md)
+    // numbers in BENCH_NOTES.md §Round 16)
     for (_ <- 1 to rounds) labels =
       graft.operators.Iteration.withoutAdaptive(e.sparkSession)(
         ckpt(lpaRound(e, labels, broadcastLabels)))

@@ -280,7 +280,7 @@ object Ranking {
         // .withoutAdaptive lever; the IN-MEMORY rounds KEEP it: their
         // per-round E-scale shuffles measured 40-75% slower without
         // AQE's post-shuffle coalescing (r07 3.07→5.35, r14 3.67→5.33,
-        // r21 3.51→5.32 under a global AQE-off — OPTIMIZATION_r16.md)
+        // r21 3.51→5.32 under a global AQE-off — BENCH_NOTES.md §Round 16)
         val round = rankRound(ewR, nodesR, r.select(col("node"), col("r")),
           scale, bcastRanks, contrib, personalized)
         r = if (narrowEdges) ckpt(round)

@@ -1161,12 +1161,22 @@ object Routing {
     val slices = scala.collection.mutable.ListBuffer(ext.drop("__cur"))
     var hops = 0
     var frontier = ext.select(col("dest"), col("__cur"))
-    while (hops < maxHops && !frontier.isEmpty) {
-      ext = ckpt(frontier.join(parents, frontier("__cur") === parents("stop"))
-        .select((col("dest") +: legCols) :+ col("from_stop").as("__cur"): _*))
-      slices += ext.drop("__cur")
-      frontier = ext.select(col("dest"), col("__cur"))
-      hops += 1
+    // round-17: loop-family treatment for the unroll loop (same change
+    // and rationale as paretoJourneyForest — see that loop's comment;
+    // paired numbers in OPTIMIZATION_r17.md §4)
+    val parts = graft.operators.Iteration.roundPartitions(
+      spark, parents.count())
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      while (hops < maxHops && !frontier.isEmpty) {
+        ext = graft.operators.Iteration.withoutAdaptive(spark)(
+          ckpt(frontier.join(parents,
+              frontier("__cur") === parents("stop"))
+            .select((col("dest") +: legCols)
+              :+ col("from_stop").as("__cur"): _*)))
+        slices += ext.drop("__cur")
+        frontier = ext.select(col("dest"), col("__cur"))
+        hops += 1
+      }
     }
     graft.operators.Iteration.warnIfTruncated("journeyForestLegs", frontier,
       hops, maxHops, warnOnTruncation)
@@ -1339,17 +1349,31 @@ object Routing {
     var hops = 0
     var frontier = ext.select(col("dest_stop"), col("dest_arr"),
       col("dest_fare"), col("__cs"), col("__ca"), col("__cf"))
-    while (hops < maxHops && !frontier.isEmpty) {
-      ext = ckpt(frontier.join(parents,
-          frontier("__cs") === parents("stop") &&
-            frontier("__ca") === parents("arr_t") &&
-            frontier("__cf") === parents("fare"))
-        .select((Seq(col("dest_stop"), col("dest_arr"), col("dest_fare"))
-          ++ legCols ++ curCols): _*))
-      slices += ext.drop(drop: _*)
-      frontier = ext.select(col("dest_stop"), col("dest_arr"),
-        col("dest_fare"), col("__cs"), col("__ca"), col("__cf"))
-      hops += 1
+    // round-17: the unroll loop gets the Iteration loop-family
+    // treatment the fixpoint loops already have (guide §2) — every
+    // per-hop frame is bounded by the FOREST (front × depth,
+    // dimension-scale), and parents is materialized, so its row count
+    // derives the round width (1 at sf0.1; grows with the label space,
+    // never a local constant) and each hop's checkpoint plans without
+    // AQE (one job per shuffle stage + driver re-planning gap per hop
+    // is pure overhead on label-scale frames; SPARK_GRAFT_LOOP_AQE
+    // re-enables). Paired numbers in OPTIMIZATION_r17.md §4.
+    val parts = graft.operators.Iteration.roundPartitions(
+      spark, parents.count())
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      while (hops < maxHops && !frontier.isEmpty) {
+        ext = graft.operators.Iteration.withoutAdaptive(spark)(
+          ckpt(frontier.join(parents,
+              frontier("__cs") === parents("stop") &&
+                frontier("__ca") === parents("arr_t") &&
+                frontier("__cf") === parents("fare"))
+            .select((Seq(col("dest_stop"), col("dest_arr"),
+              col("dest_fare")) ++ legCols ++ curCols): _*)))
+        slices += ext.drop(drop: _*)
+        frontier = ext.select(col("dest_stop"), col("dest_arr"),
+          col("dest_fare"), col("__cs"), col("__ca"), col("__cf"))
+        hops += 1
+      }
     }
     graft.operators.Iteration.warnIfTruncated("paretoJourneyForest",
       frontier, hops, maxHops, warnOnTruncation)

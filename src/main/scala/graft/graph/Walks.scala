@@ -52,7 +52,7 @@ object Walks {
         concat_ws(":", col("walk_id"), lit(k), e("dst")), salt)
       // steps plan without AQE (the frontierFixpoint classic-round
       // lever: panel-sized state, fixed shape — paired numbers in
-      // OPTIMIZATION_r16.md)
+      // BENCH_NOTES.md §Round 16)
       cur = graft.operators.Iteration.withoutAdaptive(spark)(
         ckpt(cur.join(e, cur("node") === e("src"))
           .groupBy(col("walk_id"))
@@ -407,26 +407,41 @@ object Walks {
     val m = ckpt(ppmi.select(col("center"), col("context"), col("ppmi_bp")))
     val nodes = m.select(col("center").as("node"))
       .union(m.select(col("context").as("node"))).distinct()
-    var x = ckpt(nodes.select(col("node") +: (0 until dims).map { d =>
-      (pmod(graft.functions.text.saltedHash32(
-        concat_ws(":", col("node"), lit(d)), salt), lit(20001L)) -
-        lit(10000L)).cast("long").as(s"x$d")
-    }: _*))
-    for (_ <- 1 to iters) {
-      val sums = (0 until dims).map(d =>
-        sum(expr(s"CAST(ppmi_bp AS DECIMAL(38,0)) * x$d")).as(s"y$d"))
-      val y = m.join(x, m("context") === x("node"))
-        .groupBy(m("center")).agg(sums.head, sums.tail: _*)
-        .withColumnRenamed("center", "node")
-      val maxes = (0 until dims).map(d =>
-        greatest(max(abs(col(s"y$d"))), lit(1)).as(s"m$d"))
-      val mx = broadcast(y.agg(maxes.head, maxes.tail: _*))
-      x = ckpt(y.crossJoin(mx) // 1-row broadcast frame (Similarity shape)
-        .select(col("node") +: (0 until dims).map { d =>
-          expr(s"CAST(CASE WHEN y$d < 0 THEN -(((-y$d) * 10000) div m$d)" +
-            s" ELSE (y$d * 10000) div m$d END AS BIGINT)").as(s"x$d")
-        }: _*))
+    // round-17: the matvec loop gets the Iteration loop-family
+    // treatment (guide §2) — the loop's largest frame is the
+    // materialized PPMI matrix, so its row count derives the round
+    // width (the same data-derived rule as every frontier loop), and
+    // each round's two materializing actions (the mx 1-row agg and the
+    // x checkpoint) plan without AQE (per-stage re-planning gaps ×
+    // iters rounds is pure driver latency on bounded round frames;
+    // SPARK_GRAFT_LOOP_AQE re-enables). Paired numbers in
+    // OPTIMIZATION_r17.md §4.
+    val parts = graft.operators.Iteration.roundPartitions(spark, m.count())
+    graft.operators.Iteration.withShufflePartitions(spark, parts) {
+      var x = ckpt(nodes.select(col("node") +: (0 until dims).map { d =>
+        (pmod(graft.functions.text.saltedHash32(
+          concat_ws(":", col("node"), lit(d)), salt), lit(20001L)) -
+          lit(10000L)).cast("long").as(s"x$d")
+      }: _*))
+      for (_ <- 1 to iters) {
+        val sums = (0 until dims).map(d =>
+          sum(expr(s"CAST(ppmi_bp AS DECIMAL(38,0)) * x$d")).as(s"y$d"))
+        val y = m.join(x, m("context") === x("node"))
+          .groupBy(m("center")).agg(sums.head, sums.tail: _*)
+          .withColumnRenamed("center", "node")
+        val maxes = (0 until dims).map(d =>
+          greatest(max(abs(col(s"y$d"))), lit(1)).as(s"m$d"))
+        // (the mx agg is lazy — it executes as a broadcast-exchange
+        // subquery inside the ckpt action below, under ITS AQE-off)
+        val mx = broadcast(y.agg(maxes.head, maxes.tail: _*))
+        x = graft.operators.Iteration.withoutAdaptive(spark)(
+          ckpt(y.crossJoin(mx) // 1-row broadcast frame (Similarity shape)
+            .select(col("node") +: (0 until dims).map { d =>
+              expr(s"CAST(CASE WHEN y$d < 0 THEN -(((-y$d) * 10000) div m$d)" +
+                s" ELSE (y$d * 10000) div m$d END AS BIGINT)").as(s"x$d")
+            }: _*)))
+      }
+      x
     }
-    x
   }
 }

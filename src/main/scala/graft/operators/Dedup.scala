@@ -285,13 +285,28 @@ object Dedup {
       shingleN, thetaNum, thetaDen, maxDf = None)
     // AllPairs length filter at candidate time: J(A,B) ≥ θ forces
     // θ·|A| ≤ |B| ≤ |A|/θ, so size-incompatible collisions never enter
-    // the (array-shipping) verify join
-    val cands = pref.select(col(idCol).as("a"), col("t"), col("sz").as("sza"))
+    // the (array-shipping) verify join.
+    // POSITIONAL filter (AllPairs §4, the d21/containmentPairs lever
+    // applied to the symmetric case — round-17): a token matched at rank
+    // pa of A and pb of B caps the intersection at min(na−pa, nb−pb)+1
+    // (both lists share the global (df,t) order, so every shared token
+    // sits at or after the match on BOTH sides). J ≥ θn/θd needs
+    // I·(θn+θd) ≥ θn·(na+nb); a qualifying pair's FIRST shared token is
+    // inside both prefixes (otherwise I < ⌈θ·na⌉ ≤ the required overlap)
+    // and sees no shared tokens before it on either side, so its row's
+    // bound ≥ the true intersection and the row survives — the
+    // dropDuplicates keeps the pair; rows for later shared tokens may
+    // fail, which only thins the pre-dedup volume. Exactness untouched
+    // (TextKernelsSpec brute-force parity pins it).
+    val cands = pref.select(col(idCol).as("a"), col("t"),
+        col("rn").as("pa"), col("sz").as("sza"))
       .join(pref.select(col(idCol).as("b"), col("t").as("rt"),
-          col("sz").as("szb")),
+          col("rn").as("pb"), col("sz").as("szb")),
         col("t") === col("rt") && col("a") < col("b") &&
           col("sza") * thetaNum <= col("szb") * thetaDen &&
-          col("szb") * thetaNum <= col("sza") * thetaDen)
+          col("szb") * thetaNum <= col("sza") * thetaDen &&
+          (least(col("sza") - col("pa"), col("szb") - col("pb")) + 1) *
+            (thetaNum + thetaDen) >= (col("sza") + col("szb")) * thetaNum)
       .select(col("a"), col("b")).dropDuplicates("a", "b")
     // set intersection is order-free, so the raw (distinct) shingle
     // arrays verify directly — no sort, no re-aggregation. shuffle_hash,

@@ -94,7 +94,16 @@ private[graft] object Iteration {
   /** Run `body` (a loop's rounds) with adaptive query execution
     * disabled, then restore the session setting — the round-16
     * optimization-round lever (guide §1.2 step 3 applied to the loop
-    * family; measured in OPTIMIZATION_r16.md).
+    * family; measured in BENCH_NOTES.md §Round 16, re-adjudicated with
+    * paired alternating A/B runs in OPTIMIZATION_r17.md §1).
+    *
+    * Session-conf scoping caveat (ADVICE r16): the flip of
+    * spark.sql.adaptive.enabled is session-global and non-atomic —
+    * this engine's contract is ONE query planning per SparkSession at
+    * a time (the driver surface is sequential; Bench/Verify run
+    * queries serially). A multi-tenant deployment must give each
+    * concurrent query its own spark.newSession() or the temporary
+    * value can leak across queries.
     *
     * WHY: a fixpoint round's frames are bounded (frontier/label-set
     * sized) and its shuffle width is already derived from the
@@ -204,9 +213,12 @@ private[graft] object Iteration {
     // and in Profile's per-job table — free, and it made the round-16
     // job-level profiling legible. Thread-local, restored after.
     val sc = spark.sparkContext
+    // restore the CALLER's description, not null (ADVICE r16): a bench
+    // harness labeling its own jobs around the loop keeps its label
     def described[T](label: String)(body: => T): T = {
+      val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(label)
-      try body finally sc.setJobDescription(null)
+      try body finally sc.setJobDescription(prev)
     }
     // materialize a frame into the current mode; stays tiny only while
     // the FULL row set fits the bound (take(n+1) proves it: fewer than
@@ -222,7 +234,14 @@ private[graft] object Iteration {
             r.getBoolean(newIdx))
         } else {
           // crossover: the truncated take is useless — recompute this
-          // round's output once, distributed, and stay there
+          // round's output once, distributed, and stay there.
+          // NOTE (ADVICE r16): the take() above already forced this
+          // Dataset's executedPlan under AQE, so the withoutAdaptive
+          // wrapper is a no-op for THIS one round (the recompute reuses
+          // the cached AQE plan); correctness is unaffected and every
+          // subsequent round builds a fresh plan under AQE-off. A
+          // one-round plan rebuild was judged not worth the code: the
+          // crossover fires at most once per loop.
           tiny = false
           state = withoutAdaptive(spark)(ckpt(df))
           newCount = -1

@@ -230,15 +230,38 @@ object Similarity {
     * (kmeansStep's 1e-6 integer quantization), so round n+1's rounded-
     * cosine assignment sees identical centroids everywhere.
     */
+  /** Training rounds are eager driver-collected actions (the codebook is
+    * the model artifact), so they get the Iteration loop-family treatment
+    * (round-17, guide §2): the round's ONLY shuffle carries M·K partial
+    * aggregate rows (M = corpus map tasks, K = codebook size — model-
+    * sized, never corpus-sized), so the reduce width is derived from
+    * that row count via [[Iteration.roundPartitions]] instead of the
+    * session width (32 near-empty reducers at local sf0.1; still scales
+    * to full width when M·K is cluster-sized), and the round plans
+    * without AQE ([[Iteration.withoutAdaptive]] — one job per shuffle
+    * stage with a driver re-planning gap per round is pure overhead on
+    * a bounded single-shuffle round; SPARK_GRAFT_LOOP_AQE re-enables).
+    * Paired numbers in OPTIMIZATION_r17.md (v23/v24/v25).
+    */
+  private def trainRound[T](df: DataFrame, modelRows: Long)(body: => T): T = {
+    val spark = df.sparkSession
+    // each map task emits at most `modelRows` partial-aggregate rows
+    val mapTasks = df.rdd.getNumPartitions.toLong
+    val parts = Iteration.roundPartitions(spark, mapTasks * modelRows)
+    Iteration.withShufflePartitions(spark, parts)(
+      Iteration.withoutAdaptive(spark)(body))
+  }
+
   def kmeansTrain(df: DataFrame, vecCol: String,
                   init: Seq[(Int, Array[Double])],
                   rounds: Int): Seq[(Int, Array[Double])] = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     var cb = init
     for (_ <- 1 to rounds) {
-      val means: Map[Int, Array[Double]] = kmeansStep(df, vecCol, cb)
-        .select(col("cell"), col("idx"), col("mean_val"))
-        .collect()
+      val means: Map[Int, Array[Double]] = trainRound(df, cb.size.toLong)(
+        kmeansStep(df, vecCol, cb)
+          .select(col("cell"), col("idx"), col("mean_val"))
+          .collect())
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
           c -> rows.map(r => (r.getInt(1), r.getDouble(2)))
@@ -320,9 +343,9 @@ object Similarity {
     var cb = init
     for (_ <- 1 to rounds) {
       val means: Map[(Int, Int), Array[Double]] =
-        pqStep(df, vecCol, cb, m)
+        trainRound(df, cb.size.toLong * m)(pqStep(df, vecCol, cb, m)
           .select(col("j"), col("cell"), col("idx"), col("mean_val"))
-          .collect()
+          .collect())
           .groupBy(r => (r.getInt(0), r.getInt(1)))
           .map { case (k, rows) =>
             k -> rows.map(r => (r.getInt(2), r.getDouble(3)))

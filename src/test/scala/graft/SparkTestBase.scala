@@ -19,7 +19,11 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // per-fork warehouse (build.sbt testGrouping runs suite groups in
+      // parallel forked JVMs — each needs its own managed-table root)
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("graft.test.warehouse",
+          "/tmp/graft-test-warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
