@@ -407,15 +407,16 @@ object Walks {
     val m = ckpt(ppmi.select(col("center"), col("context"), col("ppmi_bp")))
     val nodes = m.select(col("center").as("node"))
       .union(m.select(col("context").as("node"))).distinct()
-    // round-17: the matvec loop gets the Iteration loop-family
-    // treatment (guide §2) — the loop's largest frame is the
-    // materialized PPMI matrix, so its row count derives the round
-    // width (the same data-derived rule as every frontier loop), and
-    // each round's two materializing actions (the mx 1-row agg and the
-    // x checkpoint) plan without AQE (per-stage re-planning gaps ×
-    // iters rounds is pure driver latency on bounded round frames;
-    // SPARK_GRAFT_LOOP_AQE re-enables). Paired numbers in
-    // OPTIMIZATION_r17.md §4.
+    // round-17: the matvec loop gets the data-derived round WIDTH of
+    // the Iteration loop family (guide §2) — the loop's largest frame
+    // is the materialized PPMI matrix, so its row count derives the
+    // width (the same rule as every frontier loop). The rounds KEEP
+    // AQE, like the in-memory pagerank rounds: the matvec's E-scale
+    // join+agg measured FASTER with AQE's post-shuffle handling in
+    // paired A/B at BOTH bench points (sf0.1 6.39 vs 7.02, sf1 10.97
+    // vs 11.67 — OPTIMIZATION_r17.md §4), so the AQE-off lever is
+    // scoped OUT of this loop by measurement, exactly as
+    // Ranking.iterate keeps it for the in-memory rounds.
     val parts = graft.operators.Iteration.roundPartitions(spark, m.count())
     graft.operators.Iteration.withShufflePartitions(spark, parts) {
       var x = ckpt(nodes.select(col("node") +: (0 until dims).map { d =>
@@ -431,15 +432,12 @@ object Walks {
           .withColumnRenamed("center", "node")
         val maxes = (0 until dims).map(d =>
           greatest(max(abs(col(s"y$d"))), lit(1)).as(s"m$d"))
-        // (the mx agg is lazy — it executes as a broadcast-exchange
-        // subquery inside the ckpt action below, under ITS AQE-off)
         val mx = broadcast(y.agg(maxes.head, maxes.tail: _*))
-        x = graft.operators.Iteration.withoutAdaptive(spark)(
-          ckpt(y.crossJoin(mx) // 1-row broadcast frame (Similarity shape)
-            .select(col("node") +: (0 until dims).map { d =>
-              expr(s"CAST(CASE WHEN y$d < 0 THEN -(((-y$d) * 10000) div m$d)" +
-                s" ELSE (y$d * 10000) div m$d END AS BIGINT)").as(s"x$d")
-            }: _*)))
+        x = ckpt(y.crossJoin(mx) // 1-row broadcast frame (Similarity shape)
+          .select(col("node") +: (0 until dims).map { d =>
+            expr(s"CAST(CASE WHEN y$d < 0 THEN -(((-y$d) * 10000) div m$d)" +
+              s" ELSE (y$d * 10000) div m$d END AS BIGINT)").as(s"x$d")
+          }: _*))
       }
       x
     }
